@@ -1,0 +1,66 @@
+"""Table loaders for the driver fixtures (and, by the same path, any
+partitioned parquet lake).
+
+Reference parity: ref:snowav/framework/outputs.py reads NetCDF model output
+eagerly into RAM; ref:snowav/utils/utilities.py::masks reads the static topo
+dims.  Here every load is a lazy ``spark.read.parquet`` — column pruning and
+predicate pushdown reach the scan via Catalyst, and nothing materializes
+until an action.
+
+Schema fixes applied on read (FIXTURES.md "ingestion caveats"):
+
+- ``events.ts`` is INT64 TIMESTAMP(NANOS) in the file.  Spark 4 throws
+  [PARQUET_TYPE_ILLEGAL] unless ``spark.sql.legacy.parquet.nanosAsLong=true``
+  is set, in which case it surfaces as a long.  We rebuild a true timestamp
+  with ``timestamp_micros(ts div 1000)`` — integer division, exact, and
+  byte-identical to what DuckDB sees at microsecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowav_spark.session import ensure_engine_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, applying per-table schema fixes."""
+    ensure_engine_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs is exact integer division; DuckDB agrees at µs precision.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several fixture tables as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` can be used
+    interchangeably with the DataFrame API (the engine treats SQL text and
+    DataFrame code as the same logical plan)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,96 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Reference parity: the reference (ref:snowav/framework/framework.py) has no
+session concept — it is a single process that loads *all* timesteps into RAM
+up front (its main scalability wall, SURVEY.md §4).  Here the session is the
+unit of configuration and every default below is chosen for the 100 TB /
+1000-executor case, while remaining correct on local[32]:
+
+- **AQE on** (coalesce partitions, skew-join splitting, runtime re-plan).
+- ``spark.sql.shuffle.partitions`` left to AQE coalescing at scale; a small
+  fixed value is used in tests via ``get_spark(shuffle_partitions=...)``.
+- **Dynamic partition overwrite** — the reference's idempotent re-run
+  semantics (delete rows for (run_name, date range) before insert,
+  ref:snowav/database/database.py::delete) map to overwriting only the
+  touched ``(run_id, date)`` partitions.
+- **Parquet aggregate pushdown** for min/max/count-only scans.
+- **Nanos-timestamp shim**: the events fixture stores INT64 TIMESTAMP(NANOS)
+  which Spark 4 refuses by default ([PARQUET_TYPE_ILLEGAL]); we read it as
+  long and rebuild a real timestamp in io.load_table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine defaults. Keys are plain Spark confs — nothing proprietary.
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime shuffle-partition coalescing + skew-join
+    # handling. At 100 TB this is what right-sizes reducers; locally it keeps
+    # tiny queries from fragmenting into empty tasks.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Idempotent re-run: overwrite only the partitions present in the write.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Min/max/count pushed to parquet footers (q_scan-style probes).
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # events.parquet carries TIMESTAMP(NANOS); read as long, rebuild in io.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for any toPandas()/pandas_udf path (report frames, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "snowav_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster the deploy
+    environment supplies the master and this argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # The driver may hand us a session it built itself; make the must-have
+    # confs stick even then (all of these are runtime-settable).
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — builder already set it
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-built session.
+
+    The driver contract (``__spark_entry__.py``) passes us a SparkSession we
+    did not build; the nanos shim and AQE flags are runtime-settable, so we
+    set them here before any fixture read.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
