@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from snowav_spark.io import load_table
-from snowav_spark.ops import banded, methods
+from snowav_spark.ops import banded, joins, methods, windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -324,6 +324,411 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         ["A", "N", "R"],
         r6(F.sum("vol")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_join_dim",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Results × RunMetadata × Basin dim enrichment
+    (ref:snowav/database/database.py).  customer/nation broadcast; the
+    fact table is never shuffled for the dim joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = joins.enrich_dims(
+        li.join(orders, li.l_orderkey == orders.o_orderkey),
+        [
+            (customer, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+        ],
+    )
+    return enriched.groupBy("n_name").agg(
+        r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q_join_compare_runs",
+    """
+    SELECT a.o_custkey, a.v_cur, b.v_prev,
+           round(a.v_cur - b.v_prev, 6) AS delta
+    FROM (SELECT o_custkey, round(sum(o_totalprice), 6) AS v_cur
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+    JOIN (SELECT o_custkey, round(sum(o_totalprice), 6) AS v_prev
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) b
+    USING (o_custkey)
+    """,
+)
+def q_join_compare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare two model runs on shared (basin, date) keys
+    (ref:snowav/plotting/compare_runs.py) — aggregate-then-self-join, so
+    the join operands are one row per key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return joins.compare_runs(
+        orders, "o_custkey", "o_orderstatus", "F", "O", F.col("o_totalprice")
+    )
+
+
+@q(
+    "q_validation_join",
+    """
+    WITH obs AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+               avg(value) AS obs_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_type,
+           round(avg(e.value - o.obs_value), 6) AS bias,
+           round(avg(abs(e.value - o.obs_value)), 6) AS mae,
+           round(sqrt(avg((e.value - o.obs_value) * (e.value - o.obs_value))), 6) AS rmse,
+           count(*) AS n
+    FROM (SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type, value
+          FROM events) e
+    JOIN obs o USING (day, event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-station validation: bias/MAE/RMSE per station
+    (ref:snowav/plotting/stn_validate.py).  'Observations' here are the
+    per-(day, type) means — join + one agg computing all three metrics."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    model = ev.select(day, "event_type", "value")
+    obs = model.groupBy("day", "event_type").agg(
+        F.avg("value").alias("obs_value")
+    )
+    return joins.validation_metrics(
+        model, obs, ["day", "event_type"], "value", "obs_value", ["event_type"]
+    )
+
+
+@q(
+    "q_asof_flight",
+    """
+    SELECT o_orderkey, ship_date, price
+    FROM (
+        SELECT o_orderkey,
+               cast(l_shipdate AS DATE) AS ship_date,
+               l_extendedprice AS price,
+               row_number() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY abs(date_diff('day',
+                                cast(o_orderdate AS DATE) + 60,
+                                cast(l_shipdate AS DATE))),
+                            l_linenumber, l_extendedprice
+               ) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: nearest model-output date to each lidar-flight date
+    (ref:snowav/plotting/flt_image_change.py).  Flight date analog =
+    o_orderdate + 60 d; nearest l_shipdate within the order, tie-broken on
+    (line number, price) — the fixture's l_linenumber is NOT unique within
+    an order.  Implemented as equi-join + min_by(struct) — no window sort
+    over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    target = F.date_add(F.col("o_orderdate").cast("date"), 60)
+    dist = F.abs(F.datediff(F.col("l_shipdate").cast("date"), target))
+    return joins.asof_nearest(
+        orders,
+        li,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "o_orderkey",
+        dist,
+        F.struct(F.col("l_linenumber"), F.col("l_extendedprice")),
+        {
+            "ship_date": F.col("l_shipdate").cast("date"),
+            "price": F.col("l_extendedprice"),
+        },
+    )
+
+
+@q(
+    "q_semi_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        AS n_semi,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        AS n_anti
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-dates detection for incremental processing
+    (ref:snowav/database/database.py existing-records check): which
+    incoming keys are / are not already in the store.  LeftSemi + LeftAnti
+    plans — no payload columns cross the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = F.col("o_orderkey") == F.col("l_orderkey")
+    semi = joins.present_keys(orders, li, cond).agg(F.count("*").alias("n_semi"))
+    anti = joins.missing_keys(orders, li, cond).agg(F.count("*").alias("n_anti"))
+    return semi.crossJoin(anti)
+
+
+@q(
+    "q_point_extract",
+    """
+    SELECT event_type, target, value AS nearest_value
+    FROM (
+        SELECT e.event_type, t.target, e.value,
+               row_number() OVER (
+                   PARTITION BY e.event_type, t.target
+                   ORDER BY abs(e.value - t.target), e.event_id
+               ) AS rn
+        FROM events e
+        CROSS JOIN (SELECT * FROM (VALUES (50.0), (100.0), (150.0), (200.0),
+                                          (250.0)) AS t(target)) t
+    ) WHERE rn = 1
+    """,
+)
+def q_point_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-value extraction: grid value nearest each station coordinate
+    (ref:snowav/plotting/point_values.py).  Broadcast nested-loop against a
+    5-row target dim + min_by pick."""
+    ev = load_table(spark, sf_dir, "events")
+    targets = spark.createDataFrame(
+        [(50.0,), (100.0,), (150.0,), (200.0,), (250.0,)], ["target"]
+    )
+    return joins.nearest_point(
+        ev, targets, ["event_type"], "value", "target", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows / sorts / set ops
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_cumsum",
+    """
+    WITH d AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum(value) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           round(sum(s) OVER (PARTITION BY event_type ORDER BY day), 6)
+               AS cum_value
+    FROM d
+    """,
+)
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative accumulation across days
+    (ref:snowav/plotting/basin_total.py pandas cumsum).  The window sorts
+    only the daily frame, never the raw table."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.cumulative(ev, "ts", ["event_type"], "value")
+
+
+@q(
+    "q_lag_delta",
+    """
+    WITH d AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, sum(value) AS s
+        FROM events GROUP BY 1
+    )
+    SELECT day, round(s - lag(s) OVER (ORDER BY day), 6) AS delta FROM d
+    """,
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change — daily melt analog (ref:basin_total.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.lag_delta(ev, "ts", "value")
+
+
+@q(
+    "q_rank",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS vol
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT zone, band, vol,
+           rank() OVER (PARTITION BY zone ORDER BY vol DESC, band) AS rnk
+    FROM v
+    """,
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank bands by end-of-period volume (ref:snowav/report/report.py
+    tables).  Volumes rounded BEFORE ranking + band tie-break → the order
+    is identical in both engines despite float summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vols = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
+        r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("vol")
+    )
+    return windows.rank_within(
+        vols, ["zone"], [F.desc("vol"), F.asc("band")], out="rnk"
+    )
+
+
+@q(
+    "q_moving_avg",
+    """
+    WITH d AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum(value) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           round(avg(s) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS ma7
+    FROM d
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day smoothed diagnostics series (ref:snowav/plotting/diagnostics.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.moving_average(ev, "ts", ["event_type"], "value", days=7)
+
+
+@q(
+    "q_union_runs",
+    """
+    SELECT src, count(*) AS n, round(sum(o_totalprice), 6) AS total
+    FROM (
+        SELECT 'cur' AS src, o_totalprice FROM orders
+         WHERE year(o_orderdate) = 2000
+        UNION ALL
+        SELECT 'prev' AS src, o_totalprice FROM orders
+         WHERE year(o_orderdate) = 1999
+    ) GROUP BY src
+    """,
+)
+def q_union_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union results of multiple run directories / water years
+    (ref:snowav/framework/outputs.py multi run_dirs).  unionByName so
+    column order never silently mis-aligns."""
+    orders = load_table(spark, sf_dir, "orders")
+    cur = orders.filter(F.year("o_orderdate") == 2000).select(
+        F.lit("cur").alias("src"), "o_totalprice"
+    )
+    prev = orders.filter(F.year("o_orderdate") == 1999).select(
+        "o_totalprice", F.lit("prev").alias("src")
+    )
+    return (
+        cur.unionByName(prev)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Streaming-shaped windows (batch-equivalent, oracle-gradable)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_tumbling_daily",
+    """
+    SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+           round(sum(value), 6) AS sum_value, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling window — the reference's batch day loop as a stream
+    (SURVEY §2.7).  Uses ``F.window`` so the identical expression runs
+    under Structured Streaming with a watermark; epoch-aligned 1-day
+    windows start exactly at date_trunc('day')."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.tumbling(
+        ev,
+        "ts",
+        "1 day",
+        ["event_type"],
+        {"sum_value": r6(F.sum("value")), "n": F.count("*")},
+    )
+    return out.select(
+        F.col("ws").cast("date").alias("day"), "event_type", "sum_value", "n"
+    )
+
+
+@q(
+    "q_sliding_window",
+    """
+    SELECT ws, event_type, round(sum(value), 6) AS sum_value, count(*) AS n
+    FROM (
+        SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS ws,
+               event_type, value
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) k
+    ) GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (6 h width, 1 h slide): each event lands in six
+    hour-aligned windows; Spark expands buckets JVM-side.  Oracle replays
+    the same expansion with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sliding(
+        ev,
+        "ts",
+        "6 hours",
+        "1 hour",
+        ["event_type"],
+        {"sum_value": r6(F.sum("value")), "n": F.count("*")},
+    )
+
+
+@q(
+    "q_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min gap — batch twin of
+    ``session_window`` (SURVEY §2.7); gaps-and-islands with one shared
+    window partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = windows.sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
     )
 
 

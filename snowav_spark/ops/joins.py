@@ -1,0 +1,152 @@
+"""Join operators — dim enrichment, run comparison, validation metrics,
+as-of matching, semi/anti incremental checks, nearest-point extraction.
+
+Reference parity (SURVEY.md §2.4): the reference does all of these as
+SQLAlchemy relationship loads or pandas merges on driver-sized frames.
+Here each is a declarative join whose physical strategy Catalyst/AQE picks:
+tiny dims broadcast (BroadcastHashJoin), big-big equi-joins sort-merge with
+AQE skew splitting, and the two genuinely non-equi shapes (as-of, nearest
+point) are expressed as equi-join + ``min_by`` over a composite ordering
+struct — one shuffle, no window sort, no cross product beyond the
+candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_dims(
+    fact: DataFrame, dims: list[tuple[DataFrame, Column]], broadcast: bool = True
+) -> DataFrame:
+    """Star-schema enrichment: fact ⋈ dim₁ ⋈ dim₂ … with explicit broadcast.
+
+    Reference parity: Results × RunMetadata × Basin lookups
+    (ref:snowav/database/database.py).  Dims at 100 TB scale are still tiny
+    (basins, runs, units) — broadcasting keeps the fact table un-shuffled.
+    """
+    out = fact
+    for dim, cond in dims:
+        out = out.join(F.broadcast(dim) if broadcast else dim, cond)
+    return out
+
+
+def compare_runs(
+    df: DataFrame,
+    key: str,
+    run_col: str,
+    run_a: str,
+    run_b: str,
+    value: Column,
+) -> DataFrame:
+    """Compare two model runs on a shared key
+    (ref:snowav/plotting/compare_runs.py).
+
+    Aggregates each run *before* the join, so the self-join operands are
+    one-row-per-key — at scale this is agg(shuffle on key) twice + a
+    co-partitioned join on the same key, which AQE plans without an extra
+    shuffle (both sides already hash-partitioned by the groupBy key).
+    """
+    a = (
+        df.filter(F.col(run_col) == run_a)
+        .groupBy(key)
+        .agg(F.round(F.sum(value), 6).alias("v_cur"))
+    )
+    b = (
+        df.filter(F.col(run_col) == run_b)
+        .groupBy(key)
+        .agg(F.round(F.sum(value), 6).alias("v_prev"))
+    )
+    return a.join(b, key).select(
+        key, "v_cur", "v_prev", F.round(F.col("v_cur") - F.col("v_prev"), 6).alias("delta")
+    )
+
+
+def validation_metrics(
+    model: DataFrame,
+    obs: DataFrame,
+    on: list[str],
+    model_val: str,
+    obs_val: str,
+    groups: list[str],
+) -> DataFrame:
+    """Model-vs-observation validation: bias / MAE / RMSE per group
+    (ref:snowav/plotting/stn_validate.py joins pixel series to station
+    observations and plots residuals).
+
+    Equi-join on (station, date)-like keys then ONE aggregation computing
+    all three metrics — a single shuffle; the reference loops stations in
+    Python.
+    """
+    diff = F.col(model_val) - F.col(obs_val)
+    joined = model.join(obs, on)
+    return joined.groupBy(*groups).agg(
+        F.round(F.avg(diff), 6).alias("bias"),
+        F.round(F.avg(F.abs(diff)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(diff * diff)), 6).alias("rmse"),
+        F.count("*").alias("n"),
+    )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_key: str,
+    distance: Column,
+    tiebreak: Column,
+    payload: dict[str, Column],
+) -> DataFrame:
+    """As-of / nearest-date join (ref:snowav/plotting/flt_image_change.py
+    matches each ASO flight date to the nearest model output date).
+
+    Spark SQL has no native ASOF JOIN; the scalable composition is
+    equi-join on the coarse key + ``min_by(payload, struct(distance,
+    tiebreak))`` — one hash aggregation instead of a per-group sort, and
+    the struct tie-break keeps the pick deterministic across engines.
+    """
+    matched = left.join(right, on)
+    key = F.struct(distance.alias("d"), tiebreak.alias("t"))
+    aggs = [F.min_by(col, key).alias(name) for name, col in payload.items()]
+    return matched.groupBy(left_key).agg(*aggs)
+
+
+def missing_keys(
+    incoming: DataFrame, existing: DataFrame, on: Column
+) -> DataFrame:
+    """Anti-join: incoming rows not yet in the store — the reference's
+    incremental re-run check (ref:snowav/database/database.py
+    existing-records scan drives 'skip dates already processed')."""
+    return incoming.join(existing, on, "left_anti")
+
+
+def present_keys(
+    incoming: DataFrame, existing: DataFrame, on: Column
+) -> DataFrame:
+    """Semi-join twin of :func:`missing_keys`."""
+    return incoming.join(existing, on, "left_semi")
+
+
+def nearest_point(
+    df: DataFrame,
+    targets: DataFrame,
+    groups: list[str],
+    value: str,
+    target: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Nearest-value extraction per (group, target)
+    (ref:snowav/plotting/point_values.py pulls the grid value at the pixel
+    nearest each station coordinate).
+
+    The target list is tiny → ``crossJoin(broadcast(targets))`` is a
+    broadcast nested-loop that never shuffles the big side; the pick is a
+    ``min_by`` over (|value − target|, tiebreak).
+    """
+    joined = df.crossJoin(F.broadcast(targets))
+    dist = F.abs(F.col(value) - F.col(target))
+    key = F.struct(dist.alias("d"), F.col(tiebreak).alias("t"))
+    return joined.groupBy(*groups, target).agg(
+        F.min_by(F.col(value), key).alias("nearest_value")
+    )

@@ -1,0 +1,138 @@
+"""Window/time-series operators — cumulative accumulation, day-over-day
+deltas, moving averages, ranking, sessionization, tumbling/sliding windows.
+
+Reference parity (SURVEY.md §2.5/§2.7): the reference computes all of these
+in pandas on driver-sized frames (``cumsum`` in basin_total.py, diffs in
+diagnostics.py).  Here they are Spark window functions over *pre-aggregated*
+daily frames: the expensive reduction (raw rows → one row per day per group)
+is a hash aggregate with map-side combine, and only the tiny daily frame
+flows into the sorted window — so the sort that windows require never sees
+the raw 100 TB table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def daily_then_window(
+    df: DataFrame,
+    ts: str,
+    groups: list[str],
+    value: str,
+) -> DataFrame:
+    """Shared first stage: reduce raw rows to (day, groups, sum) — the only
+    pass over the big table."""
+    day = F.date_trunc("day", F.col(ts)).cast("date").alias("day")
+    return df.groupBy(day, *[F.col(g) for g in groups]).agg(
+        F.sum(value).alias("_s")
+    )
+
+
+def cumulative(df: DataFrame, ts: str, groups: list[str], value: str) -> DataFrame:
+    """Running total across days (ref:snowav/plotting/basin_total.py uses
+    pandas cumsum on the collected frame)."""
+    daily = daily_then_window(df, ts, groups, value)
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day", *groups, F.round(F.sum("_s").over(w), 6).alias("cum_value")
+    )
+
+
+def lag_delta(df: DataFrame, ts: str, value: str) -> DataFrame:
+    """Day-over-day change — daily melt = SWE(t) − SWE(t−1)
+    (ref:snowav/plotting/basin_total.py / diagnostics.py)."""
+    daily = daily_then_window(df, ts, [], value)
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        F.round(F.col("_s") - F.lag("_s").over(w), 6).alias("delta"),
+    )
+
+
+def moving_average(
+    df: DataFrame, ts: str, groups: list[str], value: str, days: int = 7
+) -> DataFrame:
+    """Smoothed diagnostics series (ref:snowav/plotting/diagnostics.py).
+
+    ROWS frame over the daily series — equivalent to a day-RANGE frame here
+    because the daily aggregation guarantees one row per day per group.
+    """
+    daily = daily_then_window(df, ts, groups, value)
+    w = Window.partitionBy(*groups).orderBy("day").rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "day", *groups, F.round(F.avg("_s").over(w), 6).alias(f"ma{days}")
+    )
+
+
+def rank_within(
+    df: DataFrame, part: list[str], order: list[Column], out: str = "rnk"
+) -> DataFrame:
+    """Ranked report rows (ref:snowav/report/report.py tables).  Callers
+    must pass a deterministic total order (round floats, add tie-breaks)."""
+    w = Window.partitionBy(*part).orderBy(*order)
+    return df.withColumn(out, F.rank().over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization with a gap timeout — the batch-expressible twin
+    of Structured Streaming's ``session_window`` (SURVEY §2.7).
+
+    Classic gaps-and-islands: flag rows whose gap from the previous event
+    exceeds the timeout, running-sum the flags into session ids.  Both the
+    lag and the cumulative sum share ONE window partitioning (user, ordered
+    by ts) → a single shuffle + per-partition sort.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn("session_id", F.sum(new_session).over(w))
+
+
+def tumbling(
+    df: DataFrame, ts: str, width: str, groups: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """Tumbling-window aggregation via ``F.window`` — the same call shape
+    works on a streaming DataFrame with a watermark (snowav_spark.streaming);
+    in batch it compiles to a plain hash aggregate on the window bucket."""
+    exprs = [c.alias(n) for n, c in aggs.items()]
+    out = df.groupBy(F.window(ts, width), *groups).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("ws"), *groups, *[n for n in aggs]
+    )
+
+
+def sliding(
+    df: DataFrame,
+    ts: str,
+    width: str,
+    slide: str,
+    groups: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Sliding-window aggregation (``F.window`` with a slide): each row
+    lands in width/slide buckets; Spark expands them JVM-side (no UDF,
+    no explode of user code)."""
+    exprs = [c.alias(n) for n, c in aggs.items()]
+    out = df.groupBy(F.window(ts, width, slide), *groups).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("ws"), *groups, *[n for n in aggs]
+    )
