@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from snowav_spark.io import load_table
-from snowav_spark.ops import banded, joins, methods, windows
+from snowav_spark.ops import banded, joins, methods, scalars, windows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -730,6 +730,247 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 / §2.2 Scans, filters, scalar functions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_scan_project",
+    "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan — the reference reads only configured variables
+    from NetCDF (ref:snowav/framework/outputs.py); here the 3-column
+    projection reaches the parquet reader (ReadSchema shows only these)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@q("q_scan_topo", "SELECT * FROM nation")
+def q_scan_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dim scan — topo/mask reader analog
+    (ref:snowav/utils/utilities.py::masks)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@q(
+    "q_filter_daterange",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def q_filter_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range subset (ref:snowav/framework/parse.py date handling;
+    database.py::collect filters).  The predicate is pushed to the scan —
+    on a date-partitioned store this is partition pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@q(
+    "q_project_units",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+           round(l_quantity * 0.03937, 6) AS qty_in
+    FROM lineitem
+    """,
+)
+def q_project_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-conversion arithmetic at compute time (mm→in ×0.03937 etc.,
+    ref:snowav/framework/process.py).  Pure row-local IEEE arithmetic —
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        r6(banded.depth_in(F.col("l_quantity"))).alias("qty_in"),
+    )
+
+
+@q(
+    "q_band_digitize",
+    """
+    SELECT CASE WHEN l_quantity >= 30 THEN 3
+                WHEN l_quantity >= 15 THEN 2
+                WHEN l_quantity >=  5 THEN 1
+                ELSE 0 END AS band,
+           count(*) AS n, round(sum(l_quantity), 6) AS qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_band_digitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.digitize with NON-uniform edges (ref:process.py) — exercises the
+    general chained-WHEN digitize, clamping ≥ last edge into the top band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = banded.digitize(F.col("l_quantity"), [0.0, 5.0, 15.0, 30.0, 50.0])
+    return li.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n"), r6(F.sum("l_quantity")).alias("qty")
+    )
+
+
+@q(
+    "q_cond_rain_snow",
+    """
+    SELECT event_type,
+           round(sum(CASE WHEN value > 100 THEN value ELSE 0 END), 6) AS rain,
+           round(sum(CASE WHEN NOT (value > 100) THEN value ELSE 0 END), 6)
+               AS snow,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_cond_rain_snow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rain/snow partition of precip via the percent-snow grid
+    (ref:process.py precip handling): two complementary conditional sums
+    in ONE aggregation pass."""
+    ev = load_table(spark, sf_dir, "events")
+    met, unmet = scalars.conditional_split(
+        F.col("value"), F.col("value") > 100, ("rain", "snow")
+    )
+    return ev.groupBy("event_type").agg(
+        r6(met).alias("rain"), r6(unmet).alias("snow"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "q_avail_split",
+    f"""
+    SELECT l_returnflag AS zone,
+           round(sum(CASE WHEN l_quantity < 25
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 6) AS avail,
+           round(sum(CASE WHEN NOT (l_quantity < 25)
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 6) AS unavail
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_avail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Available/unavailable SWE split on the cold-content predicate
+    (ref:process.py; threshold is a parameter per SURVEY §1.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    met, unmet = scalars.conditional_split(
+        vol, F.col("l_quantity") < 25, ("avail", "unavail")
+    )
+    return li.groupBy(F.col("l_returnflag").alias("zone")).agg(
+        r6(met).alias("avail"), r6(unmet).alias("unavail")
+    )
+
+
+@q(
+    "q_date_functions",
+    """
+    SELECT CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1
+                ELSE year(o_orderdate) END AS wy,
+           count(*) AS n, round(sum(o_totalprice), 6) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-year math — Oct-1 anchor (ref:snowav/utils/utilities.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        scalars.water_year(F.col("o_orderdate")).alias("wy")
+    ).agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+
+
+@q(
+    "q_string_funcs",
+    """
+    SELECT upper(n_name) AS name_u,
+           length(n_name) AS name_len,
+           concat(n_name, '-', cast(n_regionkey AS VARCHAR)) AS tag,
+           substring(n_name, 1, 3) AS pre
+    FROM nation
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basin/variable label munging for the report
+    (ref:snowav/report/report.py)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        F.upper("n_name").alias("name_u"),
+        F.length("n_name").cast("long").alias("name_len"),
+        F.concat(
+            F.col("n_name"), F.lit("-"), F.col("n_regionkey").cast("string")
+        ).alias("tag"),
+        F.substring("n_name", 1, 3).alias("pre"),
+    )
+
+
+@q(
+    "q_json_props",
+    """
+    SELECT cast(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events side-channel (EXT —
+    no JSON in the reference; SURVEY §2.2).  get_json_object is JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        scalars.json_field(F.col("props"), "k", "int").alias("k")
+    ).agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_value"))
+
+
+@q(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forcing-input percentile summaries (ref:snowav/plotting/inputs.py
+    via the tablizer dep).  Exact interpolated percentile hash-matches
+    DuckDB quantile_cont; approx_percentile is the 100 TB path
+    (q_approx_percentile, rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scalars.exact_percentiles(ev, ["event_type"], "value", [0.5, 0.9])
+
+
+@q(
+    "q_snow_line",
+    f"""
+    WITH m AS (
+        SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+               round(avg(l_extendedprice), 6) AS mean_v
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT zone, min(CASE WHEN mean_v > 30000 THEN band END) AS snow_line
+    FROM m GROUP BY zone
+    """,
+)
+def q_snow_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snow line: lowest band whose mean exceeds the threshold, per basin
+    (ref:snowav/utils/utilities.py).  Means are rounded BEFORE the
+    threshold compare so both engines make the same cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    means = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
+        r6(F.avg("l_extendedprice")).alias("mean_v")
+    )
+    return scalars.snow_line(means, "zone", "band", "mean_v", 30000.0)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
