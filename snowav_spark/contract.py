@@ -25,7 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from snowav_spark.io import load_table
-from snowav_spark.ops import banded, joins, methods, scalars, windows
+from snowav_spark.ops import (
+    banded,
+    dedup,
+    joins,
+    methods,
+    multimodal,
+    scalars,
+    similarity,
+    text,
+    windows,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -971,6 +981,380 @@ def q_snow_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("l_extendedprice")).alias("mean_v")
     )
     return scalars.snow_line(means, "zone", "band", "mean_v", 30000.0)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 LLM-pipeline extensions (EXT)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_text_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(length(text)), 6) AS avg_len,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (EXT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs, "lang", "text", "n_chars")
+
+
+@q(
+    "q_tokenize",
+    """
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + top-term counts (EXT): explode → hash agg with
+    map-side combine → TakeOrdered (vocab-sized exchange, never corpus-
+    sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_terms(docs, "text", 20)
+
+
+@q(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS INT) AS n_ws,
+           cast(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_re
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace + BPE-ish regex (EXT).
+    Array-length expressions — the row count never grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text")
+
+
+@q(
+    "q_quality_score",
+    """
+    SELECT doc_id,
+           round(awl, 6) AS avg_word_len,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(awl - 4.0 * stop_ratio, 6) AS quality
+    FROM (
+        SELECT doc_id,
+               (length(text) - (len(string_split(text, ' ')) - 1))
+                   * 1.0 / len(string_split(text, ' ')) AS awl,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ('a', 'the')))
+                   * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: avg word length − stopword penalty (EXT).
+    Pure arithmetic, no transcendentals → bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+@q(
+    "q_lang_id",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), m(word, lang, wt) AS (VALUES
+        ('the','en',1.0), ('a','en',0.5), ('is','en',1.0),
+        ('data','es',1.0), ('table','es',0.5),
+        ('fast','de',1.0), ('slow','de',0.5),
+        ('query','fr',1.0), ('row','fr',0.5),
+        ('spark','zh',1.0), ('join','zh',0.5)
+    ), s AS (
+        SELECT doc_id, lang, sum(wt) AS score
+        FROM tok JOIN m USING (word) GROUP BY 1, 2
+    ), best AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM s
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    USING (doc_id)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via marker-token scoring (EXT): explode → broadcast
+    marker dim → score → deterministic argmax.  (The fixture corpus shares
+    one vocabulary across langs, so predictions exercise the operator, not
+    linguistics.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+@q(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           min(md5(s)) AS fingerprint
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS s
+        FROM documents
+    ) GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (EXT): min-md5 over 3-gram shingles — a
+    1-permutation MinHash with a portable hash, so it hash-matches the
+    oracle (the murmur3 multi-seed variant is q_minhash_lsh, rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(F.col("text"), 3)
+    return docs.select(
+        "doc_id", F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint")
+    )
+
+
+@q(
+    "q_dedup_exact",
+    """
+    SELECT lang, count(*) AS n,
+           count(DISTINCT md5(text)) AS n_uniq,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting by content digest (EXT): hash-groupBy with
+    map-side combine — the digest exchange carries one row per distinct
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs, "lang", "text")
+
+
+@q(
+    "q_dedup_near",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])) AS s
+            FROM documents)
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via exact 3-gram-shingle Jaccard, top-20 pairs (EXT).
+    Joining on shingles keeps candidates sparse; the MinHash+LSH linear
+    path is q_minhash_lsh (rows-only — murmur3 isn't portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, top_k=20)
+
+
+@q(
+    "q_dedup_embed",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (EXT).
+    Exact N² verification stage — at scale, run per LSH bucket
+    (similarity.lsh_buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_above(emb, "vec_id", "embedding", 0.4)
+
+
+@q(
+    "q_sim_topk",
+    """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.q[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k against a stored query vector (EXT): broadcast the
+    query, score as a projection, TakeOrdered — the corpus is never
+    shuffled.  Similarities rounded before ranking; ties on vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, "vec_id", "embedding", 0, 10)
+
+
+@q(
+    "q_knn_join",
+    """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, cast(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (EXT): 20 query vectors × top-5 corpus neighbors.
+    Queries broadcast; window top-k per query.  At N×N scale, bucket with
+    LSH first (similarity.lsh_buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.knn_join(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding", 5
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "q_multimodal",
+    """
+    SELECT d.lang, e.label, count(*) AS n,
+           round(avg(d.n_chars), 6) AS avg_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column join (EXT): text table ⋈ embedding table by id —
+    features live next to analytics, media bytes never enter the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count("*").alias("n"), r6(F.avg("n_chars")).alias("avg_chars"))
+    )
+
+
+# --- rows-only keys: the at-scale approximate twins (SURVEY §2.6/§2.8).
+# Their hashes are engine-specific (murmur3/HLL/t-digest), so the driver
+# records the weaker rows-only check — exactness is covered by the exact
+# twins above.
+
+
+@q("q_minhash_lsh")
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (EXT, rows-only): the linear-time
+    100 TB path; exact twin is q_dedup_near."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, est_threshold=0.3
+    )
+
+
+@q("q_simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (EXT, rows-only: xxhash64 is engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@q("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (EXT, rows-only: recall < 1 by
+    construction).  Exact twin: q_sim_topk."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, "vec_id", "embedding", 0, 10, planes)
+
+
+@q("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (EXT, rows-only: sketch-dependent).
+    Exact twin: q_distinct.  At 100 TB the sketch is mergeable map-side —
+    constant memory where exact COUNT(DISTINCT) shuffles every key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("n_cust_approx"),
+        F.approx_count_distinct("o_orderpriority").alias("n_prio_approx"),
+    )
+
+
+@q("q_approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (EXT, rows-only).  Exact twin:
+    q_percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5).alias("p50_approx"),
+        F.approx_percentile("value", 0.9).alias("p90_approx"),
+    )
+
+
+@q("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction via mapInPandas (EXT, rows-only:
+    exercises the binary-column plumbing with the deterministic fake
+    payload path; real decode is a documented stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    return multimodal.extract_features(media, fake=True)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,223 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine (SURVEY.md §2.6 EXT).
+
+Scale design (the whole point of these):
+
+- **exact**: hash-groupBy on a content digest — one shuffle keyed by the
+  digest, map-side combine collapses duplicates before the exchange.
+- **n-gram Jaccard**: shingle-set self-join.  Joining on *shingles* (not
+  tokens) keeps the candidate-pair set sparse — a shingle's document list
+  is short, so the pair explosion is bounded by Σ df(s)² over shingles,
+  not n².
+- **MinHash+LSH**: the 100 TB path.  Signatures are built in one pass
+  with higher-order array expressions (no explode until banding); LSH
+  bands turn near-dup detection into an equi-join on (band, bucket-hash),
+  which is linear in corpus size.  Estimated Jaccard = signature overlap;
+  verify exactly only within candidates.
+- **SimHash**: 64-bit fingerprint whose Hamming distance approximates
+  cosine over token multisets; one explode + one aggregate.
+- **embedding-cosine**: see ops/similarity.py — thresholded pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_stats(df: DataFrame, group: str, text: str) -> DataFrame:
+    """Exact duplicate counts per group via content digest (md5)."""
+    return df.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.md5(F.col(text))).alias("n_uniq"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text)))).alias("n_dups"),
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text: str, tiebreak: str
+) -> DataFrame:
+    """Keep one row per distinct content digest (deterministic keeper =
+    min tiebreak).  groupBy-digest + min_by: one shuffle, no window sort."""
+    digest = F.md5(F.col(text)).alias("_digest")
+    keep = (
+        df.select(digest, F.col(tiebreak).alias("_keep"))
+        .groupBy("_digest")
+        .agg(F.min("_keep").alias("_keep"))
+    )
+    return df.join(
+        keep,
+        (F.md5(F.col(text)) == F.col("_digest"))
+        & (F.col(tiebreak) == F.col("_keep")),
+        "left_semi",
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column — higher-order functions
+    only (transform over a sequence of start offsets), no UDF, no explode."""
+    toks = F.split(text, " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 3,
+    top_k: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs.
+
+    distinct(id, shingle) → self-join on shingle (sparse by construction)
+    → |A∩B| per pair → Jaccard via |A|+|B|−|A∩B|.  Deterministic: Jaccard
+    is a ratio of small integers, identical in any engine.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text), n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= threshold)
+    if top_k is not None:
+        pairs = pairs.orderBy(
+            F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+        ).limit(top_k)
+    return pairs
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature over n-gram shingles: for seed i, min over
+    shingles of murmur3(shingle, salted).  Array expression — the
+    signature is computed in one projection, no explode."""
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding — the linear-time near-dup path for 100 TB.
+
+    signature (one pass) → explode into `bands` band-hashes → equi-join on
+    (band, bucket) → candidate pairs → estimated Jaccard = fraction of
+    matching signature positions.  Murmur3 hashes differ across engines →
+    rows-only in the contract; exactness is covered by jaccard_pairs.
+    """
+    rows = num_hashes // bands
+    # Signature via explode + one hash-aggregate of `num_hashes` min()s:
+    # murmur3 + min run fully inside codegen with map-side combine, unlike
+    # the per-element interpreted lambda of minhash_signature (kept for the
+    # no-explode single-projection form).
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text), n)).alias("s"))
+    sig = sh.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.hash("s", F.lit(i))) for i in range(num_hashes)]
+        ).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """64-bit SimHash fingerprint: per token hash, vote ±1 on each bit,
+    sign of the vote becomes the fingerprint bit.  One explode + one
+    aggregate (64 conditional sums in a single agg pass)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w")
+    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 is the sign bit; 63 bits suffice
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,158 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, plus Pandas-UDF plumbing for decode / feature-extract /
+resize / frame-sample (SURVEY.md §2.6 EXT).
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+container — see ``decode_media``): real deployments drop in a PIL/ffmpeg
+call inside the same ``mapInPandas`` body.  Everything around it — the
+schema contract, Arrow batch shape, partition sizing, and the deterministic
+fake used by tests — is real and tested.
+
+Scale notes: media bytes are large and must never be shuffled casually.
+The pattern is: keep binary columns in their own table keyed by id,
+repartition by id ONCE to size partitions for executor memory
+(`maxRecordsPerBatch` keeps Arrow batches bounded), run decode/feature
+UDFs as mapInPandas (no shuffle — narrow), and join only the *extracted
+features* (small) to analytic tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata accompanying every opaque media payload.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), True),  # png | wav | mp4 | ...
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_sum", LongType(), False),
+        StructField("head_hash", StringType(), False),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Deterministic fake media payloads for tests/fixtures: payload bytes
+    derive from the row's own content (md5 of the text), so every engine
+    and every run agrees.  Shape-compatible with real ingested media."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("fake").alias("format"),
+        (F.length(text) % 64 + 1).cast("int").alias("width"),
+        (F.length(text) % 48 + 1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.to_binary(F.md5(F.col(text)), F.lit("hex")).alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, fmt: str):
+    """Decode one media payload into pixels/samples.
+
+    STUB: the real implementation needs an image/audio codec library
+    (PIL / soundfile / av) which is intentionally not vendored here.
+    """
+    raise NotImplementedError(
+        "media decode requires a codec library; wire PIL/ffmpeg here. "
+        "Tests exercise the surrounding Spark plumbing via the "
+        "deterministic fake path (extract_features(fake=True))."
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Feature extraction over media payloads via ``mapInPandas``.
+
+    Arrow-batched: each batch arrives as a pandas DataFrame, features are
+    computed vectorized per batch, and only small feature rows leave the
+    executor.  ``fake=True`` computes deterministic byte-level features
+    (length, byte sum, head hash) instead of decoding — the Spark-side
+    plumbing (schema, batching, narrow execution) is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                # Real path: decode then featurize. Deliberately stubbed.
+                pdf["payload"].map(lambda p: decode_media(p, "unknown"))
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "byte_sum": payloads.map(
+                        lambda p: int(sum(p)) if p is not None else 0
+                    ).astype("int64"),
+                    "head_hash": payloads.map(
+                        lambda p: hashlib.md5(p[:8]).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes payloads through ``mapInPandas`` with the
+    target dims recorded in metadata; the pixel transform is the stubbed
+    decode step.  Returns MEDIA_SCHEMA rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame offset from the metadata duration — demonstrates the
+    1→N mapInPandas expansion shape without a real demuxer."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ms", IntegerType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["duration_ms"] or 0
+                for t in range(0, int(dur), every_ms):
+                    rows.append((r["media_id"], t, r["payload"]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ms", "payload"]
+            )
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6 EXT):
+brute-force cosine top-k as the exact baseline, batch k-NN join, and an
+LSH-bucketed approximate path for scale.
+
+Embeddings are ``array<float>`` columns; all arithmetic uses higher-order
+functions (``zip_with`` + ``aggregate``) with explicit double casts so the
+fold order — and therefore every bit of the result — is identical across
+engines and partitionings.  No UDF anywhere: a 64-dim dot product compiles
+to a JVM loop inside codegen.
+
+Scale notes: brute-force k-NN is O(Q·N·d) — fine when Q (queries) is
+small and N is sheer (the common "score a batch of queries against the
+corpus" shape; broadcast the queries, never shuffle the corpus).  For
+N×N all-pairs at 100 TB, bucket first (LSH random hyperplanes) so the
+self-join is per-bucket, then verify exact cosine within candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation in deterministic left-to-right
+    order (aggregate is a sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """Euclidean norm with the same deterministic fold."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    query_id: int,
+    k: int,
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored query vector.
+
+    The one-row query side is broadcast (a BroadcastNestedLoopJoin that
+    degenerates to a map); scoring is a projection over the corpus; the
+    top-k is TakeOrdered — no shuffle of the corpus at any point.
+    Similarities are rounded BEFORE ranking so the cut is identical in
+    every engine; ties break on id.
+    """
+    qv = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec).alias("_qv")
+    )
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec), F.col("_qv")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec: str,
+    k: int,
+) -> DataFrame:
+    """Batch k-NN join: for every query vector, its k nearest corpus
+    vectors by cosine.  Queries broadcast; per-query top-k via a window
+    over the scored pairs (the scored frame is |Q|·|N| rows — bucket
+    first at scale, see lsh_buckets)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("_qv")
+    )
+    scored = corpus.alias("c").crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
+def _widen(df: DataFrame, id_col: str, vec: str, dim: int, prefix: str) -> DataFrame:
+    """Flatten an array<float> column into `dim` double columns plus the
+    precomputed norm.  Array extraction + per-row norm happen ONCE per row
+    (O(N)); downstream pair scoring then runs on flat doubles fully inside
+    whole-stage codegen — the higher-order-function fold, being interpreted
+    per element, is ~30× slower in the O(N²) stage."""
+    cols = [
+        F.element_at(vec, i + 1).cast("double").alias(f"{prefix}{i}")
+        for i in range(dim)
+    ]
+    return df.select(F.col(id_col), norm(F.col(vec)).alias(f"{prefix}nrm"), *cols)
+
+
+def _wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as a flat left-to-right + chain — identical fold order to
+    the sequential list_sum/aggregate forms, so results are bit-equal."""
+    acc = F.col(f"{prefix_a}0") * F.col(f"{prefix_b}0")
+    for i in range(1, dim):
+        acc = acc + F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
+    return acc
+
+
+def cosine_pairs_above(
+    df: DataFrame, id_col: str, vec: str, threshold: float, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine ≥ threshold.  Exact N² scoring — the verification stage; at
+    scale run it per LSH bucket instead of globally.
+
+    Vectors are widened to flat double columns first so the N² dot product
+    stays in whole-stage codegen (no interpreted lambdas in the hot loop);
+    the left-to-right fold order matches the array form bit-for-bit.
+    """
+    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
+    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    hyperplanes: list[list[float]],
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing: bucket id = sign bits of the dot
+    products with `hyperplanes` (generated driver-side with a fixed seed,
+    inlined as literals → pure projection, no join, no shuffle).
+
+    Follow with a groupBy/self-join on `bucket` to restrict any N² stage
+    to co-bucketed candidates — the linear-time ANN path at 100 TB.
+    """
+    bits = []
+    for j, hp in enumerate(hyperplanes):
+        hp_col = F.array(*[F.lit(float(x)) for x in hp])
+        bits.append(
+            F.when(dot(F.col(vec), hp_col) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(
+        F.col(id_col), F.col(vec), bucket.cast("int").alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    query_id: int,
+    k: int,
+    hyperplanes: list[list[float]],
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket the corpus, score only the query's
+    bucket.  Recall < 1 by construction (rows-only in the contract); the
+    exact twin is cosine_topk."""
+    bucketed = lsh_buckets(df, id_col, vec, hyperplanes)
+    qb = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec).alias("_qv"), F.col("bucket").alias("_qb")
+    )
+    cand = bucketed.crossJoin(F.broadcast(qb)).filter(
+        (F.col("bucket") == F.col("_qb")) & (F.col(id_col) != query_id)
+    )
+    return (
+        cand.select(
+            id_col,
+            F.round(cosine(F.col(vec), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

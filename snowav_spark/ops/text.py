@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.6 EXT — no reference analog; the reference is a numeric
+raster pipeline).
+
+Everything here is built-in-expression only: ``split`` / ``explode`` /
+higher-order array functions — JVM-side, whole-stage codegen, no Python in
+the hot path.  At 100 TB the explode-based shapes (tokenize, lang-ID) are
+a flat map followed by a hash aggregate: no shuffle until the aggregate,
+and the aggregate keys (word, lang) are low-cardinality so map-side
+combine collapses almost everything before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic language marker profiles for the n-gram/stopword heuristic
+# language-ID.  Real deployments load calibrated profiles as a dim table;
+# the operator shape (explode → broadcast join → score → argmax) is the
+# same regardless of profile quality.
+LANG_MARKERS: list[tuple[str, str, float]] = [
+    ("the", "en", 1.0),
+    ("a", "en", 0.5),
+    ("is", "en", 1.0),
+    ("data", "es", 1.0),
+    ("table", "es", 0.5),
+    ("fast", "de", 1.0),
+    ("slow", "de", 0.5),
+    ("query", "fr", 1.0),
+    ("row", "fr", 0.5),
+    ("spark", "zh", 1.0),
+    ("join", "zh", 0.5),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column (no explode yet)."""
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, group: str, text: str, n_chars: str) -> DataFrame:
+    """Per-group corpus statistics: doc counts, char/length aggregates."""
+    return df.groupBy(group).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_chars), 6).alias("avg_chars"),
+        F.round(F.avg(F.length(text)), 6).alias("avg_len"),
+        F.min(n_chars).alias("min_chars"),
+        F.max(n_chars).alias("max_chars"),
+    )
+
+
+def top_terms(df: DataFrame, text: str, k: int) -> DataFrame:
+    """Term frequency top-k: explode → hash agg → TakeOrdered.
+
+    Map-side combine means the exchange carries at most |vocab| rows per
+    partition regardless of corpus size; the top-k never sorts the corpus.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Per-document token counting two ways: whitespace split and a
+    BPE-ish regex ([a-z]+ chunks) — both JVM-side, no explode (array
+    length only, so the row count never grows)."""
+    return df.select(
+        id_col,
+        F.size(tokens(F.col(text))).alias("n_ws"),
+        F.regexp_count(F.col(text), F.lit("[a-z]+")).cast("int").alias("n_re"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    stopwords: tuple[str, ...] = ("a", "the"),
+) -> DataFrame:
+    """Heuristic document quality: average word length minus a stopword-
+    ratio penalty.  Pure arithmetic over higher-order array functions (no
+    transcendentals → bit-identical across engines)."""
+    toks = tokens(F.col(text))
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    # chars excluding the (n_tok - 1) separators, per token
+    awl = (F.length(F.col(text)) - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    return df.select(
+        id_col,
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(awl - 4.0 * stop_ratio, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    markers: list[tuple[str, str, float]] = LANG_MARKERS,
+) -> DataFrame:
+    """Language identification via marker-token scoring (n-gram heuristic,
+    SURVEY §2.6): explode tokens → broadcast-join the marker dim → sum
+    weights per (doc, lang) → argmax with deterministic ties.
+
+    The marker table is tiny → broadcast; the per-(doc, lang) score
+    aggregate is the only shuffle.
+    """
+    spark = df.sparkSession
+    m = spark.createDataFrame(markers, ["word", "lang", "wt"])
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("word"))
+    scores = (
+        tok.join(F.broadcast(m), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("wt").alias("score"))
+    )
+    # argmax(lang by score), ties → lexicographically smallest lang:
+    # min_by over (-score, lang) compares lexicographically on the struct.
+    pred = scores.groupBy(id_col).agg(
+        F.min_by("lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias(
+            "pred_lang"
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(pred, id_col, "left")
+        .select(id_col, F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"))
+    )

@@ -1,0 +1,122 @@
+"""Semantic tests for the LLM-pipeline operators: planted near-duplicates
+must be found by MinHash-LSH, SimHash must separate similar from dissimilar
+docs, LSH-ANN must agree with brute force on its own bucket, and the
+multimodal mapInPandas plumbing must round-trip binary payloads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # one-token edit → high Jaccard
+    other = "completely different words about spark catalyst tungsten shuffles and joins"
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, other + " plus extra tail tokens here")],
+        ["doc_id", "text"],
+    )
+
+
+def test_jaccard_pairs_finds_planted(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(planted, "doc_id", "text", n=3).collect()
+    }
+    assert pairs[(0, 1)] > 0.6  # one-word edit: most shingles shared
+    assert pairs.get((0, 2), 0.0) == 0.0 or (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_planted(planted):
+    got = dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", num_hashes=32, bands=16, est_threshold=0.4
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in got}
+    assert (0, 1) in found  # planted near-dup must surface
+    assert (0, 2) not in found  # unrelated docs must not
+
+
+def test_simhash_distance_property(spark, planted):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(planted, "doc_id", "text").collect()}
+    df = spark.createDataFrame(
+        [(fps[0], fps[1], fps[2])], ["a", "b", "c"]
+    ).select(
+        dedup.hamming64(F.col("a"), F.col("b")).alias("near"),
+        dedup.hamming64(F.col("a"), F.col("c")).alias("far"),
+    )
+    row = df.collect()[0]
+    assert row.near < row.far  # similar docs → closer fingerprints
+
+
+def test_exact_dedup_keeps_one(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique text")], ["id", "text"]
+    )
+    kept = dedup.drop_exact_dups(df, "text", "id").collect()
+    assert sorted(r.id for r in kept) == [1, 3]  # min-id keeper, dup dropped
+
+
+def test_knn_join_self_consistency(spark, sf_dir):
+    from snowav_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.knn_join(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "embedding", 4
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, nbrs in by_q.items():
+        assert len(nbrs) == 4
+        sims = [r.cos_sim for r in sorted(nbrs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)  # ranked descending
+        assert all(r.neighbor_id != qid for r in nbrs)  # self excluded
+
+
+def test_ann_lsh_subset_of_bruteforce_bucket(spark, sf_dir):
+    """Every ANN hit must score identically to the brute-force path."""
+    import random
+
+    from snowav_spark.io import load_table
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(2)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in similarity.cosine_topk(emb, "vec_id", "embedding", 0, 500).collect()
+    }
+    approx = similarity.ann_lsh_topk(
+        emb, "vec_id", "embedding", 0, 10, planes
+    ).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert exact[r.vec_id] == r.cos_sim  # same scoring, reduced candidates
+
+
+def test_multimodal_plumbing_roundtrip(spark, sf_dir):
+    from snowav_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes == 16 for r in rows)  # md5 → 16-byte payloads
+    assert all(r.head_hash for r in rows)
+    # frame sampling expands 1→N by duration
+    vids = media.withColumn("duration_ms", F.lit(2500)).withColumn(
+        "kind", F.lit("video")
+    )
+    frames = multimodal.frame_sample_stub(vids.limit(3), every_ms=1000)
+    assert frames.count() == 9  # 3 videos × ceil(2500/1000)=3 offsets
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "png")
