@@ -1,0 +1,96 @@
+"""End-to-end pipeline — the reference's EP1 (`snowav -f config.ini`)
+re-expressed as one lazy DataFrame DAG (SURVEY.md §3).
+
+Reference flow: config → read NetCDF outputs (ALL timesteps into RAM) →
+per-day/per-basin/per-band masked numpy loop → SQL insert → figures/report
+from collect() frames.  The in-memory day loop is the reference's
+scalability wall; here the whole thing is
+
+    tall raster frame → broadcast topo join → digitize → ROLLUP agg with
+    unit conversion → partitioned write (the ONLY action)
+
+so Catalyst fuses it and Spark spills instead of dying when a water year
+exceeds RAM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import banded
+from snowav_spark.sinks import ResultsStore
+
+
+@dataclass
+class PipelineSpec:
+    """The engine's UserConfig analog (ref:snowav/config/config.py reads
+    an INI via inicheck; we take a plain dataclass — the 'query language'
+    of the reference is its config, SURVEY §3)."""
+
+    run_id: str
+    edges: list[float]  # elevation band edges (ref: CoreConfig 'edges')
+    basins: list[str]  # plotorder
+    pixel_area_m2: float = 2500.0  # 50 m grid default
+    variables: tuple[str, ...] = ("swe_mm", "depth_m", "swi_mm")
+    store_path: str = "/tmp/snowav_spark_results"
+    depth_factor: float = banded.MM_TO_IN
+
+
+def process(
+    spec: PipelineSpec, raster: DataFrame, topo: DataFrame
+) -> DataFrame:
+    """The day loop as one plan.
+
+    ``raster``: tall frame (date, y, x, variable, value).
+    ``topo``: dim frame (y, x, elevation, basin_id) — broadcast.
+
+    Returns long-format results rows (run_id, date, basin_id, variable,
+    band, value) with the reference's semantics: banded sums per basin
+    per day per variable, plus the synthetic whole-basin 'total' band
+    (band = -1), values unit-converted at compute time.
+    """
+    joined = raster.join(F.broadcast(topo), ["y", "x"])
+    band = banded.digitize(F.col("elevation"), spec.edges)
+    per_band = joined.groupBy(
+        "date", "basin_id", "variable", band.alias("band")
+    ).agg(F.round(F.sum("value"), 6).alias("value"))
+    totals = (
+        joined.groupBy("date", "basin_id", "variable")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .withColumn("band", F.lit(-1))
+    )
+    results = per_band.unionByName(totals).select(
+        F.lit(spec.run_id).alias("run_id"),
+        F.col("date"),
+        "basin_id",
+        "variable",
+        "band",
+        "value",
+    )
+    return results
+
+
+def run(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    raster: DataFrame,
+    topo: DataFrame,
+    incremental: bool = False,
+) -> ResultsStore:
+    """EP1 (full run) / EP2 (incremental daily coupling) entry point."""
+    store = ResultsStore(spark, spec.store_path)
+    results = process(spec, raster, topo)
+    if incremental:
+        store.append_missing(results, spec.run_id)
+    else:
+        store.write(results)
+    return store
+
+
+def report_frame(store: ResultsStore, spec: PipelineSpec, variable: str, start, end):
+    """EP3 (figures/query-only mode): pivoted bands × basins pandas frame
+    (ref:snowav/database/database.py::collect output shape)."""
+    return store.collect_frame(spec.run_id, variable, spec.basins, start, end)

@@ -1,0 +1,87 @@
+"""Structured Streaming incremental mode (SURVEY.md §2.7).
+
+The reference's 'streaming' is a daily re-run that skips dates already in
+the DB (EP2).  The batch twin lives in sinks.ResultsStore.append_missing;
+this module is the true streaming form: a file-source stream over an
+output directory, daily tumbling windows with a watermark for late grids,
+and stateful dedup within the watermark.
+
+The aggregation expression is IDENTICAL to windows.tumbling — one
+definition serves batch and streaming, which is the point of expressing
+the day loop as ``F.window`` instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_source(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over a model-output drop directory — the AWSM
+    daily coupling as a stream (new files appear per model day)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def daily_rollup_stream(
+    events: DataFrame,
+    ts: str,
+    keys: list[str],
+    value: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Daily tumbling aggregation with late-data handling.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) finalize and evict, so state is O(groups × open windows)
+    regardless of stream length — the property that lets this run forever
+    at scale.  Late rows inside the watermark update their window; later
+    ones are dropped (the reference would silently re-run the day)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, "1 day"), *keys)
+        .agg(
+            F.round(F.sum(value), 6).alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            *keys,
+            "sum_value",
+            "n",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, ts: str, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful exact dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming twin of
+    dedup.drop_exact_dups, with bounded state."""
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    once: bool = True,
+):
+    """Write a streaming frame to a partitioned parquet sink with
+    exactly-once file-sink semantics (checkpointed).  ``once=True`` uses
+    availableNow — process the backlog, then stop (the EP2 batch-like
+    invocation); continuous deployments drop the trigger."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

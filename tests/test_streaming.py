@@ -1,0 +1,69 @@
+"""Structured Streaming incremental mode: availableNow daily rollup with
+watermark semantics, and stateful in-stream dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark.io import load_table
+from snowav_spark.streaming import incremental
+
+
+@pytest.fixture()
+def staged_events(spark, sf_dir, tmp_path):
+    """Stage the events fixture (nanos already converted) as a stream
+    input directory."""
+    src = str(tmp_path / "in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.parquet(src)
+    return src, ev.schema, ev
+
+
+def test_daily_rollup_stream_matches_batch_below_watermark(
+    spark, tmp_path, staged_events
+):
+    src, schema, ev = staged_events
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = incremental.stream_source(spark, src, schema)
+    rolled = incremental.daily_rollup_stream(stream, "ts", ["event_type"], "value")
+    q = incremental.run_to_sink(rolled, out, ckpt, once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # append mode emits only windows finalized by the watermark:
+    # watermark = max(ts) - 1 day → the last open day (and any later) stays
+    # in state. Everything emitted must exactly match the batch rollup.
+    batch = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"), F.count("*").alias("n"))
+    )
+    emitted_days = [r.day for r in got.select("day").distinct().collect()]
+    assert len(emitted_days) > 0
+    batch_sub = batch.filter(F.col("day").isin(emitted_days))
+    diff = got.exceptAll(batch_sub).count() + batch_sub.exceptAll(got).count()
+    assert diff == 0
+    # the open window near max event time is retained, not emitted
+    max_day = ev.agg(F.max(F.date_trunc("day", "ts").cast("date"))).collect()[0][0]
+    assert max_day not in emitted_days
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path, staged_events):
+    src, schema, ev = staged_events
+    dup_src = str(tmp_path / "dup_in")
+    # duplicate every event id (two identical files)
+    ev.write.parquet(dup_src)
+    ev.write.mode("append").parquet(dup_src)
+    stream = incremental.stream_source(spark, dup_src, schema)
+    deduped = incremental.dedup_stream(stream, "ts", ["event_id"], "2 days")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    q = incremental.run_to_sink(deduped, out, ckpt, once=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("event_id").distinct().count()

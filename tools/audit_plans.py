@@ -1,0 +1,121 @@
+"""Physical-plan audit: assert the scale-critical plan properties hold.
+
+For each audited query this checks explain output for the properties the
+100 TB design depends on: filters pushed to the parquet scan, column-pruned
+ReadSchema, broadcast joins for dims, partial (map-side) aggregation before
+every exchange, no Python UDFs on built-in paths, whole-stage codegen
+present, single-scan rollups, and sort-free top-k.  Exit 1 on any failure.
+
+Usage: python tools/audit_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple(df) -> str:
+    """Simple mode shows WholeStageCodegen stage markers '*(n)' — but only
+    once AQE has finalized the plan, so execute the query first."""
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def n_scans(plan: str) -> int:
+    """Count parquet scan nodes (each appears once in the tree and once in
+    the detail section of formatted output → count detail Locations)."""
+    return plan.count("Location: InMemoryFileIndex")
+
+
+def main() -> int:
+    from snowav_spark.session import get_spark
+    import __spark_entry__ as m
+
+    spark = get_spark(shuffle_partitions=8, extra_conf={"spark.ui.enabled": "false"})
+    qs = m.queries()
+    failures: list[str] = []
+
+    def check(name: str, plan: str, must: list[str], must_not: list[str] = ()):
+        for s in must:
+            if s.lower() not in plan.lower():
+                failures.append(f"{name}: MISSING {s!r}")
+        for s in must_not:
+            if s.lower() in plan.lower():
+                failures.append(f"{name}: UNEXPECTED {s!r}")
+
+    # 1. filter pushdown + column pruning reach the scan
+    p = formatted(qs["q_filter_daterange"](spark, SF))
+    check("q_filter_daterange", p, ["PushedFilters: [IsNotNull(l_shipdate)"])
+    p = formatted(qs["q_scan_project"](spark, SF))
+    check(
+        "q_scan_project(pruning)",
+        p,
+        ["ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp"],
+    )
+
+    # 2. dims broadcast; no Python in the join path
+    p = formatted(qs["q_join_dim"](spark, SF))
+    check("q_join_dim", p, ["BroadcastHashJoin"], must_not=["PythonUDF"])
+
+    # 3. map-side partial aggregation before every exchange
+    p = formatted(qs["q_zonal_mean"](spark, SF))
+    check("q_zonal_mean", p, ["partial_avg", "HashAggregate"], ["PythonUDF"])
+    p = formatted(qs["q_end_last"](spark, SF))
+    check("q_end_last", p, ["partial_max_by"])
+    if p.count("Exchange") // 2 > 1:  # tree + detail per node
+        failures.append("q_end_last: expected exactly one shuffle")
+
+    # 4. rollup: per-band + total rows from ONE scan (Expand), not two
+    p = formatted(qs["q_rollup_total"](spark, SF))
+    check("q_rollup_total", p, ["Expand"])
+    if n_scans(p) != 1:
+        failures.append(f"q_rollup_total: expected 1 parquet scan, saw {n_scans(p)}")
+
+    # 5. top-k never globally sorts
+    p = formatted(qs["q_topk"](spark, SF))
+    check("q_topk", p, ["TakeOrderedAndProject"])
+
+    # 6. whole-stage codegen spans the hot paths; vector math stays JVM-side
+    s = simple(qs["q_zonal_mean"](spark, SF))
+    check("q_zonal_mean(codegen)", s, ["*("])
+    s = simple(qs["q_dedup_embed"](spark, SF))
+    check("q_dedup_embed", s, ["*("], ["BatchEvalPython", "PythonUDF"])
+    s = simple(qs["q_sim_topk"](spark, SF))
+    check("q_sim_topk", s, [], ["BatchEvalPython", "PythonUDF"])
+
+    # 7. window queries aggregate to the daily frame before the window sort
+    p = formatted(qs["q_cumsum"](spark, SF))
+    check("q_cumsum", p, ["Window", "partial_sum"])
+    # raw events are ~2k/day at sf0.01; the window input must be the daily
+    # aggregate (one row per (day, type)), which implies an agg exchange
+    # between scan and window. Two exchanges total: agg + window partition.
+    if p.count("Exchange") // 2 != 2:
+        failures.append("q_cumsum: expected agg exchange + window exchange")
+
+    for f in failures:
+        print("FAIL:", f)
+    print(
+        "ALL PLAN AUDITS PASSED" if not failures else f"{len(failures)} failures"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
