@@ -653,6 +653,26 @@ def q_union_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_except_dates",
+    """
+    SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS mon
+    FROM lineitem
+    EXCEPT
+    SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS mon
+    FROM orders
+    """,
+)
+def q_except_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: ship months with no order month — the missing-dates
+    detection shape as a set op (SURVEY §2.5; EXCEPT = distinct anti)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.select(F.date_trunc("month", "l_shipdate").cast("date").alias("mon"))
+    b = orders.select(F.date_trunc("month", "o_orderdate").cast("date").alias("mon"))
+    return a.subtract(b)  # distinct EXCEPT semantics, matching the oracle
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Streaming-shaped windows (batch-equivalent, oracle-gradable)
 # ---------------------------------------------------------------------------
@@ -1116,10 +1136,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-permutation MinHash with a portable hash, so it hash-matches the
     oracle (the murmur3 multi-seed variant is q_minhash_lsh, rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(F.col("text"), 3)
-    return docs.select(
-        "doc_id", F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint")
-    )
+    # explode + min(md5) keeps the hashing inside codegen (the
+    # higher-order transform lambda is interpreted per shingle — ~5x
+    # slower at corpus scale); min() has map-side partial aggregation.
+    sh = dedup.shingled(docs, "doc_id", "text", 3)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("s")).alias("fingerprint"))
 
 
 @q(

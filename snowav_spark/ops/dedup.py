@@ -53,14 +53,33 @@ def drop_exact_dups(
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column — higher-order functions
-    only (transform over a sequence of start offsets), no UDF, no explode."""
-    toks = F.split(text, " ")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a *materialized* token-array column.
+
+    Callers must project the token array first (``F.split`` in its own
+    select): referencing ``split(text)`` inside the lambda would inline the
+    split per element_at — O(n_shingles × n) re-splits per row, measured
+    ~5× slower on the fixture corpus."""
+    # Guard: below n tokens there are no shingles. Without it,
+    # sequence(0, -1) produces a DESCENDING [0, -1] (Spark infers step -1)
+    # and element_at crashes on index 0/negative.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingled(df: DataFrame, id_col: str, text: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: tokenize in one projection, then shingle+explode."""
+    return df.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("_toks")
+    ).select(
+        F.col(id_col), F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("s")
     )
 
 
@@ -78,10 +97,7 @@ def jaccard_pairs(
     → |A∩B| per pair → Jaccard via |A|+|B|−|A∩B|.  Deterministic: Jaccard
     is a ratio of small integers, identical in any engine.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text), n)).alias("s"))
-        .distinct()
-    )
+    sh = shingled(df, id_col, text, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
@@ -115,11 +131,13 @@ def jaccard_pairs(
     return pairs
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature over n-gram shingles: for seed i, min over
-    shingles of murmur3(shingle, salted).  Array expression — the
-    signature is computed in one projection, no explode."""
-    sh = shingles(text, n)
+def minhash_signature(toks: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature over n-gram shingles of a materialized token-array
+    column: for seed i, min over shingles of murmur3(shingle, salted).
+    Array expression — the signature is computed in one projection, no
+    explode (the explode+agg twin used by minhash_lsh_pairs is faster on
+    wide corpora; this form suits signature-per-row outputs)."""
+    sh = shingles_of_tokens(toks, n)
     return F.array(
         *[
             F.array_min(
@@ -151,7 +169,7 @@ def minhash_lsh_pairs(
     # murmur3 + min run fully inside codegen with map-side combine, unlike
     # the per-element interpreted lambda of minhash_signature (kept for the
     # no-explode single-projection form).
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text), n)).alias("s"))
+    sh = shingled(df, id_col, text, n)
     sig = sh.groupBy(id_col).agg(
         F.array(
             *[F.min(F.hash("s", F.lit(i))) for i in range(num_hashes)]
