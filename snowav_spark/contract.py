@@ -1003,6 +1003,147 @@ def q_snow_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalars.snow_line(means, "zone", "band", "mean_v", 30000.0)
 
 
+@q(
+    "q_water_year_day",
+    """
+    SELECT o_orderkey,
+           CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1
+                ELSE year(o_orderdate) END AS wy,
+           cast(date_diff('day',
+                make_date(CASE WHEN month(o_orderdate) >= 10
+                               THEN year(o_orderdate)
+                               ELSE year(o_orderdate) - 1 END, 10, 1),
+                cast(o_orderdate AS DATE)) + 1 AS INT) AS wyd
+    FROM orders
+    """,
+)
+def q_water_year_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-water-year — the reference's wyhr in days
+    (ref:snowav/utils/utilities.py; Oct-1 anchor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        scalars.water_year(F.col("o_orderdate")).alias("wy"),
+        scalars.water_year_day(F.col("o_orderdate")).cast("int").alias("wyd"),
+    )
+
+
+@q(
+    "q_corr_stats",
+    """
+    SELECT l_returnflag AS zone,
+           round(corr(l_quantity, l_extendedprice), 6) AS r,
+           round(stddev_samp(l_extendedprice), 6) AS sd_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates for diagnostics figures
+    (ref:snowav/plotting/diagnostics.py summarizes input/output relations;
+    corr/stddev/covar are single-pass co-moment aggregates — mergeable
+    map-side, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("zone")).agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("r"),
+        r6(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qp"),
+    )
+
+
+@q(
+    "q_intersect_dates",
+    """
+    SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS mon FROM lineitem
+    INTERSECT
+    SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS mon FROM orders
+    """,
+)
+def q_intersect_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection twin of q_except_dates (SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.select(F.date_trunc("month", "l_shipdate").cast("date").alias("mon"))
+    b = orders.select(F.date_trunc("month", "o_orderdate").cast("date").alias("mon"))
+    return a.intersect(b)
+
+
+@q(
+    "q_cube",
+    f"""
+    SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+           round(sum(l_quantity), 6) AS qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE(1, 2)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations (zone totals, band totals,
+    grand total) in one Expand + one shuffle — the report's marginal
+    tables without re-scanning (generalizes q_rollup_total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(F.col("l_returnflag").alias("zone"), _band()).agg(
+        r6(F.sum("l_quantity")).alias("qty"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "q_having",
+    f"""
+    SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS volume
+    FROM lineitem GROUP BY 1, 2
+    HAVING round(sum(l_extendedprice * (1 - l_discount)), 6) > 10000000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-filtered report rows (HAVING).  The threshold compares the
+    ROUNDED volume in both engines so the cut is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.groupBy(F.col("l_returnflag").alias("zone"), _band())
+        .agg(vol.alias("volume"))
+        .filter(F.col("volume") > 10000000)
+    )
+
+
+@q(
+    "q_regex_extract",
+    """
+    SELECT regexp_extract(props, '[0-9]+') AS num, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction (label munging analog,
+    ref:snowav/report/report.py) — JVM-side regexp, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.regexp_extract("props", "[0-9]+", 0).alias("num")
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q_array_ops",
+    """
+    SELECT label,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_e0,
+           max(len(embedding)) AS dim,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column access and length semantics over embeddings (EXT) —
+    element extraction is a pure projection on the columnar array."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        r6(F.avg(F.element_at("embedding", 1).cast("double"))).alias("avg_e0"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 LLM-pipeline extensions (EXT)
 # ---------------------------------------------------------------------------

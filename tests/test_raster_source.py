@@ -1,0 +1,74 @@
+"""The snowav_raster Python DataSource: file-per-partition reads, schema,
+and end-to-end into the banded pipeline."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark import pipeline, sources
+from snowav_spark.ingest import synthetic_topo
+
+
+@pytest.fixture(scope="module")
+def grid_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("grids")
+    for day in ("2024-01-01", "2024-01-02"):
+        for var, base in (("swe_mm", 100.0), ("depth_m", 1.0)):
+            rows = []
+            for y in range(4):
+                rows.append(",".join(str(base + y * 10 + x) for x in range(5)))
+            (d / f"{var}_{day}.csv").write_text("\n".join(rows) + "\n")
+    # a non-grid file that must be ignored
+    (d / "README.txt").write_text("not a grid")
+    return str(d)
+
+
+def test_reads_tall_frame(spark, grid_dir):
+    sources.register(spark)
+    df = spark.read.format("snowav_raster").load(grid_dir)
+    assert df.columns == ["date", "y", "x", "variable", "value"]
+    assert df.count() == 2 * 2 * 4 * 5  # days × vars × ny × nx
+    got = df.filter(
+        (F.col("variable") == "swe_mm")
+        & (F.col("date") == "2024-01-01")
+        & (F.col("y") == 2)
+        & (F.col("x") == 3)
+    ).collect()
+    assert got[0].value == 100.0 + 20 + 3
+
+
+def test_partitions_are_files(spark, grid_dir):
+    sources.register(spark)
+    df = spark.read.format("snowav_raster").load(grid_dir)
+    # 4 grid files → 4 input partitions (file-parallel, no driver reads)
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_feeds_pipeline(spark, grid_dir, tmp_path):
+    sources.register(spark)
+    raster = spark.read.format("snowav_raster").load(grid_dir)
+    topo = synthetic_topo(spark, 4, 5, [0.0, 10.0, 20.0, 30.0])
+    spec = pipeline.PipelineSpec(
+        run_id="src_run",
+        edges=[0.0, 10.0, 20.0, 30.0],
+        basins=["basin_A", "basin_B"],
+        store_path=str(tmp_path / "store"),
+    )
+    store = pipeline.run(spark, spec, raster, topo)
+    out = store.read()
+    assert out.filter(F.col("band") == -1).count() > 0
+    assert {r.variable for r in out.select("variable").distinct().collect()} == {
+        "swe_mm",
+        "depth_m",
+    }
+
+
+def test_missing_dir_errors(spark, tmp_path):
+    sources.register(spark)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no <variable>_<date>.csv"):
+        spark.read.format("snowav_raster").load(str(empty)).count()

@@ -53,6 +53,50 @@ def test_daily_rollup_stream_matches_batch_below_watermark(
     assert max_day not in emitted_days
 
 
+def test_session_window_stream_matches_batch_sessionize(
+    spark, tmp_path, staged_events
+):
+    """Native session_window (streaming-capable) must count the same
+    sessions as the batch gaps-and-islands operator for gap=30min."""
+    from snowav_spark.ops import windows as w
+
+    src, schema, ev = staged_events
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    stream = incremental.stream_source(spark, src, schema)
+    sess = (
+        # 1h watermark: only sessions near the stream tail stay open
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # batch twin: gaps-and-islands sessionization
+    batch = (
+        w.sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    # emitted sessions are those finalized by the watermark; every emitted
+    # (user, session) must be one of the batch sessions, and for users with
+    # all sessions emitted the counts must agree exactly
+    emitted = got.groupBy("user_id").agg(F.count("*").alias("n_emitted"))
+    joined = emitted.join(batch, "user_id").collect()
+    assert len(joined) > 0
+    assert all(r.n_emitted <= r.n_sessions for r in joined)
+    full = [r for r in joined if r.n_emitted == r.n_sessions]
+    assert len(full) > 0  # most users' sessions finalize well before the tail
+
+
 def test_dedup_stream_drops_duplicates(spark, tmp_path, staged_events):
     src, schema, ev = staged_events
     dup_src = str(tmp_path / "dup_in")
