@@ -1,0 +1,102 @@
+"""CLI entry point — the reference's ``snowav -f config.ini`` (EP1).
+
+Reference parity: ref:snowav/cli.py parses ``-f`` with argparse, builds a
+UserConfig (INI via inicheck, ref:snowav/config/config.py), then runs the
+pipeline.  Here the config is a plain INI read with stdlib configparser
+into a PipelineSpec; the pipeline is the lazy DAG in pipeline.py.
+
+Usage::
+
+    python -m snowav_spark -f run.ini
+
+INI shape (all keys under [snowav])::
+
+    [snowav]
+    run_id = wy2024
+    edges = 1000, 1500, 2000, 2500, 3000
+    basins = basin_A, basin_B
+    grid_dir = /data/grids          ; <variable>_<date>.csv files
+    store_path = /data/results
+    report_variable = swe_mm        ; optional: write a report frame CSV
+    report_csv = /data/report.csv
+    incremental = false
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import sys
+
+from snowav_spark import pipeline, sources
+from snowav_spark.ingest import synthetic_topo
+from snowav_spark.session import get_spark
+
+
+def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
+    cp = configparser.ConfigParser()
+    if not cp.read(path):
+        raise FileNotFoundError(f"config not found: {path}")
+    s = cp["snowav"]
+    spec = pipeline.PipelineSpec(
+        run_id=s["run_id"],
+        edges=[float(e) for e in s["edges"].split(",")],
+        basins=[b.strip() for b in s["basins"].split(",")],
+        store_path=s["store_path"],
+    )
+    extras = {
+        "grid_dir": s["grid_dir"],
+        "topo_parquet": s.get("topo_parquet"),
+        "report_variable": s.get("report_variable"),
+        "report_csv": s.get("report_csv"),
+        "incremental": s.getboolean("incremental", fallback=False),
+    }
+    return spec, extras
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="snowav_spark")
+    ap.add_argument("-f", "--config", required=True, help="INI config path")
+    args = ap.parse_args(argv)
+
+    spec, extras = parse_spec(args.config)
+    spark = get_spark(app_name=f"snowav_spark:{spec.run_id}")
+    sources.register(spark)
+
+    raster = spark.read.format("snowav_raster").load(extras["grid_dir"])
+    if extras["topo_parquet"]:
+        topo = spark.read.parquet(extras["topo_parquet"])
+    else:
+        # no topo supplied: derive grid dims from the first grid and use
+        # the synthetic gradient topo (tests / demo runs)
+        ny = raster.agg({"y": "max"}).collect()[0][0] + 1
+        nx = raster.agg({"x": "max"}).collect()[0][0] + 1
+        topo = synthetic_topo(spark, ny, nx, spec.edges)
+
+    store = pipeline.run(
+        spark, spec, raster, topo, incremental=extras["incremental"]
+    )
+    n = store.read().count()
+    print(f"results rows in store: {n}")
+
+    if extras["report_variable"] and extras["report_csv"]:
+        import datetime
+
+        dates = [
+            r[0]
+            for r in store.read().select("date").distinct().collect()
+        ]
+        frame = store.collect_frame(
+            spec.run_id,
+            extras["report_variable"],
+            spec.basins,
+            min(dates),
+            max(dates) + datetime.timedelta(days=1),
+        )
+        frame.to_csv(extras["report_csv"], index=False)
+        print(f"report written: {extras['report_csv']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

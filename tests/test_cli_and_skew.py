@@ -1,0 +1,95 @@
+"""CLI (EP1 surface) and skew-handling helpers."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import skew
+
+
+@pytest.fixture(scope="module")
+def grid_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_grids")
+    for day in ("2024-03-01", "2024-03-02"):
+        for var in ("swe_mm", "swi_mm"):
+            rows = [",".join(str(10.0 + y + x) for x in range(4)) for y in range(3)]
+            (d / f"{var}_{day}.csv").write_text("\n".join(rows) + "\n")
+    return d
+
+
+def test_cli_end_to_end(spark, grid_dir, tmp_path):
+    """Drive cli.main exactly as `python -m snowav_spark -f run.ini` would
+    (same process so the test session is reused)."""
+    from snowav_spark import cli
+
+    ini = tmp_path / "run.ini"
+    report = tmp_path / "report.csv"
+    store = tmp_path / "store"
+    ini.write_text(
+        "[snowav]\n"
+        "run_id = cli_run\n"
+        "edges = 0, 10, 20, 30\n"
+        "basins = basin_A, basin_B\n"
+        f"grid_dir = {grid_dir}\n"
+        f"store_path = {store}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report}\n"
+    )
+    rc = cli.main(["-f", str(ini)])
+    assert rc == 0
+    frame = pd.read_csv(report)
+    assert list(frame.columns) == ["band", "basin_A", "basin_B"]
+    assert len(frame) > 0
+
+
+def test_cli_missing_config():
+    from snowav_spark import cli
+
+    with pytest.raises(FileNotFoundError):
+        cli.parse_spec("/nonexistent/run.ini")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from snowav_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.s, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 6).alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.s, r.n)
+        for r in skew.salted_agg(
+            ev,
+            ["event_type"],
+            aggs={"ps": F.sum("value"), "pn": F.count("*")},
+            finals={"s": F.round(F.sum("ps"), 6), "n": F.sum("pn")},
+            salt_n=16,
+            salt_src="event_id",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from snowav_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    plain = (
+        li.join(orders, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        skew.salted_join(li, orders, "o_orderkey", salt_n=4, salt_src="l_partkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
