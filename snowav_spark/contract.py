@@ -41,11 +41,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+# Built logical plans, keyed by (session, sf_dir, key).  A DataFrame is an
+# immutable lazy plan — re-collecting a cached one re-executes it against
+# current data, so this is a prepared statement, not result caching.  It
+# removes per-call plan-construction/analysis cost (tens to hundreds of ms
+# for the wide vector expressions), which otherwise dominates sub-second
+# queries.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def q(name: str, oracle: str | None = None):
     """Register a contract query (and its DuckDB oracle, if expressible)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (id(spark), sf_dir.rstrip("/"), name)
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _PLAN_CACHE[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
@@ -1344,17 +1363,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_sum(list_transform(range(1, 65),
-                 i -> CAST(a.embedding[i] AS DOUBLE)
-                    * CAST(b.embedding[i] AS DOUBLE)))
-                 / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range(1, 65),
-              i -> CAST(a.embedding[i] AS DOUBLE)
-                 * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.nrm * b.nrm) >= 0.4
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:

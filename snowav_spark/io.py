@@ -37,8 +37,31 @@ TABLES = (
 )
 
 
+# Per-session DataFrame cache: repeated loads of the same table otherwise
+# re-list the directory and re-read parquet footers on every call — fixed
+# overhead that dominates sub-100 ms queries (top-k, digest dedup).  The
+# cached object is a lazy plan, not data — BUT its file listing is frozen
+# at first load, so this is only for immutable inputs (the read-only
+# fixture dirs).  Mutable stores (ResultsStore) bypass this loader; call
+# clear_cache() after rewriting a directory you loaded through here.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def clear_cache() -> None:
+    """Drop cached table plans (needed only if a previously-loaded
+    directory's files were replaced)."""
+    _CACHE.clear()
+    from snowav_spark import contract
+
+    contract._PLAN_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying per-table schema fixes."""
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     ensure_engine_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -46,6 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    _CACHE[key] = df
     return df
 
 

@@ -47,6 +47,11 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# (session, plan-hash, query_id) → fetched query vector, so repeated top-k
+# calls don't re-run the one-row lookup job.
+_QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -62,16 +67,42 @@ def cosine_topk(
     Similarities are rounded BEFORE ranking so the cut is identical in
     every engine; ties break on id.
     """
-    qv = df.filter(F.col(id_col) == query_id).select(
-        F.col(vec).alias("_qv")
+    # A query vector is a tiny constant: fetch it once (cached per query)
+    # and inline it as ONE array literal expression — the scoring pass is
+    # then a pure projection with no broadcast sub-job, and the literal is
+    # built in a single expression parse instead of 64 py4j lit() calls.
+    # repr() round-trips doubles exactly, so the literal is bit-identical
+    # to the stored float32 widened to double.
+    key = (id(df.sparkSession), df.semanticHash(), query_id)
+    vals = _QUERY_VEC_CACHE.get(key)
+    if vals is None:
+        row = df.filter(F.col(id_col) == query_id).select(vec).first()
+        if row is None:
+            raise ValueError(f"query id {query_id} not found")
+        vals = [float(v) for v in row[0]]
+        _QUERY_VEC_CACHE[key] = vals
+    # Widen the corpus to flat double columns (codegen) and fold the
+    # query in as constants: dot = Σ aᵢ·qᵢ becomes one arithmetic chain
+    # with half its operands literal.  The query norm is computed in
+    # Python with the same left-to-right order — IEEE doubles, so
+    # bit-identical to the engine-side fold.
+    dim = len(vals)
+    widened = _widen(
+        df.filter(F.col(id_col) != query_id), id_col, vec, dim, "a"
     )
-    scored = (
-        df.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            id_col,
-            F.round(cosine(F.col(vec), F.col("_qv")), 6).alias("cos_sim"),
-        )
+    q_norm_sq = 0.0
+    for v in vals:
+        q_norm_sq += v * v
+    import math
+
+    q_norm = math.sqrt(q_norm_sq)
+    dot_sql = " + ".join(
+        f"a{i} * CAST('{v!r}' AS DOUBLE)" for i, v in enumerate(vals)
+    )
+    scored = widened.selectExpr(
+        id_col,
+        f"ROUND(({dot_sql}) / (anrm * CAST('{q_norm!r}' AS DOUBLE)), 6)"
+        " AS cos_sim",
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -87,15 +118,21 @@ def knn_join(
     vectors by cosine.  Queries broadcast; per-query top-k via a window
     over the scored pairs (the scored frame is |Q|·|N| rows — bucket
     first at scale, see lsh_buckets)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec).alias("_qv")
+    dim = len(queries.select(vec).first()[0])
+    q = _widen(queries, id_col, vec, dim, "q").withColumnRenamed(
+        id_col, "query_id"
     )
-    scored = corpus.alias("c").crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col("query_id")
+    c = _widen(corpus, id_col, vec, dim, "c").withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec), F.col("_qv")), 6).alias("cos_sim"),
+        "neighbor_id",
+        F.round(
+            _wide_dot("c", "q", dim) / (F.col("cnrm") * F.col("qnrm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -109,24 +146,34 @@ def knn_join(
 
 def _widen(df: DataFrame, id_col: str, vec: str, dim: int, prefix: str) -> DataFrame:
     """Flatten an array<float> column into `dim` double columns plus the
-    precomputed norm.  Array extraction + per-row norm happen ONCE per row
-    (O(N)); downstream pair scoring then runs on flat doubles fully inside
-    whole-stage codegen — the higher-order-function fold, being interpreted
-    per element, is ~30× slower in the O(N²) stage."""
-    cols = [
-        F.element_at(vec, i + 1).cast("double").alias(f"{prefix}{i}")
-        for i in range(dim)
-    ]
-    return df.select(F.col(id_col), norm(F.col(vec)).alias(f"{prefix}nrm"), *cols)
+    precomputed norm.  Everything — extraction, squares, the norm's
+    left-to-right sum — is flat column arithmetic inside whole-stage
+    codegen; the higher-order-function fold, being interpreted per
+    element, is ~30× slower.  The + chain folds left-to-right exactly like
+    ``aggregate``/``list_sum``, so results are bit-equal to the array
+    forms.  Built with selectExpr so the whole projection is ONE parsed
+    expression set, not hundreds of py4j Column calls."""
+    wide = df.selectExpr(
+        id_col,
+        *[
+            f"CAST(element_at({vec}, {i + 1}) AS DOUBLE) AS {prefix}{i}"
+            for i in range(dim)
+        ],
+    )
+    nrm_sql = " + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim))
+    return wide.selectExpr(
+        id_col,
+        f"SQRT({nrm_sql}) AS {prefix}nrm",
+        *[f"{prefix}{i}" for i in range(dim)],
+    )
 
 
 def _wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
     """Σ aᵢ·bᵢ as a flat left-to-right + chain — identical fold order to
     the sequential list_sum/aggregate forms, so results are bit-equal."""
-    acc = F.col(f"{prefix_a}0") * F.col(f"{prefix_b}0")
-    for i in range(1, dim):
-        acc = acc + F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
-    return acc
+    return F.expr(
+        " + ".join(f"{prefix_a}{i} * {prefix_b}{i}" for i in range(dim))
+    )
 
 
 def cosine_pairs_above(
