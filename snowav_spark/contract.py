@@ -615,9 +615,11 @@ def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vols = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
         r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("vol")
     )
-    return windows.rank_within(
+    ranked = windows.rank_within(
         vols, ["zone"], [F.desc("vol"), F.asc("band")], out="rnk"
     )
+    # DuckDB rank() yields BIGINT; align dtypes for strict schema compares
+    return ranked.withColumn("rnk", F.col("rnk").cast("long"))
 
 
 @q(
@@ -766,7 +768,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS session_id
         FROM flagged
     )
-    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    SELECT user_id, cast(max(session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM sess GROUP BY user_id
     """,
 )
@@ -936,7 +939,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Water-year math — Oct-1 anchor (ref:snowav/utils/utilities.py)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy(
-        scalars.water_year(F.col("o_orderdate")).alias("wy")
+        scalars.water_year(F.col("o_orderdate")).cast("long").alias("wy")
     ).agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
 
 
@@ -1042,7 +1045,7 @@ def q_water_year_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        scalars.water_year(F.col("o_orderdate")).alias("wy"),
+        scalars.water_year(F.col("o_orderdate")).cast("long").alias("wy"),
         scalars.water_year_day(F.col("o_orderdate")).cast("int").alias("wyd"),
     )
 
