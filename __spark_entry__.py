@@ -11,9 +11,17 @@ operator inventory this covers); this file is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may import this module by file path from any cwd; make the
+# sibling package importable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from snowav_spark import contract
 from snowav_spark.session import ensure_engine_conf

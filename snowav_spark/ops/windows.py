@@ -115,8 +115,13 @@ def tumbling(
     in batch it compiles to a plain hash aggregate on the window bucket."""
     exprs = [c.alias(n) for n, c in aggs.items()]
     out = df.groupBy(F.window(ts, width), *groups).agg(*exprs)
+    # NTZ: a raw TIMESTAMP (LTZ) column collects in the JVM's default
+    # timezone regardless of spark.sql.session.timeZone; NTZ pins the wall
+    # time (session tz is UTC) so results are host-tz-independent.
     return out.select(
-        F.col("window.start").alias("ws"), *groups, *[n for n in aggs]
+        F.col("window.start").cast("timestamp_ntz").alias("ws"),
+        *groups,
+        *[n for n in aggs],
     )
 
 
@@ -134,5 +139,7 @@ def sliding(
     exprs = [c.alias(n) for n, c in aggs.items()]
     out = df.groupBy(F.window(ts, width, slide), *groups).agg(*exprs)
     return out.select(
-        F.col("window.start").alias("ws"), *groups, *[n for n in aggs]
+        F.col("window.start").cast("timestamp_ntz").alias("ws"),
+        *groups,
+        *[n for n in aggs],
     )

@@ -41,6 +41,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any toPandas()/pandas_udf path (report frames, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is rebuilt as TIMESTAMP (local-tz semantics); pin the
+    # session to UTC so wall times — and date_trunc day boundaries — match
+    # DuckDB's naive timestamps on any host timezone.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
