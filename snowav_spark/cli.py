@@ -49,6 +49,7 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         "topo_parquet": s.get("topo_parquet"),
         "report_variable": s.get("report_variable"),
         "report_csv": s.get("report_csv"),
+        "report_md": s.get("report_md"),
         "incremental": s.getboolean("incremental", fallback=False),
     }
     return spec, extras
@@ -79,22 +80,25 @@ def main(argv: list[str] | None = None) -> int:
     n = store.read().count()
     print(f"results rows in store: {n}")
 
-    if extras["report_variable"] and extras["report_csv"]:
+    if extras["report_variable"] or extras["report_md"]:
         import datetime
 
         dates = [
             r[0]
             for r in store.read().select("date").distinct().collect()
         ]
-        frame = store.collect_frame(
-            spec.run_id,
-            extras["report_variable"],
-            spec.basins,
-            min(dates),
-            max(dates) + datetime.timedelta(days=1),
-        )
-        frame.to_csv(extras["report_csv"], index=False)
-        print(f"report written: {extras['report_csv']}")
+        start, end = min(dates), max(dates) + datetime.timedelta(days=1)
+        if extras["report_variable"] and extras["report_csv"]:
+            frame = store.collect_frame(
+                spec.run_id, extras["report_variable"], spec.basins, start, end
+            )
+            frame.to_csv(extras["report_csv"], index=False)
+            print(f"report written: {extras['report_csv']}")
+        if extras["report_md"]:
+            from snowav_spark.report import write_report
+
+            write_report(store, spec, start, end, extras["report_md"])
+            print(f"markdown report written: {extras['report_md']}")
     return 0
 
 

@@ -79,14 +79,26 @@ def run(
     raster: DataFrame,
     topo: DataFrame,
     incremental: bool = False,
+    record_metadata: bool = True,
 ) -> ResultsStore:
-    """EP1 (full run) / EP2 (incremental daily coupling) entry point."""
+    """EP1 (full run) / EP2 (incremental daily coupling) entry point.
+
+    Each run appends a RunMetadata row (ref:snowav/database/database.py::
+    run_metadata) holding the spec used, beside the results store."""
     store = ResultsStore(spark, spec.store_path)
     results = process(spec, raster, topo)
     if incremental:
         store.append_missing(results, spec.run_id)
     else:
         store.write(results)
+    if record_metadata:
+        from dataclasses import asdict
+
+        from snowav_spark.metadata import RunMetadataStore
+
+        RunMetadataStore(spark, f"{spec.store_path}_runs").record(
+            spec.run_id, spec.run_id, asdict(spec)
+        )
     return store
 
 
