@@ -1109,6 +1109,34 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+           round(sum(l_quantity), 6) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), ({_BAND_SQL}))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-zone marginals and per-band marginals
+    (no cross cells) in one Expand + one shuffle — the report's two
+    marginal tables without two scans (SURVEY §2.5 grouping-set family,
+    alongside ROLLUP and CUBE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS zone,
+               cast(least(floor(l_quantity/5), 9) as int) AS band,
+               round(sum(l_quantity), 6) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag),
+                                (cast(least(floor(l_quantity/5), 9) as int)))
+        """
+    )
+
+
+@q(
     "q_having",
     f"""
     SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
