@@ -102,6 +102,28 @@ class ResultsStore:
         return wide.toPandas()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: co-locates future joins/aggregations on
+    ``bucket_col`` so they run exchange-free (SURVEY §4 / prompt:
+    'bucketing for co-located joins').
+
+    At 100 TB, two fact tables bucketed identically on their join key
+    sort-merge join with ZERO shuffle — the single biggest join win
+    available by layout alone.  Bucket count should match target
+    parallelism (buckets are the unit of join task assignment).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """CSV export analog of ref:snowav/plotting/write_properties.py —
     coalesced to one file because report tables are driver-sized by

@@ -1,0 +1,116 @@
+"""Bucketed co-located joins (exchange-free) and applyInPandasWithState
+running totals across micro-batches."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark.io import load_table
+from snowav_spark.sinks import write_bucketed
+from snowav_spark.streaming import incremental, stateful
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf; managed tables land in the default
+    # ./spark-warehouse (gitignored) and are dropped below
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        8,
+        sort_col="o_orderkey",
+    )
+    a = spark.table("orders_b")
+    b = spark.table("lineitem_b")
+    joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    # at fixture scale Spark rightly prefers broadcast; disable it so the
+    # bucketed sort-merge path (the 100 TB big-big case) is what we assert
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        # co-bucketed join: the join itself requires NO shuffle; the only
+        # exchange allowed is the tiny post-join groupBy
+        pre_join = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in pre_join, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and it matches the plain join's result
+    plain = (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(orders, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """State must persist across two availableNow runs via the checkpoint."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    half1 = ev.filter(F.dayofmonth("ts") <= 15)
+    half2 = ev.filter(F.dayofmonth("ts") > 15)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(src)
+
+    def run_once():
+        stream = incremental.stream_source(spark, src, half1.schema)
+        totals = stateful.running_totals_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            totals.writeStream.foreachBatch(sink)  # file sinks reject
+            .outputMode("update")  # update mode; foreachBatch accepts it
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {
+        r.event_type: (r.running_sum, r.running_count)
+        for r in spark.read.parquet(out).collect()
+    }
+    # second batch arrives; totals must CONTINUE from state, not restart
+    half2.write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.event_type)
+        if cur is None or r.running_count > cur[1]:
+            latest[r.event_type] = (r.running_sum, r.running_count)
+    expected = {
+        r.event_type: (round(r.s, 6), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    for et, (s, n) in expected.items():
+        assert latest[et][1] == n, f"{et}: count {latest[et][1]} != {n}"
+        assert latest[et][0] == pytest.approx(s, abs=1e-3)
+        assert first[et][1] < n  # first run really was partial
