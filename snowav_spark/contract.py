@@ -1534,6 +1534,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, "vec_id", "embedding", 0, 10, planes)
 
 
+@q("q_tfidf")
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 distinguishing terms per document (EXT, rows-only:
+    ln() is libm-dependent across engines; the rank structure is tested
+    semantically in tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 @q("q_approx_distinct")
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts (EXT, rows-only: sketch-dependent).

@@ -100,6 +100,88 @@ def quality_score(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k distinguishing terms per document by TF-IDF.
+
+    tf = term count within the doc; idf = ln(N / df) over the corpus.
+    Three aggregates and one broadcast join — the df table is vocab-sized,
+    so at 100 TB only the (doc, term) counts shuffle, keyed by the doc.
+    Rows-only in the contract: ln() is libm-dependent across engines.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    doc_freq = (
+        tok.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(doc_freq), "word").select(
+        id_col,
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "word", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a term query — the
+    retrieval-side scorer of a training-data pipeline (quality filtering
+    by query relevance, dedup cluster ranking).
+
+    Same shuffle shape as TF-IDF; the query-term list is inlined as a
+    literal filter so only matching (doc, term) rows survive the explode.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    n_docs = df.count()
+    avg_dl = float(
+        df.select(F.avg(F.size(tokens(F.col(text_col))))).collect()[0][0]
+    )
+    qt = [w.lower() for w in query_terms]
+    tf = (
+        tok.filter(F.col("word").isin(qt))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    doc_freq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl)))
+    )
+    return (
+        tf.join(F.broadcast(doc_freq), "word")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+
+
 def lang_id(
     df: DataFrame,
     id_col: str,

@@ -117,6 +117,40 @@ def test_multimodal_plumbing_roundtrip(spark, sf_dir):
     assert frames.count() == 9  # 3 videos × ceil(2500/1000)=3 offsets
 
 
+def test_tfidf_ranks_rare_terms_highest(spark):
+    from snowav_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common common other other"),
+            (2, "common unique words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = t.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    by_doc = {r.doc_id: r.word for r in top}
+    # 'common' appears in every doc → idf 0; rare terms must win
+    assert by_doc[0] == "rare"
+    assert by_doc[1] == "other"
+
+
+def test_bm25_prefers_matching_docs(spark):
+    from snowav_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across the cluster"),
+            (1, "pandas frames live on one machine"),
+            (2, "spark spark spark tuning guide"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {r.doc_id: r.bm25 for r in t.bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+    assert 1 not in scores  # no query term → no row
+    assert scores[2] > scores[0]  # higher tf → higher score
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "png")
