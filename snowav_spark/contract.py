@@ -28,6 +28,7 @@ from snowav_spark.io import load_table
 from snowav_spark.ops import (
     banded,
     dedup,
+    sampling,
     joins,
     methods,
     multimodal,
@@ -1532,6 +1533,58 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, "vec_id", "embedding", 0, 10, planes)
+
+
+@q(
+    "q_sample_hash",
+    """
+    SELECT split, count(*) AS n, round(sum(o_totalprice), 6) AS total
+    FROM (
+        SELECT CASE WHEN substring(md5(cast(o_orderkey AS VARCHAR)), 1, 4)
+                         < '1999'
+                    THEN 'test' ELSE 'train' END AS split,
+               o_totalprice
+        FROM orders
+    ) GROUP BY split
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by content hash (EXT): md5-prefix
+    compare — bit-identical in every engine, reproducible across re-runs
+    and repartitions.  Threshold '1999' ≈ 10% of the 16^4 hex space."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = sampling.train_test_split(orders, "o_orderkey", 0.1, digits=4)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total")
+    )
+
+
+@q(
+    "q_data_quality",
+    """
+    SELECT sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate >= TIMESTAMP '2010-01-01'
+                    THEN 1 ELSE 0 END) AS bad_date,
+           count(*) AS n_rows
+    FROM orders
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in one aggregation pass (EXT): violation
+    counts for domain/null/range checks — ingestion gating for training
+    pipelines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sampling.expectations_report(
+        orders,
+        {
+            "bad_price": F.col("o_totalprice") <= 0,
+            "null_cust": F.col("o_custkey").isNull(),
+            "bad_date": (F.col("o_orderdate") < F.lit("1990-01-01"))
+            | (F.col("o_orderdate") >= F.lit("2010-01-01")),
+        },
+    )
 
 
 @q("q_tfidf")

@@ -1,0 +1,70 @@
+"""Deterministic sampling and train/test splits for training-data
+pipelines (EXT — no reference analog; the reference processes every pixel).
+
+Random sampling (``df.sample``) is seed-and-partitioning dependent — a
+re-run or repartition changes the sample.  Pipelines that must be
+reproducible (and auditable) sample on a *content hash* instead: the
+decision for a row depends only on its key.  md5 is used because it is
+bit-identical in every engine (murmur3/xxhash are not), so the same split
+can be recomputed anywhere — including the DuckDB oracle.
+
+The md5-prefix trick: the first hex digits of md5(key) are uniform over
+[0, 16^k); comparing them lexicographically against a threshold string
+selects a deterministic fraction with NO numeric conversion (portable
+across engines that disagree on hex→int casting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, digits: int = 4) -> Column:
+    """First `digits` hex chars of md5(key) — a uniform [0, 16^digits)
+    label usable for sampling, splitting, and stratification."""
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, digits: int = 4
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided per-row by content hash.
+
+    Threshold = the hex string at the fraction point of the [0, 16^d)
+    space; a pure filter, pushed down like any predicate, shuffle-free.
+    """
+    if fraction >= 1.0:
+        return df  # a full-space cut would be a (digits+1)-char string,
+        # which compares lexicographically BELOW most prefixes — clamp.
+    cut = format(max(int(fraction * (16 ** digits)), 0), f"0{digits}x")
+    return df.filter(hash_bucket(F.col(key), digits) < F.lit(cut))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1, digits: int = 4
+) -> DataFrame:
+    """Label every row 'train' or 'test' deterministically by key hash —
+    re-runs, repartitions, and other engines produce the identical split
+    (the property that keeps eval sets leak-free across pipeline runs)."""
+    if test_fraction >= 1.0:
+        return df.withColumn("split", F.lit("test"))
+    cut = format(max(int(test_fraction * (16 ** digits)), 0), f"0{digits}x")
+    split = F.when(
+        hash_bucket(F.col(key), digits) < F.lit(cut), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return df.withColumn("split", split)
+
+
+def expectations_report(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """Data-quality expectations in ONE aggregation pass: each check is a
+    boolean column expression counting violations (training pipelines gate
+    ingestion on these).  Output: one row, one violation-count per check,
+    plus total row count."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in checks.items()
+    ]
+    return df.agg(*aggs, F.count("*").alias("n_rows"))

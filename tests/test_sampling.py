@@ -1,0 +1,51 @@
+"""Deterministic hash sampling / splits and expectations reports."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowav_spark.io import load_table
+from snowav_spark.ops import sampling
+
+
+def test_hash_sample_fraction_and_determinism(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    s1 = sampling.hash_sample(orders, "o_orderkey", 0.25)
+    got = s1.count()
+    assert abs(got / n - 0.25) < 0.08  # uniform hash → near the target
+    # determinism: same rows under different partitioning
+    a = sorted(r.o_orderkey for r in s1.select("o_orderkey").collect())
+    b = sorted(
+        r.o_orderkey
+        for r in sampling.hash_sample(orders.repartition(7), "o_orderkey", 0.25)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert a == b
+
+
+def test_train_test_split_partitions_everything(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    split = sampling.train_test_split(orders, "o_orderkey", 0.1)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert counts["train"] + counts["test"] == orders.count()
+    # test and train are disjoint by construction (single CASE)
+    assert 0.03 < counts["test"] / orders.count() < 0.2
+
+
+def test_expectations_report_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 0.0)], ["id", "v"]
+    )
+    out = sampling.expectations_report(
+        df,
+        {
+            "nonpositive": F.col("v") <= 0,
+            "nulls": F.col("v").isNull(),
+        },
+    ).collect()[0]
+    assert out.nonpositive == 2  # -5.0 and 0.0 (NULL comparison is NULL → not counted)
+    assert out.nulls == 1
+    assert out.n_rows == 4
