@@ -695,6 +695,49 @@ def q_except_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)  # distinct EXCEPT semantics, matching the oracle
 
 
+@q(
+    "q_range_frame",
+    """
+    WITH d AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum(value) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           round(sum(s) OVER (PARTITION BY event_type
+                              ORDER BY cast(day AS TIMESTAMP)
+                              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                        AND CURRENT ROW), 6) AS sum7d
+    FROM d
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: a true trailing-7-day sum (SURVEY §2.5).
+
+    Unlike the ROWS frame of q_moving_avg, a RANGE frame stays correct
+    when days are missing from the series — the frame is defined by the
+    time axis, not row offsets.  Calendar-interval range frames are
+    SQL-only in Spark (the DataFrame API's rangeBetween takes longs), so
+    this key runs through spark.sql — same Catalyst plan either way."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_rf")
+    return spark.sql(
+        """
+        WITH d AS (
+            SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   sum(value) AS s
+            FROM _ev_rf GROUP BY 1, 2
+        )
+        SELECT day, event_type,
+               round(sum(s) OVER (PARTITION BY event_type
+                                  ORDER BY cast(day AS TIMESTAMP)
+                                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                            AND CURRENT ROW), 6) AS sum7d
+        FROM d
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Streaming-shaped windows (batch-equivalent, oracle-gradable)
 # ---------------------------------------------------------------------------
