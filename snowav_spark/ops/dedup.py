@@ -90,14 +90,31 @@ def jaccard_pairs(
     n: int = 3,
     top_k: int | None = None,
     threshold: float | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs.
 
     distinct(id, shingle) → self-join on shingle (sparse by construction)
     → |A∩B| per pair → Jaccard via |A|+|B|−|A∩B|.  Deterministic: Jaccard
     is a ratio of small integers, identical in any engine.
+
+    ``max_df`` caps shingle document frequency before the self-join: the
+    join's cost is Σ_s df(s)², so ONE corpus-hot shingle (a boilerplate
+    header, a template line) turns it quadratic.  Dropping shingles with
+    df > max_df bounds every join group at max_df² — standard practice
+    for shingle joins on skewed corpora.  None (the contract default)
+    keeps exact semantics; the exactness tradeoff is the caller's: a
+    dropped shingle can only shrink |A∩B|, never grow it.
     """
     sh = shingled(df, id_col, text, n).distinct()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")

@@ -81,10 +81,14 @@ def validation_metrics(
     """
     diff = F.col(model_val) - F.col(obs_val)
     joined = model.join(obs, on)
+    # `+ 0.0` normalizes IEEE signed zero: when a metric is mathematically
+    # zero, summation-order noise rounds to ±0.0 with engine-dependent sign
+    # and -0.0 != 0.0 under a bitwise value hash.  -0.0 + 0.0 == +0.0.
+    zn = lambda c: c + F.lit(0.0)  # noqa: E731
     return joined.groupBy(*groups).agg(
-        F.round(F.avg(diff), 6).alias("bias"),
-        F.round(F.avg(F.abs(diff)), 6).alias("mae"),
-        F.round(F.sqrt(F.avg(diff * diff)), 6).alias("rmse"),
+        zn(F.round(F.avg(diff), 6)).alias("bias"),
+        zn(F.round(F.avg(F.abs(diff)), 6)).alias("mae"),
+        zn(F.round(F.sqrt(F.avg(diff * diff)), 6)).alias("rmse"),
         F.count("*").alias("n"),
     )
 

@@ -145,14 +145,23 @@ def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["duration_ms"] or 0
-                for t in range(0, int(dur), every_ms):
-                    rows.append((r["media_id"], t, r["payload"]))
+            # Vectorized 1→N expansion: per-row frame counts, then a
+            # single np.repeat / concatenated-arange — no iterrows.
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            counts = np.maximum((dur + every_ms - 1) // every_ms, 0)
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            # frame offsets: for each row, 0, every_ms, 2·every_ms, …
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            frame_ms = (np.arange(counts.sum()) - starts) * every_ms
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_ms", "payload"]
+                {
+                    "media_id": pdf["media_id"].to_numpy()[idx],
+                    "frame_ms": frame_ms.astype("int32"),
+                    "payload": pdf["payload"].to_numpy()[idx],
+                }
             )
 
     return df.mapInPandas(run, out_schema)

@@ -187,11 +187,20 @@ def cosine_pairs_above(
     stays in whole-stage codegen (no interpreted lambdas in the hot loop);
     the left-to-right fold order matches the array form bit-for-bit.
     """
-    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
+    # Spread the streamed side across the cluster and broadcast the other:
+    # a capped/limited input arrives as ONE partition, which would serialize
+    # the whole N² stage into a single task; the repartition costs one tiny
+    # shuffle of N rows against an N² compute win.
+    par = df.sparkSession.sparkContext.defaultParallelism or 8
+    a = (
+        _widen(df, id_col, vec, dim, "a")
+        .withColumnRenamed(id_col, "id_a")
+        .repartition(par)
+    )
     b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
     cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -222,6 +231,98 @@ def lsh_buckets(
         bucket = bucket + b
     return df.select(
         F.col(id_col), F.col(vec), bucket.cast("int").alias("bucket")
+    )
+
+
+def random_hyperplanes(tables: int, bits: int, dim: int, seed: int = 42):
+    """Deterministic hyperplane sets for LSH (fixed seed → reproducible
+    buckets across runs and engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [[float(x) for x in rng.randn(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def dedup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    tables: int = 10,
+    bits: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate pairs: LSH candidate
+    restriction, then exact cosine verification within candidates only.
+
+    Plan shape (this is the 100 TB path; contrast cosine_pairs_above's
+    global crossJoin):
+      1. widen once; compute `tables` bucket ids as flat sign-bit
+         arithmetic (whole-stage codegen, no interpreted lambdas);
+      2. explode to (table, bucket, id) and self-join on (table, bucket)
+         — the only shuffle keys; cost is Σ_t Σ_b n_b², not N²;
+      3. distinct candidate pairs, join back the widened vectors, exact
+         rounded cosine, filter ≥ threshold.
+
+    Recall/pruning tradeoff is (bits, tables): a pair at angle θ
+    co-buckets in one table with p = (1−θ/π)^bits.  For realistic
+    near-dup thresholds (cos ≥ 0.85) use bits≈8–16 for strong pruning;
+    at low thresholds (0.4) sign-LSH can only reach high recall with
+    coarse buckets (defaults: bits=3, tables=10 → expected recall ≈0.94
+    at cos=0.4), which prunes little — that regime is the exact key's
+    job.  Tests assert both regimes (tests/test_llm_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    hyperplanes = random_hyperplanes(tables, bits, dim, seed)
+    # Bucket ids via ONE Arrow-vectorized pandas_udf: an (n×dim)·(dim×P)
+    # numpy matmul per batch, P = tables·bits sign bits packed into
+    # `tables` bucket ids.  Expressing the same thing as tables·bits flat
+    # codegen projections builds a Catalyst tree big enough to OOM a
+    # default-sized driver during optimization, and the interpreted
+    # higher-order-function fold is ~30× slower per row; the matmul is the
+    # fastest and smallest-plan form.  Deterministic (fixed seed, fixed
+    # float64 matmul).
+    hp_mat = np.array(
+        [hp for hps in hyperplanes for hp in hps], dtype=np.float64
+    ).T  # dim × (tables·bits)
+    weights = np.array([1 << j for j in range(bits)], dtype=np.int32)
+
+    def _bucket_ids(vecs):  # pd.Series -> pd.Series (hints omitted: pd is
+        # a local import and string-hint inference can't resolve it)
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # batch × dim
+        sign = (m @ hp_mat) >= 0.0  # batch × tables·bits
+        packed = sign.reshape(len(m), tables, bits).astype(np.int32) @ weights
+        return pd.Series(list(packed))
+
+    bucket_ids = pandas_udf(_bucket_ids, "array<int>")
+
+    # (table, bucket, id) — the vector payload does NOT ride along; the
+    # self-join shuffles ids only, vectors re-attach after distinct().
+    keys = df.select(
+        F.col(id_col), F.posexplode(bucket_ids(F.col(vec))).alias("tbl", "bk")
+    )
+    cand = (
+        keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
+        .join(keys.select(F.col(id_col).alias("id_b"), "tbl", "bk"), ["tbl", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
+    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

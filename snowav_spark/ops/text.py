@@ -116,16 +116,23 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     tf = tok.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
-    n_docs = df.count()
+    # Corpus size stays IN the plan (1-row agg, broadcast cross join) —
+    # an eager df.count() here would be an extra full scan of the corpus
+    # outside the lazy plan at every call.
+    stats = df.agg(F.count("*").cast("double").alias("n_docs"))
     doc_freq = (
         tok.distinct().groupBy("word").agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(doc_freq), "word").select(
-        id_col,
-        "word",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(doc_freq), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("word")
@@ -157,9 +164,14 @@ def bm25_scores(
         F.size(tokens(F.col(text_col))).alias("dl"),
         F.explode(tokens(F.col(text_col))).alias("word"),
     )
-    n_docs = df.count()
-    avg_dl = float(
-        df.select(F.avg(F.size(tokens(F.col(text_col))))).collect()[0][0]
+    # Corpus stats (N, avg doc length) stay IN the plan as a 1-row
+    # broadcast aggregate — the previous count()/collect() pair was two
+    # extra eager full scans of the corpus per call.
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
+    ).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avg_dl"),
     )
     qt = [w.lower() for w in query_terms]
     tf = (
@@ -169,14 +181,15 @@ def bm25_scores(
     )
     doc_freq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     term_score = idf * (
         F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl)))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
     )
     return (
         tf.join(F.broadcast(doc_freq), "word")
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )

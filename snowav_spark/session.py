@@ -66,6 +66,14 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+        # local mode: the one JVM hosts driver + all executor threads; the
+        # 1g Spark default is far too small for 32 threads (and for large
+        # Catalyst trees).  Static conf — applies only when we launch the
+        # JVM, so an externally-built session keeps its own sizing.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions is not None:

@@ -154,3 +154,80 @@ def test_bm25_prefers_matching_docs(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "png")
+
+
+def test_dedup_lsh_recall_vs_exact(spark, sf_dir):
+    """The scale path (LSH candidates → exact verify) must recover ≥0.9 of
+    the exact N² pairs at threshold 0.4 on the fixture, with no spurious
+    pairs (verification is exact, so precision is 1 by construction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_above(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.dedup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    assert not got - exact  # exact verify ⇒ no false positives
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_dedup_lsh_prunes_in_high_sim_regime(spark):
+    """In the regime LSH is built for (near-dup clusters, cos ≥ 0.9),
+    fine buckets (bits=8) prune the candidate set far below N²/2 while
+    keeping every true pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(40):  # 40 clusters of 3 near-identical vectors
+        center = rng.randn(64)
+        for _ in range(3):
+            v = center + 0.05 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(120):  # plus 120 unrelated vectors
+        rows.append((vid, [float(x) for x in rng.randn(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_above(
+            df, "vec_id", "embedding", 0.9
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.dedup_pairs_lsh(
+            df, "vec_id", "embedding", 0.9, tables=8, bits=8
+        ).collect()
+    }
+    assert exact  # the planted clusters must produce true pairs
+    assert got == exact  # full recall at high similarity, exact verify
+
+
+def test_jaccard_max_df_drops_hot_shingle(spark):
+    """A corpus-wide boilerplate shingle must not blow up the self-join:
+    with max_df set below N, the hot shingle is dropped and unrelated
+    docs no longer pair up through it."""
+    boiler = "standard legal header line attached everywhere"
+    docs = [
+        (i, f"{boiler} unique body text number {i} with words {i * 7}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = dedup.jaccard_pairs(df, "doc_id", "text", n=3).collect()
+    capped = dedup.jaccard_pairs(
+        df, "doc_id", "text", n=3, max_df=5
+    ).collect()
+    # every doc shares the boilerplate shingles → all 45 pairs uncapped
+    assert len(uncapped) == 45
+    # capped: boilerplate shingles have df=10 > 5 → dropped → no pairs
+    # survive (bodies are disjoint)
+    assert len(capped) == 0

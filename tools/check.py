@@ -36,6 +36,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # Preserve the sign of zero: the driver's value hash is
+            # bitwise-sign-sensitive, and engines disagree on the sign of a
+            # rounded ±1e-13 (summation-order noise on a mathematically
+            # zero aggregate).  Mapping both to "0" masked exactly that
+            # failure class in round 1 (q_validation_join).
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.10g}"
@@ -74,7 +81,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    keys = sys.argv[1:] or list(qs)
+    argv = [a for a in sys.argv[1:] if a != "--permute"]
+    permute = "--permute" in sys.argv[1:]
+    keys = argv or list(qs)
     failures = []
     for key in keys:
         if key not in qs:
@@ -91,6 +100,19 @@ def main() -> int:
             failures.append(key)
             continue
         t_spark = time.perf_counter() - t0
+        if permute:
+            # Re-execute with a different shuffle-partition count: a
+            # different summation order surfaces ulp/signed-zero
+            # nondeterminism locally before the driver's hash sees it.
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            try:
+                p_rows = [tuple(r) for r in qs[key](spark, SF_DIR).collect()]
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+            if rowset(s_cols, s_rows) != rowset(s_cols, p_rows):
+                print(f"{key}: NONDETERMINISTIC across partitioning (8 vs 1)")
+                failures.append(key)
+                continue
         if key not in oracles:
             print(f"{key}: rows-only ({len(s_rows)} rows, {t_spark:.2f}s) — no oracle")
             if len(s_rows) == 0:
