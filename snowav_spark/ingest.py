@@ -49,33 +49,57 @@ TOPO_SCHEMA = StructType(
 )
 
 
+def _num2date(nums, units: str):
+    """Minimal CF 'X since Y' time decoding ('days/hours/minutes/seconds
+    since <ISO date[time]>') — what the reference's snow.nc carries."""
+    unit, _, anchor = units.partition(" since ")
+    origin = pd.Timestamp(anchor.strip())
+    step = pd.to_timedelta(1, unit={"days": "D", "hours": "h",
+                                    "minutes": "m", "seconds": "s"}[unit.strip()])
+    return [origin + float(n) * step for n in nums]
+
+
 def read_netcdf_outputs(
-    spark: SparkSession, paths: list[str], variables: list[str]
+    spark: SparkSession, paths: list[str], variables: list[str],
+    time_var: str = "time",
 ) -> DataFrame:
     """Distributed NetCDF → tall frame.  Each executor task opens one file
     and streams its grids out as Arrow batches; the driver only ships the
-    path list."""
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as e:  # pragma: no cover - library absent here
-        raise NotImplementedError(
-            "netCDF4 is not available in this environment; use the "
-            "synthetic generator or pre-converted parquet. The mapInPandas "
-            "plumbing below is the intended executor-side reader."
-        ) from e
+    path list.
 
+    Classic (CDF-1/CDF-2) files need no native library — the pure-NumPy
+    parser in sources/netcdf3.py reads them anywhere numpy exists; when
+    netCDF4 is installed it is preferred (and required for HDF5-backed
+    NetCDF-4 files)."""
     paths_df = spark.createDataFrame([(p,) for p in paths], ["path"])
 
     def read_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import netCDF4 as nc  # executor-side import
         import numpy as np
+
+        try:  # executor-side import; optional
+            import netCDF4 as nc
+        except ImportError:
+            nc = None
+        from snowav_spark.sources import netcdf3
 
         for pdf in batches:
             for path in pdf["path"]:
-                ds = nc.Dataset(path)
-                dates = nc.num2date(ds["time"][:], ds["time"].units)
+                if nc is not None:
+                    ds = nc.Dataset(path)
+                    dates = nc.num2date(ds["time"][:], ds["time"].units)
+                    grids = {v: np.asarray(ds[v][:], dtype=float)
+                             for v in variables}
+                else:
+                    ds = netcdf3.read(path)
+                    tv = ds.variables[time_var]
+                    dates = _num2date(
+                        ds.values(time_var).astype(float),
+                        str(tv.attrs.get("units", "days since 1970-01-01")),
+                    )
+                    grids = {v: ds.values(v).astype(float)
+                             for v in variables}
                 for var in variables:
-                    arr = ds[var][:]  # (t, y, x)
+                    arr = grids[var]  # (t, y, x)
                     for ti, d in enumerate(dates):
                         grid = np.asarray(arr[ti], dtype=float)
                         ys, xs = np.indices(grid.shape)
