@@ -28,6 +28,8 @@ from snowav_spark.io import load_table
 from snowav_spark.ops import (
     banded,
     dedup,
+    graph,
+    packing,
     sampling,
     joins,
     methods,
@@ -1674,6 +1676,100 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake=True)
 
 
+@q(
+    "q_dedup_resolve",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])) AS s
+            FROM documents)
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, rc.r FROM edges e JOIN reach rc ON e.b = rc.node
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id
+    FROM reach GROUP BY 1
+    """,
+)
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (EXT): shingle-Jaccard pairs at
+    threshold 0.1 → connected components (hash-min label propagation,
+    ops/graph.py) → (doc_id, canonical_id) keep/drop map.  Labels are
+    min-ids — pure integers — so the iterative Spark algorithm
+    hash-matches a DuckDB recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).select("doc_a", "doc_b")
+    return graph.resolve_duplicates(pairs, "doc_id", "doc_a", "doc_b")
+
+
+@q("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (EXT, rows-only: FFD is an
+    imperative heuristic, not SQL-expressible — determinism under
+    repartitioning is asserted by the --permute gate, fill bounds by
+    tests/test_llm_ops.py).  Packs token counts into 512-token bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return packing.pack_sequences(toks, "doc_id", "n_tokens", capacity=512)
+
+
+@q(
+    "q_clean_text",
+    """
+    SELECT doc_id,
+           md5(cleaned) AS clean_digest,
+           length(cleaned) AS clean_len,
+           length(text) AS raw_len
+    FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g'),
+                       '\\+[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g'),
+                   'https?://[^\\s]+', ' ', 'g')),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+        FROM documents)
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning (EXT): PII redaction + URL strip + normalization as
+    one codegen regexp_replace chain; emits the normalized-content digest
+    (the key for normalized exact dedup) and length deltas.  Patterns use
+    only Java-regex ∩ RE2 syntax so engine and oracle share them."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.clean_docs(docs, "doc_id", "text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -1781,7 +1877,11 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
+    # -- tail: oracle-backed keys added after the window was pinned --------
+    "q_dedup_resolve",
+    "q_clean_text",
     # -- tail: rows-only by construction -----------------------------------
+    "q_pack_sequences",
     "q_dedup_embed_lsh",
     "q_minhash_lsh",
     "q_simhash",

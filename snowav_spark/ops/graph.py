@@ -1,0 +1,132 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs
+(SURVEY.md §2.6 EXT — the step that turns a pair list into a deduplicated
+corpus).
+
+Every near-dup detector in this package (shingle Jaccard, MinHash+LSH,
+SimHash, embedding cosine) emits *pairs*.  Dropping duplicates from a
+training corpus needs more: pairs form chains (A~B, B~C but not A~C), so
+the keep/drop decision is per *connected component* — keep one canonical
+representative per component, drop the rest.
+
+Scale design:
+
+- **hash-min label propagation**: every node starts labeled with its own
+  id; each round, a node adopts the minimum label among itself and its
+  neighbors.  Converges in ``diameter(G)`` rounds.  Near-dup graphs are
+  overwhelmingly small, star-ish clusters (diameter 2–4), so a handful of
+  rounds finishes real corpora; pathological chains are bounded by
+  ``max_iter``.
+- Each round is one shuffle: ``edges ⋈ labels`` → ``groupBy(dst).min``
+  — both keyed on node id, so AQE coalesces and the join keys stay
+  stable across rounds.  The edge list is never mutated or exploded.
+- **Lineage control**: iterative DataFrame loops grow the plan
+  exponentially, and each round's result is read twice (convergence
+  probe + next round's join); an eager ``localCheckpoint`` per round
+  truncates lineage AND materializes the round once (the standard Spark
+  idiom for iterative algorithms — GraphFrames checkpoints the same
+  way).  On a cluster use reliable ``checkpoint()`` with a checkpoint
+  dir; local eager checkpointing is the single-JVM equivalent.
+- The convergence check is one ``count()`` per round on the (tiny)
+  changed-labels frame.  At 100 TB the alternative is a fixed round
+  budget; the ``max_iter`` parameter expresses exactly that.
+
+Determinism: labels are min-ids — pure integer arithmetic, identical in
+any engine and under any partitioning, which is why ``q_dedup_resolve``
+can be hash-matched against a DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, label) for every node appearing in ``edges``; ``label`` is
+    the minimum node id of the node's connected component.
+
+    Nodes with no edges are absent (they are their own component — callers
+    that need singletons can left-join and coalesce to the node id).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Convergence probe: labels only ever decrease, so Σ label strictly
+    # decreases while ANY label changes — one scalar agg per round
+    # replaces an old-vs-new compare join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        # One round = one join + one partial-agg shuffle: each node's new
+        # label is min over {its own label} ∪ {neighbors' labels}, taken
+        # by unioning self-messages with neighbor-messages.
+        msgs = sym.join(labels.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # Eager checkpoint EVERY round: the convergence probe and the next
+        # round's join both read new_labels — without materialization each
+        # would recompute the whole lineage chain (quadratic total work).
+        labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def resolve_duplicates(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → (id, canonical_id) keep/drop map.
+
+    ``canonical_id`` is the minimum id in the duplicate cluster; a row is
+    a *survivor* iff ``id == canonical_id``.  Only ids that appear in at
+    least one pair are returned — everything else survives trivially.
+    """
+    cc = connected_components(pairs, src, dst, max_iter)
+    return cc.select(
+        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )
+
+
+def drop_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: drop every row whose id belongs to a duplicate
+    cluster but is not the cluster's canonical (min-id) representative.
+
+    One anti-join against the (tiny relative to the corpus) loser set —
+    the corpus itself is never shuffled.
+    """
+    losers = (
+        resolve_duplicates(pairs, id_col, src, dst)
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

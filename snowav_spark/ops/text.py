@@ -228,3 +228,58 @@ def lang_id(
         .join(pred, id_col, "left")
         .select(id_col, F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"))
     )
+
+
+# -- cleaning / redaction ---------------------------------------------------
+#
+# Corpus-cleaning scalar pipeline (SURVEY §2.6 EXT): pure regexp_replace
+# chains — whole-stage-codegen projections, no UDFs, trivially linear at
+# any scale.  Patterns deliberately use only syntax shared by Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backrefs — so the same
+# pattern string serves both the engine and the oracle.
+
+PII_PATTERNS = {
+    # local@domain.tld — conservative, no lookaround
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # international-ish phone: +, digits, separators; ≥9 digits total
+    "phone": r"\+[0-9][0-9 ().-]{7,}[0-9]",
+}
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def redact_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Replace each PII pattern with a typed placeholder (``<EMAIL>`` …).
+
+    One chained ``regexp_replace`` per pattern — a single codegen
+    projection; ordering is sorted-by-name for determinism.
+    """
+    out = text
+    for name in sorted((patterns or PII_PATTERNS)):
+        pat = (patterns or PII_PATTERNS)[name]
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def clean_text(text: Column) -> Column:
+    """Normalization used before hashing/dedup: strip URLs, lowercase,
+    drop non-alphanumerics (keeping spaces), collapse whitespace, trim."""
+    c = F.regexp_replace(text, URL_PATTERN, " ")
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def clean_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc cleaning record: normalized text digest (the dedup key for
+    *normalized* exact dedup), cleaned length, and PII match counts."""
+    cleaned = clean_text(redact_pii(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(cleaned).alias("clean_digest"),
+        F.length(cleaned).alias("clean_len"),
+        F.length(F.col(text_col)).alias("raw_len"),
+    )

@@ -231,3 +231,136 @@ def test_jaccard_max_df_drops_hot_shingle(spark):
     # capped: boilerplate shingles have df=10 > 5 → dropped → no pairs
     # survive (bodies are disjoint)
     assert len(capped) == 0
+
+
+# -- dedup resolution (connected components) --------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A~B~C chain collapses to one component labeled min-id; disjoint
+    pair keeps its own label; isolated nodes are absent."""
+    from snowav_spark.ops import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.label for r in graph.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A worst-case path graph (diameter = n-1) still converges to a
+    single min-labeled component within max_iter."""
+    from snowav_spark.ops import graph
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    labels = {
+        r.node: r.label for r in graph.connected_components(edges).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == n + 1
+
+
+def test_drop_near_dups_keeps_canonical(spark):
+    from snowav_spark.ops import graph
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id
+        for r in graph.drop_near_dups(df, pairs, "doc_id", "id_a", "id_b").collect()
+    )
+    # clusters {0,1,2} and {4,5} keep min ids 0 and 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+# -- sequence packing -------------------------------------------------------
+
+
+def test_pack_sequences_respects_capacity_and_covers_all(spark):
+    from snowav_spark.ops import packing
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = packing.pack_sequences(
+        df, "doc_id", "n_tokens", capacity=512, n_shards=4
+    )
+    pdf = packed.toPandas()
+    assert sorted(pdf["doc_id"]) == [r[0] for r in rows]  # every doc placed
+    fills = pdf.groupby(["shard", "bin"])["n_tokens"].sum()
+    assert (fills <= 512).all()
+    # offsets within a bin are disjoint and within capacity
+    for (_, _), grp in pdf.groupby(["shard", "bin"]):
+        grp = grp.sort_values("offset")
+        end = (grp["offset"] + grp["n_tokens"]).to_numpy()
+        assert (grp["offset"].to_numpy()[1:] >= end[:-1]).all()
+        assert (end <= 512).all()
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from snowav_spark.ops import packing
+
+    df = spark.createDataFrame(
+        [(0, 600), (1, 100), (2, 100)], ["doc_id", "n_tokens"]
+    )
+    pdf = packing.pack_sequences(
+        df, "doc_id", "n_tokens", capacity=512, n_shards=1
+    ).toPandas()
+    big_bin = pdf.loc[pdf["doc_id"] == 0, "bin"].iloc[0]
+    others = pdf.loc[pdf["doc_id"] != 0, "bin"]
+    assert (others != big_bin).all()
+
+
+def test_packing_stats_fill(spark):
+    from snowav_spark.ops import packing
+
+    df = spark.createDataFrame(
+        [(i, 256) for i in range(8)], ["doc_id", "n_tokens"]
+    )
+    packed = packing.pack_sequences(
+        df, "doc_id", "n_tokens", capacity=512, n_shards=1
+    )
+    row = packing.packing_stats(packed, "n_tokens", 512).collect()[0]
+    assert row.n_bins == 4 and row.n_docs == 8
+    assert row.avg_fill == 1.0 and row.wasted_tokens == 0
+
+
+# -- text cleaning / PII redaction ------------------------------------------
+
+
+def test_redact_pii_patterns(spark):
+    from snowav_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com or +1 (555) 123-4567 at 10.0.0.1"),
+            (1, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.red
+        for r in df.select(
+            "doc_id", t.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0] and "<IPV4>" in got[0]
+    assert "bob@" not in got[0] and "555" not in got[0]
+    assert got[1] == "no pii here"
+
+
+def test_clean_text_normalizes(spark):
+    from snowav_spark.ops import text as t
+
+    df = spark.createDataFrame(
+        [(0, "  Hello,   WORLD! visit https://x.example/path?q=1 now  ")],
+        ["doc_id", "text"],
+    )
+    got = df.select(t.clean_text(F.col("text")).alias("c")).collect()[0].c
+    assert got == "hello world visit now"

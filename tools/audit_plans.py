@@ -99,6 +99,33 @@ def main() -> int:
     s = simple(qs["q_sim_topk"](spark, SF))
     check("q_sim_topk", s, [], ["BatchEvalPython", "PythonUDF"])
 
+    # 6b. cleaning pipeline is one codegen projection chain — no UDFs, one
+    # pruned scan
+    p = formatted(qs["q_clean_text"](spark, SF))
+    check(
+        "q_clean_text",
+        p,
+        ["ReadSchema: struct<doc_id:bigint,text:string"],
+        ["PythonUDF", "Exchange"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_clean_text: expected 1 scan, saw {n_scans(p)}")
+
+    # 6c. LSH dedup never materializes a cartesian product: candidates come
+    # from an equi-join on (table, bucket) and only the bucket-assignment
+    # UDF is Python (Arrow-vectorized), never a row-at-a-time UDF
+    p = formatted(qs["q_dedup_embed_lsh"](spark, SF))
+    check(
+        "q_dedup_embed_lsh",
+        p,
+        ["ArrowEvalPython"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    )
+
+    # 6d. sequence packing runs as grouped Arrow batches
+    p = formatted(qs["q_pack_sequences"](spark, SF))
+    check("q_pack_sequences", p, ["FlatMapGroupsInPandas"], ["CartesianProduct"])
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
