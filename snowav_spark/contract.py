@@ -1582,6 +1582,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, "vec_id", "embedding", 0, 10, planes)
 
 
+@q("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-k (EXT, rows-only: probes a subset of
+    Voronoi cells so recall < 1 by construction).  Exact twin:
+    q_sim_topk; nprobe=n_cells recovers it exactly (tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", 0, 10, n_cells=16, nprobe=4, iters=1
+    )
+
+
 @q(
     "q_sample_hash",
     """
@@ -1886,6 +1897,7 @@ _GRADE_ORDER = [
     "q_minhash_lsh",
     "q_simhash",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_tfidf",
     "q_approx_distinct",
     "q_approx_percentile",

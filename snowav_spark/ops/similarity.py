@@ -352,3 +352,124 @@ def ann_lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------
+#
+# The other classic ANN scale path next to hyperplane LSH: partition the
+# vector space into Voronoi cells around k centroids (built with a couple
+# of distributed Lloyd iterations), store each vector under its nearest
+# cell, and search only the `nprobe` cells nearest the query.  At 100 TB
+# the cell id is a *partition column*: writing the corpus partitioned by
+# cell turns probing into partition pruning — the scan never touches the
+# other cells' bytes.  Index build is an offline pass: one broadcast
+# assignment + one groupBy-avg per Lloyd iteration, both single-shuffle.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    n_cells: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+):
+    """k-means centroids as a plain list-of-lists (broadcast-scale:
+    n_cells × dim floats).
+
+    Seeds are the ``n_cells`` vectors with smallest md5(id) — a
+    deterministic pseudo-random sample, so the index is reproducible
+    across runs and engines.  Each Lloyd iteration is one broadcast
+    assignment plus one groupBy: per-dimension ``avg`` — a single
+    map-side-combined shuffle of n_cells × dim partial sums.
+    """
+    import numpy as np
+
+    seeds = (
+        df.select(vec, F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = df.select(
+            _cell_of(vec, cents).alias("cell"), F.col(vec)
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec)[i].cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for r in rows:  # empty cells keep their previous centroid
+            cents[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+    return [[float(x) for x in c] for c in cents]
+
+
+def _cell_of(vec: str, cents) -> Column:
+    """Nearest-centroid id via one Arrow-vectorized matmul per batch
+    (same rationale as dedup_pairs_lsh's bucket UDF: a k×dim distance
+    computation as flat codegen would blow up the Catalyst tree)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.float64)  # k × dim
+    c_sq = (c * c).sum(axis=1)  # ‖c‖² per centroid
+
+    def _assign(vs):  # pd.Series of list<float> -> pd.Series[int]
+        m = np.asarray(vs.tolist(), dtype=np.float64)  # batch × dim
+        # argmin ‖v−c‖² = argmin ‖c‖² − 2 v·c  (‖v‖² constant per row)
+        d = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return pandas_udf(_assign, "int")(F.col(vec))
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec: str, cents
+) -> DataFrame:
+    """Corpus + its IVF cell id.  At scale, persist this partitioned by
+    ``cell`` so probes prune at the file level."""
+    return df.withColumn("cell", _cell_of(vec, cents))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    query_id: int,
+    k: int,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: exact search restricted to the nprobe
+    cells nearest the query.  nprobe = n_cells degrades gracefully to the
+    exact brute-force answer (asserted in tests)."""
+    import numpy as np
+
+    cents = ivf_centroids(df, id_col, vec, n_cells, iters, dim)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec).collect()
+    qv = np.asarray(list(qrow[0][0]), dtype=np.float64)
+    c = np.asarray(cents, dtype=np.float64)
+    d = (c * c).sum(axis=1) - 2.0 * (c @ qv)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = ivf_assign(df, id_col, vec, cents).filter(
+        F.col("cell").isin(probe) & (F.col(id_col) != query_id)
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            dot(F.col(vec), qlit) / (norm(F.col(vec)) * norm(qlit)), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

@@ -1,0 +1,126 @@
+"""End-to-end training-corpus curation pipeline (SURVEY.md §2.6 EXT):
+the composition a data team actually runs, wired from this package's
+operators — each stage is the scale-safe variant.
+
+    raw documents
+      → clean + redact           (codegen regexp chain, text.clean_text)
+      → quality + language gate  (one agg pass, broadcast marker dim)
+      → exact dedup              (normalized-digest groupBy, one shuffle)
+      → near-dedup resolve       (shingle pairs → connected components →
+                                  canonical survivors, ops/graph.py)
+      → sequence packing         (FFD bins, sharded applyInPandas)
+
+Every stage consumes and returns a DataFrame, so Catalyst sees one lazy
+plan per stage boundary and the corpus text is shuffled only where a
+stage's semantics require its hash or shingles — never for packing
+(ids+lengths only) or survivor filtering (broadcast anti-join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import dedup, graph, packing, text
+
+
+@dataclass
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_quality: float = 0.0
+    keep_langs: tuple[str, ...] | None = None
+    shingle_n: int = 3
+    jaccard_threshold: float = 0.5
+    pack_capacity: int = 512
+    pack_shards: int = 64
+    max_shingle_df: int | None = 10_000  # hot-shingle guard at scale
+
+
+@dataclass
+class CurationResult:
+    """Curated corpus plus the per-stage frames a pipeline owner audits."""
+
+    corpus: DataFrame
+    cleaned: DataFrame
+    survivors_map: DataFrame
+    packed: DataFrame
+    stage_counts: dict[str, int] = field(default_factory=dict)
+
+
+def curate(df: DataFrame, cfg: CurationConfig | None = None,
+           count_stages: bool = False) -> CurationResult:
+    """Run the full curation pipeline.
+
+    ``count_stages=True`` materializes a count per stage for reporting —
+    off by default because each count is an extra action (at 100 TB you
+    want the counts from the sink's metrics, not extra scans).
+    """
+    cfg = cfg or CurationConfig()
+    id_c, txt = cfg.id_col, cfg.text_col
+    counts: dict[str, int] = {}
+
+    def note(name: str, frame: DataFrame) -> DataFrame:
+        if count_stages:
+            counts[name] = frame.count()
+        return frame
+
+    note("raw", df)
+
+    # 1. clean + redact; keep the normalized text alongside the raw.
+    cleaned = df.withColumn(
+        "_clean", text.clean_text(text.redact_pii(F.col(txt)))
+    ).filter(F.length("_clean") > 0)
+    note("cleaned", cleaned)
+
+    # 2. quality / language gate.
+    q = text.quality_score(cleaned, id_c, "_clean").select(
+        id_c, "quality"
+    )
+    gated = cleaned.join(q, id_c).filter(
+        F.col("quality") >= cfg.min_quality
+    )
+    if cfg.keep_langs is not None:
+        pred = text.lang_id(gated, id_c, "_clean")
+        gated = (
+            gated.join(pred, id_c)
+            .filter(F.col("pred_lang").isin(*cfg.keep_langs))
+            .drop("pred_lang")
+        )
+    gated = note("gated", gated.drop("quality"))
+
+    # 3. exact dedup on the NORMALIZED digest (catches whitespace/case/
+    #    punctuation twins the raw digest misses).
+    exact = dedup.drop_exact_dups(gated, "_clean", id_c)
+    note("exact_deduped", exact)
+
+    # 4. near-dedup: shingle pairs → connected components → survivors.
+    pairs = dedup.jaccard_pairs(
+        exact,
+        id_c,
+        "_clean",
+        n=cfg.shingle_n,
+        threshold=cfg.jaccard_threshold,
+        max_df=cfg.max_shingle_df,
+    ).select("doc_a", "doc_b")
+    survivors_map = graph.resolve_duplicates(pairs, id_c, "doc_a", "doc_b")
+    corpus = graph.drop_near_dups(exact, pairs, id_c, "doc_a", "doc_b")
+    note("near_deduped", corpus)
+
+    # 5. pack into training bins on token counts of the cleaned text.
+    lens = corpus.select(
+        id_c, F.size(F.split("_clean", " ")).alias("n_tokens")
+    )
+    packed = packing.pack_sequences(
+        lens, id_c, "n_tokens", cfg.pack_capacity, cfg.pack_shards
+    )
+
+    return CurationResult(
+        corpus=corpus,
+        cleaned=cleaned,
+        survivors_map=survivors_map,
+        packed=packed,
+        stage_counts=counts,
+    )

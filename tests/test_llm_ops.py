@@ -364,3 +364,48 @@ def test_clean_text_normalizes(spark):
     )
     got = df.select(t.clean_text(F.col("text")).alias("c")).collect()[0].c
     assert got == "hello world visit now"
+
+
+# -- IVF ANN ----------------------------------------------------------------
+
+
+def test_ivf_full_probe_matches_exact(spark, sf_dir):
+    """nprobe = n_cells searches every cell → identical to brute force."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = [
+        (r[0], r.cos_sim)
+        for r in similarity.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
+    ]
+    ivf = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(
+            emb, "vec_id", "embedding", 0, 10, n_cells=8, nprobe=8, iters=1
+        ).collect()
+    ]
+    assert [i for i, _ in ivf] == [i for i, _ in exact]
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """Probing a quarter of the cells must still recover most of the true
+    top-10 (the query's own cell holds its nearest neighbors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        r[0]
+        for r in similarity.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
+    }
+    got = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, "vec_id", "embedding", 0, 10, n_cells=16, nprobe=4, iters=1
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_ivf_assign_cells_cover_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", n_cells=8, iters=1)
+    assigned = similarity.ivf_assign(emb, "vec_id", "embedding", cents)
+    assert assigned.count() == emb.count()
+    n_used = assigned.select("cell").distinct().count()
+    assert 2 <= n_used <= 8  # centroids spread the corpus across cells
