@@ -71,15 +71,30 @@ def attach_fake_media(df: DataFrame, id_col: str, text: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, fmt: str):
-    """Decode one media payload into pixels/samples.
+    """Decode one media payload into a pixel array.
 
-    STUB: the real implementation needs an image/audio codec library
-    (PIL / soundfile / av) which is intentionally not vendored here.
+    Graduates automatically when a codec library is present: image
+    formats decode through Pillow if importable.  Audio/video (and any
+    environment without codecs, like this container) raise — the Spark
+    plumbing around decode is exercised via the deterministic fake path
+    (``extract_features(fake=True)``).
     """
+    if fmt in ("png", "jpeg", "jpg", "bmp", "gif", "webp"):
+        try:
+            import io as _io
+
+            from PIL import Image  # optional extra, absent here
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires Pillow (pip install pillow); tests "
+                "exercise the surrounding Spark plumbing via the "
+                "deterministic fake path (extract_features(fake=True))."
+            ) from e
+        import numpy as np
+
+        return np.asarray(Image.open(_io.BytesIO(payload)))
     raise NotImplementedError(
-        "media decode requires a codec library; wire PIL/ffmpeg here. "
-        "Tests exercise the surrounding Spark plumbing via the "
-        "deterministic fake path (extract_features(fake=True))."
+        f"no codec wired for format {fmt!r}; wire soundfile/av here."
     )
 
 

@@ -255,9 +255,18 @@ def dedup_pairs_lsh(
     bits: int = 3,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale-safe embedding near-duplicate pairs: LSH candidate
     restriction, then exact cosine verification within candidates only.
+
+    ``max_bucket`` guards against hot buckets (the LSH analog of
+    jaccard_pairs' ``max_df``): candidate cost is Σ n_bucket², so one
+    bucket that captures a dense direction of the corpus re-creates the
+    quadratic blowup.  Buckets larger than ``max_bucket`` are dropped
+    before the self-join — a pair loses candidacy only if EVERY table
+    hashes it into an oversized bucket, so with multiple tables the
+    recall cost is small and bounded (tested).
 
     Plan shape (this is the 100 TB path; contrast cosine_pairs_above's
     global crossJoin):
@@ -308,6 +317,14 @@ def dedup_pairs_lsh(
     keys = df.select(
         F.col(id_col), F.posexplode(bucket_ids(F.col(vec))).alias("tbl", "bk")
     )
+    if max_bucket is not None:
+        small = (
+            keys.groupBy("tbl", "bk")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("tbl", "bk")
+        )
+        keys = keys.join(small, ["tbl", "bk"], "left_semi")
     cand = (
         keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
         .join(keys.select(F.col(id_col).alias("id_b"), "tbl", "bk"), ["tbl", "bk"])

@@ -74,6 +74,14 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
+        # Hostile-environment probe hook: pin the JVM timezone (contract
+        # outputs must be NTZ/date and survive any host tz — ci.sh runs
+        # the oracle gate once under a non-UTC JVM via this).
+        jvm_tz = os.environ.get("SPARK_GRAFT_JAVA_TZ")
+        if jvm_tz:
+            builder = builder.config(
+                "spark.driver.extraJavaOptions", f"-Duser.timezone={jvm_tz}"
+            )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions is not None:

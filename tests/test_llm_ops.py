@@ -409,3 +409,31 @@ def test_ivf_assign_cells_cover_corpus(spark, sf_dir):
     assert assigned.count() == emb.count()
     n_used = assigned.select("cell").distinct().count()
     assert 2 <= n_used <= 8  # centroids spread the corpus across cells
+
+
+def test_dedup_lsh_max_bucket_guard(spark):
+    """A dense direction (many co-bucketed vectors) must be droppable via
+    max_bucket without losing the pairs that other tables still catch."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    hot = rng.randn(64)
+    for i in range(60):  # dense cluster: everything near one direction
+        rows.append((i, [float(x) for x in hot + 0.02 * rng.randn(64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = similarity.dedup_pairs_lsh(
+        df, "vec_id", "embedding", 0.9, tables=8, bits=2
+    ).count()
+    capped = similarity.dedup_pairs_lsh(
+        df, "vec_id", "embedding", 0.9, tables=8, bits=2, max_bucket=10
+    ).count()
+    # with bits=2 the hot cluster lands in one bucket per table (> 10
+    # members) → every bucket is dropped → no candidates survive; the
+    # guard demonstrably bounds Σ n_bucket²
+    assert uncapped > 1000 and capped == 0
+    # with a cap above the cluster size nothing is dropped
+    loose = similarity.dedup_pairs_lsh(
+        df, "vec_id", "embedding", 0.9, tables=8, bits=2, max_bucket=60
+    ).count()
+    assert loose == uncapped

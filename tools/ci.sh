@@ -1,9 +1,15 @@
 #!/bin/sh
 # Full local verification: unit/integration tests, then the DuckDB oracle
 # gate at BOTH sf0.01 and sf0.1 (ulp-boundary flips are scale-dependent),
-# with the --permute summation-order re-run at sf0.01.
+# with the --permute summation-order re-run at sf0.01, then the plan
+# audit, then the timestamp-sensitive keys once more under a non-UTC
+# host+JVM timezone (LTZ leakage probe).
 set -e
 cd "$(dirname "$0")/.."
 python -m pytest tests/ -q
 python tools/check.py --permute
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/check.py
+python tools/audit_plans.py
+TZ=America/Denver SPARK_GRAFT_JAVA_TZ=America/Denver python tools/check.py \
+    q_filter_daterange q_date_functions q_validation_join \
+    q_tumbling_daily q_sliding_window q_session_window q_daily_series
