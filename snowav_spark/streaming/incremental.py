@@ -85,3 +85,48 @@ def run_to_sink(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_stream(
+    docs: DataFrame,
+    ts: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus curation: the ingest-time stages of
+    pipeline_llm.curate as one continuous query.
+
+    clean/redact (stateless codegen projection) → quality gate
+    (stateless arithmetic) → stateful exact dedup on the NORMALIZED
+    digest within the watermark horizon.  Near-dedup resolution is
+    iterative and stays a periodic batch job over the streamed-in sink —
+    the standard lambda split: stateless + keyed-state stages stream,
+    global-graph stages batch.  State is bounded by the watermark
+    (digests older than the horizon evict), so this runs forever at
+    ingest scale.
+    """
+    from snowav_spark.ops import text as text_ops
+
+    cleaned = docs.withColumn(
+        "_clean", text_ops.clean_text(text_ops.redact_pii(F.col(text_col)))
+    ).filter(F.length("_clean") > 0)
+    # Same quality formula as ops.text.quality_score (stateless, so it
+    # streams unchanged): avg word length − 4·stopword ratio.
+    toks = F.split(F.col("_clean"), " ")
+    n_tok = F.size(toks)
+    awl = (F.length("_clean") - (n_tok - 1)) / n_tok
+    stop_arr = F.array(F.lit("a"), F.lit("the"))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    gated = cleaned.withColumn("_digest", F.md5("_clean")).filter(
+        (awl - 4.0 * stop_ratio) >= F.lit(min_quality)
+    )
+    return gated.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        ["_digest"]
+    )

@@ -111,3 +111,39 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path, staged_events):
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == got.select("event_id").distinct().count()
+
+
+def test_curation_stream_cleans_gates_dedups(spark, tmp_path):
+    """Streaming curation: normalized twins collapse to one, low-quality
+    and URL-only docs are gated out, PII never reaches the sink."""
+    import datetime
+
+    base = "quick brown fox jumps over lazy dog near river bank today"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, base, t0),
+        (1, base + ".", t0),                      # normalized twin of 0
+        (2, "a a the the a a the a the a", t0),   # stopword soup → gated
+        (3, "https://only.example/x", t0),        # empty after clean
+        (4, "email bob@example.com about engines", t0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    src = str(tmp_path / "cur_in")
+    df.write.parquet(src)
+    stream = incremental.stream_source(
+        spark, src, spark.read.parquet(src).schema
+    )
+    curated = incremental.curation_stream(
+        stream, "ts", min_quality=0.5, watermark="1 hour"
+    )
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+    q = incremental.run_to_sink(curated, out, ckpt, once=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    kept = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert 2 not in kept and 3 not in kept
+    assert len({0, 1} & set(kept)) == 1  # twins collapsed to one
+    assert 4 in kept
+    texts = " ".join(r._clean for r in got.collect())
+    assert "bob" not in texts and "email" in texts

@@ -126,6 +126,16 @@ def main() -> int:
     p = formatted(qs["q_pack_sequences"](spark, SF))
     check("q_pack_sequences", p, ["FlatMapGroupsInPandas"], ["CartesianProduct"])
 
+    # 6e. IVF probe is a filtered scan + Arrow cell-assignment, never a
+    # cartesian product against the corpus
+    p = formatted(qs["q_ann_ivf"](spark, SF))
+    check(
+        "q_ann_ivf",
+        p,
+        ["ArrowEvalPython", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
