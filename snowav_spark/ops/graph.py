@@ -121,12 +121,16 @@ def drop_near_dups(
     """Deduplicated corpus: drop every row whose id belongs to a duplicate
     cluster but is not the cluster's canonical (min-id) representative.
 
-    One anti-join against the (tiny relative to the corpus) loser set —
-    the corpus itself is never shuffled.
+    One anti-join against the loser-id set.  The join strategy is left to
+    AQE on purpose: on lightly-duplicated corpora the loser set is tiny
+    and AQE broadcasts it (corpus never shuffles); at web-scale dup
+    ratios losers can be a third of the corpus, where a forced broadcast
+    would OOM the executors — AQE falls back to a shuffled anti-join of
+    two id columns, which is the right plan there.
     """
     losers = (
         resolve_duplicates(pairs, id_col, src, dst)
         .filter(F.col(id_col) != F.col("canonical_id"))
         .select(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

@@ -284,6 +284,12 @@ def dedup_pairs_lsh(
     coarse buckets (defaults: bits=3, tables=10 → expected recall ≈0.94
     at cos=0.4), which prunes little — that regime is the exact key's
     job.  Tests assert both regimes (tests/test_llm_ops.py).
+
+    Sizing at scale: candidate cost is Σ n_bucket², so GROW bits with the
+    corpus — bits ≈ log2(N / B) for target bucket size B keeps occupancy
+    (and therefore cost per row) constant; fixed bits would double
+    occupancy per corpus doubling and re-create a quadratic term
+    (measured in tools/scale_probe.py).
     """
     import numpy as np
     import pandas as pd

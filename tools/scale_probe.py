@@ -1,0 +1,169 @@
+"""Empirical scale probe: run the linear-path LLM operators at N and 2N
+synthetic rows and report wall-time growth ratios.
+
+The contract fixtures (sf0.1: 5 k docs, 2 k vectors) verify correctness;
+this probe is the evidence for the SCALE.md claims — the LSH/bucketed
+paths should grow ≈linearly (ratio ≈ 2 for 2× input, modulo fixed
+overhead), while the capped N² paths are excluded by construction at
+scale.  Data is generated INSIDE Spark (range + hash arithmetic — no
+driver-side rows), with planted exact twins, near-dup chains, and a
+dense embedding cluster so every operator has real work to do.
+
+Usage: python tools/scale_probe.py [N]   (default 100_000 docs; embeddings
+N/2).  Prints one JSON line with per-op seconds at N and 2N and ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F
+
+def gen_documents(spark, n: int) -> DataFrame:
+    """n synthetic docs over a 5000-token hash vocabulary (large enough
+    that no shingle is corpus-hot — the realistic regime): 1-in-50 an
+    exact twin of its predecessor, 1-in-50 a near-dup (one appended
+    word); everything hash-derived so generation is pure codegen over
+    spark.range."""
+    seed = F.when(F.col("id") % 50 == 1, F.col("id") - 1).otherwise(
+        F.when(F.col("id") % 50 == 2, F.col("id") - 2).otherwise(F.col("id"))
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.hash(F.col("seed"), i), F.lit(5000)).cast("string"),
+        ),
+    )
+    body = F.concat_ws(" ", words)
+    text = F.when(
+        F.col("id") % 50 == 2, F.concat(body, F.lit(" extra"))
+    ).otherwise(body)
+    return (
+        spark.range(n)
+        .withColumn("seed", seed)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+    )
+
+
+def gen_embeddings(spark, n: int, dim: int = 64) -> DataFrame:
+    """n pseudo-random unit-cube vectors; 10% fall into clusters of ~20
+    near-identical members (shared direction + small hash-noise), so the
+    true near-dup pair count grows LINEARLY with n — the realistic
+    duplicate structure a linear-path claim must be measured against."""
+    cluster = (F.col("id") / 10) % F.lit(max(n // 200, 1))
+    base = F.when(
+        F.col("id") % 10 == 0, cluster.cast("long") + F.lit(10_000_000)
+    ).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.hash(F.col("b"), i), F.lit(2000)).cast("double") / 1000.0
+            - 1.0
+        )
+        + F.when(
+            F.col("id") % 10 == 0,
+            (
+                F.pmod(F.hash(F.col("id"), i, F.lit(7)), F.lit(100)).cast(
+                    "double"
+                )
+                / 2000.0
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        spark.range(n)
+        .withColumn("b", base)
+        .select(
+            F.col("id").alias("vec_id"),
+            vec.cast("array<float>").alias("embedding"),
+        )
+    )
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
+    from snowav_spark.ops import dedup, graph, packing, similarity, text
+
+    docs = gen_documents(spark, n_docs).localCheckpoint(eager=True)
+    emb = gen_embeddings(spark, n_docs // 2).localCheckpoint(eager=True)
+    out: dict[str, tuple[float, int]] = {}
+
+    out["exact_dedup"] = timed(
+        lambda: dedup.drop_exact_dups(docs, "text", "doc_id").count()
+    )
+    out["minhash_lsh"] = timed(
+        lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
+    )
+    out["clean_text"] = timed(
+        lambda: text.clean_docs(docs, "doc_id", "text").count()
+    )
+    # Constant-occupancy rule: bits ≈ log2(N / target_bucket_size), so the
+    # candidate cost Σ n_bucket² stays ~linear as the corpus grows.  With
+    # bits FIXED instead, occupancy doubles per corpus doubling and the
+    # measured ratio is ~4 — exactly what this probe exists to expose.
+    import math
+
+    bits = max(int(math.log2(max(n_docs // 2, 2) / 6)), 4)
+    out["embed_lsh_dedup"] = timed(
+        lambda: similarity.dedup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.9, tables=4, bits=bits,
+            max_bucket=2000,
+        ).count()
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    out["cc_resolve"] = timed(
+        lambda: graph.resolve_duplicates(pairs, "doc_id").count()
+    )
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    out["pack"] = timed(
+        lambda: packing.pack_sequences(
+            lens, "doc_id", "n_tokens", 512, n_shards=64
+        ).count()
+    )
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    from snowav_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    run_at(spark, max(n // 10, 1000))  # untimed warmup: JIT + codegen
+    r1 = run_at(spark, n)
+    r2 = run_at(spark, 2 * n)
+    report = {
+        "n_docs": n,
+        "ops": {
+            k: {
+                "sec_1x": r1[k][0],
+                "sec_2x": r2[k][0],
+                "rows_1x": r1[k][1],
+                "rows_2x": r2[k][1],
+                "ratio": round(r2[k][0] / r1[k][0], 2) if r1[k][0] else None,
+            }
+            for k in r1
+        },
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
