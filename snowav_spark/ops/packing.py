@@ -63,23 +63,26 @@ def pack_sequences(
         pdf = pdf.sort_values(
             ["len", "id"], ascending=[False, True]
         ).reset_index(drop=True)
-        # First-fit-decreasing over a live remaining-capacity list.  The
+        # First-fit-decreasing over a live per-bin fill list.  The
         # per-row python loop is the algorithm's irreducible sequential
         # core; it touches two ints per row and never the payload.
-        remaining: list[int] = []
+        fill: list[int] = []
         bins = pd.array([0] * len(pdf), dtype="int64")
         offsets = pd.array([0] * len(pdf), dtype="int64")
         for i, ln in enumerate(pdf["len"].to_numpy()):
-            for b, rem in enumerate(remaining):
-                if ln <= rem:
+            for b, f in enumerate(fill):
+                if f + ln <= capacity:
                     bins[i] = b
-                    offsets[i] = capacity - rem
-                    remaining[b] = rem - ln
+                    offsets[i] = f
+                    fill[b] = f + ln
                     break
             else:
-                bins[i] = len(remaining)
+                # new bin; an oversized doc (ln > capacity) fills it past
+                # capacity, so nothing else — not even zero-length docs —
+                # joins it
+                bins[i] = len(fill)
                 offsets[i] = 0
-                remaining.append(max(capacity - ln, 0))
+                fill.append(int(ln))
         pdf["bin"] = bins
         pdf["offset"] = offsets
         return pdf[["id", "len", "shard", "bin", "offset"]]

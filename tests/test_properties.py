@@ -94,3 +94,71 @@ def test_rollup_total_equals_sum_of_bands(spark, vals):
     per_band = sum(r.s for r in out if r.band is not None and r.zone is not None)
     total = [r.s for r in out if r.zone is not None and r.band is None][0]
     assert total == pytest.approx(per_band, abs=1e-3)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed hash-min label propagation must agree with a
+    sequential union-find on any random graph (self-loops included)."""
+    from snowav_spark.ops import graph
+
+    parent = list(range(41))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.label for r in graph.connected_components(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    lens=st.lists(st.integers(0, 700), min_size=1, max_size=120),
+    capacity=st.integers(64, 512),
+)
+@SET
+def test_packing_invariants(spark, lens, capacity):
+    """Every doc placed exactly once; no bin exceeds capacity unless it
+    holds a single oversized doc; offsets are disjoint."""
+    from snowav_spark.ops import packing
+
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lens)], ["doc_id", "n_tokens"]
+    )
+    pdf = packing.pack_sequences(
+        df, "doc_id", "n_tokens", capacity, n_shards=3
+    ).toPandas()
+    assert sorted(pdf["doc_id"]) == list(range(len(lens)))
+    for (_, _), grp in pdf.groupby(["shard", "bin"]):
+        total = grp["n_tokens"].sum()
+        # a bin may exceed capacity only via a single oversized doc
+        # (zero-length docs may share it — they consume no tokens)
+        assert total <= capacity or (
+            (grp["n_tokens"] > capacity).sum() == 1
+            and total == grp["n_tokens"].max()
+        )
+        grp = grp.sort_values("offset")
+        end = (grp["offset"] + grp["n_tokens"]).to_numpy()
+        assert (grp["offset"].to_numpy()[1:] >= end[:-1]).all()
