@@ -55,7 +55,54 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
     return spec, extras
 
 
+def curate_main(argv: list[str]) -> int:
+    """``python -m snowav_spark curate`` — run the training-corpus
+    curation pipeline (pipeline_llm.curate) over a parquet documents
+    table and persist corpus / survivor-map / packed assignments."""
+    ap = argparse.ArgumentParser(prog="snowav_spark curate")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--langs", default=None, help="comma list, e.g. en,de")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--capacity", type=int, default=512)
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from snowav_spark.pipeline_llm import CurationConfig, curate
+
+    spark = get_spark(app_name="snowav_spark:curate")
+    cfg = CurationConfig(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.langs.split(",")) if args.langs else None,
+        jaccard_threshold=args.jaccard,
+        pack_capacity=args.capacity,
+        pack_shards=args.shards,
+    )
+    res = curate(spark.read.parquet(args.input), cfg, count_stages=True)
+    res.corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    res.survivors_map.write.mode("overwrite").parquet(
+        f"{args.output}/survivors"
+    )
+    # packed assignments partitioned by shard: the trainer reads one
+    # shard's bins independently
+    res.packed.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{args.output}/packed"
+    )
+    import json
+
+    print(json.dumps({"stages": res.stage_counts, "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

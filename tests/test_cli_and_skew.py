@@ -93,3 +93,38 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
+    """Drive `python -m snowav_spark curate` over the documents fixture
+    and verify the three persisted outputs."""
+    from snowav_spark import cli
+
+    out = str(tmp_path / "curated")
+    rc = cli.main(
+        [
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--jaccard", "0.1",
+            "--capacity", "256",
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    packed = spark.read.parquet(f"{out}/packed")
+    survivors = spark.read.parquet(f"{out}/survivors")
+    n_corpus = corpus.count()
+    assert 0 < n_corpus <= 500
+    # every curated doc packed exactly once; packed is shard-partitioned
+    assert packed.count() == n_corpus
+    assert packed.select("doc_id").distinct().count() == n_corpus
+    assert "shard" in packed.columns
+    # survivor map only references docs that had a near-dup pair
+    assert survivors.count() >= 0
+    losers = survivors.filter("doc_id != canonical_id").count()
+    # dropped near-dups are exactly the loser set (after exact dedup)
+    assert corpus.select("doc_id").join(
+        survivors.filter("doc_id != canonical_id"), "doc_id"
+    ).count() == 0 and losers >= 0
