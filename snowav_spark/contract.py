@@ -1645,6 +1645,41 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_profile",
+    """
+    SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data profile (EXT): nulls, exact distincts,
+    min/max — the ingest profiling step of a training pipeline.  Single
+    Expand-based scan despite multiple COUNT(DISTINCT)s."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return sampling.profile_table(
+        orders, ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    )
+
+
 @q("q_tfidf")
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 distinguishing terms per document (EXT, rows-only:
@@ -1891,6 +1926,7 @@ _GRADE_ORDER = [
     # -- tail: oracle-backed keys added after the window was pinned --------
     "q_dedup_resolve",
     "q_clean_text",
+    "q_profile",
     # -- tail: rows-only by construction -----------------------------------
     "q_pack_sequences",
     "q_dedup_embed_lsh",

@@ -68,3 +68,40 @@ def expectations_report(
         for name, cond in checks.items()
     ]
     return df.agg(*aggs, F.count("*").alias("n_rows"))
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data profile in ONE aggregation pass: row count, nulls,
+    exact distinct count, min and max (stringified so heterogeneous
+    column types share an output schema) — the ingest-time profiling step
+    of a training-data pipeline.
+
+    One wide agg then an unpivot: Catalyst plans the multiple
+    COUNT(DISTINCT)s as a single Expand-based pass over the data (one
+    scan, map-side partials).  String casts are dialect-stable for
+    int/string/date columns; profile floating-point columns through a
+    rounded expression if oracle parity matters.
+    """
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_val"),
+            F.col(f"{c}__mx").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")

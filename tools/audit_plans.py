@@ -136,6 +136,12 @@ def main() -> int:
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     )
 
+    # 6f. column profiler: multiple COUNT(DISTINCT)s still ONE scan
+    p = formatted(qs["q_profile"](spark, SF))
+    check("q_profile", p, ["Expand"], ["PythonUDF"])
+    if n_scans(p) != 1:
+        failures.append(f"q_profile: expected 1 scan, saw {n_scans(p)}")
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
