@@ -1618,6 +1618,30 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_stratified",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '1999'
+               WHEN lang = 'de' THEN '7fff'
+               ELSE 'gggg' END
+    GROUP BY lang
+    """,
+)
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (EXT): rebalance a corpus by
+    language — keep ~10%% of 'en', ~50%% of 'de', all of everything else.
+    Pure md5-prefix predicate: engine-portable, shuffle-free, pushdown-
+    friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5}, default=1.0
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@q(
     "q_data_quality",
     """
     SELECT sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
@@ -1927,6 +1951,7 @@ _GRADE_ORDER = [
     "q_dedup_resolve",
     "q_clean_text",
     "q_profile",
+    "q_stratified",
     # -- tail: rows-only by construction -----------------------------------
     "q_pack_sequences",
     "q_dedup_embed_lsh",

@@ -105,3 +105,32 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-fraction (corpus rebalancing — e.g. downsample the dominant
+    language, keep all of the rare ones).
+
+    Same md5-prefix mechanism as hash_sample, so the decision is per-row
+    content, reproducible across engines/re-runs/partitionings, and a
+    pure filter (no shuffle, no sampleBy RNG).  The per-stratum cut is a
+    small CASE chain — broadcast-free since it compiles into the
+    predicate.
+    """
+    def cut(f: float) -> str:
+        if f >= 1.0:
+            return "g" * digits  # above every hex string → keep all
+        return format(max(int(f * (16 ** digits)), 0), f"0{digits}x")
+
+    expr = F.lit(cut(default))
+    for val, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata) == val, F.lit(cut(frac))).otherwise(expr)
+    return df.filter(hash_bucket(F.col(key), digits) < expr)

@@ -49,3 +49,24 @@ def test_expectations_report_counts_violations(spark):
     assert out.nonpositive == 2  # -5.0 and 0.0 (NULL comparison is NULL → not counted)
     assert out.nulls == 1
     assert out.n_rows == 4
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from snowav_spark.ops import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    got = sampling.stratified_sample(
+        df, "k", "lang", {"en": 0.2}, default=1.0
+    )
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 1000          # default=1.0 keeps everything
+    assert 100 <= counts["en"] <= 300      # ≈20% of 1000
+    # deterministic: identical result on recompute and under repartition
+    again = sampling.stratified_sample(
+        df.repartition(7), "k", "lang", {"en": 0.2}, default=1.0
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in again.collect()
+    )
