@@ -1618,6 +1618,64 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_repetition",
+    """
+    SELECT doc_id, n_shingles, n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_shingles, 6) AS dup_frac
+    FROM (
+        SELECT doc_id,
+               len(sh) AS n_shingles,
+               len(list_distinct(sh)) AS n_distinct
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(len(string_split(text,' ')) - 3, 0)
+                                + 1),
+                       i -> array_to_string(
+                           string_split(text,' ')[i+1:i+3], ' ')) AS sh
+            FROM documents)
+    )
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per doc (EXT): the repetition quality
+    rule of corpus-cleaning pipelines, computed in one projection with
+    array expressions — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text", n=3)
+
+
+@q(
+    "q_quality_flags",
+    """
+    SELECT doc_id,
+           n_words >= 5 AND n_words <= 100000 AS ok_word_count,
+           mean_wl >= 2.0 AND mean_wl <= 12.0 AS ok_word_len,
+           sym_ratio <= 0.2 AS ok_symbols,
+           (n_words >= 5 AND n_words <= 100000)
+             AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+             AND sym_ratio <= 0.2 AS keep
+    FROM (
+        SELECT doc_id, n_words,
+               (length(text) - (n_words - 1)) * 1.0 / n_words AS mean_wl,
+               (length(text) - length(regexp_replace(text, '[#@<>|^~]', '',
+                                                     'g'))) * 1.0
+                   / greatest(length(text), 1) AS sym_ratio
+        FROM (SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS n_words
+              FROM documents)
+    )
+    """,
+)
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality flags (EXT): word-count bounds, mean word
+    length, symbol ratio — one codegen projection, each rule an
+    independent boolean plus the combined keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_flags(docs, "doc_id", "text")
+
+
+@q(
     "q_stratified",
     """
     SELECT lang, count(*) AS n
@@ -1952,6 +2010,8 @@ _GRADE_ORDER = [
     "q_clean_text",
     "q_profile",
     "q_stratified",
+    "q_repetition",
+    "q_quality_flags",
     # -- tail: rows-only by construction -----------------------------------
     "q_pack_sequences",
     "q_dedup_embed_lsh",

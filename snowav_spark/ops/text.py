@@ -283,3 +283,75 @@ def clean_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(cleaned).alias("clean_len"),
         F.length(F.col(text_col)).alias("raw_len"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Repetition detection — the duplicate-n-gram fraction quality rule
+    used by large corpus-cleaning pipelines (a doc whose shingles are
+    mostly repeats is boilerplate or spam).
+
+    dup_frac = 1 − distinct(shingles)/total(shingles), computed with two
+    array expressions in one projection — no explode, no shuffle: the
+    per-doc shingle list is built once (codegen) and measured in place.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(sh)
+    uniq = F.size(F.array_distinct(sh))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_shingles"),
+        uniq.alias("n_distinct"),
+        F.round(
+            1.0 - uniq.cast("double") / total, 6
+        ).alias("dup_frac"),
+    )
+
+
+def quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.2,
+) -> DataFrame:
+    """Rule-based document quality flags (the classic corpus-cleaning
+    rule family: word-count bounds, mean-word-length bounds, symbol
+    ratio) as ONE codegen projection — each flag an independent boolean
+    so downstream can gate or just monitor.
+
+    `keep` = every rule passes.  Pure integer/ratio arithmetic: identical
+    across engines, so the whole report is oracle-matchable.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length(text_col) - (n_words - 1)).cast("double") / n_words
+    n_sym = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "[#@<>|^~]", "")
+    )
+    sym_ratio = n_sym.cast("double") / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbols": sym_ratio <= max_symbol_ratio,
+    }
+    keep = None
+    cols = [F.col(id_col)]
+    for name, cond in flags.items():
+        cols.append(cond.alias(name))
+        keep = cond if keep is None else (keep & cond)
+    cols.append(keep.alias("keep"))
+    return df.select(*cols)

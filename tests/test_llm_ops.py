@@ -437,3 +437,31 @@ def test_dedup_lsh_max_bucket_guard(spark):
         df, "vec_id", "embedding", 0.9, tables=8, bits=2, max_bucket=60
     ).count()
     assert loose == uncapped
+
+
+def test_repetition_stats_planted(spark):
+    from snowav_spark.ops import text as t
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),   # one shingle
+        (1, "every word here is completely different okay"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in t.repetition_stats(df, "doc_id", "text").collect()}
+    assert got[0].dup_frac > 0.8      # all shingles identical
+    assert got[1].dup_frac == 0.0     # all shingles unique
+
+
+def test_quality_flags_rules(spark):
+    from snowav_spark.ops import text as t
+
+    rows = [
+        (0, "a perfectly ordinary sentence with several reasonable words"),
+        (1, "ok"),                                    # too few words
+        (2, "#### @@@@ <<<< >>>> ^^^^ ~~~~ |||| ####"),  # symbol soup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in t.quality_flags(df, "doc_id", "text").collect()}
+    assert got[0].keep
+    assert not got[1].ok_word_count and not got[1].keep
+    assert not got[2].ok_symbols and not got[2].keep
