@@ -31,6 +31,8 @@ class CurationConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     min_quality: float = 0.0
+    max_dup_frac: float | None = None  # repetition gate (None = off)
+    rule_flags: bool = False  # word-count/word-len/symbol-ratio rules
     keep_langs: tuple[str, ...] | None = None
     shingle_n: int = 3
     jaccard_threshold: float = 0.5
@@ -89,6 +91,18 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
             .filter(F.col("pred_lang").isin(*cfg.keep_langs))
             .drop("pred_lang")
         )
+    if cfg.max_dup_frac is not None:
+        rep = text.repetition_stats(gated, id_c, "_clean").select(
+            id_c, "dup_frac"
+        )
+        gated = (
+            gated.join(rep, id_c)
+            .filter(F.col("dup_frac") <= cfg.max_dup_frac)
+            .drop("dup_frac")
+        )
+    if cfg.rule_flags:
+        fl = text.quality_flags(gated, id_c, "_clean").select(id_c, "keep")
+        gated = gated.join(fl, id_c).filter("keep").drop("keep")
     gated = note("gated", gated.drop("quality"))
 
     # 3. exact dedup on the NORMALIZED digest (catches whitespace/case/

@@ -59,3 +59,19 @@ def test_curate_lang_gate(spark):
                        jaccard_threshold=0.99, pack_shards=1),
     )
     assert [r.doc_id for r in res.corpus.collect()] == [0]
+
+
+def test_curate_repetition_and_rule_gates(spark):
+    rows = [
+        (0, "a normally varied document with plenty of distinct useful words inside"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = curate(
+        df,
+        CurationConfig(
+            min_quality=-100.0, max_dup_frac=0.5, rule_flags=True,
+            jaccard_threshold=0.99, pack_shards=1,
+        ),
+    )
+    assert [r.doc_id for r in res.corpus.collect()] == [0]
