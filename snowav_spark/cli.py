@@ -69,6 +69,11 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--capacity", type=int, default=512)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument(
+        "--stats",
+        action="store_true",
+        help="count every pipeline stage (extra actions over the corpus)",
+    )
     args = ap.parse_args(argv)
 
     from snowav_spark.pipeline_llm import CurationConfig, curate
@@ -83,16 +88,27 @@ def curate_main(argv: list[str]) -> int:
         pack_capacity=args.capacity,
         pack_shards=args.shards,
     )
-    res = curate(spark.read.parquet(args.input), cfg, count_stages=True)
-    res.corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
-    res.survivors_map.write.mode("overwrite").parquet(
-        f"{args.output}/survivors"
+    res = curate(
+        spark.read.parquet(args.input), cfg, count_stages=args.stats
     )
-    # packed assignments partitioned by shard: the trainer reads one
-    # shard's bins independently
-    res.packed.write.mode("overwrite").partitionBy("shard").parquet(
-        f"{args.output}/packed"
-    )
+    # corpus and survivors share the expensive clean/gate/dedup lineage,
+    # and packed derives from corpus — persist both so the three writes
+    # (plus optional stage counts) execute that lineage once, not 3-5×.
+    res.corpus.persist()
+    res.survivors_map.persist()
+    try:
+        res.corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+        res.survivors_map.write.mode("overwrite").parquet(
+            f"{args.output}/survivors"
+        )
+        # packed assignments partitioned by shard: the trainer reads one
+        # shard's bins independently
+        res.packed.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{args.output}/packed"
+        )
+    finally:
+        res.corpus.unpersist()
+        res.survivors_map.unpersist()
     import json
 
     print(json.dumps({"stages": res.stage_counts, "output": args.output}))

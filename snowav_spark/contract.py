@@ -1682,7 +1682,7 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 4) <
           CASE WHEN lang = 'en' THEN '1999'
-               WHEN lang = 'de' THEN '7fff'
+               WHEN lang = 'de' THEN '8000'
                ELSE 'gggg' END
     GROUP BY lang
     """,

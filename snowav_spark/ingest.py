@@ -53,9 +53,13 @@ def _num2date(nums, units: str):
     """Minimal CF 'X since Y' time decoding ('days/hours/minutes/seconds
     since <ISO date[time]>') — what the reference's snow.nc carries."""
     unit, _, anchor = units.partition(" since ")
+    # CF/udunits accepts singular and plural unit names ('day'/'days');
+    # normalize to the stem so both decode.
+    stem = unit.strip().lower().rstrip("s")
+    step = pd.to_timedelta(
+        1, unit={"day": "D", "hour": "h", "minute": "m", "second": "s"}[stem]
+    )
     origin = pd.Timestamp(anchor.strip())
-    step = pd.to_timedelta(1, unit={"days": "D", "hours": "h",
-                                    "minutes": "m", "seconds": "s"}[unit.strip()])
     return [origin + float(n) * step for n in nums]
 
 

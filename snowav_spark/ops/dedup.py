@@ -103,10 +103,13 @@ def jaccard_pairs(
     header, a template line) turns it quadratic.  Dropping shingles with
     df > max_df bounds every join group at max_df² — standard practice
     for shingle joins on skewed corpora.  None (the contract default)
-    keeps exact semantics; the exactness tradeoff is the caller's: a
-    dropped shingle can only shrink |A∩B|, never grow it.
+    keeps exact semantics.  Set sizes |A| and |B| are computed BEFORE the
+    cap, so a dropped shingle can only shrink |A∩B| — the error is
+    one-sided (false negatives only); a score can never exceed the true
+    Jaccard, so the cap never invents a duplicate pair.
     """
     sh = shingled(df, id_col, text, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         rare = (
             sh.groupBy("s")
@@ -115,7 +118,6 @@ def jaccard_pairs(
             .select("s")
         )
         sh = sh.join(rare, "s", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
     inter = (

@@ -177,20 +177,31 @@ def _wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
 
 
 def cosine_pairs_above(
-    df: DataFrame, id_col: str, vec: str, threshold: float, dim: int = 64
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    dim: int = 64,
+    broadcast_side: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     cosine ≥ threshold.  Exact N² scoring — the verification stage; at
-    scale run it per LSH bucket instead of globally.
+    scale run it per LSH bucket instead of globally (dedup_pairs_lsh).
 
     Vectors are widened to flat double columns first so the N² dot product
     stays in whole-stage codegen (no interpreted lambdas in the hot loop);
     the left-to-right fold order matches the array form bit-for-bit.
+
+    ``broadcast_side=True`` (default) is for the intended small-N regime
+    (capped inputs, per-bucket verification): it pins one side as a
+    broadcast so the cross join never shuffles the pair space.  Pass
+    False for inputs that might exceed broadcast size — the planner then
+    picks the join strategy, trading speed for not OOMing the driver.
     """
-    # Spread the streamed side across the cluster and broadcast the other:
-    # a capped/limited input arrives as ONE partition, which would serialize
-    # the whole N² stage into a single task; the repartition costs one tiny
-    # shuffle of N rows against an N² compute win.
+    # Spread the streamed side across the cluster: a capped/limited input
+    # arrives as ONE partition, which would serialize the whole N² stage
+    # into a single task; the repartition costs one tiny shuffle of N rows
+    # against an N² compute win.
     par = df.sparkSession.sparkContext.defaultParallelism or 8
     a = (
         _widen(df, id_col, vec, dim, "a")
@@ -198,9 +209,11 @@ def cosine_pairs_above(
         .repartition(par)
     )
     b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    if broadcast_side:
+        b = F.broadcast(b)
     cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
     return (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

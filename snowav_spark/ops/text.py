@@ -76,6 +76,24 @@ def token_counts(df: DataFrame, id_col: str, text: str) -> DataFrame:
     )
 
 
+def quality_expr(
+    text: Column, stopwords: tuple[str, ...] = ("a", "the")
+) -> tuple[Column, Column, Column]:
+    """(avg_word_len, stop_ratio, quality) column expressions — THE
+    quality formula, shared by the batch scorer and the streaming
+    curation gate so the two can never drift.  Pure arithmetic over
+    higher-order array functions (no transcendentals → bit-identical
+    across engines)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    # chars excluding the (n_tok - 1) separators, per token
+    awl = (F.length(text) - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    return awl, stop_ratio, awl - 4.0 * stop_ratio
+
+
 def quality_score(
     df: DataFrame,
     id_col: str,
@@ -83,20 +101,13 @@ def quality_score(
     stopwords: tuple[str, ...] = ("a", "the"),
 ) -> DataFrame:
     """Heuristic document quality: average word length minus a stopword-
-    ratio penalty.  Pure arithmetic over higher-order array functions (no
-    transcendentals → bit-identical across engines)."""
-    toks = tokens(F.col(text))
-    n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    # chars excluding the (n_tok - 1) separators, per token
-    awl = (F.length(F.col(text)) - (n_tok - 1)) / n_tok
-    stop_ratio = n_stop.cast("double") / n_tok
+    ratio penalty (see quality_expr)."""
+    awl, stop_ratio, quality = quality_expr(F.col(text), stopwords)
     return df.select(
         id_col,
         F.round(awl, 6).alias("avg_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(awl - 4.0 * stop_ratio, 6).alias("quality"),
+        F.round(quality, 6).alias("quality"),
     )
 
 

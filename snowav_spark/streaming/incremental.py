@@ -112,20 +112,11 @@ def curation_stream(
     cleaned = docs.withColumn(
         "_clean", text_ops.clean_text(text_ops.redact_pii(F.col(text_col)))
     ).filter(F.length("_clean") > 0)
-    # Same quality formula as ops.text.quality_score (stateless, so it
-    # streams unchanged): avg word length − 4·stopword ratio.
-    toks = F.split(F.col("_clean"), " ")
-    n_tok = F.size(toks)
-    awl = (F.length("_clean") - (n_tok - 1)) / n_tok
-    stop_arr = F.array(F.lit("a"), F.lit("the"))
-    stop_ratio = (
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast(
-            "double"
-        )
-        / n_tok
-    )
+    # THE batch quality formula (text_ops.quality_expr) — stateless, so
+    # it streams unchanged and cannot drift from pipeline_llm.curate.
+    _, _, quality = text_ops.quality_expr(F.col("_clean"))
     gated = cleaned.withColumn("_digest", F.md5("_clean")).filter(
-        (awl - 4.0 * stop_ratio) >= F.lit(min_quality)
+        quality >= F.lit(min_quality)
     )
     return gated.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         ["_digest"]

@@ -465,3 +465,26 @@ def test_quality_flags_rules(spark):
     assert got[0].keep
     assert not got[1].ok_word_count and not got[1].keep
     assert not got[2].ok_symbols and not got[2].keep
+
+
+def test_jaccard_max_df_error_is_one_sided(spark):
+    """With sizes computed before the cap, a capped score can never
+    EXCEED the true Jaccard — the cap must not invent duplicate pairs."""
+    boiler = "shared boilerplate header line present in every document"
+    docs = [
+        (i, f"{boiler} body {i} " + " ".join(f"tok{i}_{j}" for j in range(6)))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    true_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(df, "doc_id", "text", n=3).collect()
+    }
+    capped_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", n=3, max_df=4
+        ).collect()
+    }
+    for pair, j in capped_j.items():
+        assert j <= true_j[pair] + 1e-9
