@@ -488,3 +488,31 @@ def test_jaccard_max_df_error_is_one_sided(spark):
     }
     for pair, j in capped_j.items():
         assert j <= true_j[pair] + 1e-9
+
+
+def test_ivf_cell_partition_pruning(spark, sf_dir, tmp_path):
+    """The SCALE.md claim behind IVF: with the corpus persisted
+    partitioned by cell, probing nprobe cells prunes at the FILE level —
+    the scan never opens the other cells' data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", n_cells=8, iters=1)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_assign(emb, "vec_id", "embedding", cents).write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+    indexed = spark.read.parquet(path)
+    all_cells = [r.cell for r in indexed.select("cell").distinct().collect()]
+    probe = sorted(all_cells)[:2]
+    probed = indexed.filter(F.col("cell").isin([int(c) for c in probe]))
+    # plan-level evidence: the cell predicate lands in PartitionFilters
+    # (file-level pruning), not a post-scan Filter over all partitions
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    n_probed = probed.count()
+    n_manual = indexed.filter(
+        F.col("cell").isin([int(c) for c in probe])
+    ).count()
+    assert 0 < n_probed == n_manual < indexed.count()
