@@ -74,6 +74,13 @@ def curate_main(argv: list[str]) -> int:
         action="store_true",
         help="count every pipeline stage (extra actions over the corpus)",
     )
+    ap.add_argument(
+        "--corpus-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="corpus output format (jsonl = newline-delimited JSON, the "
+        "common trainer ingestion format)",
+    )
     args = ap.parse_args(argv)
 
     from snowav_spark.pipeline_llm import CurationConfig, curate
@@ -97,7 +104,12 @@ def curate_main(argv: list[str]) -> int:
     res.corpus.persist()
     res.survivors_map.persist()
     try:
-        res.corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+        if args.corpus_format == "jsonl":
+            res.corpus.write.mode("overwrite").json(f"{args.output}/corpus")
+        else:
+            res.corpus.write.mode("overwrite").parquet(
+                f"{args.output}/corpus"
+            )
         res.survivors_map.write.mode("overwrite").parquet(
             f"{args.output}/survivors"
         )

@@ -128,3 +128,21 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
     assert corpus.select("doc_id").join(
         survivors.filter("doc_id != canonical_id"), "doc_id"
     ).count() == 0 and losers >= 0
+
+
+def test_cli_curate_jsonl_corpus(spark, sf_dir, tmp_path):
+    from snowav_spark import cli
+
+    out = str(tmp_path / "curated_jsonl")
+    rc = cli.main(
+        [
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--corpus-format", "jsonl",
+            "--shards", "2",
+        ]
+    )
+    assert rc == 0
+    corpus = spark.read.json(f"{out}/corpus")
+    assert corpus.count() > 0 and "doc_id" in corpus.columns
