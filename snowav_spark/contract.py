@@ -1898,6 +1898,45 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_docs(docs, "doc_id", "text")
 
 
+@q(
+    "q_decontam",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               substr(md5(cast(doc_id AS varchar)), 1, 2) < '0c' AS is_eval
+        FROM documents),
+    grams AS (
+        SELECT doc_id, is_eval,
+               unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                                     i -> array_to_string(w[i:i+4], ' ')))
+                   AS s
+        FROM toks),
+    ev AS (SELECT DISTINCT s FROM grams WHERE is_eval),
+    tr AS (SELECT DISTINCT doc_id, s FROM grams WHERE NOT is_eval)
+    SELECT tr.doc_id, count(*) AS hit_grams
+    FROM tr JOIN ev USING (s)
+    GROUP BY 1
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (EXT): which training documents share
+    word 5-grams with a held-out eval slice, and how many distinct grams
+    leak.  The eval slice is the deterministic md5-prefix sample (≈4.7%)
+    so the split itself is engine-reproducible; the eval n-gram set is
+    broadcast (eval corpora stay small even at a 100 TB training corpus),
+    so the training side is one scan + one per-doc count — no shuffle
+    wider than (doc_id, gram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = sampling.hash_bucket(F.col("doc_id"), 2) < F.lit("0c")
+    return dedup.decontaminate(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2008,6 +2047,7 @@ _GRADE_ORDER = [
     # -- tail: oracle-backed keys added after the window was pinned --------
     "q_dedup_resolve",
     "q_clean_text",
+    "q_decontam",
     "q_profile",
     "q_stratified",
     "q_repetition",

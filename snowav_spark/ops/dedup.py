@@ -258,3 +258,40 @@ def simhash(df: DataFrame, id_col: str, text: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination check (EXT): per training document, the
+    number of distinct word ``n``-grams it shares with a held-out eval
+    corpus — the standard train/test contamination detector for LLM
+    training data.
+
+    Shape: distinct eval n-grams (small — eval sets are thousands of
+    documents even when the training corpus is 100 TB) are broadcast to
+    every executor; the training side streams through a hash semi-shaped
+    equi-join on the n-gram and aggregates per document.  The training
+    corpus is scanned exactly once, never shuffled on anything wider than
+    ``(id, n-gram)``, and the only full-width exchange is the final
+    per-document count.  Set ``broadcast_eval=False`` for the rare
+    eval-larger-than-memory case (falls back to a shuffle join on the
+    n-gram, still linear).
+
+    Returns ``(id_col, hit_grams)`` for training docs with ≥1 shared
+    n-gram; docs absent from the output are clean.
+    """
+    ev = shingled(eval_df, id_col, text, n).select("s").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = shingled(train, id_col, text, n).distinct()
+    return (
+        tr.join(ev, "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hit_grams"))
+    )

@@ -516,3 +516,26 @@ def test_ivf_cell_partition_pruning(spark, sf_dir, tmp_path):
         F.col("cell").isin([int(c) for c in probe])
     ).count()
     assert 0 < n_probed == n_manual < indexed.count()
+
+
+def test_decontaminate_flags_leaked_doc(spark):
+    # eval doc 100 shares its full text with train doc 0; train doc 1 is clean
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    clean = "one two three four five six seven eight nine"
+    train = spark.createDataFrame([(0, leaked), (1, clean)], ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(100, leaked)], ["doc_id", "text"])
+    hits = {
+        r.doc_id: r.hit_grams
+        for r in dedup.decontaminate(train, eval_df, "doc_id", "text", n=5).collect()
+    }
+    # 8 tokens → 4 distinct 5-grams, all shared
+    assert hits == {0: 4}
+
+
+def test_decontaminate_broadcast_off_matches(spark):
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame([(0, leaked)], ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(100, leaked)], ["doc_id", "text"])
+    a = dedup.decontaminate(train, eval_df, "doc_id", "text", broadcast_eval=True)
+    b = dedup.decontaminate(train, eval_df, "doc_id", "text", broadcast_eval=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
