@@ -1937,6 +1937,39 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_shuffle_order",
+    """
+    SELECT row_number() OVER (ORDER BY shuf_key) AS pos, doc_id, shuf_key
+    FROM (SELECT doc_id,
+                 md5('42-' || cast(doc_id AS varchar)) AS shuf_key
+          FROM documents
+          ORDER BY shuf_key LIMIT 100)
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order (EXT): the first 100 documents
+    of a reproducible training epoch.  Ordering key is md5(seed-id) —
+    bit-identical in every engine, so the epoch can be re-created and
+    audited anywhere.  The plan is TakeOrdered (per-partition top-k, no
+    full sort); the row_number window runs over the 100 survivors only.
+    The full-corpus epoch writer is sampling.shuffled (repartitionByRange
+    + sortWithinPartitions — total order with no single-reducer sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(
+            "doc_id",
+            sampling.shuffle_key(F.col("doc_id"), "42").alias("shuf_key"),
+        )
+        .orderBy("shuf_key")
+        .limit(100)
+    )
+    w = Window.orderBy("shuf_key")
+    return top.select(
+        F.row_number().over(w).alias("pos"), "doc_id", "shuf_key"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2048,6 +2081,7 @@ _GRADE_ORDER = [
     "q_dedup_resolve",
     "q_clean_text",
     "q_decontam",
+    "q_shuffle_order",
     "q_profile",
     "q_stratified",
     "q_repetition",

@@ -134,3 +134,23 @@ def stratified_sample(
     for val, frac in sorted(fractions.items()):
         expr = F.when(F.col(strata) == val, F.lit(cut(frac))).otherwise(expr)
     return df.filter(hash_bucket(F.col(key), digits) < expr)
+
+
+def shuffle_key(key: Column, seed: str = "42") -> Column:
+    """Deterministic shuffle key: md5(seed || '-' || key).  Uniform,
+    collision-free in practice, and bit-identical across engines and
+    re-runs — the reproducible global shuffle every training run needs
+    (epoch ordering must be auditable and re-creatable)."""
+    return F.md5(F.concat_ws("-", F.lit(seed), key.cast("string")))
+
+
+def shuffled(df: DataFrame, key: str, seed: str = "42") -> DataFrame:
+    """Globally shuffle a corpus deterministically: range-partition on the
+    hash key, then sort within partitions.  Output files read in partition
+    order form a total order WITHOUT a single-reducer global sort — the
+    scale-safe way to write an epoch at 100 TB (repartitionByRange samples
+    split points; each partition sorts locally)."""
+    out = df.withColumn("_shuffle_key", shuffle_key(F.col(key), seed))
+    return out.repartitionByRange("_shuffle_key").sortWithinPartitions(
+        "_shuffle_key"
+    )

@@ -70,3 +70,18 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in again.collect()
     )
+
+
+def test_shuffled_total_order_and_stability(spark):
+    from snowav_spark.ops import sampling
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = sampling.shuffled(df, "k", seed="7")
+    rows = [r.k for r in out.toLocalIterator()]  # partition order = total order
+    keys = [r._shuffle_key for r in out.toLocalIterator()]
+    assert sorted(set(rows)) == list(range(500))  # permutation, nothing lost
+    assert keys == sorted(keys)  # reading partitions in order is sorted
+    rows2 = [r.k for r in sampling.shuffled(df, "k", seed="7").toLocalIterator()]
+    assert rows == rows2  # re-run reproduces the epoch exactly
+    rows3 = [r.k for r in sampling.shuffled(df, "k", seed="8").toLocalIterator()]
+    assert rows != rows3  # different seed, different epoch
