@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from snowav_spark.io import load_table
 from snowav_spark.ops import (
     banded,
+    cluster,
     dedup,
     graph,
     packing,
@@ -1970,6 +1971,32 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cluster_kmeans")
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding k-means (EXT, rows-only: float centroids are iterative —
+    no SQL oracle): 8 clusters, 3 Lloyd iterations, deterministic
+    lowest-id init.  Per-cluster size + mean squared distance.  Scale
+    shape: per iteration one codegen projection (assignment) + one k×dim
+    map-side-combined agg; see ops/cluster.py module docstring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = cluster.kmeans(
+        emb, "vec_id", "embedding", k=8, dim=64, iters=3
+    )
+    return cluster.cluster_stats(assigned).orderBy("cluster")
+
+
+@q("q_cluster_sample")
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (EXT, rows-only): ≤20 members per k-means
+    cluster in deterministic hash order — the diversity-preserving
+    downsample of a skew-clustered corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = cluster.kmeans(
+        emb, "vec_id", "embedding", k=8, dim=64, iters=3
+    )
+    return cluster.cluster_balanced_sample(assigned, "vec_id", 20)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2087,6 +2114,8 @@ _GRADE_ORDER = [
     "q_repetition",
     "q_quality_flags",
     # -- tail: rows-only by construction -----------------------------------
+    "q_cluster_kmeans",
+    "q_cluster_sample",
     "q_pack_sequences",
     "q_dedup_embed_lsh",
     "q_minhash_lsh",

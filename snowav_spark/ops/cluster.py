@@ -1,0 +1,132 @@
+"""Embedding clustering for corpus curation (EXT — no reference analog).
+
+Lloyd's k-means expressed as DataFrame ops: the per-iteration shape is one
+scan + one k×dim-row shuffle, which is the 100 TB-safe layout —
+
+- **assignment** is pure projection: centroids are inlined as literal
+  expressions (k×dim doubles, trivially broadcast inside the plan), each
+  point computes k squared distances as flat column arithmetic in
+  whole-stage codegen and takes the argmin.  No join, no shuffle, no UDF.
+- **update** is one hash aggregation: groupBy(cluster).agg(avg per dim) —
+  map-side combine reduces every partition to ≤k×dim values before the
+  exchange, so the shuffle carries k×dim×n_partitions doubles no matter
+  how large the corpus is.
+- the only driver action per iteration collects the k new centroids
+  (k×dim doubles — the same justified-small pattern as
+  graph.connected_components' convergence check).
+
+Initialization is deterministic (the k lowest-id vectors), so re-runs
+produce identical clusterings — the property curation pipelines need for
+auditable cluster-balanced sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowav_spark.ops.sampling import shuffle_key
+
+
+def _wide(df: DataFrame, id_col: str, vec: str, dim: int) -> DataFrame:
+    """Flatten array<float> to dim double columns (one parsed projection)."""
+    return df.selectExpr(
+        id_col,
+        *[
+            f"CAST(element_at({vec}, {i + 1}) AS DOUBLE) AS x{i}"
+            for i in range(dim)
+        ],
+    )
+
+
+def _assign(wide: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
+    """Add (cluster, dist2) = nearest centroid per row.
+
+    k squared-distance columns + a CASE argmin, authored as SQL strings so
+    the whole thing is TWO parsed expression sets (hundreds of py4j Column
+    calls per iteration measured ~10× slower to *plan*).  dist² uses the
+    expanded form ‖x‖² − 2·x·c + ‖c‖²: the ‖x‖² term is one shared column,
+    so per extra centroid only the dot product (dim multiplies) is new.
+    Ties break toward the lowest cluster id (CASE evaluates in order).
+    """
+    k = len(cents)
+    xsq = " + ".join(f"x{i} * x{i}" for i in range(dim))
+    dists = []
+    for ci, c in enumerate(cents):
+        dot = " + ".join(f"x{i} * {float(c[i])!r}" for i in range(dim))
+        csq = sum(float(v) * float(v) for v in c)
+        dists.append(f"xsq - 2.0 * ({dot}) + {csq!r} AS d{ci}")
+    scored = wide.selectExpr("*", f"{xsq} AS xsq").selectExpr("*", *dists)
+    best = f"least({', '.join(f'd{ci}' for ci in range(k))})"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{ci} = _best THEN {ci}" for ci in range(k))
+        + " END"
+    )
+    return scored.selectExpr("*", f"{best} AS _best").selectExpr(
+        *wide.columns, f"CAST({case} AS INT) AS cluster", "_best AS dist2"
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's k-means.  Returns (assignments, centroids):
+    assignments = (id, cluster, dist2) as a lazy plan against the final
+    centroids; centroids = k×dim floats."""
+    wide = _wide(df, id_col, vec, dim)
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [list(r.v) for r in seed_rows]
+    for _ in range(iters):
+        assigned = _assign(wide, cents, dim)
+        new = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[F.avg(f"x{i}").alias(f"c{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_id = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new}
+        # empty clusters keep their previous centroid
+        cents = [by_id.get(ci, cents[ci]) for ci in range(k)]
+    final = _assign(wide, cents, dim).select(id_col, "cluster", "dist2")
+    return final, cents
+
+
+def cluster_stats(assignments: DataFrame) -> DataFrame:
+    """Per-cluster size and mean squared distance (inertia/n) — the
+    convergence/quality report; one hash agg."""
+    return assignments.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+    )
+
+
+def cluster_balanced_sample(
+    assignments: DataFrame, id_col: str, per_cluster: int, seed: str = "42"
+) -> DataFrame:
+    """Take up to ``per_cluster`` members of every cluster, chosen by
+    deterministic hash order — diversity-preserving downsampling (web-scale
+    corpora are dominated by a few dense clusters; balanced sampling keeps
+    the tail).  The window sorts each cluster partition only; at 100 TB a
+    cluster's members shuffle to one key group, so pair with more clusters
+    (larger k) rather than larger per_cluster."""
+    w = Window.partitionBy("cluster").orderBy(
+        shuffle_key(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        assignments.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select(id_col, "cluster", F.col("rn").alias("rank_in_cluster"))
+    )
