@@ -35,6 +35,7 @@ from snowav_spark.ops import (
     joins,
     methods,
     multimodal,
+    quantize,
     scalars,
     similarity,
     text,
@@ -1997,6 +1998,37 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.cluster_balanced_sample(assigned, "vec_id", 20)
 
 
+@q(
+    "q_embed_quant",
+    """
+    WITH e AS (
+        SELECT vec_id, i, cast(embedding[i] AS double) AS x
+        FROM embeddings, generate_series(1, 64) t(i)),
+    s AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+    c AS (SELECT e.i,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE cast(round((x - mn) / ((mx - mn) / 255.0)) AS int)
+                 END AS code
+          FROM e JOIN s USING (i))
+    SELECT i AS dim_idx,
+           min(code) AS code_min,
+           max(code) AS code_max,
+           sum(code) AS code_sum,
+           count(*) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus (EXT): per-dim
+    code checksums.  Integer outputs make the float pipeline
+    hash-matchable: min/max are order-independent and the code arithmetic
+    is shape-identical IEEE double in both engines.  Spark side is the
+    explode-free wide plan (one 2×dim-stats agg broadcast back, codes in
+    codegen); the oracle uses the readable explode form — same values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize.dim_code_stats(emb, "vec_id", "embedding", dim=64)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2109,6 +2141,7 @@ _GRADE_ORDER = [
     "q_clean_text",
     "q_decontam",
     "q_shuffle_order",
+    "q_embed_quant",
     "q_profile",
     "q_stratified",
     "q_repetition",
