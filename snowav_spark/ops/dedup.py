@@ -167,6 +167,52 @@ def minhash_signature(toks: Column, num_hashes: int = 32, n: int = 3) -> Column:
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig, band, bucket) — the LSH banding layout shared by batch
+    pair-mining (minhash_lsh_pairs) and the persistable corpus index
+    (dedup_index).
+
+    Signature via explode + one hash-aggregate of `num_hashes` min()s:
+    murmur3 + min run fully inside codegen with map-side combine, unlike
+    the per-element interpreted lambda of minhash_signature (kept for the
+    no-explode single-projection form).
+    """
+    rows = num_hashes // bands
+    sh = shingled(df, id_col, text, n)
+    sig = sh.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.hash("s", F.lit(i))) for i in range(num_hashes)]
+        ).alias("sig")
+    )
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -183,34 +229,7 @@ def minhash_lsh_pairs(
     matching signature positions.  Murmur3 hashes differ across engines →
     rows-only in the contract; exactness is covered by jaccard_pairs.
     """
-    rows = num_hashes // bands
-    # Signature via explode + one hash-aggregate of `num_hashes` min()s:
-    # murmur3 + min run fully inside codegen with map-side combine, unlike
-    # the per-element interpreted lambda of minhash_signature (kept for the
-    # no-explode single-projection form).
-    sh = shingled(df, id_col, text, n)
-    sig = sh.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.hash("s", F.lit(i))) for i in range(num_hashes)]
-        ).alias("sig")
-    )
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = minhash_bands(df, id_col, text, num_hashes, bands, n)
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -295,3 +314,83 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("hit_grams"))
     )
+
+
+def dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Persistable dedup index of a corpus: (id, digest, sig, band,
+    bucket) — one row per document per LSH band.
+
+    This is what makes dedup INCREMENTAL at 100 TB: write it once
+    (partitioned/bucketed by (band, bucket) so arriving batches co-locate),
+    then every new batch joins against the index — the corpus *text* is
+    never rescanned.  digest gates exact duplicates; the banded minhash
+    gates near-duplicates.
+    """
+    banded = minhash_bands(df, id_col, text, num_hashes, bands, n)
+    digests = df.select(F.col(id_col), F.md5(F.col(text)).alias("digest"))
+    return banded.join(digests, id_col).select(
+        id_col, "digest", "sig", "band", "bucket"
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """Survivors of a new batch against an existing corpus index (built by
+    dedup_index with the SAME parameters).
+
+    Three linear gates, no corpus rescan:
+    1. within-batch exact: keep the lowest id per content digest;
+    2. exact-vs-corpus: anti-join batch digests against index digests;
+    3. near-vs-corpus: LSH-band the batch, equi-join the index on
+       (band, bucket) — only co-bucketed (candidate) pairs are scored —
+       and drop batch docs whose estimated Jaccard vs ANY corpus doc
+       reaches ``est_threshold``.
+
+    Near-duplicates *within* the new batch are the existing batch path
+    (minhash_lsh_pairs + graph.drop_near_dups); run it on the survivors if
+    the batch itself is large enough to self-duplicate.
+    """
+    w_digest = new.withColumn("_digest", F.md5(F.col(text)))
+    best = w_digest.groupBy("_digest").agg(F.min(id_col).alias("_keep"))
+    batch_exact = (
+        w_digest.join(best, "_digest")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    fresh = batch_exact.join(
+        index.select("digest").distinct(),
+        batch_exact["_digest"] == F.col("digest"),
+        "left_anti",
+    ).drop("_digest")
+
+    cand = minhash_bands(fresh, id_col, text, num_hashes, bands, n).join(
+        index.select(
+            F.col("sig").alias("_corpus_sig"), "band", "bucket"
+        ),
+        ["band", "bucket"],
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig", "_corpus_sig", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    near_hit = (
+        cand.filter(est >= est_threshold).select(id_col).distinct()
+    )
+    return fresh.join(near_hit, id_col, "left_anti")

@@ -539,3 +539,36 @@ def test_decontaminate_broadcast_off_matches(spark):
     a = dedup.decontaminate(train, eval_df, "doc_id", "text", broadcast_eval=True)
     b = dedup.decontaminate(train, eval_df, "doc_id", "text", broadcast_eval=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_incremental_dedup_gates(spark):
+    corpus_texts = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "completely different words about spark catalyst tungsten shuffles"),
+    ]
+    corpus = spark.createDataFrame(corpus_texts, ["doc_id", "text"])
+    index = dedup.dedup_index(corpus, "doc_id", "text", num_hashes=16, bands=8)
+    new = spark.createDataFrame(
+        [
+            (10, corpus_texts[0][1]),  # exact dup of corpus -> dropped
+            (11, corpus_texts[0][1].replace("dog", "cat")),  # near dup -> dropped
+            (12, "entirely fresh content one two three four five six seven"),
+            (13, "entirely fresh content one two three four five six seven"),  # batch dup
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup(
+        new, index, "doc_id", "text", num_hashes=16, bands=8, est_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [12]
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_empty_index_passthrough(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    index = dedup.dedup_index(empty, "doc_id", "text", num_hashes=16, bands=8)
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    out = dedup.incremental_dedup(new, index, "doc_id", "text", num_hashes=16, bands=8)
+    assert [r.doc_id for r in out.collect()] == [1]
