@@ -39,6 +39,9 @@ class CurationConfig:
     pack_capacity: int = 512
     pack_shards: int = 64
     max_shingle_df: int | None = 10_000  # hot-shingle guard at scale
+    decontam_n: int = 5  # eval-overlap gram width
+    decontam_max_hits: int = 0  # drop docs with > this many leaked grams
+    index_est_threshold: float = 0.8  # near-dup bar vs an existing corpus
 
 
 @dataclass
@@ -53,12 +56,24 @@ class CurationResult:
 
 
 def curate(df: DataFrame, cfg: CurationConfig | None = None,
-           count_stages: bool = False) -> CurationResult:
+           count_stages: bool = False,
+           corpus_index: DataFrame | None = None,
+           eval_df: DataFrame | None = None) -> CurationResult:
     """Run the full curation pipeline.
 
     ``count_stages=True`` materializes a count per stage for reporting —
     off by default because each count is an extra action (at 100 TB you
     want the counts from the sink's metrics, not extra scans).
+
+    ``corpus_index`` switches the exact-dedup stage to INCREMENTAL mode:
+    the batch is deduplicated (exact + near) against an existing corpus'
+    dedup.dedup_index — built on the same normalized ``_clean`` column
+    with default minhash parameters — without rescanning corpus text.
+
+    ``eval_df`` adds a decontamination gate after near-dedup: documents
+    sharing more than ``cfg.decontam_max_hits`` distinct word
+    ``cfg.decontam_n``-grams with the held-out eval corpus are dropped
+    (the eval side is compared on the raw text column).
     """
     cfg = cfg or CurationConfig()
     id_c, txt = cfg.id_col, cfg.text_col
@@ -106,8 +121,20 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     gated = note("gated", gated.drop("quality"))
 
     # 3. exact dedup on the NORMALIZED digest (catches whitespace/case/
-    #    punctuation twins the raw digest misses).
-    exact = dedup.drop_exact_dups(gated, "_clean", id_c)
+    #    punctuation twins the raw digest misses).  With a corpus index,
+    #    the same stage also drops exact/near twins of ALREADY-INGESTED
+    #    documents — corpus text is never rescanned.
+    if corpus_index is not None:
+        exact = dedup.incremental_dedup(
+            gated,
+            corpus_index,
+            id_c,
+            "_clean",
+            n=cfg.shingle_n,
+            est_threshold=cfg.index_est_threshold,
+        )
+    else:
+        exact = dedup.drop_exact_dups(gated, "_clean", id_c)
     note("exact_deduped", exact)
 
     # 4. near-dedup: shingle pairs → connected components → survivors.
@@ -122,6 +149,19 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     survivors_map = graph.resolve_duplicates(pairs, id_c, "doc_a", "doc_b")
     corpus = graph.drop_near_dups(exact, pairs, id_c, "doc_a", "doc_b")
     note("near_deduped", corpus)
+
+    # 4b. benchmark decontamination: drop training docs that leak eval
+    #     n-grams (broadcast eval-gram set; one scan of the corpus).
+    if eval_df is not None:
+        leaked = (
+            dedup.decontaminate(
+                corpus, eval_df, id_c, txt, n=cfg.decontam_n
+            )
+            .filter(F.col("hit_grams") > cfg.decontam_max_hits)
+            .select(id_c)
+        )
+        corpus = corpus.join(leaked, id_c, "left_anti")
+        note("decontaminated", corpus)
 
     # 5. pack into training bins on token counts of the cleaned text.
     lens = corpus.select(

@@ -75,3 +75,38 @@ def test_curate_repetition_and_rule_gates(spark):
         ),
     )
     assert [r.doc_id for r in res.corpus.collect()] == [0]
+
+
+def test_curate_incremental_against_index(spark, corpus):
+    from snowav_spark.ops import dedup
+
+    # first run builds the corpus; its index feeds the second run
+    first = curate(corpus, CurationConfig(jaccard_threshold=0.5))
+    index = dedup.dedup_index(first.corpus, "doc_id", "_clean")
+    batch = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps over the lazy dog near the river bank today again"),
+            (101, "a brand new never before seen document about query planners"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = curate(
+        batch, CurationConfig(jaccard_threshold=0.5), corpus_index=index
+    )
+    assert sorted(r.doc_id for r in res.corpus.select("doc_id").collect()) == [101]
+
+
+def test_curate_decontamination_gate(spark, corpus):
+    eval_df = spark.createDataFrame(
+        [(900, "an entirely different document about spark catalyst tungsten engines")],
+        ["doc_id", "text"],
+    )
+    clean_cfg = CurationConfig(jaccard_threshold=0.5)
+    base = curate(corpus, clean_cfg)
+    base_ids = {r.doc_id for r in base.corpus.select("doc_id").collect()}
+    assert 3 in base_ids  # present without the gate
+    res = curate(corpus, clean_cfg, eval_df=eval_df, count_stages=True)
+    ids = {r.doc_id for r in res.corpus.select("doc_id").collect()}
+    assert 3 not in ids  # leaked doc dropped
+    assert ids == base_ids - {3}
+    assert res.stage_counts["decontaminated"] == len(ids)
