@@ -2029,6 +2029,44 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.dim_code_stats(emb, "vec_id", "embedding", dim=64)
 
 
+@q(
+    "q_source_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS min_n FROM c),
+    r AS (SELECT source, n_docs,
+                 cast(min_n AS double) / n_docs AS rate,
+                 printf('%04x',
+                        cast(floor(cast(min_n AS double) / n_docs * 65536)
+                             AS int)) AS cut
+          FROM c, m),
+    k AS (SELECT d.source FROM documents d JOIN r USING (source)
+          WHERE rate >= 1.0
+             OR substr(md5(cast(doc_id AS varchar)), 1, 4) < cut)
+    SELECT r.source, r.n_docs, round(r.rate, 6) AS rate, kk.n_kept
+    FROM r JOIN (SELECT source, count(*) AS n_kept FROM k GROUP BY 1) kk
+           USING (source)
+    """,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing (EXT): every source deterministically downsampled
+    to ≈ the smallest source's size.  The per-source rate and its hex cut
+    are computed in-plan from one tiny count agg and broadcast back, so
+    the corpus is scanned once with a pushable filter; membership is
+    md5-deterministic, so both engines select the SAME documents — n_kept
+    hash-matches exactly, not just statistically."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.balance_groups(docs, "doc_id", "source")
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per = kept.groupBy("source").agg(
+        F.round(F.first("_rate"), 6).alias("rate"),
+        F.count("*").alias("n_kept"),
+    )
+    return n_docs.join(per, "source").select(
+        "source", "n_docs", "rate", "n_kept"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2142,6 +2180,7 @@ _GRADE_ORDER = [
     "q_decontam",
     "q_shuffle_order",
     "q_embed_quant",
+    "q_source_mix",
     "q_profile",
     "q_stratified",
     "q_repetition",

@@ -154,3 +154,41 @@ def shuffled(df: DataFrame, key: str, seed: str = "42") -> DataFrame:
     return out.repartitionByRange("_shuffle_key").sortWithinPartitions(
         "_shuffle_key"
     )
+
+
+def balance_groups(
+    df: DataFrame, key: str, group: str, digits: int = 4
+) -> DataFrame:
+    """Deterministically downsample every group to ≈ the smallest group's
+    size — mixture balancing for skewed training corpora (web sources
+    dominate; balancing keeps the tail's share).
+
+    Per-group rate = min_count / count, applied via the md5-prefix filter
+    (hash_sample's trick) with the hex cut computed IN-PLAN from the
+    group counts: counts are one map-side-combined agg (≤|groups| rows),
+    broadcast back onto the corpus — the corpus itself is scanned once
+    and never shuffled.  Membership depends only on (key, group counts),
+    so re-runs and other engines reproduce the same sample.
+
+    Adds ``_rate`` (the group's sampling rate) to the surviving rows.
+    """
+    counts = df.groupBy(group).agg(F.count("*").alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        group,
+        (F.col("_min_n").cast("double") / F.col("_n")).alias("_rate"),
+        F.format_string(
+            f"%0{digits}x",
+            F.floor(
+                F.col("_min_n").cast("double")
+                / F.col("_n")
+                * (16 ** digits)
+            ).cast("int"),
+        ).alias("_cut"),
+    )
+    tagged = df.join(F.broadcast(rates), group)
+    kept = tagged.filter(
+        (F.col("_rate") >= 1.0)
+        | (hash_bucket(F.col(key), digits) < F.col("_cut"))
+    )
+    return kept.drop("_cut")

@@ -85,3 +85,23 @@ def test_shuffled_total_order_and_stability(spark):
     assert rows == rows2  # re-run reproduces the epoch exactly
     rows3 = [r.k for r in sampling.shuffled(df, "k", seed="8").toLocalIterator()]
     assert rows != rows3  # different seed, different epoch
+
+
+def test_balance_groups_equalizes_and_is_deterministic(spark):
+    from snowav_spark.ops import sampling
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.balance_groups(df, "doc_id", "source")
+    sizes = {r.source: r.n for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sizes["small"] == 100  # rate 1.0 keeps everything
+    # big downsampled to ≈100 (binomial at rate 0.05 over 2000 rows)
+    assert 60 <= sizes["big"] <= 140
+    again = sampling.balance_groups(df, "doc_id", "source")
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
