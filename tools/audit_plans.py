@@ -142,6 +142,49 @@ def main() -> int:
     if n_scans(p) != 1:
         failures.append(f"q_profile: expected 1 scan, saw {n_scans(p)}")
 
+    # 6g. decontamination: eval n-gram set broadcast, training side never
+    # in a cartesian product; per-doc count is map-side combined
+    p = formatted(qs["q_decontam"](spark, SF))
+    check(
+        "q_decontam",
+        p,
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "PythonUDF", "SortMergeJoin"],
+    )
+
+    # 6h. quantization: stats ride a 1-row broadcast back onto the corpus;
+    # NO dim-explode of the corpus (the only Generate is the 1-row stack()
+    # unpivot of the summary) and no Python
+    p = formatted(qs["q_embed_quant"](spark, SF))
+    check(
+        "q_embed_quant",
+        p,
+        ["BroadcastNestedLoopJoin", "stack("],
+        ["explode", "PythonUDF", "CartesianProduct"],
+    )
+
+    # 6i. mixture balancing: group rates broadcast onto the corpus scan
+    p = formatted(qs["q_source_mix"](spark, SF))
+    check(
+        "q_source_mix",
+        p,
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "PythonUDF"],
+    )
+
+    # 6j. epoch order: per-partition top-k, never a global sort of the corpus
+    p = formatted(qs["q_shuffle_order"](spark, SF))
+    check("q_shuffle_order", p, ["TakeOrderedAndProject"], ["PythonUDF"])
+
+    # 6k. k-means assignment is pure codegen projection + partial agg
+    p = formatted(qs["q_cluster_kmeans"](spark, SF))
+    check(
+        "q_cluster_kmeans",
+        p,
+        ["partial_avg", "HashAggregate"],
+        ["PythonUDF", "CartesianProduct", "Generate"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
