@@ -121,3 +121,56 @@ def curation_stream(
     return gated.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         ["_digest"]
     )
+
+
+def incremental_ingest_stream(
+    docs: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.8,
+    once: bool = True,
+):
+    """Continuous corpus ingestion deduplicated against the PERSISTED
+    dedup index (dedup.dedup_index written to ``index_path``): each
+    micro-batch drops exact and near twins of everything already
+    ingested, appends the survivors to the corpus sink, and appends the
+    survivors' OWN index rows to the index — so later batches dedup
+    against earlier ones without ever rescanning corpus text.
+
+    The cross-batch corpus comparison needs a static-side join per batch,
+    which Structured Streaming only allows in ``foreachBatch`` — the
+    standard shape for stream-vs-growing-table joins.  State lives
+    entirely in the index files (no in-memory streaming state), so a
+    restart resumes from the checkpoint with nothing lost.
+    """
+    from snowav_spark.ops import dedup as dedup_ops
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            index = None
+        if index is None:  # first batch: dedup only within itself
+            index = dedup_ops.dedup_index(batch.limit(0), id_col, text_col)
+        fresh = dedup_ops.incremental_dedup(
+            batch, index, id_col, text_col, est_threshold=est_threshold
+        )
+        fresh = fresh.localCheckpoint(eager=True)  # survivors computed ONCE:
+        # corpus append and index append must agree exactly, and the index
+        # must not observe its own batch's rows mid-computation
+        fresh.write.mode("append").parquet(sink_path)
+        dedup_ops.dedup_index(fresh, id_col, text_col).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

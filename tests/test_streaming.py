@@ -147,3 +147,51 @@ def test_curation_stream_cleans_gates_dedups(spark, tmp_path):
     assert 4 in kept
     texts = " ".join(r._clean for r in got.collect())
     assert "bob" not in texts and "email" in texts
+
+
+def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """Two availableNow passes: the second batch's twins of the first
+    batch's docs must be dropped via the persisted index, fresh content
+    must land, and the index must grow to cover the survivors."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = spark.createDataFrame(
+        [(0, base), (1, "completely different words about catalyst engines")],
+        ["doc_id", "text"],
+    )
+    first.write.parquet(src)
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    q = incremental.incremental_ingest_stream(
+        stream, index, sink, ckpt, est_threshold=0.4
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == [0, 1]
+
+    second = spark.createDataFrame(
+        [
+            (10, base),  # exact twin of ingested doc 0 -> dropped
+            # near twin (one appended word, shingle-Jaccard ~0.92 — well
+            # above the b=8/r=4 LSH recall knee, so the band collision is
+            # certain, not a coin flip) -> dropped
+            (11, base + " today"),
+            (12, "entirely fresh content one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    second.write.mode("append").parquet(src)
+    q2 = incremental.incremental_ingest_stream(
+        spark.readStream.schema(first.schema).parquet(src),
+        index,
+        sink,
+        ckpt,
+        est_threshold=0.4,
+    )
+    q2.awaitTermination(120)
+    corpus_ids = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert corpus_ids == [0, 1, 12]
+    indexed_ids = {r.doc_id for r in spark.read.parquet(index).select("doc_id").collect()}
+    assert indexed_ids == {0, 1, 12}
