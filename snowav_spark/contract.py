@@ -1900,9 +1900,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_docs(docs, "doc_id", "text")
 
 
-@q(
-    "q_decontam",
-    """
+_DECONTAM_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w,
                substr(md5(cast(doc_id AS varchar)), 1, 2) < '0c' AS is_eval
@@ -1918,8 +1916,10 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tr.doc_id, count(*) AS hit_grams
     FROM tr JOIN ev USING (s)
     GROUP BY 1
-    """,
-)
+    """
+
+
+@q("q_decontam", _DECONTAM_ORACLE)
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (EXT): which training documents share
     word 5-grams with a held-out eval slice, and how many distinct grams
@@ -1931,6 +1931,27 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_eval = sampling.hash_bucket(F.col("doc_id"), 2) < F.lit("0c")
     return dedup.decontaminate(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@q("q_decontam_bloom", _DECONTAM_ORACLE)
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_decontam` through the Bloom-prefilter path (ops/bloom.py): the
+    eval n-gram set is folded into a 128 KB bit-packed bitmap instead of
+    a broadcast string set, the training scan is prefiltered by five
+    codegen bit tests, and the exact verify join sees only the surviving
+    sliver.  Bloom filters have no false negatives, so the output — and
+    therefore the oracle — is identical to `q_decontam`'s; what changes
+    is the 100 TB cost profile (fixed-size broadcast, candidate-only
+    verify join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = sampling.hash_bucket(F.col("doc_id"), 2) < F.lit("0c")
+    return dedup.decontaminate_bloom(
         docs.filter(~is_eval),
         docs.filter(is_eval),
         "doc_id",
@@ -2178,6 +2199,7 @@ _GRADE_ORDER = [
     "q_dedup_resolve",
     "q_clean_text",
     "q_decontam",
+    "q_decontam_bloom",
     "q_shuffle_order",
     "q_embed_quant",
     "q_source_mix",

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from snowav_spark.ops import bloom
+
 
 def exact_dedup_stats(df: DataFrame, group: str, text: str) -> DataFrame:
     """Exact duplicate counts per group via content digest (md5)."""
@@ -311,6 +313,43 @@ def decontaminate(
     tr = shingled(train, id_col, text, n).distinct()
     return (
         tr.join(ev, "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hit_grams"))
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom prefilter — the 100 TB shape.
+
+    ``decontaminate`` broadcasts the full distinct eval n-gram SET
+    (strings); at a large eval suite that broadcast is GBs.  Here the
+    eval grams are folded into a fixed-size bit-packed bitmap
+    (``num_bits/8`` bytes — 128 KB at the default 2²⁰ — see
+    ops/bloom.py), the training side is prefiltered by k codegen bit
+    tests during its single scan, and only the surviving sliver (true
+    hits + ≈(1−e^{−kn/m})^k false positives) enters the exact verify
+    join.  Bloom filters have no false negatives, so the output is
+    IDENTICAL to ``decontaminate``'s — ``q_decontam_bloom`` shares
+    ``q_decontam``'s DuckDB oracle on exactly this argument.
+
+    The exact verify join is deliberately NOT broadcast: the prefilter
+    already collapsed the probe side, so AQE picks broadcast when the
+    candidate sliver is small and a shuffle join when it isn't.
+    """
+    ev = shingled(eval_df, id_col, text, n).select("s").distinct()
+    bf = bloom.bloom_build(ev, "s", num_bits, num_hashes)
+    tr = shingled(train, id_col, text, n).distinct()
+    cand = bloom.bloom_might_contain(tr, "s", bf, num_bits, num_hashes)
+    return (
+        cand.join(ev, "s")
         .groupBy(id_col)
         .agg(F.count("*").alias("hit_grams"))
     )
