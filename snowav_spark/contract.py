@@ -1598,7 +1598,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_sample_hash",
     """
-    SELECT split, count(*) AS n, round(sum(o_totalprice), 6) AS total
+    SELECT split, count(*) AS n,
+           cast(sum(cast(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM (
         SELECT CASE WHEN substring(md5(cast(o_orderkey AS VARCHAR)), 1, 4)
                          < '1999'
@@ -1611,11 +1613,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test split by content hash (EXT): md5-prefix
     compare — bit-identical in every engine, reproducible across re-runs
-    and repartitions.  Threshold '1999' ≈ 10% of the 16^4 hex space."""
+    and repartitions.  Threshold '1999' ≈ 10% of the 16^4 hex space.
+
+    The per-split total is summed in integer cents (``floor(x*100)`` is
+    the identical double op in every engine, then an exact bigint sum):
+    round-2 evidence showed a double sum at ~1e9 magnitude carries
+    summation-order noise above ``round(,6)`` granularity, so a float
+    total can never hash-match across engines.  The outer BIGINT cast in
+    the oracle keeps DuckDB's HUGEINT out of the comparison (pandas
+    renders HUGEINT as float64)."""
     orders = load_table(spark, sf_dir, "orders")
     split = sampling.train_test_split(orders, "o_orderkey", 0.1, digits=4)
     return split.groupBy("split").agg(
-        F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total")
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
     )
 
 
@@ -1704,11 +1717,13 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_data_quality",
     """
-    SELECT sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
-           sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+    SELECT cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_price,
+           cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_cust,
+           cast(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
                       OR o_orderdate >= TIMESTAMP '2010-01-01'
-                    THEN 1 ELSE 0 END) AS bad_date,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
            count(*) AS n_rows
     FROM orders
     """,
@@ -2034,7 +2049,7 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i AS dim_idx,
            min(code) AS code_min,
            max(code) AS code_max,
-           sum(code) AS code_sum,
+           cast(sum(code) AS BIGINT) AS code_sum,
            count(*) AS n
     FROM c GROUP BY 1
     """,

@@ -97,11 +97,13 @@ def sessionize(
     """
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(user).orderBy(*order)
-    gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(ts).over(w)
+    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (unix_micros rejects NTZ, and the fixture's parquet physical type has
+    # flipped between the two across regenerations).
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
     new_session = F.when(
-        prev.isNull()
-        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap_us),
+        prev.isNull() | ((F.col(ts) - prev) > gap),
         1,
     ).otherwise(0)
     return df.withColumn("session_id", F.sum(new_session).over(w))

