@@ -78,8 +78,36 @@ def q(name: str, oracle: str | None = None):
 
 
 def r6(col):
-    """round(x, 6): identical in both dialects; absorbs summation-order ulps."""
+    """round(x, 6): identical in both dialects; absorbs summation-order ulps.
+
+    SAFE ONLY when the rounded value's magnitude keeps cross-engine
+    summation noise well under the 5e-7 grid — per-row scalar math,
+    averages, or sums whose result stays ≲1e6.  For money-scale sums over
+    many rows use ``msum``: at 1.2e9 one double ulp is 2.4e-7 and a 1-ulp
+    order-of-summation difference flips round(,6) with ~24% probability
+    per group (observed: q_join_dim at sf0.1, q_sample_hash at sf0.01)."""
     return F.round(col, 6)
+
+
+def msum(col):
+    """Fixed-point money sum, bit-deterministic across engines and
+    partitionings: per-row ``floor(x·1e6)`` is the identical IEEE double
+    op everywhere, the bigint sum is exact and order-independent, and the
+    final int→double conversion rounds the same long on both sides.
+    Semantics: each row is truncated to micro-units before summing."""
+    return (
+        F.sum(F.floor(col * 1_000_000).cast("long")).cast("double")
+        / 1_000_000.0
+    )
+
+
+def msum_sql(expr: str) -> str:
+    """DuckDB twin of ``msum`` (the BIGINT cast also keeps HUGEINT out of
+    the driver's type-sensitive value hash)."""
+    return (
+        f"cast(sum(cast(floor(({expr}) * 1000000) AS BIGINT)) AS BIGINT)"
+        " / 1000000.0"
+    )
 
 
 # The fixture analog of the reference's elevation banding: l_quantity is the
@@ -124,7 +152,7 @@ def q_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_zonal_volume",
     f"""
     SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS volume
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS volume
     FROM lineitem GROUP BY 1, 2
     """,
 )
@@ -135,7 +163,7 @@ def q_zonal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         F.col("l_returnflag"),
         _band(),
-        {"volume": r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))},
+        {"volume": msum(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
     )
 
 
@@ -143,7 +171,7 @@ def q_zonal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup_total",
     f"""
     SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS volume,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS volume,
            count(*) AS n_px
     FROM lineitem GROUP BY ROLLUP(1, 2)
     """,
@@ -158,7 +186,7 @@ def q_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag"),
         _band(),
         {
-            "volume": r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+            "volume": msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
             "n_px": F.count("*"),
         },
         rollup=True,
@@ -337,12 +365,9 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     f"""
     SELECT {_BAND_SQL} AS band,
-           round(sum(CASE WHEN l_returnflag = 'A'
-                          THEN l_extendedprice * (1 - l_discount) END), 6) AS A,
-           round(sum(CASE WHEN l_returnflag = 'N'
-                          THEN l_extendedprice * (1 - l_discount) END), 6) AS N,
-           round(sum(CASE WHEN l_returnflag = 'R'
-                          THEN l_extendedprice * (1 - l_discount) END), 6) AS R
+           {msum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END")} AS A,
+           {msum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END")} AS N,
+           {msum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS R
     FROM lineitem GROUP BY 1
     """,
 )
@@ -357,7 +382,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "l_returnflag",
         ["A", "N", "R"],
-        r6(F.sum("vol")),
+        msum(F.col("vol")),
     )
 
 
@@ -368,9 +393,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_join_dim",
-    """
+    f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
            count(*) AS n
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -395,7 +420,7 @@ def q_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return enriched.groupBy("n_name").agg(
-        r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         ),
         F.count("*").alias("n"),
@@ -611,7 +636,7 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH v AS (
         SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS vol
+               {msum_sql("l_extendedprice * (1 - l_discount)")} AS vol
         FROM lineitem GROUP BY 1, 2
     )
     SELECT zone, band, vol,
@@ -625,7 +650,7 @@ def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical in both engines despite float summation order."""
     li = load_table(spark, sf_dir, "lineitem")
     vols = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
-        r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("vol")
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol")
     )
     ranked = windows.rank_within(
         vols, ["zone"], [F.desc("vol"), F.asc("band")], out="rnk"
@@ -657,8 +682,8 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_union_runs",
-    """
-    SELECT src, count(*) AS n, round(sum(o_totalprice), 6) AS total
+    f"""
+    SELECT src, count(*) AS n, {msum_sql("o_totalprice")} AS total
     FROM (
         SELECT 'cur' AS src, o_totalprice FROM orders
          WHERE year(o_orderdate) = 2000
@@ -682,7 +707,7 @@ def q_union_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cur.unionByName(prev)
         .groupBy("src")
-        .agg(F.count("*").alias("n"), r6(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), msum(F.col("o_totalprice")).alias("total"))
     )
 
 
@@ -990,10 +1015,10 @@ def q_avail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_date_functions",
-    """
+    f"""
     SELECT CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1
                 ELSE year(o_orderdate) END AS wy,
-           count(*) AS n, round(sum(o_totalprice), 6) AS total,
+           count(*) AS n, {msum_sql("o_totalprice")} AS total,
            max(cast(date_diff('day',
                make_date(CASE WHEN month(o_orderdate) >= 10
                               THEN year(o_orderdate)
@@ -1016,7 +1041,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wy")
         .agg(
             F.count("*").alias("n"),
-            r6(F.sum("o_totalprice")).alias("total"),
+            msum(F.col("o_totalprice")).alias("total"),
             F.max("wyd").alias("wyd_max"),
         )
     )
@@ -1177,16 +1202,16 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_having",
     f"""
     SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS volume
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS volume
     FROM lineitem GROUP BY 1, 2
-    HAVING round(sum(l_extendedprice * (1 - l_discount)), 6) > 10000000
+    HAVING {msum_sql("l_extendedprice * (1 - l_discount)")} > 10000000
     """,
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-filtered report rows (HAVING).  The threshold compares the
-    ROUNDED volume in both engines so the cut is identical."""
+    fixed-point volume in both engines so the cut is identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    vol = r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    vol = msum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.groupBy(F.col("l_returnflag").alias("zone"), _band())
         .agg(vol.alias("volume"))
@@ -1688,6 +1713,37 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent boolean plus the combined keep flag."""
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_flags(docs, "doc_id", "text")
+
+
+@q(
+    "q_chunk_docs",
+    """
+    SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+           u.n_tokens AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(0, nch),
+                 i -> struct_pack(
+                     chunk_id := cast(i AS BIGINT),
+                     chunk_text := array_to_string(
+                         toks[i*25+1 : i*25+50], ' '),
+                     n_tokens := cast(len(toks[i*25+1 : i*25+50])
+                                      AS BIGINT)))) AS u
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               greatest(cast(ceil((len(string_split(text, ' ')) - 50)
+                                  / 25.0) AS BIGINT) + 1, 1) AS nch
+        FROM documents)
+    )
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (EXT): 50-token chunks every 25
+    tokens — context-window preparation for training.  Flat map only
+    (transform + posexplode), no shuffle; chunks stay co-partitioned
+    with their source doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_docs(docs, "doc_id", "text", size=50, stride=25)
 
 
 @q(
@@ -2222,6 +2278,7 @@ _GRADE_ORDER = [
     "q_stratified",
     "q_repetition",
     "q_quality_flags",
+    "q_chunk_docs",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -375,3 +375,45 @@ def quality_flags(
         keep = cond if keep is None else (keep & cond)
     cols.append(keep.alias("keep"))
     return df.select(*cols)
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline (long docs
+    become size-token chunks every stride tokens; short docs yield one
+    chunk).
+
+    Shape at 100 TB: a flat map (transform + posexplode) with NO shuffle
+    — chunks stay co-partitioned with their source doc, so a downstream
+    per-doc aggregation needs no exchange.  All array ops are JVM-side
+    codegen; chunk count per doc is ceil(max(n-size,0)/stride)+1, so
+    output size is bounded by ~n/stride × input tokens.
+    """
+    tokd = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # number of chunk starts: 0, stride, 2·stride, … — always ≥ 1
+    nch = F.greatest(
+        F.ceil((n - size) / F.lit(float(stride))).cast("long") + 1, F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (nch - 1).cast("int")),
+        lambda i: F.slice(toks, i * stride + 1, size),
+    )
+    ex = tokd.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_chunk")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+    )

@@ -572,3 +572,30 @@ def test_incremental_dedup_empty_index_passthrough(spark):
     )
     out = dedup.incremental_dedup(new, index, "doc_id", "text", num_hashes=16, bands=8)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_chunk_docs_windows_and_short_doc(spark):
+    from snowav_spark.ops import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(60))  # 60 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "just three tokens")], ["doc_id", "text"]
+    )
+    got = text_ops.chunk_docs(df, "doc_id", "text", size=50, stride=25)
+    rows = {(r.doc_id, r.chunk_id): r for r in got.collect()}
+    # 60 tokens → starts 0 and 25 → chunks of 50 and 35 tokens
+    assert rows[(1, 0)].n_tokens == 50
+    assert rows[(1, 1)].n_tokens == 35
+    assert rows[(1, 0)].chunk_text.startswith("w0 ")
+    assert rows[(1, 1)].chunk_text.startswith("w25 ")
+    # overlap: tokens 25..49 appear in both chunks
+    assert "w30" in rows[(1, 0)].chunk_text and "w30" in rows[(1, 1)].chunk_text
+    # short doc → exactly one chunk with every token
+    assert rows[(2, 0)].n_tokens == 3
+    assert (2, 1) not in rows
+    # full coverage: every token of doc 1 lands in some chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split(" "))
+    assert covered == set(words.split(" "))
