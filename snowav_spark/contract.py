@@ -1583,18 +1583,100 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_minhash_lsh")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (EXT, rows-only): the linear-time
-    100 TB path; exact twin is q_dedup_near."""
+    100 TB path; exact twin is q_dedup_near, oracle-verified twin is
+    q_minhash_lsh_md5 (same pipeline, portable hash)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, est_threshold=0.3
     )
 
 
+def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Generate the DuckDB twin of dedup.minhash_lsh_pairs_portable."""
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes)
+    )
+    buckets = ",\n               ".join(
+        "struct_pack(band := {b}, bucket := md5({parts}))".format(
+            b=b, parts=" || ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    SELECT doc_a, doc_b, est_jaccard FROM (
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - 2),
+                       i -> array_to_string(t[i+1 : i+3], ' '))) AS s
+            FROM toks WHERE len(t) >= 3),
+        sig AS (
+            SELECT doc_id, {mins}
+            FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT *, unnest([{buckets}]) AS bb FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({eq}) / {num_hashes}.0, 6) AS est_jaccard
+        FROM banded a JOIN banded b
+          ON a.bb.band = b.bb.band AND a.bb.bucket = b.bb.bucket
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@q("q_minhash_lsh_md5", _minhash_md5_sql(16, 4, 0.5))
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the portable md5 hash family (EXT): the same
+    signature → band-bucket equi-join → estimated-Jaccard pipeline as
+    q_minhash_lsh, but every stage is bit-identical across engines, so
+    the full LSH path — not just its exact twin — is oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_portable(
+        docs, "doc_id", "text", num_hashes=16, bands=4, est_threshold=0.5
+    )
+
+
 @q("q_simhash")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (EXT, rows-only: xxhash64 is engine-specific)."""
+    """SimHash fingerprints (EXT, rows-only: xxhash64 is engine-specific;
+    the portable-hash oracle-verified twin is q_simhash_md5)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text")
+
+
+def _simhash_md5_sql(bits: int) -> str:
+    """Generate the DuckDB twin of dedup.simhash_portable."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN substring(md5('{j}:' || w), 1, 1) >= '8'"
+        f" THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " || ".join(
+        f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(bits)
+    )
+    return f"""
+    SELECT doc_id, {fp} AS fp FROM (
+        SELECT doc_id, {votes}
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id)
+    """
+
+
+@q("q_simhash_md5", _simhash_md5_sql(32))
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5 bit family (EXT): same one-explode +
+    one-agg vote shape as q_simhash, but every bit is engine-portable so
+    the fingerprint pipeline is oracle-verified end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs, "doc_id", "text", bits=32)
 
 
 @q("q_ann_lsh")
@@ -2279,6 +2361,8 @@ _GRADE_ORDER = [
     "q_repetition",
     "q_quality_flags",
     "q_chunk_docs",
+    "q_minhash_lsh_md5",
+    "q_simhash_md5",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

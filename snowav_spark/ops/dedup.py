@@ -433,3 +433,121 @@ def incremental_dedup(
         cand.filter(est >= est_threshold).select(id_col).distinct()
     )
     return fresh.join(near_hit, id_col, "left_anti")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH with a PORTABLE hash family: signature element i is the
+    lexicographic min over shingles of ``md5('i:' || shingle)`` — a valid
+    uniform permutation, and bit-identical in every engine that has md5
+    (unlike murmur3/xxhash), so the full pipeline is oracle-verifiable.
+
+    Same linear-scale shape as minhash_lsh_pairs: one explode + one
+    hash-aggregate of `num_hashes` mins (map-side combine), band buckets
+    by hashing signature slices, equi-join on (band, bucket), estimated
+    Jaccard = fraction of equal signature positions (multiples of
+    1/num_hashes — exact binary doubles, so round() is noise-free).
+    Production corpora should prefer the murmur3 form (integer hashing is
+    ~2-3x cheaper than md5-on-string); semantics are identical.
+    """
+    rows = num_hashes // bands
+    sh = shingled(df, id_col, text, n)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        id_col,
+        *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"h{b * rows + r}")
+                                    for r in range(rows)
+                                ]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, *[f"h{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .distinct()
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text: str, bits: int = 32
+) -> DataFrame:
+    """SimHash with a PORTABLE hash family: bit j of a token is the top
+    bit of ``md5('j:' || token)`` (first hex char >= '8') — uniform,
+    independent per j, and bit-identical in every engine with md5, so
+    the fingerprint is oracle-verifiable end to end.
+
+    Same shape as simhash(): one explode + ONE aggregate of `bits`
+    conditional sums (map-side combine), sign of each vote becomes the
+    fingerprint bit.  Fingerprint is emitted as a bit string — engine
+    and width neutral.  Production corpora should prefer simhash()
+    (one xxhash64 per token vs `bits` md5s); semantics are identical.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w")
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("w"))), 1, 1
+                    )
+                    >= "8",
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.concat(
+        *[
+            F.when(F.col(f"v{j}") > 0, "1").otherwise("0")
+            for j in range(bits)
+        ]
+    )
+    return votes.select(F.col(id_col), fp.alias("fp"))

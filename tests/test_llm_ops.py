@@ -599,3 +599,27 @@ def test_chunk_docs_windows_and_short_doc(spark):
         if d == 1:
             covered.update(r.chunk_text.split(" "))
     assert covered == set(words.split(" "))
+
+
+def test_minhash_portable_finds_planted(planted):
+    got = dedup.minhash_lsh_pairs_portable(
+        planted, "doc_id", "text", num_hashes=16, bands=4, est_threshold=0.4
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in got}
+    assert (0, 1) in found  # planted near-dup must surface
+    assert (0, 2) not in found  # unrelated docs must not
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in got}
+    assert 0.0 <= est[(0, 1)] <= 1.0
+
+
+def test_simhash_portable_separates(planted):
+    fps = {
+        r.doc_id: r.fp
+        for r in dedup.simhash_portable(planted, "doc_id", "text", bits=32).collect()
+    }
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert all(len(fp) == 32 for fp in fps.values())
+    # one-token edit → near-identical fingerprints; unrelated docs far
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+    assert ham(fps[0], fps[1]) <= 8
