@@ -4,9 +4,16 @@ a Spark DataFrame plan with a matching DuckDB oracle SQL string.
 Conventions (SURVEY.md §5.2 — these are what make hash-matching work):
 
 - every computed column is aliased identically in both dialects;
-- float measure columns produced by sums/averages are ``round(x, 6)`` in
-  BOTH dialects (parallel summation order differs between engines; raw
-  per-row doubles are identical so non-aggregated floats are left exact);
+- float measure columns produced by averages (or sums whose magnitude
+  stays ≲1e6) are ``round(x, 6)`` in BOTH dialects; sums of MONEY-SCALE
+  doubles use the fixed-point ``msum``/``msum_sql`` pair instead —
+  per-row ``floor(x·1e6)``, exact bigint sum, divide back — because at
+  1e9+ magnitude cross-engine summation-order noise exceeds the
+  round(,6) grid (raw per-row doubles are identical in every engine, so
+  non-aggregated floats are left exact);
+- integer aggregates in oracle SQL are cast to BIGINT — DuckDB's HUGEINT
+  sum surfaces as decimal128/float64 downstream and breaks the driver's
+  type-sensitive value hash;
 - ``max_by``/top-k carry deterministic tie-break keys;
 - banding uses floor arithmetic (DuckDB 1.0.0 has no ``width_bucket``);
 - event timestamps compare at day/µs level (ns→µs conversion is exact).

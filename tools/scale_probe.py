@@ -134,6 +134,12 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             lens, "doc_id", "n_tokens", 512, n_shards=64
         ).count()
     )
+    out["chunk"] = timed(
+        lambda: text.chunk_docs(docs, "doc_id", "text", 20, 10).count()
+    )
+    out["simhash"] = timed(
+        lambda: dedup.simhash(docs, "doc_id", "text").count()
+    )
     return out
 
 
