@@ -185,6 +185,37 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "Generate"],
     )
 
+    # 6l. chunking is a pure flat map: one pruned scan, no exchange, no
+    # Python — chunks stay co-partitioned with their source doc
+    p = formatted(qs["q_chunk_docs"](spark, SF))
+    check(
+        "q_chunk_docs",
+        p,
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string"],
+        ["Exchange", "PythonUDF"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_chunk_docs: expected 1 scan, saw {n_scans(p)}")
+
+    # 6m. portable MinHash: ONE aggregate over the exploded shingles with
+    # map-side combine (partial_min), band join is an equi-join, no Python
+    p = formatted(qs["q_minhash_lsh_md5"](spark, SF))
+    check(
+        "q_minhash_lsh_md5",
+        p,
+        ["partial_min"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "PythonUDF"],
+    )
+
+    # 6n. portable SimHash: one explode + ONE map-side-combined vote agg
+    p = formatted(qs["q_simhash_md5"](spark, SF))
+    check(
+        "q_simhash_md5",
+        p,
+        ["partial_sum", "Generate"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
