@@ -64,23 +64,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     ensure_engine_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # The fixture's physical type for ``ts`` has changed across driver
-        # regenerations (INT64 TIMESTAMP(NANOS) → TIMESTAMP(MICROS)).
-        # Normalize every form to TIMESTAMP_NTZ so downstream plans see one
-        # stable type; DuckDB's naive timestamps agree at µs precision.
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # ns → µs is exact integer division.
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
-            )
-        elif ts_type == "timestamp":
+    # The fixtures' physical timestamp encodings have changed across driver
+    # regenerations (events.ts: INT64 TIMESTAMP(NANOS) → TIMESTAMP(MICROS);
+    # an isAdjustedToUTC flip would surface as LTZ).  Normalize every form
+    # to TIMESTAMP_NTZ so downstream plans see ONE stable type that matches
+    # DuckDB's naive-timestamp view of the same files at µs precision.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs is exact integer division.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp":
             # Session tz is pinned to UTC, so LTZ→NTZ preserves wall time.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     _CACHE[key] = df
     return df
 
