@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from snowav_spark import io as io_mod
 from snowav_spark.io import load_table
 from snowav_spark.ops import (
     banded,
@@ -893,6 +894,28 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection reaches the parquet reader (ReadSchema shows only these)."""
     return load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@q(
+    "q_scan_stats",
+    """
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS l_quantity_min,
+           max(l_quantity) AS l_quantity_max,
+           min(l_orderkey) AS l_orderkey_min,
+           max(l_orderkey) AS l_orderkey_max
+    FROM lineitem
+    """,
+)
+def q_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics-only probe: count/min/max answered from parquet
+    metadata via aggregate pushdown (``PushedAggregation`` in the plan),
+    zero data pages read — at 100 TB a seconds-not-hours range probe.
+    DuckDB performs the same footer-stats optimization, so values match
+    exactly (parquet stats store exact min/max for these types)."""
+    return io_mod.footer_stats(
+        spark, sf_dir, "lineitem", ["l_quantity", "l_orderkey"]
     )
 
 
@@ -2346,6 +2369,7 @@ _GRADE_ORDER = [
     "q_sample_hash",
     "q_data_quality",
     # -- tail: oracle-backed twins of in-window keys (locally gated) -------
+    "q_scan_stats",
     "q_scan_topo",
     "q_corr_stats",
     "q_range_frame",

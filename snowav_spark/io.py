@@ -100,3 +100,29 @@ def register_temp_views(
     DataFrame code as the same logical plan)."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def footer_stats(
+    spark: SparkSession, sf_dir: str, name: str, cols: list[str]
+) -> DataFrame:
+    """count/min/max over a table WITHOUT reading data pages: a
+    footer-statistics-only scan (parquet aggregate pushdown — the plan
+    shows ``PushedAggregation: [COUNT(*), MIN(..), ..]``).
+
+    At 100 TB this answers row-count/range probes from file metadata in
+    seconds instead of a full scan.  Spark only pushes aggregates through
+    the V2 parquet source, while the engine's default read path is V1
+    (V1 is where dynamic-partition-overwrite and the streaming file sink
+    live), so the read is scoped to a derived session — same
+    SparkContext, separate SQLConf — with V2 enabled; nothing else in the
+    engine changes behavior.
+    """
+    ns = spark.newSession()
+    ensure_engine_conf(ns)
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = ns.read.parquet(f"{sf_dir}/{name}.parquet")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.agg(*aggs)

@@ -69,6 +69,15 @@ def main() -> int:
         ["ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp"],
     )
 
+    # 1b. stats probe never touches data pages: aggregate pushed to footers
+    p = formatted(qs["q_scan_stats"](spark, SF))
+    check(
+        "q_scan_stats",
+        p,
+        ["PushedAggregation: [COUNT(*), MIN(l_quantity)"],
+        ["Exchange hashpartitioning"],
+    )
+
     # 2. dims broadcast; no Python in the join path
     p = formatted(qs["q_join_dim"](spark, SF))
     check("q_join_dim", p, ["BroadcastHashJoin"], must_not=["PythonUDF"])
