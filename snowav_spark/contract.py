@@ -898,6 +898,29 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_retention",
+    """
+    SELECT day, count(*) AS active,
+           cast(sum(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained
+    FROM (
+        SELECT user_id, day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM (SELECT DISTINCT user_id,
+                     cast(date_trunc('day', ts) AS DATE) AS day
+              FROM events)
+    ) GROUP BY day
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention per day (EXT): distinct (user, day) → ONE
+    window on the per-user day sequence → day rollup.  Exact integer
+    counts — hash-stable at any scale; single shuffle on the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.retention_daily(ev, "ts", "user_id")
+
+
+@q(
     "q_scan_stats",
     """
     SELECT count(*) AS n_rows,
@@ -2394,6 +2417,7 @@ _GRADE_ORDER = [
     "q_chunk_docs",
     "q_minhash_lsh_md5",
     "q_simhash_md5",
+    "q_retention",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -145,3 +145,28 @@ def sliding(
         *groups,
         *[n for n in aggs],
     )
+
+
+def retention_daily(df: DataFrame, ts: str, user: str) -> DataFrame:
+    """Next-day retention: per day, how many active users were also
+    active the previous day — the cohort/engagement diagnostic of an
+    events pipeline.
+
+    Shape at 100 TB: distinct (user, day) collapses the raw stream
+    map-side, then ONE window over the per-user day sequence (lag) —
+    a single shuffle on the user key, no self-join, no second pass —
+    and a small hash aggregate on day.  Counts are exact integers, so
+    the output is hash-stable across engines and partitionings.
+    """
+    d = df.select(
+        F.col(user), F.date_trunc("day", F.col(ts)).cast("date").alias("day")
+    ).distinct()
+    prev = F.lag("day").over(Window.partitionBy(user).orderBy("day"))
+    flagged = d.withColumn(
+        "was_active_yesterday",
+        F.when(F.datediff(F.col("day"), prev) == 1, 1).otherwise(0),
+    )
+    return flagged.groupBy("day").agg(
+        F.count("*").alias("active"),
+        F.sum("was_active_yesterday").alias("retained"),
+    )

@@ -46,3 +46,25 @@ def test_rollup_has_totals(spark):
     assert rows[("A", None)] == 3.0  # per-zone total
     assert rows[(None, None)] == 7.0  # grand total
     assert rows[("A", 0)] == 1.0
+
+
+def test_retention_daily_planted(spark):
+    import datetime
+
+    from snowav_spark.ops import windows as w
+
+    t = lambda d, h=9: datetime.datetime(2024, 1, d, h)
+    rows = [
+        # user 1 active days 1,2,3  -> retained on 2 and 3
+        (1, t(1)), (1, t(2)), (1, t(2, 15)), (1, t(3)),
+        # user 2 active days 1 and 3 -> never retained
+        (2, t(1)), (2, t(3)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r.day.isoformat(): (r.active, r.retained)
+           for r in w.retention_daily(df, "ts", "user_id").collect()}
+    assert got == {
+        "2024-01-01": (2, 0),
+        "2024-01-02": (1, 1),
+        "2024-01-03": (2, 1),
+    }
