@@ -898,6 +898,33 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY 1)
+    SELECT count(*) AS n_stage0, count(t1) AS n_stage1,
+           count(t2) AS n_stage2
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (EXT): per-stage first
+    qualifying event strictly after the previous stage; one row of exact
+    per-stage user counts.  Every groupBy/join keys on user_id — AQE
+    plans a co-partitioned chain over monotonically shrinking frames."""
+    ev = load_table(spark, sf_dir, "events")
+    return joins.funnel_stages(
+        ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+@q(
     "q_retention",
     """
     SELECT day, count(*) AS active,
@@ -2418,6 +2445,7 @@ _GRADE_ORDER = [
     "q_minhash_lsh_md5",
     "q_simhash_md5",
     "q_retention",
+    "q_funnel",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

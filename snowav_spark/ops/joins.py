@@ -154,3 +154,45 @@ def nearest_point(
     return joined.groupBy(*groups, target).agg(
         F.min_by(F.col(value), key).alias("nearest_value")
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user: str,
+    type_col: str,
+    ts: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: one row of per-stage user counts, where
+    a user reaches stage k only with an event of type ``stages[k]``
+    strictly AFTER their stage-k−1 time (first qualifying occurrence).
+
+    Shape at 100 TB: per stage one filtered aggregate (map-side combined
+    min) joined to the previous stage's (user, time) frame — every
+    groupBy/join keys on the user column, so AQE plans one co-partitioned
+    exchange chain and the stage frames shrink monotonically.  No window
+    over raw events, no self-join of the full table.
+    """
+    base = df.select(F.col(user), F.col(type_col), F.col(ts))
+    cur = (
+        base.filter(F.col(type_col) == stages[0])
+        .groupBy(user)
+        .agg(F.min(ts).alias("t0"))
+    )
+    frames = [cur]
+    for k, stage in enumerate(stages[1:], start=1):
+        cur = (
+            base.filter(F.col(type_col) == stage)
+            .join(cur.select(user, f"t{k - 1}"), user)
+            .filter(F.col(ts) > F.col(f"t{k - 1}"))
+            .groupBy(user)
+            .agg(F.min(ts).alias(f"t{k}"))
+        )
+        frames.append(cur)
+    joined = frames[0]
+    for k in range(1, len(frames)):
+        joined = joined.join(frames[k].select(user, f"t{k}"), user, "left")
+    aggs = [F.count("*").alias("n_stage0")] + [
+        F.count(f"t{k}").alias(f"n_stage{k}") for k in range(1, len(stages))
+    ]
+    return joined.agg(*aggs)

@@ -68,3 +68,26 @@ def test_retention_daily_planted(spark):
         "2024-01-02": (1, 1),
         "2024-01-03": (2, 1),
     }
+
+
+def test_funnel_stages_planted(spark):
+    import datetime
+
+    from snowav_spark.ops import joins as j
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2 clicks BEFORE viewing -> stops at stage 0
+        (2, "click", t(1)), (2, "view", t(2)),
+        # user 3 views and clicks, never purchases
+        (3, "view", t(1)), (3, "click", t(5)),
+        # user 4 purchases without viewing -> not in funnel at all
+        (4, "purchase", t(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = j.funnel_stages(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).collect()[0]
+    assert (got.n_stage0, got.n_stage1, got.n_stage2) == (3, 2, 1)
