@@ -46,6 +46,7 @@ from snowav_spark.ops import (
     quantize,
     scalars,
     similarity,
+    skew,
     text,
     windows,
 )
@@ -894,6 +895,53 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection reaches the parquet reader (ReadSchema shows only these)."""
     return load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@q(
+    "q_cohort",
+    """
+    SELECT cohort_day, day - cohort_day AS offset_days,
+           count(*) AS n_users
+    FROM (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM (SELECT DISTINCT user_id,
+                     cast(date_trunc('day', ts) AS DATE) AS day
+              FROM events)
+    ) GROUP BY 1, 2
+    """,
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (EXT): first-active-day cohorts × return
+    offsets.  The cohort day is an unbounded min window over the same
+    user partitioning as the distinct — one shuffle, no join back."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.cohort_matrix(ev, "ts", "user_id")
+
+
+@q(
+    "q_skew_join",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join on the graded surface: the big side is
+    salted deterministically (hash of event_id), the mid-size dim is
+    replicated across salt values, and the join runs on (key, salt) — a
+    hot user key spreads over salt_n reducers instead of one.  Salting is
+    correctness-neutral, so the oracle is the PLAIN join: identical
+    results prove the rewrite changes only the physical distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew.salted_join(ev, cust, "user_id", salt_n=8, salt_src="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), r6(F.sum("value")).alias("sum_value")
     )
 
 
@@ -2446,6 +2494,8 @@ _GRADE_ORDER = [
     "q_simhash_md5",
     "q_retention",
     "q_funnel",
+    "q_skew_join",
+    "q_cohort",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -170,3 +170,27 @@ def retention_daily(df: DataFrame, ts: str, user: str) -> DataFrame:
         F.count("*").alias("active"),
         F.sum("was_active_yesterday").alias("retained"),
     )
+
+
+def cohort_matrix(df: DataFrame, ts: str, user: str) -> DataFrame:
+    """Cohort activity matrix: users grouped by their first active day
+    (the cohort), counted at each day-offset they return — the classic
+    cohort-retention triangle.
+
+    Shape at 100 TB: distinct (user, day), then the cohort day is an
+    unbounded ``min`` window over the SAME user partitioning — one
+    shuffle, no join back — and the triangle is a small hash aggregate
+    on (cohort_day, offset).  Exact integer counts: hash-stable.
+    """
+    d = df.select(
+        F.col(user), F.date_trunc("day", F.col(ts)).cast("date").alias("day")
+    ).distinct()
+    cohort = F.min("day").over(Window.partitionBy(user))
+    return (
+        d.select(
+            cohort.alias("cohort_day"),
+            F.datediff(F.col("day"), cohort).cast("long").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -91,3 +91,25 @@ def test_funnel_stages_planted(spark):
         df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
     ).collect()[0]
     assert (got.n_stage0, got.n_stage1, got.n_stage2) == (3, 2, 1)
+
+
+def test_cohort_matrix_planted(spark):
+    import datetime
+
+    from snowav_spark.ops import windows as w
+
+    t = lambda d: datetime.datetime(2024, 1, d, 12)
+    rows = [
+        # cohort Jan-1: users 1,2; user 1 returns day 2; both return day 3
+        (1, t(1)), (1, t(2)), (1, t(3)),
+        (2, t(1)), (2, t(3)),
+        # cohort Jan-2: user 3, returns day 4
+        (3, t(2)), (3, t(4)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.cohort_day.isoformat(), r.offset_days): r.n_users
+           for r in w.cohort_matrix(df, "ts", "user_id").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+    }
