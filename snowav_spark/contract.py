@@ -544,6 +544,55 @@ def q_asof_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_asof_tolerance",
+    """
+    SELECT o_orderkey, b.ship_date AS ship_date, b.price AS price
+    FROM (SELECT DISTINCT o_orderkey FROM orders) o
+    LEFT JOIN (
+        SELECT o_orderkey, ship_date, price
+        FROM (
+            SELECT o_orderkey,
+                   cast(l_shipdate AS DATE) AS ship_date,
+                   l_extendedprice AS price,
+                   row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY abs(date_diff('day',
+                                    cast(o_orderdate AS DATE) + 60,
+                                    cast(l_shipdate AS DATE))),
+                                l_linenumber, l_extendedprice
+                   ) AS rn
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE abs(date_diff('day',
+                                cast(o_orderdate AS DATE) + 60,
+                                cast(l_shipdate AS DATE))) <= 30
+        ) WHERE rn = 1
+    ) b USING (o_orderkey)
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of (EXT twin of q_asof_flight): matches only
+    within 30 days of the anchor; anchors with no in-tolerance candidate
+    are kept with null payload (pandas merge_asof tolerance semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    target = F.date_add(F.col("o_orderdate").cast("date"), 60)
+    dist = F.abs(F.datediff(F.col("l_shipdate").cast("date"), target))
+    return joins.asof_within(
+        orders,
+        li,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "o_orderkey",
+        dist,
+        F.struct(F.col("l_linenumber"), F.col("l_extendedprice")),
+        {
+            "ship_date": F.col("l_shipdate").cast("date"),
+            "price": F.col("l_extendedprice"),
+        },
+        tolerance=30,
+    )
+
+
+@q(
     "q_semi_anti",
     """
     SELECT
@@ -2496,6 +2545,7 @@ _GRADE_ORDER = [
     "q_funnel",
     "q_skew_join",
     "q_cohort",
+    "q_asof_tolerance",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

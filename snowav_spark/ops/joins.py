@@ -196,3 +196,29 @@ def funnel_stages(
         F.count(f"t{k}").alias(f"n_stage{k}") for k in range(1, len(stages))
     ]
     return joined.agg(*aggs)
+
+
+def asof_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_key: str,
+    distance: Column,
+    tiebreak: Column,
+    payload: dict[str, Column],
+    tolerance: int,
+) -> DataFrame:
+    """Tolerance-bounded as-of join: like :func:`asof_nearest` but a match
+    only counts within ``tolerance`` of the anchor, and LEFT keys with no
+    in-tolerance candidate are KEPT with null payload (pandas
+    ``merge_asof(tolerance=...)`` semantics — the caller sees which
+    anchors went unmatched instead of silently losing them).
+
+    Same scale shape as asof_nearest — equi-join + one min_by aggregation
+    — plus a broadcast-friendly left join of the (small) per-key result
+    back onto the distinct key set."""
+    matched = left.join(right, on).filter(distance <= tolerance)
+    key = F.struct(distance.alias("d"), tiebreak.alias("t"))
+    aggs = [F.min_by(col, key).alias(name) for name, col in payload.items()]
+    best = matched.groupBy(left_key).agg(*aggs)
+    return left.select(left_key).distinct().join(best, left_key, "left")

@@ -113,3 +113,28 @@ def test_cohort_matrix_planted(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_asof_within_keeps_unmatched(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import joins as j
+
+    d = lambda day: datetime.date(2024, 1, day)
+    left = spark.createDataFrame([(1, d(10)), (2, d(20))], ["k", "anchor"])
+    right = spark.createDataFrame(
+        [(1, d(12), 100.0), (1, d(1), 200.0), (2, d(5), 300.0)],
+        ["k2", "obs_day", "val"],
+    )
+    dist = F.abs(F.datediff(F.col("obs_day"), F.col("anchor")))
+    got = {
+        r.k: r.val
+        for r in j.asof_within(
+            left, right, F.col("k") == F.col("k2"), "k",
+            dist, F.col("val"), {"val": F.col("val")}, tolerance=3,
+        ).collect()
+    }
+    assert got[1] == 100.0  # nearest within 3 days
+    assert got[2] is None   # nothing within tolerance -> kept, null payload
