@@ -101,20 +101,28 @@ def r6(col):
 def msum(col):
     """Fixed-point money sum, bit-deterministic across engines and
     partitionings: per-row ``floor(x·1e6)`` is the identical IEEE double
-    op everywhere, the bigint sum is exact and order-independent, and the
-    final int→double conversion rounds the same long on both sides.
-    Semantics: each row is truncated to micro-units before summing."""
+    op everywhere, the integer sum is exact and order-independent, and
+    the final exact-int→double conversion rounds the same integer to the
+    same double on both sides.  Semantics: each row is truncated to
+    micro-units before summing.
+
+    The Spark accumulator is ``decimal(38,0)`` (not long): a grand total
+    of micro-units passes Long.MAX at ~9.2e12 in original units — a
+    full-table money sum at sf≳100 — where a long sum would overflow
+    (ANSI error or silent wrap) while DuckDB's HUGEINT kept going.
+    Decimal and HUGEINT both stay exact to 38 digits."""
     return (
-        F.sum(F.floor(col * 1_000_000).cast("long")).cast("double")
+        F.sum(F.floor(col * 1_000_000).cast("decimal(38,0)")).cast("double")
         / 1_000_000.0
     )
 
 
 def msum_sql(expr: str) -> str:
-    """DuckDB twin of ``msum`` (the BIGINT cast also keeps HUGEINT out of
-    the driver's type-sensitive value hash)."""
+    """DuckDB twin of ``msum``: sum(BIGINT) promotes to HUGEINT (exact),
+    then cast to DOUBLE — the same correctly-rounded conversion Spark
+    applies to its decimal accumulator, so the doubles are identical."""
     return (
-        f"cast(sum(cast(floor(({expr}) * 1000000) AS BIGINT)) AS BIGINT)"
+        f"cast(sum(cast(floor(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
         " / 1000000.0"
     )
 
@@ -971,8 +979,8 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_skew_join",
-    """
-    SELECT c_mktsegment, count(*) AS n, round(sum(value), 6) AS sum_value
+    f"""
+    SELECT c_mktsegment, count(*) AS n, {msum_sql("value")} AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1
     """,
@@ -989,8 +997,10 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = skew.salted_join(ev, cust, "user_id", salt_n=8, salt_src="event_id")
+    # msum, not r6: per-segment sums cross ~1e6 at sf0.1 and the salted
+    # 8-way summation order differs maximally from the oracle's plain join.
     return joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), r6(F.sum("value")).alias("sum_value")
+        F.count("*").alias("n"), msum(F.col("value")).alias("sum_value")
     )
 
 

@@ -70,12 +70,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # to TIMESTAMP_NTZ so downstream plans see ONE stable type that matches
     # DuckDB's naive-timestamp view of the same files at µs precision.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs is exact integer division.
+        # ns → µs MUST be integer division (`div`): `/` goes through
+        # double, whose ulp at ~1.7e18 ns is 256, truncating ~1.6% of
+        # µs values one low vs DuckDB's exact conversion.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     for col, dtype in df.dtypes:
         if dtype == "timestamp":
@@ -102,6 +102,11 @@ def register_temp_views(
         df.createOrReplaceTempView(name)
 
 
+# Derived V2-source sessions for footer_stats, keyed by parent session id
+# (see the reuse note inside footer_stats).
+_V2_SESSIONS: dict[int, SparkSession] = {}
+
+
 def footer_stats(
     spark: SparkSession, sf_dir: str, name: str, cols: list[str]
 ) -> DataFrame:
@@ -117,10 +122,18 @@ def footer_stats(
     SparkContext, separate SQLConf — with V2 enabled; nothing else in the
     engine changes behavior.
     """
-    ns = spark.newSession()
-    ensure_engine_conf(ns)
-    ns.conf.set("spark.sql.sources.useV1SourceList", "")
-    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ns = _V2_SESSIONS.get(id(spark))
+    if ns is None:
+        # One derived session per parent, reused — newSession() state is
+        # registered for the lifetime of the SparkContext, so creating one
+        # per call would leak.  Runtime conf changes on the PARENT (e.g. a
+        # shuffle-partition permutation probe) do not propagate here; the
+        # footer aggregate is partitioning-independent, so that is sound.
+        ns = spark.newSession()
+        ensure_engine_conf(ns)
+        ns.conf.set("spark.sql.sources.useV1SourceList", "")
+        ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _V2_SESSIONS[id(spark)] = ns
     df = ns.read.parquet(f"{sf_dir}/{name}.parquet")
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:

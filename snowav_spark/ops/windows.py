@@ -100,8 +100,10 @@ def sessionize(
     prev = F.lag(ts).over(w)
     # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
     # (unix_micros rejects NTZ, and the fixture's parquet physical type has
-    # flipped between the two across regenerations).
-    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    # flipped between the two across regenerations).  Express the gap in
+    # whole seconds so fractional gap_minutes (1.5 → 90 s) keep their exact
+    # threshold instead of truncating to the minute.
+    gap = F.expr(f"INTERVAL {int(round(gap_minutes * 60))} SECOND")
     new_session = F.when(
         prev.isNull() | ((F.col(ts) - prev) > gap),
         1,

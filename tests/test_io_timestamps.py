@@ -16,17 +16,23 @@ from snowav_spark.io import clear_cache, load_table
 WALL = [
     datetime.datetime(2024, 1, 1, 12, 30, 0),
     datetime.datetime(2024, 1, 2, 23, 59, 59, 500000),
+    # odd microseconds: the ns epoch is NOT exactly double-representable
+    # (ulp 256 at ~1.7e18), so this catches a float-division ns→µs path
+    # that truncates one µs low on ~1.6% of values
+    datetime.datetime(2024, 1, 3, 7, 7, 7, 123457),
+    datetime.datetime(2024, 1, 4, 1, 2, 3, 999999),
 ]
 
 
 def _write_events(tmp_path, ts_array):
+    n = len(ts_array)
     tbl = pa.table(
         {
-            "event_id": pa.array([1, 2], pa.int64()),
+            "event_id": pa.array(range(1, n + 1), pa.int64()),
             "ts": ts_array,
-            "user_id": pa.array([10, 20], pa.int64()),
-            "event_type": pa.array(["click", "buy"]),
-            "value": pa.array([1.5, 2.5], pa.float64()),
+            "user_id": pa.array([10 * i for i in range(1, n + 1)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.5 * i for i in range(1, n + 1)], pa.float64()),
         }
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
