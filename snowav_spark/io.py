@@ -102,9 +102,15 @@ def register_temp_views(
         df.createOrReplaceTempView(name)
 
 
-# Derived V2-source sessions for footer_stats, keyed by parent session id
-# (see the reuse note inside footer_stats).
-_V2_SESSIONS: dict[int, SparkSession] = {}
+# Derived V2-source sessions for footer_stats, weak-keyed by the parent
+# session object: entries vanish when the parent is collected, so a
+# recycled object address can never resurrect a session bound to a dead
+# SparkContext, and stopped parents don't pin their derived session.
+import weakref
+
+_V2_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def footer_stats(
@@ -122,18 +128,19 @@ def footer_stats(
     SparkContext, separate SQLConf — with V2 enabled; nothing else in the
     engine changes behavior.
     """
-    ns = _V2_SESSIONS.get(id(spark))
+    ns = _V2_SESSIONS.get(spark)
     if ns is None:
         # One derived session per parent, reused — newSession() state is
         # registered for the lifetime of the SparkContext, so creating one
         # per call would leak.  Runtime conf changes on the PARENT (e.g. a
         # shuffle-partition permutation probe) do not propagate here; the
         # footer aggregate is partitioning-independent, so that is sound.
+        # The ONLY conf that differs from engine defaults is the V2 source
+        # list (aggregatePushdown is already in ENGINE_CONF).
         ns = spark.newSession()
         ensure_engine_conf(ns)
         ns.conf.set("spark.sql.sources.useV1SourceList", "")
-        ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        _V2_SESSIONS[id(spark)] = ns
+        _V2_SESSIONS[spark] = ns
     df = ns.read.parquet(f"{sf_dir}/{name}.parquet")
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:

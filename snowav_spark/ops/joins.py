@@ -101,6 +101,7 @@ def asof_nearest(
     distance: Column,
     tiebreak: Column,
     payload: dict[str, Column],
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of / nearest-date join (ref:snowav/plotting/flt_image_change.py
     matches each ASO flight date to the nearest model output date).
@@ -109,8 +110,14 @@ def asof_nearest(
     equi-join on the coarse key + ``min_by(payload, struct(distance,
     tiebreak))`` — one hash aggregation instead of a per-group sort, and
     the struct tie-break keeps the pick deterministic across engines.
+
+    ``tolerance`` bounds the match distance; keys whose candidates are
+    all out of tolerance simply drop out of the grouped result (see
+    :func:`asof_within` for the unmatched-keys-preserved variant).
     """
     matched = left.join(right, on)
+    if tolerance is not None:
+        matched = matched.filter(distance <= tolerance)
     key = F.struct(distance.alias("d"), tiebreak.alias("t"))
     aggs = [F.min_by(col, key).alias(name) for name, col in payload.items()]
     return matched.groupBy(left_key).agg(*aggs)
@@ -214,11 +221,10 @@ def asof_within(
     ``merge_asof(tolerance=...)`` semantics — the caller sees which
     anchors went unmatched instead of silently losing them).
 
-    Same scale shape as asof_nearest — equi-join + one min_by aggregation
-    — plus a broadcast-friendly left join of the (small) per-key result
+    Composes :func:`asof_nearest` (same equi-join + min_by shape, with
+    its tolerance bound) plus a left join of the (small) per-key result
     back onto the distinct key set."""
-    matched = left.join(right, on).filter(distance <= tolerance)
-    key = F.struct(distance.alias("d"), tiebreak.alias("t"))
-    aggs = [F.min_by(col, key).alias(name) for name, col in payload.items()]
-    best = matched.groupBy(left_key).agg(*aggs)
+    best = asof_nearest(
+        left, right, on, left_key, distance, tiebreak, payload, tolerance
+    )
     return left.select(left_key).distinct().join(best, left_key, "left")

@@ -395,7 +395,10 @@ def chunk_docs(
     codegen; chunk count per doc is ceil(max(n-size,0)/stride)+1, so
     output size is bounded by ~n/stride × input tokens.
     """
-    tokd = df.select(
+    # NULL text yields no chunks (greatest() skips NULLs, so without the
+    # filter a null doc would emit one bogus all-NULL chunk row — and the
+    # SQL-dialect twin, where range(0, NULL) is empty, would emit none).
+    tokd = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
     toks = F.col("_toks")

@@ -100,10 +100,12 @@ def sessionize(
     prev = F.lag(ts).over(w)
     # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
     # (unix_micros rejects NTZ, and the fixture's parquet physical type has
-    # flipped between the two across regenerations).  Express the gap in
-    # whole seconds so fractional gap_minutes (1.5 → 90 s) keep their exact
-    # threshold instead of truncating to the minute.
-    gap = F.expr(f"INTERVAL {int(round(gap_minutes * 60))} SECOND")
+    # flipped between the two across regenerations).  Microsecond interval
+    # so fractional gap_minutes (1.5 → 90 s, 0.005 → 300 ms) keep their
+    # exact threshold — same precision as the event time itself.
+    gap = F.expr(
+        f"INTERVAL {int(round(gap_minutes * 60 * 1_000_000))} MICROSECOND"
+    )
     new_session = F.when(
         prev.isNull() | ((F.col(ts) - prev) > gap),
         1,

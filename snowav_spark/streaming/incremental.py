@@ -38,7 +38,13 @@ def stream_source(
 
 def _ltz(df: DataFrame, ts: str) -> DataFrame:
     """Cast an NTZ event-time column to TIMESTAMP (watermark-compatible);
-    no-op when it is already LTZ.  Session tz is UTC → wall time kept."""
+    no-op when it is already LTZ.  Session tz is UTC → wall time kept.
+
+    Two deliberate normalization layers: ``stream_source`` converts at
+    the boundary so RAW readStream users can call withWatermark directly;
+    this per-operator guard covers frames built any other way (an
+    externally-constructed stream handed to daily_rollup_stream etc.).
+    For stream_source-built frames it is a no-op."""
     if dict(df.dtypes).get(ts) == "timestamp_ntz":
         df = df.withColumn(ts, F.col(ts).cast("timestamp"))
     return df
