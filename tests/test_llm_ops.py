@@ -579,7 +579,7 @@ def test_chunk_docs_windows_and_short_doc(spark):
 
     words = " ".join(f"w{i}" for i in range(60))  # 60 tokens
     df = spark.createDataFrame(
-        [(1, words), (2, "just three tokens")], ["doc_id", "text"]
+        [(1, words), (2, "just three tokens"), (3, None)], ["doc_id", "text"]
     )
     got = text_ops.chunk_docs(df, "doc_id", "text", size=50, stride=25)
     rows = {(r.doc_id, r.chunk_id): r for r in got.collect()}
@@ -593,6 +593,9 @@ def test_chunk_docs_windows_and_short_doc(spark):
     # short doc → exactly one chunk with every token
     assert rows[(2, 0)].n_tokens == 3
     assert (2, 1) not in rows
+    # NULL text → no chunks at all (matches the SQL dialect: range(0, NULL)
+    # is empty), never a bogus all-NULL row
+    assert not any(d == 3 for d, _ in rows)
     # full coverage: every token of doc 1 lands in some chunk
     covered = set()
     for (d, _), r in rows.items():
