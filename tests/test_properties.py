@@ -162,3 +162,64 @@ def test_packing_invariants(spark, lens, capacity):
         grp = grp.sort_values("offset")
         end = (grp["offset"] + grp["n_tokens"]).to_numpy()
         assert (grp["offset"].to_numpy()[1:] >= end[:-1]).all()
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=130), min_size=1, max_size=12),
+    size=st.integers(min_value=2, max_value=60),
+)
+@SET
+def test_chunk_docs_covers_every_token_in_order(spark, n_tokens, size):
+    """Every token appears in some chunk; concatenating each doc's chunk
+    starts reconstructs the original order; chunk count matches the
+    ceil((n-size)/stride)+1 formula."""
+    from snowav_spark.ops import text as text_ops
+
+    stride = max(size // 2, 1)
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = text_ops.chunk_docs(df, "doc_id", "text", size=size, stride=stride)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for doc_id, chunk_id, chunk_text, nt in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, chunk_text, nt))
+    for i, n in enumerate(n_tokens):
+        toks = docs[i][1].split(" ")  # note: "" splits to [''] — 1 token
+        n_eff = len(toks)
+        expected_chunks = max(-(-(max(n_eff - size, 0)) // stride) + 1, 1)
+        chunks = by_doc[i]
+        assert len(chunks) == expected_chunks
+        covered = []
+        for k, (chunk_id, chunk_text, nt) in enumerate(sorted(chunks)):
+            assert chunk_id == k
+            got = chunk_text.split(" ")
+            assert got == toks[k * stride : k * stride + size]
+            assert nt == len(got)
+            covered.extend(got)
+        assert set(covered) == set(toks)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_msum_matches_exact_fixed_point(spark, vals):
+    """msum equals the Python-exact micro-unit sum for any magnitudes and
+    partition counts (order independence is the whole point)."""
+    import math
+
+    from snowav_spark.contract import msum
+
+    df = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(7)
+    got = df.agg(msum(F.col("x")).alias("s")).collect()[0].s
+    exact = sum(math.floor(v * 1_000_000) for v in vals)
+    assert got == float(exact) / 1_000_000.0
