@@ -956,6 +956,50 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_id
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           cast(max(n_events) AS BIGINT) AS max_events,
+           round(avg(n_events), 6) AS avg_events
+    FROM per_sess
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size statistics (EXT): composes the sessionize operator
+    with a per-session count and a corpus rollup — the engagement-summary
+    companion to q_session_window.  avg is one division of two exact
+    integers, identical in both engines (no summation-order noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = windows.sessionize(
+        ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id"
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        r6(F.avg("n_events")).alias("avg_events"),
+    )
+
+
+@q(
     "q_cohort",
     """
     SELECT cohort_day, day - cohort_day AS offset_days,
@@ -2555,6 +2599,7 @@ _GRADE_ORDER = [
     "q_funnel",
     "q_skew_join",
     "q_cohort",
+    "q_session_stats",
     "q_asof_tolerance",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
