@@ -2046,7 +2046,8 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split(text, ' ') AS toks,
                greatest(cast(ceil((len(string_split(text, ' ')) - 50)
                                   / 25.0) AS BIGINT) + 1, 1) AS nch
-        FROM documents)
+        FROM documents
+        WHERE text IS NOT NULL)
     )
     """,
 )
@@ -2516,6 +2517,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-window keys covering the same SURVEY §2 row (still gated locally by
 # tools/check.py at every run) and (b) rows-only keys whose semantics are
 # not hash-comparable by construction.
+#
+# Round-4 rotation (VERDICT r3 items 1+3): q_scan_topo — the one §2 key
+# that had no driver CORRECTNESS row — plus five never-driver-graded
+# oracle-backed keys (q_clean_text, q_decontam, q_chunk_docs,
+# q_minhash_lsh_md5, q_asof_tolerance) move INTO the window; six EXT keys
+# with green r03 driver rows (q_quality_score, q_lang_id, q_fingerprint,
+# q_dedup_embed, q_sample_hash, q_data_quality) rotate out to the tail.
+# Every SURVEY §2 row keeps an in-window key; rotated-out keys stay gated
+# by tools/check.py + tests/test_contract.py on every run.
 
 _GRADE_ORDER = [
     # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row -------
@@ -2558,20 +2568,25 @@ _GRADE_ORDER = [
     "q_snow_line",
     "q_text_stats",
     "q_tokenize",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
+    "q_scan_topo",
+    "q_clean_text",
+    "q_decontam",
     "q_dedup_exact",
     "q_dedup_near",
-    "q_dedup_embed",
+    "q_chunk_docs",
     "q_sim_topk",
     "q_knn_join",
     "q_multimodal",
+    "q_minhash_lsh_md5",
+    "q_asof_tolerance",
+    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_dedup_embed",
     "q_sample_hash",
     "q_data_quality",
-    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
     "q_scan_stats",
-    "q_scan_topo",
     "q_corr_stats",
     "q_range_frame",
     "q_cube",
@@ -2582,8 +2597,6 @@ _GRADE_ORDER = [
     "q_token_count",
     # -- tail: oracle-backed keys added after the window was pinned --------
     "q_dedup_resolve",
-    "q_clean_text",
-    "q_decontam",
     "q_decontam_bloom",
     "q_shuffle_order",
     "q_embed_quant",
@@ -2592,15 +2605,12 @@ _GRADE_ORDER = [
     "q_stratified",
     "q_repetition",
     "q_quality_flags",
-    "q_chunk_docs",
-    "q_minhash_lsh_md5",
     "q_simhash_md5",
     "q_retention",
     "q_funnel",
     "q_skew_join",
     "q_cohort",
     "q_session_stats",
-    "q_asof_tolerance",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -395,9 +395,10 @@ def chunk_docs(
     codegen; chunk count per doc is ceil(max(n-size,0)/stride)+1, so
     output size is bounded by ~n/stride × input tokens.
     """
-    # NULL text yields no chunks (greatest() skips NULLs, so without the
-    # filter a null doc would emit one bogus all-NULL chunk row — and the
-    # SQL-dialect twin, where range(0, NULL) is empty, would emit none).
+    # NULL text yields no chunks.  The SQL oracle twin must ALSO filter
+    # NULL text explicitly: DuckDB's greatest() ignores NULL arguments, so
+    # greatest(NULL-derived, 1) = 1 and an unfiltered oracle would emit one
+    # bogus all-NULL chunk row per NULL-text doc.
     tokd = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )

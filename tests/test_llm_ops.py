@@ -593,8 +593,9 @@ def test_chunk_docs_windows_and_short_doc(spark):
     # short doc → exactly one chunk with every token
     assert rows[(2, 0)].n_tokens == 3
     assert (2, 1) not in rows
-    # NULL text → no chunks at all (matches the SQL dialect: range(0, NULL)
-    # is empty), never a bogus all-NULL row
+    # NULL text → no chunks at all, never a bogus all-NULL row.  The SQL
+    # oracle needs an explicit WHERE text IS NOT NULL to match: DuckDB's
+    # greatest() ignores NULLs, so nch would be 1 for a NULL-text doc.
     assert not any(d == 3 for d, _ in rows)
     # full coverage: every token of doc 1 lands in some chunk
     covered = set()
@@ -626,3 +627,28 @@ def test_simhash_portable_separates(planted):
     # one-token edit → near-identical fingerprints; unrelated docs far
     assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
     assert ham(fps[0], fps[1]) <= 8
+
+
+def test_chunk_docs_oracle_parity_with_null_text(spark):
+    """The q_chunk_docs DuckDB oracle must agree with chunk_docs even when
+    a document has NULL text.  DuckDB's greatest() ignores NULL arguments,
+    so without the oracle's explicit WHERE text IS NOT NULL a NULL-text
+    doc would yield nch=1 and one bogus all-NULL chunk row — this test
+    pins the dialect divergence fixed per ADVICE round 3."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from snowav_spark.ops import text as text_ops
+    from snowav_spark.testing import compare
+
+    words = " ".join(f"w{i}" for i in range(60))
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [words, "just three tokens", None]}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = spark.createDataFrame(pdf)
+    got = text_ops.chunk_docs(sdf, "doc_id", "text", size=50, stride=25)
+    problems = compare(got, con, entrymod.oracle_sql()["q_chunk_docs"])
+    assert not problems, problems
