@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line — {"metric", "value", "unit", "queries", "sf"}.
 
+The driver records only a bounded TAIL of stdout, so the final line must
+stay short (BENCH_r02/r03 lost the head of a 92-entry line → "parsed":
+null).  The printed "queries" dict therefore holds only the 10 slowest
+keys; the FULL per-query timings go to BENCH_DETAIL.json next to this
+file and to stderr.
+
 Methodology matches BASELINE.md: per-query wall time is best-of-3 after one
 warm run; Spark session startup excluded.
 """
@@ -45,14 +51,34 @@ def main() -> None:
         timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # keep this line SHORT — the driver's tail buffer truncates long lines
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
