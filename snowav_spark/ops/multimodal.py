@@ -111,20 +111,44 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            if not fake:
-                # Real path: decode then featurize. Deliberately stubbed.
-                pdf["payload"].map(lambda p: decode_media(p, "unknown"))
             payloads = pdf["payload"]
+            if fake:
+                # Byte-level features straight off the payload.  np.uint8
+                # view + C-side .sum() per row — no Python-int loop over
+                # payload bytes (the old sum(p) walked every byte in the
+                # interpreter).
+                byte_sum = payloads.map(
+                    lambda p: int(np.frombuffer(p, dtype=np.uint8).sum())
+                    if p is not None
+                    else 0
+                )
+            else:
+                # Real path: decode via the per-row format (PIL when
+                # importable — raises NotImplementedError otherwise) and
+                # featurize the decoded pixel array.
+                fmts = (
+                    pdf["format"]
+                    if "format" in pdf.columns
+                    else pd.Series(["unknown"] * len(pdf))
+                )
+                byte_sum = [
+                    int(np.asarray(decode_media(p, f), dtype=np.int64).sum())
+                    if p is not None
+                    else 0
+                    for p, f in zip(payloads, fmts)
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "byte_sum": payloads.map(
-                        lambda p: int(sum(p)) if p is not None else 0
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else 0
                     ).astype("int64"),
+                    "byte_sum": pd.Series(byte_sum).astype("int64"),
                     "head_hash": payloads.map(
-                        lambda p: hashlib.md5(p[:8]).hexdigest()
+                        lambda p: hashlib.md5(p[:8] if p else b"").hexdigest()
                     ),
                 }
             )

@@ -151,9 +151,87 @@ def test_bm25_prefers_matching_docs(spark):
     assert scores[2] > scores[0]  # higher tf → higher score
 
 
+def _tiny_png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid solid-color RGB PNG, pure stdlib (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_stub_raises():
+    # audio/video codecs are never wired in this container
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", "png")
+        multimodal.decode_media(b"bytes", "wav")
+    if not _has_pil():
+        # image formats are PIL-gated: absent PIL → NotImplementedError
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"bytes", "png")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_decode_real_png_via_pil(spark):
+    """When Pillow is importable the decode gate graduates: a real PNG
+    decodes to its pixel array and the non-fake extract_features path
+    computes pixel-sum features end-to-end through mapInPandas."""
+    import numpy as np
+
+    png = _tiny_png(4, 3, (10, 20, 30))
+    arr = multimodal.decode_media(png, "png")
+    assert arr.shape == (3, 4, 3)
+    assert (arr == np.array([10, 20, 30], dtype=np.uint8)).all()
+
+    df = spark.createDataFrame(
+        [(1, "image", "png", 4, 3, None, bytearray(png))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_features(df, fake=False).collect()
+    assert len(feats) == 1
+    assert feats[0].n_bytes == len(png)
+    assert feats[0].byte_sum == int(arr.astype(np.int64).sum())
+
+
+def test_extract_features_real_path_gated_without_pil(spark):
+    """Without Pillow the real path must fail loudly (NotImplementedError
+    from the decode gate), never silently fall back to byte features."""
+    if _has_pil():
+        pytest.skip("Pillow installed; gate does not apply")
+    from py4j.protocol import Py4JJavaError
+
+    png = _tiny_png(2, 2, (1, 2, 3))
+    df = spark.createDataFrame(
+        [(1, "image", "png", 2, 2, None, bytearray(png))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
 
 
 def test_dedup_lsh_recall_vs_exact(spark, sf_dir):
