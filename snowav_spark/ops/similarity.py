@@ -302,8 +302,37 @@ def dedup_pairs_lsh(
     corpus — bits ≈ log2(N / B) for target bucket size B keeps occupancy
     (and therefore cost per row) constant; fixed bits would double
     occupancy per corpus doubling and re-create a quadratic term
-    (measured in tools/scale_probe.py).
+    (measured in tools/scale_probe.py; the bits↔candidate-count frontier
+    is measured in tools/lsh_frontier.py and tabulated in SCALE.md).
     """
+    cand = lsh_candidate_pairs(
+        df, id_col, vec, tables=tables, bits=bits, dim=dim, seed=seed,
+        max_bucket=max_bucket,
+    )
+    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
+    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    tables: int = 10,
+    bits: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate stage of ``dedup_pairs_lsh``: distinct (id_a, id_b) pairs
+    that co-bucket in ≥1 table.  Public so the pruning frontier can be
+    measured on the exact production path (tools/lsh_frontier.py)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -344,21 +373,12 @@ def dedup_pairs_lsh(
             .select("tbl", "bk")
         )
         keys = keys.join(small, ["tbl", "bk"], "left_semi")
-    cand = (
+    return (
         keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
         .join(keys.select(F.col(id_col).alias("id_b"), "tbl", "bk"), ["tbl", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
-    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
-    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 

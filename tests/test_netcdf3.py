@@ -85,3 +85,80 @@ def test_distributed_ingest_e2e(spark, nc_files):
     assert got[("2020-10-01", "specific_mass")] == pytest.approx(
         float(swe0[0].mean()), abs=1e-12
     )
+
+def _cdf2_record_file(numrecs_field: int) -> tuple[bytes, dict]:
+    """Hand-assembled CDF-2 (64-bit offsets) file with an unlimited dim,
+    TWO interleaved record variables and one fixed variable — the
+    record-slab striding + 8-byte-begin branch the writer (CDF-1, fixed
+    dims only) can never produce.  ``numrecs_field=-1`` exercises the
+    STREAMING convention (record count inferred from file length)."""
+    import struct
+
+    def name(s: bytes) -> bytes:
+        return struct.pack(">i", len(s)) + s + b"\x00" * (-len(s) % 4)
+
+    absent = b"\x00" * 8
+    grid = np.arange(6, dtype=">f4").reshape(2, 3)
+    t = np.array([10, 11, 12], dtype=">i4")
+    swe = np.arange(18, dtype=">f8").reshape(3, 2, 3)
+
+    dim_list = (
+        struct.pack(">ii", 0x0A, 3)
+        + name(b"time") + struct.pack(">i", 0)   # unlimited
+        + name(b"y") + struct.pack(">i", 2)
+        + name(b"x") + struct.pack(">i", 3)
+    )
+
+    def var(nm, dimids, nc_type, vsize, begin):
+        return (
+            name(nm)
+            + struct.pack(">i", len(dimids))
+            + b"".join(struct.pack(">i", d) for d in dimids)
+            + absent                      # no per-var attrs
+            + struct.pack(">ii", nc_type, vsize)
+            + struct.pack(">q", begin)    # CDF-2: 64-bit begin
+        )
+
+    # Layout: header | grid (fixed, 24 B) | records r=0..2 of (t[r] pad4,
+    # swe[r]) — recsize = 4 + 48 = 52.
+    def header(g0, t0, s0):
+        return (
+            b"CDF\x02"
+            + struct.pack(">i", numrecs_field)
+            + dim_list
+            + absent                      # no global attrs
+            + struct.pack(">ii", 0x0B, 3)
+            + var(b"grid", [1, 2], 5, 24, g0)
+            + var(b"t", [0], 4, 4, t0)
+            + var(b"swe", [0, 1, 2], 6, 48, s0)
+        )
+
+    hlen = len(header(0, 0, 0))
+    g0 = hlen
+    t0 = g0 + 24
+    s0 = t0 + 4
+    body = grid.tobytes()
+    for r in range(3):
+        body += t[r : r + 1].tobytes() + swe[r].tobytes()
+    expect = {
+        "grid": grid.astype("=f4"),
+        "t": t.astype("=i4"),
+        "swe": swe.astype("=f8"),
+    }
+    return header(g0, t0, s0) + body, expect
+
+
+@pytest.mark.parametrize("numrecs_field", [3, -1], ids=["explicit", "streaming"])
+def test_cdf2_unlimited_record_vars(tmp_path, numrecs_field):
+    buf, expect = _cdf2_record_file(numrecs_field)
+    p = tmp_path / "rec.nc"
+    p.write_bytes(buf)
+    ds = netcdf3.read(str(p))
+    assert ds.dims == {"time": 3, "y": 2, "x": 3}
+    assert ds.numrecs == 3
+    assert ds.variables["swe"].is_record and ds.variables["t"].is_record
+    assert not ds.variables["grid"].is_record
+    assert ds.variables["swe"].shape == (3, 2, 3)
+    np.testing.assert_array_equal(ds.values("grid"), expect["grid"])
+    np.testing.assert_array_equal(ds.values("t"), expect["t"])
+    np.testing.assert_array_equal(ds.values("swe"), expect["swe"])
