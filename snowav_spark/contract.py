@@ -2285,6 +2285,65 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_docs(docs, "doc_id", "text")
 
 
+@q(
+    "q_pii_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g'),
+               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+               '<IP>', 'g'),
+               '[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+               '<PHONE>', 'g') AS text,
+           cast(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+               AS BIGINT) AS n_email,
+           cast(len(regexp_extract_all(text,
+               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+               AS BIGINT) AS n_ip,
+           cast(len(regexp_extract_all(text,
+               '[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+               AS BIGINT) AS n_phone
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction (EXT): per-document email/IPv4/phone counts
+    on the original text plus the redacted text — the privacy-scrub step
+    of a training pipeline, distinct from q_clean_text (which folds
+    redaction into full normalization and emits only a digest).  One
+    codegen projection; patterns live in text.PII_AUDIT_PATTERNS
+    (Java-regex ∩ RE2 subset shared verbatim with this oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_audit(docs, "doc_id", "text")
+
+
+@q(
+    "q_ngram_freq",
+    """
+    SELECT ngram, n_docs FROM (
+        SELECT ngram, count(*) AS n_docs FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS ngram
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE text IS NOT NULL
+                    AND len(string_split(text, ' ')) >= 5)
+        ) GROUP BY ngram
+    ) ORDER BY n_docs DESC, ngram LIMIT 20
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detector (EXT): top-20 word 5-grams by document
+    frequency (within-doc repeats collapsed via array_distinct before the
+    explode, so the shuffle carries each doc's gram SET).  Deterministic
+    total order (n_docs desc, ngram asc) → TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_doc_freq(docs, "doc_id", "text", n=5, k=20)
+
+
 _DECONTAM_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w,
@@ -2598,6 +2657,8 @@ _GRADE_ORDER = [
     # -- tail: oracle-backed keys added after the window was pinned --------
     "q_dedup_resolve",
     "q_decontam_bloom",
+    "q_pii_redact",
+    "q_ngram_freq",
     "q_shuffle_order",
     "q_embed_quant",
     "q_source_mix",

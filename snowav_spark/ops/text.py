@@ -421,3 +421,80 @@ def chunk_docs(
         F.array_join("_chunk", " ").alias("chunk_text"),
         F.size("_chunk").cast("long").alias("n_tokens"),
     )
+
+
+# PII patterns shared by pii_audit and its SQL oracle twin (distinct from
+# the name→pattern PII_PATTERNS dict above, which drives the redact-only
+# Column helper redact_pii / clean_docs).  Written in
+# the RE2 ∩ java.util.regex common subset — character classes instead of
+# \d / \b / lookarounds — so Spark (Java regex) and DuckDB (RE2) match
+# and replace identically.  Replacement order is email → ip → phone and
+# must be the same in both engines (overlapping matches are resolved by
+# whichever pattern runs first).
+PII_AUDIT_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+    ("phone", "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"),
+)
+
+
+def pii_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from a text corpus
+    and count what was removed — the privacy-scrub step of a training
+    pipeline.  Emits (id, redacted text, n_email, n_ip, n_phone); counts
+    are taken on the ORIGINAL text, redaction is sequential per
+    PII_PATTERNS order.  NULL text passes through as NULL with NULL
+    counts (identical in both engines: regexp over NULL is NULL).
+
+    Shape at 100 TB: one codegen projection — regexp_count +
+    regexp_replace are JVM-side, no UDF, no shuffle, fully pushdown-
+    compatible; cost is linear in corpus bytes.
+    """
+    orig = F.col(text_col)
+    red = orig
+    counts = []
+    for kind, pat in PII_AUDIT_PATTERNS:
+        counts.append(
+            F.regexp_count(orig, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), red.alias("text"), *counts)
+
+
+def ngram_doc_freq(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level n-gram document frequency, top-k — the boilerplate /
+    template detector of corpus cleaning (an n-gram shared by many
+    documents is boilerplate or contamination, not content).
+
+    Per doc the n-gram set is DISTINCT (array_distinct before explode),
+    so n_docs is a plain count(*) after the shuffle and within-doc
+    repetition never inflates the shuffle.  Docs shorter than n tokens
+    contribute nothing.  Top-k is a deterministic total order
+    (n_docs desc, ngram asc) via TakeOrdered — no global sort
+    materialization.
+
+    Shape at 100 TB: explode → one groupBy shuffle on ngram with
+    map-side partial aggregation; hot boilerplate n-grams are exactly
+    what partial aggregation collapses best, so skew is self-limiting.
+    """
+    toks = F.split(F.col(text_col), " ")
+    based = df.filter(
+        F.col(text_col).isNotNull() & (F.size(toks) >= n)
+    ).select(F.col(id_col), toks.alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), (F.size("_toks") - n + 1).cast("int")),
+        lambda i: F.array_join(F.slice("_toks", i, n), " "),
+    )
+    ex = based.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -730,3 +730,80 @@ def test_chunk_docs_oracle_parity_with_null_text(spark):
     got = text_ops.chunk_docs(sdf, "doc_id", "text", size=50, stride=25)
     problems = compare(got, con, entrymod.oracle_sql()["q_chunk_docs"])
     assert not problems, problems
+
+
+def test_pii_audit_planted(spark):
+    from snowav_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.254 replied"),
+            (3, "plain text with no pii at all"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text_ops.pii_audit(df, "doc_id", "text").collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1 and rows[1].n_ip == 0
+    assert "<EMAIL>" in rows[1].text and "<PHONE>" in rows[1].text
+    assert "bob.smith" not in rows[1].text and "555-123-4567" not in rows[1].text
+    assert rows[2].n_ip == 2 and rows[2].text.count("<IP>") == 2
+    assert "192.168.0.1" not in rows[2].text
+    assert rows[3].text == "plain text with no pii at all"
+    assert rows[3].n_email == rows[3].n_ip == rows[3].n_phone == 0
+    # NULL text → NULL through and through (both engines agree)
+    assert rows[4].text is None and rows[4].n_email is None
+
+
+def test_pii_audit_oracle_parity_planted(spark):
+    """Spark pii_audit vs the q_pii_redact DuckDB oracle on PLANTED PII
+    (the fixture corpus contains none, so the driver row alone never
+    exercises a real match — this pins Java-regex / RE2 agreement on the
+    shared patterns)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from snowav_spark.ops import text as text_ops
+    from snowav_spark.testing import compare
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "mail a@b.io then mail c.d%e@f-g.h.com twice",
+                "ip 1.2.3.4 phone +555 867 5309 mixed 10.20.30.40",
+                "nothing here",
+                None,
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = text_ops.pii_audit(spark.createDataFrame(pdf), "doc_id", "text")
+    problems = compare(got, con, entrymod.oracle_sql()["q_pii_redact"])
+    assert not problems, problems
+
+
+def test_ngram_doc_freq_planted(spark):
+    from snowav_spark.ops import text as text_ops
+
+    boiler = "subscribe to our newsletter for more"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} cats are great"),
+            (2, f"dogs are loyal {boiler}"),
+            (3, f"{boiler} {boiler}"),  # within-doc repeat counts once
+            (4, "too short"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    top = text_ops.ngram_doc_freq(df, "doc_id", "text", n=5, k=3).collect()
+    assert top[0].ngram == "subscribe to our newsletter for"
+    assert top[0].n_docs == 3  # doc 3's repeat collapsed by array_distinct
+    # deterministic tie-break: n_docs desc, then ngram asc
+    assert [r.n_docs for r in top] == sorted(
+        [r.n_docs for r in top], reverse=True
+    )
