@@ -225,6 +225,32 @@ def main() -> int:
         ["CartesianProduct", "PythonUDF"],
     )
 
+    # 6o. PII audit: one codegen projection on a 2-column pruned scan —
+    # no UDF, no shuffle, nothing but regexp expressions
+    p = formatted(qs["q_pii_redact"](spark, SF))
+    check(
+        "q_pii_redact",
+        p,
+        ["ReadSchema: struct<doc_id:bigint,text:string"],
+        ["Exchange", "PythonUDF", "Generate"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_pii_redact: expected 1 scan, saw {n_scans(p)}")
+
+    # 6p. n-gram doc frequency: NULL filter pushed to the scan, map-side
+    # partial count before the single exchange, sort-free top-k
+    p = formatted(qs["q_ngram_freq"](spark, SF))
+    check(
+        "q_ngram_freq",
+        p,
+        [
+            "PushedFilters: [IsNotNull(text)",
+            "partial_count",
+            "TakeOrderedAndProject",
+        ],
+        ["PythonUDF"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
