@@ -2320,6 +2320,44 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_token_budget",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           cast(sum(CASE WHEN text IS NULL THEN 0
+                         ELSE len(string_split(text, ' ')) END) AS BIGINT)
+               AS n_tokens,
+           cast(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (source, lang) (EXT): exact integer
+    doc/token/char totals — the table data-mixing weights are computed
+    from (mixtures are set in tokens, not documents).  One map-side-
+    combined aggregate, token count by array length (no explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_budget(docs, ["source", "lang"], "text")
+
+
+@q(
+    "q_dup_histogram",
+    """
+    SELECT cluster_size, count(*) AS n_clusters FROM (
+        SELECT md5(text) AS d, count(*) AS cluster_size
+        FROM documents GROUP BY 1
+    ) GROUP BY cluster_size
+    """,
+)
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-size histogram (EXT): clusters per multiplicity
+    from content digests — sizes a dedup pass before running it.  Two
+    map-side-combined hash aggregates; the second input is one row per
+    distinct digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_size_histogram(docs, "text")
+
+
+@q(
     "q_ngram_freq",
     """
     SELECT ngram, n_docs FROM (
@@ -2659,6 +2697,8 @@ _GRADE_ORDER = [
     "q_decontam_bloom",
     "q_pii_redact",
     "q_ngram_freq",
+    "q_token_budget",
+    "q_dup_histogram",
     "q_shuffle_order",
     "q_embed_quant",
     "q_source_mix",

@@ -551,3 +551,25 @@ def simhash_portable(
         ]
     )
     return votes.select(F.col(id_col), fp.alias("fp"))
+
+
+def dup_size_histogram(df: DataFrame, text: str) -> DataFrame:
+    """Duplicate-cluster-size histogram: how many content-identical
+    clusters exist at each multiplicity — the "how duplicated is my
+    corpus" diagnostic that sizes a dedup pass before running it.
+
+    Two hash aggregates (digest → cluster size, size → cluster count),
+    both map-side combined; the second input is one row per DISTINCT
+    digest, so the heavy shuffle is the first and carries only
+    (digest, partial count).  Exact integer output — hash-matchable in
+    any engine.  Scale: linear, no skew concern (a hot digest is still
+    one group; the histogram key space is tiny).
+    """
+    return (
+        df.select(F.md5(F.col(text)).alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -498,3 +498,31 @@ def ngram_doc_freq(
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def token_budget(
+    df: DataFrame, by: list[str], text_col: str
+) -> DataFrame:
+    """Corpus token accounting per group (source, language, …): exact
+    document / token / character totals — the table a data-mixing plan
+    is computed from (mixture weights are set in TOKENS, not documents).
+
+    One map-side-combined hash aggregate over integer measures (token
+    count is array length — no explode, the row count never grows).
+    NULL text counts as a document with 0 tokens/chars in BOTH engines
+    (explicit coalesce: size(split(NULL)) is -1 in Spark, NULL in SQL).
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(toks))
+    n_chr = F.coalesce(F.length(F.col(text_col)), F.lit(0))
+    return (
+        df.groupBy(*by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.sum(n_chr).cast("long").alias("n_chars"),
+        )
+        .orderBy(*by)
+    )

@@ -807,3 +807,44 @@ def test_ngram_doc_freq_planted(spark):
     assert [r.n_docs for r in top] == sorted(
         [r.n_docs for r in top], reverse=True
     )
+
+
+def test_token_budget_null_and_counts(spark):
+    from snowav_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            ("web", "en", "three token doc"),
+            ("web", "en", "two tokens"),
+            ("web", "de", None),  # NULL text → doc counted, 0 tokens/chars
+            ("books", "en", "x"),
+        ],
+        ["source", "lang", "text"],
+    )
+    rows = {
+        (r.source, r.lang): r
+        for r in text_ops.token_budget(df, ["source", "lang"], "text").collect()
+    }
+    assert rows[("web", "en")].n_docs == 2
+    assert rows[("web", "en")].n_tokens == 5
+    assert rows[("web", "en")].n_chars == len("three token doc") + len("two tokens")
+    assert rows[("web", "de")].n_docs == 1
+    assert rows[("web", "de")].n_tokens == 0 and rows[("web", "de")].n_chars == 0
+    assert rows[("books", "en")].n_tokens == 1
+
+
+def test_dup_histogram_planted(spark):
+    from snowav_spark.ops import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a"] * 3 + ["b"] * 3 + ["c"] * 2 + ["d", "e", "f"]
+        )],
+        ["doc_id", "text"],
+    )
+    hist = {
+        r.cluster_size: r.n_clusters
+        for r in dedup_ops.dup_size_histogram(df, "text").collect()
+    }
+    # two clusters of 3 (a,b), one of 2 (c), three singletons (d,e,f)
+    assert hist == {1: 3, 2: 1, 3: 2}
