@@ -33,7 +33,8 @@ def main() -> int:
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             d = json.loads(line)
-            print(f"PASS bench: {d['value']}s / {len(d['queries'])} queries @ sf {d['sf']}")
+            n = d.get("n_queries", len(d["queries"]))
+            print(f"PASS bench: {d['value']}s / {n} queries @ sf {d['sf']}")
         except (json.JSONDecodeError, KeyError):
             ok = False
             print(f"FAIL bench: no JSON line ({line[:120]})")
