@@ -110,9 +110,20 @@ def msum(col):
     of micro-units passes Long.MAX at ~9.2e12 in original units — a
     full-table money sum at sf≳100 — where a long sum would overflow
     (ANSI error or silent wrap) while DuckDB's HUGEINT kept going.
-    Decimal and HUGEINT both stay exact to 38 digits."""
+    Decimal and HUGEINT both stay exact to 38 digits.
+
+    Per-row domain clamp: |x| ≥ 9.2e12 (and NaN — both engines compare
+    it false here) maps to NULL on BOTH sides, because beyond that the
+    per-row micro-unit value itself no longer fits an int64 — Spark's
+    ``floor`` (→ long) wraps while DuckDB's BIGINT cast THROWS
+    (tools/fuzz_fixtures.py float_mag/float_nan variants).  Inside the
+    domain the clamp is the identity."""
     return (
-        F.sum(F.floor(col * 1_000_000).cast("decimal(38,0)")).cast("double")
+        F.sum(
+            F.when(F.abs(col) < 9.2e12, F.floor(col * 1_000_000)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
         / 1_000_000.0
     )
 
@@ -120,9 +131,11 @@ def msum(col):
 def msum_sql(expr: str) -> str:
     """DuckDB twin of ``msum``: sum(BIGINT) promotes to HUGEINT (exact),
     then cast to DOUBLE — the same correctly-rounded conversion Spark
-    applies to its decimal accumulator, so the doubles are identical."""
+    applies to its decimal accumulator, so the doubles are identical.
+    The abs() domain clamp mirrors msum (see there)."""
     return (
-        f"cast(sum(cast(floor(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f"cast(sum(CASE WHEN abs({expr}) < 9.2e12 THEN "
+        f"cast(floor(({expr}) * 1000000) AS BIGINT) END) AS DOUBLE)"
         " / 1000000.0"
     )
 
@@ -638,6 +651,7 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e
         CROSS JOIN (SELECT * FROM (VALUES (50.0), (100.0), (150.0), (200.0),
                                           (250.0)) AS t(target)) t
+        WHERE e.value IS NOT NULL
     ) WHERE rn = 1
     """,
 )
@@ -661,15 +675,19 @@ def q_point_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_cumsum",
+    # Fixed-point running sum (micro-unit integers, one final int→double
+    # conversion) — see ops/windows.py::cumulative for why a running
+    # DOUBLE sum + round(,6) is not hash-stable at large magnitudes.
     """
     WITH d AS (
         SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
-               sum(value) AS s
+               sum(CASE WHEN abs(value) < 9.2e12
+                        THEN cast(floor(value * 1000000) AS BIGINT) END) AS m
         FROM events GROUP BY 1, 2
     )
     SELECT day, event_type,
-           round(sum(s) OVER (PARTITION BY event_type ORDER BY day), 6)
-               AS cum_value
+           cast(sum(m) OVER (PARTITION BY event_type ORDER BY day)
+                AS DOUBLE) / 1000000.0 AS cum_value
     FROM d
     """,
 )
@@ -880,8 +898,8 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_sliding_window",
-    """
-    SELECT ws, event_type, round(sum(value), 6) AS sum_value, count(*) AS n
+    f"""
+    SELECT ws, event_type, {msum_sql('value')} AS sum_value, count(*) AS n
     FROM (
         SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS ws,
                event_type, value
@@ -901,7 +919,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6 hours",
         "1 hour",
         ["event_type"],
-        {"sum_value": r6(F.sum("value")), "n": F.count("*")},
+        {"sum_value": msum(F.col("value")), "n": F.count("*")},
     )
 
 
@@ -1304,8 +1322,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_json_props",
+    # json_valid guard: Spark's get_json_object returns NULL on malformed
+    # JSON while DuckDB's json_extract_string THROWS — a single bad props
+    # row in a regenerated fixture would abort the whole oracle query
+    # (tools/fuzz_fixtures.py nulls variant).
     """
-    SELECT cast(json_extract_string(props, '$.k') AS INT) AS k,
+    SELECT cast(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INT) AS k,
            count(*) AS n, round(sum(value), 6) AS sum_value
     FROM events GROUP BY 1
     """,
@@ -1986,7 +2009,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + 1),
                        i -> array_to_string(
                            string_split(text,' ')[i+1:i+3], ' ')) AS sh
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
     )
     """,
 )

@@ -56,6 +56,39 @@ def clear_cache() -> None:
     contract._PLAN_CACHE.clear()
 
 
+def _nanos_ts_cols(path: str) -> set[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` these surface in
+    Spark as plain ``bigint`` — indistinguishable from a real int64 column
+    without consulting the file metadata, so we read the (tiny) footer
+    schema via pyarrow.  Handles both a single file and a directory of
+    part files (first footer wins — one table has one schema)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        p = path
+        if os.path.isdir(p):
+            parts = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if not parts:
+                return set()
+            p = os.path.join(p, parts[0])
+        schema = pq.read_schema(p)
+        import pyarrow as pa
+
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying per-table schema fixes."""
     key = (id(spark), sf_dir.rstrip("/"), name)
@@ -63,19 +96,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if hit is not None:
         return hit
     ensure_engine_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     # The fixtures' physical timestamp encodings have changed across driver
     # regenerations (events.ts: INT64 TIMESTAMP(NANOS) → TIMESTAMP(MICROS);
     # an isAdjustedToUTC flip would surface as LTZ).  Normalize every form
     # to TIMESTAMP_NTZ so downstream plans see ONE stable type that matches
     # DuckDB's naive-timestamp view of the same files at µs precision.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # ANY column may flip to nanos in a regeneration (round 1 shipped
+    # events.ts as ns; fuzz variant ts_ns proved o_orderdate/l_shipdate
+    # would break too), so detect from the footer, not a name allowlist.
+    bigint_cols = {c for c, t in df.dtypes if t == "bigint"}
+    for col in sorted(_nanos_ts_cols(path) & bigint_cols):
         # ns → µs MUST be integer division (`div`): `/` goes through
         # double, whose ulp at ~1.7e18 ns is 256, truncating ~1.6% of
         # µs values one low vs DuckDB's exact conversion.
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            col,
+            F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
         )
     for col, dtype in df.dtypes:
         if dtype == "timestamp":

@@ -79,7 +79,13 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic Lloyd's k-means.  Returns (assignments, centroids):
     assignments = (id, cluster, dist2) as a lazy plan against the final
-    centroids; centroids = k×dim floats."""
+    centroids; centroids = k×dim floats.
+
+    NULL or wrong-length vectors are dropped up front: a NULL seed vector
+    crashes centroid extraction and a short vector's element_at returns
+    NULL, which would silently poison every distance it touches (found by
+    tools/fuzz_fixtures.py nulls variant)."""
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     wide = _wide(df, id_col, vec, dim)
     seed_rows = (
         df.orderBy(id_col)

@@ -154,8 +154,15 @@ def nearest_point(
     The target list is tiny → ``crossJoin(broadcast(targets))`` is a
     broadcast nested-loop that never shuffles the big side; the pick is a
     ``min_by`` over (|value − target|, tiebreak).
+
+    NULL measurement rows are dropped: they have no distance, and the
+    engines order a NULL sort key oppositely (Spark struct-min puts NULL
+    first, DuckDB ORDER BY puts it last — fuzz_fixtures nulls variant),
+    so keeping them makes the "nearest" pick engine-dependent.
     """
-    joined = df.crossJoin(F.broadcast(targets))
+    joined = df.filter(F.col(value).isNotNull()).crossJoin(
+        F.broadcast(targets)
+    )
     dist = F.abs(F.col(value) - F.col(target))
     key = F.struct(dist.alias("d"), F.col(tiebreak).alias("t"))
     return joined.groupBy(*groups, target).agg(

@@ -50,7 +50,13 @@ def pack_sequences(
     Returns (id, len, shard, bin, offset): ``bin`` is the bin index
     within the shard, ``offset`` the document's start position in its
     bin.  Global bin id = (shard, bin).
+
+    Rows with NULL id or NULL length are unpackable and dropped up
+    front — a NULL length reaches the FFD loop as NaN, never fits any
+    bin, and crashes the ``int(ln)`` new-bin insert (found by
+    tools/fuzz_fixtures.py nulls variant).
     """
+    df = df.filter(F.col(id_col).isNotNull() & F.col(len_col).isNotNull())
     slim = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(len_col).cast("long").alias("len"),

@@ -332,11 +332,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate stage of ``dedup_pairs_lsh``: distinct (id_a, id_b) pairs
     that co-bucket in ≥1 table.  Public so the pruning frontier can be
-    measured on the exact production path (tools/lsh_frontier.py)."""
+    measured on the exact production path (tools/lsh_frontier.py).
+
+    NULL / wrong-length vectors are dropped before the bucket UDF — a
+    single None in an Arrow batch turns the matmul input ragged and
+    crashes the executor (tools/fuzz_fixtures.py nulls variant)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     hyperplanes = random_hyperplanes(tables, bits, dim, seed)
     # Bucket ids via ONE Arrow-vectorized pandas_udf: an (n×dim)·(dim×P)
     # numpy matmul per batch, P = tables·bits sign bits packed into
@@ -438,9 +443,13 @@ def ivf_centroids(
     across runs and engines.  Each Lloyd iteration is one broadcast
     assignment plus one groupBy: per-dimension ``avg`` — a single
     map-side-combined shuffle of n_cells × dim partial sums.
+
+    NULL / wrong-length vectors are dropped (same rationale as
+    lsh_candidate_pairs — they crash the Arrow matmul path).
     """
     import numpy as np
 
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     seeds = (
         df.select(vec, F.md5(F.col(id_col).cast("string")).alias("_h"))
         .orderBy("_h")
@@ -491,7 +500,10 @@ def ivf_assign(
     df: DataFrame, id_col: str, vec: str, cents
 ) -> DataFrame:
     """Corpus + its IVF cell id.  At scale, persist this partitioned by
-    ``cell`` so probes prune at the file level."""
+    ``cell`` so probes prune at the file level.  NULL / ragged vectors
+    are unindexable and dropped (would crash the Arrow matmul)."""
+    dim = len(cents[0])
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     return df.withColumn("cell", _cell_of(vec, cents))
 
 

@@ -311,7 +311,13 @@ def repetition_stats(
     shingles_of_tokens pitfall), measured 3.4× slower at sf0.1.  The
     map-only array form composes into any projection without adding an
     exchange, unlike the explode → count/count_distinct agg twin.
+
+    NULL-text docs are dropped (same convention as chunk_docs): a NULL
+    text has no repetition score, and the engines disagree on the
+    NULL-shingle fallout (DuckDB's list_distinct strips NULLs, Spark's
+    array_distinct keeps them — tools/fuzz_fixtures.py nulls variant).
     """
+    df = df.filter(F.col(text_col).isNotNull())
     tokd = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )

@@ -31,17 +31,44 @@ def daily_then_window(
     )
 
 
+def fixed_micros(col: Column) -> Column:
+    """Per-row fixed-point micro-units: floor(x·1e6) as decimal(38,0).
+
+    The contract's msum convention (contract.msum) applied at the row
+    level so it can feed *windowed* sums: every engine floors the same
+    double identically, the integer accumulation is exact (order- and
+    partitioning-independent), and one final int→double conversion
+    rounds the same way everywhere.  |x| ≥ 9.2e12 and NaN map to NULL —
+    beyond that the micro-unit value overflows int64 (DuckDB's BIGINT
+    cast throws, Spark's floor-to-long wraps)."""
+    return F.when(F.abs(col) < 9.2e12, F.floor(col * 1_000_000)).cast(
+        "decimal(38,0)"
+    )
+
+
 def cumulative(df: DataFrame, ts: str, groups: list[str], value: str) -> DataFrame:
     """Running total across days (ref:snowav/plotting/basin_total.py uses
-    pandas cumsum on the collected frame)."""
-    daily = daily_then_window(df, ts, groups, value)
+    pandas cumsum on the collected frame).
+
+    Fixed-point form: a running DOUBLE sum re-executes the float
+    additions in window order, so two engines (or two partitionings)
+    can drift a ulp per prefix and round(,6) stops absorbing it once
+    the running total passes ~1e7.  Summing exact micro-unit integers
+    and converting once at the end is bit-deterministic at any
+    magnitude (fuzz_fixtures float_mag variant)."""
+    day = F.date_trunc("day", F.col(ts)).cast("date").alias("day")
+    daily = df.groupBy(day, *[F.col(g) for g in groups]).agg(
+        F.sum(fixed_micros(F.col(value))).alias("_m")
+    )
     w = (
         Window.partitionBy(*groups)
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return daily.select(
-        "day", *groups, F.round(F.sum("_s").over(w), 6).alias("cum_value")
+        "day",
+        *groups,
+        (F.sum("_m").over(w).cast("double") / 1_000_000.0).alias("cum_value"),
     )
 
 
