@@ -2363,6 +2363,59 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS t FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(c * 1.0 / t)), 6) AS avg_logp
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per doc (EXT — the CCNet-style LM
+    filter).  The token-count model is vocabulary-sized → broadcast
+    join; the token stream never shuffles (ops/text.py scale notes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "doc_id", "text")
+
+
+@q(
+    "q_oov_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 100)
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           cast(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus's own top-100
+    vocabulary (EXT — vocabulary-coverage quality rule).  Deterministic
+    vocab boundary via (count desc, token asc); all measures exact
+    integers, the rate one identical int/int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_rate(docs, "doc_id", "text", vocab_size=100)
+
+
+@q(
     "q_dup_histogram",
     """
     SELECT cluster_size, count(*) AS n_clusters FROM (
@@ -2721,6 +2774,8 @@ _GRADE_ORDER = [
     "q_pii_redact",
     "q_ngram_freq",
     "q_token_budget",
+    "q_unigram_logprob",
+    "q_oov_rate",
     "q_dup_histogram",
     "q_shuffle_order",
     "q_embed_quant",

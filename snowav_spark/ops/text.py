@@ -532,3 +532,78 @@ def token_budget(
         )
         .orderBy(*by)
     )
+
+
+def _exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) rows; NULL-text docs contribute nothing (chunk_docs
+    convention)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram language-model quality score — the CCNet-style LM filter:
+    score each document by the mean log-probability of its tokens under
+    a unigram model trained on the corpus itself.  Low scores flag
+    gibberish / non-language payloads; implausibly high scores flag
+    degenerate all-stopword docs.
+
+    Shape at 100 TB: the model (token → count) is VOCABULARY-sized, not
+    corpus-sized — Heaps' law keeps it in broadcast range even for
+    multi-TB corpora, exactly why production LM filters ship as lookup
+    tables.  So the scoring join is a broadcast hash join: the exploded
+    token stream never shuffles.  The per-doc aggregation combines
+    map-side (a doc's tokens are co-partitioned with the doc row the
+    explode came from).  Two corpus passes total (one to count, one to
+    score), both scans — no corpus-sized shuffle anywhere.
+
+    Hash parity: count/total is the identical int→double division in
+    both engines; ln() may differ by 1 ulp between libm and the JVM,
+    which round(avg, 6) absorbs at |logp| ~ 10.
+    """
+    toks = _exploded_tokens(df, id_col, text_col)
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    tot = toks.agg(F.count("*").alias("_t"))
+    logp = F.log(F.col("_c").cast("double") / F.col("_t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 100
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the vocabulary-coverage
+    quality rule (docs dominated by rare tokens are code, noise, or the
+    wrong language for the vocab).
+
+    The vocabulary is deterministic: top-V by (count desc, token asc) —
+    the explicit tie-break keeps the V boundary engine-independent.
+    Same scale shape as unigram_logprob: vocab is broadcast-sized by
+    construction (V rows), the marker join is broadcast, the per-doc agg
+    combines map-side.  All measures are exact integers; the rate is one
+    int/int division rounded identically everywhere.
+    """
+    toks = _exploded_tokens(df, id_col, text_col)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov * 1.0 / F.count("*"), 6).alias("oov_frac"),
+    )

@@ -848,3 +848,52 @@ def test_dup_histogram_planted(spark):
     }
     # two clusters of 3 (a,b), one of 2 (c), three singletons (d,e,f)
     assert hist == {1: 3, 2: 1, 3: 2}
+
+
+def test_unigram_logprob_scores_common_tokens_higher(spark):
+    from snowav_spark.ops import text as T
+
+    # corpus: "a" appears 4/6 tokens, "rare"/"word" once each
+    df = spark.createDataFrame(
+        [(1, "a a a rare"), (2, "a word"), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in T.unigram_logprob(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # NULL text contributes nothing
+    assert rows[1].n_tokens == 4 and rows[2].n_tokens == 2
+    # doc 1 is 3/4 high-probability tokens -> higher mean logp than doc 2
+    assert rows[1].avg_logp > rows[2].avg_logp
+    import math
+
+    # exact check: p(a)=4/6, p(rare)=p(word)=1/6
+    exp1 = (3 * math.log(4 / 6) + math.log(1 / 6)) / 4
+    assert abs(rows[1].avg_logp - round(exp1, 6)) < 1e-9
+
+
+def test_oov_rate_against_top_vocab(spark):
+    from snowav_spark.ops import text as T
+
+    # vocab_size=1 -> vocabulary is exactly {"a"} (most frequent)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c d"), (3, "a")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in T.oov_rate(df, "doc_id", "text", vocab_size=1).collect()
+    }
+    assert rows[1].n_oov == 1 and rows[1].n_tokens == 3
+    assert rows[2].n_oov == 2 and rows[2].oov_frac == 1.0
+    assert rows[3].n_oov == 0 and rows[3].oov_frac == 0.0
+
+
+def test_oov_vocab_boundary_tiebreak(spark):
+    from snowav_spark.ops import text as T
+
+    # "x" and "y" tie at count 2; vocab_size=1 must pick "x" (token asc)
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in T.oov_rate(df, "doc_id", "text", vocab_size=1).collect()
+    }
+    assert rows[1].n_oov == 1 and rows[2].n_oov == 1

@@ -251,6 +251,33 @@ def main() -> int:
         ["PythonUDF"],
     )
 
+    # 6q. LM-filter scorers: the vocabulary-sized model joins BROADCAST
+    # (the exploded token stream must never shuffle), NULL filter pushed
+    # to the scan, per-doc agg combines map-side, no Python UDFs
+    p = formatted(qs["q_unigram_logprob"](spark, SF))
+    check(
+        "q_unigram_logprob",
+        p,
+        [
+            "BroadcastHashJoin",
+            "PushedFilters: [IsNotNull(text)",
+            "partial_count",
+            "partial_avg",
+        ],
+        ["PythonUDF", "SortMergeJoin"],
+    )
+    p = formatted(qs["q_oov_rate"](spark, SF))
+    check(
+        "q_oov_rate",
+        p,
+        [
+            "BroadcastHashJoin",
+            "PushedFilters: [IsNotNull(text)",
+            "TakeOrderedAndProject",  # vocab top-V never sorts the corpus
+        ],
+        ["PythonUDF", "SortMergeJoin"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
