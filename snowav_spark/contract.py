@@ -2416,6 +2416,33 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_lookback_join",
+    """
+    SELECT p.event_id,
+           cast(count(e.user_id) AS BIGINT) AS n_in_window
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.event_type = 'error'
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_lookback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: errors in the hour before each purchase
+    (EXT — error attribution).  The oracle states the theta join
+    directly; the Spark plan is the scale-safe band join — equi-join on
+    (user, time-bucket) probing two buckets, never a per-user cartesian
+    (ops/joins.py::lookback_count)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase")
+    errs = ev.filter(F.col("event_type") == "error")
+    return joins.lookback_count(
+        anchors, errs, ["user_id"], "ts", "ts", 3600, ["event_id"]
+    )
+
+
+@q(
     "q_dup_histogram",
     """
     SELECT cluster_size, count(*) AS n_clusters FROM (
@@ -2776,6 +2803,7 @@ _GRADE_ORDER = [
     "q_token_budget",
     "q_unigram_logprob",
     "q_oov_rate",
+    "q_lookback_join",
     "q_dup_histogram",
     "q_shuffle_order",
     "q_embed_quant",

@@ -235,3 +235,57 @@ def asof_within(
         left, right, on, left_key, distance, tiebreak, payload, tolerance
     )
     return left.select(left_key).distinct().join(best, left_key, "left")
+
+
+def lookback_count(
+    anchors: DataFrame,
+    lookups: DataFrame,
+    keys: list[str],
+    anchor_ts: str,
+    lookup_ts: str,
+    window_seconds: int,
+    id_cols: list[str],
+) -> DataFrame:
+    """Bucketized interval (range) join: for every anchor row, count
+    lookup rows with the same keys whose timestamp falls in
+    ``[anchor_ts − window, anchor_ts)`` — the error-attribution /
+    "events preceding a conversion" shape.
+
+    Spark has no native range join, and the naive form (equi-join on
+    keys + theta predicate on time) degenerates to a per-key cartesian
+    product — quadratic in the hottest key.  The scale-safe expression
+    is the classic **band join**: bucket both sides by
+    ``floor(epoch / window)``; a half-open window of length ``window``
+    can only overlap TWO consecutive buckets, so each anchor probes
+    exactly buckets b−1 and b.  The join becomes an equi-join on
+    (keys…, bucket) — hash-shuffled, AQE-skew-splittable — whose
+    candidate set per anchor is bounded by two buckets of same-key
+    traffic, never the whole key history.  The exact interval predicate
+    then filters candidates, and a map-side-combinable integer count
+    aggregates per anchor.
+
+    Rows with NULL keys or NULL timestamps count zero matches in both
+    engines (NULL equi-keys never join; NULL comparisons are false).
+    Epoch seconds come from integer µs truncation — exact, no float.
+    """
+    a_ep = F.unix_timestamp(F.col(anchor_ts))
+    l_ep = F.unix_timestamp(F.col(lookup_ts))
+    a_bk = F.floor(a_ep / window_seconds)
+    look = lookups.select(
+        *[F.col(k) for k in keys],
+        l_ep.alias("_le"),
+        F.floor(l_ep / window_seconds).alias("_bk"),
+    )
+    probe = anchors.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(k) for k in keys],
+        a_ep.alias("_ae"),
+        F.explode(F.array(a_bk - 1, a_bk)).alias("_bk"),
+    )
+    hit = (F.col("_le") >= F.col("_ae") - window_seconds) & (
+        F.col("_le") < F.col("_ae")
+    )
+    joined = probe.join(look, [*keys, "_bk"], "left")
+    return joined.groupBy(*id_cols).agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_in_window")
+    )
