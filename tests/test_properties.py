@@ -223,3 +223,54 @@ def test_msum_matches_exact_fixed_point(spark, vals):
     got = df.agg(msum(F.col("x")).alias("s")).collect()[0].s
     exact = sum(math.floor(v * 1_000_000) for v in vals)
     assert got == float(exact) / 1_000_000.0
+
+
+@given(
+    anchors=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20000)),  # (user, sec)
+        min_size=1,
+        max_size=25,
+    ),
+    lookups=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20000)),
+        min_size=0,
+        max_size=40,
+    ),
+    window=st.sampled_from([60, 3600, 7200]),
+)
+@SET
+def test_lookback_count_matches_bruteforce(spark, anchors, lookups, window):
+    """The band join must agree with the O(n·m) definition: count lookups
+    with the same key in [t−window, t) — for every window size and any
+    bucket alignment."""
+    import datetime as dt
+
+    from snowav_spark.ops import joins
+
+    base = dt.datetime(2024, 1, 1)
+    a_df = spark.createDataFrame(
+        [
+            (i, u, base + dt.timedelta(seconds=s))
+            for i, (u, s) in enumerate(anchors)
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    l_df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s)) for u, s in lookups],
+        "user_id long, ts timestamp_ntz",
+    ) if lookups else spark.createDataFrame([], "user_id long, ts timestamp_ntz")
+    got = {
+        r.event_id: r.n_in_window
+        for r in joins.lookback_count(
+            a_df, l_df, ["user_id"], "ts", "ts", window, ["event_id"]
+        ).collect()
+    }
+    want = {
+        i: sum(
+            1
+            for (lu, ls) in lookups
+            if lu == u and s - window <= ls < s
+        )
+        for i, (u, s) in enumerate(anchors)
+    }
+    assert got == want
