@@ -2416,6 +2416,47 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_bm25",
+    # Constants carry e0 suffixes: a bare 1.2 is DECIMAL in DuckDB and
+    # decimal arithmetic would diverge from Spark's double fold.
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    stats AS (
+        SELECT count(*) * 1e0 AS n_docs,
+               avg(len(string_split(text, ' '))) AS avg_dl
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS word
+        FROM d
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf, min(dl) AS dl
+        FROM toks WHERE word IN ('join', 'vector', 'scan')
+        GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+               * (tf * 2.2e0)
+               / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avg_dl))
+           ), 6) AS bm25
+    FROM tf JOIN dfr USING (word) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every doc against a fixed term query (EXT —
+    retrieval-side scorer; ops/text.py::bm25_scores).  Corpus stats stay
+    in-plan as 1-row broadcast aggregates; only matching (doc, term)
+    rows survive the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, "doc_id", "text", ["join", "vector", "scan"])
+
+
+@q(
     "q_lookback_join",
     """
     SELECT p.event_id,
@@ -2803,6 +2844,7 @@ _GRADE_ORDER = [
     "q_token_budget",
     "q_unigram_logprob",
     "q_oov_rate",
+    "q_bm25",
     "q_lookback_join",
     "q_dup_histogram",
     "q_shuffle_order",

@@ -169,7 +169,12 @@ def bm25_scores(
 
     Same shuffle shape as TF-IDF; the query-term list is inlined as a
     literal filter so only matching (doc, term) rows survive the explode.
+
+    NULL-text docs are excluded from the collection entirely (N and
+    avg_dl): Spark's non-ANSI ``size(split(NULL))`` is −1, which would
+    silently poison avg_dl where SQL's avg skips NULLs.
     """
+    df = df.filter(F.col(text_col).isNotNull())
     tok = df.select(
         F.col(id_col),
         F.size(tokens(F.col(text_col))).alias("dl"),
