@@ -112,19 +112,12 @@ def msum(col):
     (ANSI error or silent wrap) while DuckDB's HUGEINT kept going.
     Decimal and HUGEINT both stay exact to 38 digits.
 
-    Per-row domain clamp: |x| ≥ 9.2e12 (and NaN — both engines compare
-    it false here) maps to NULL on BOTH sides, because beyond that the
-    per-row micro-unit value itself no longer fits an int64 — Spark's
-    ``floor`` (→ long) wraps while DuckDB's BIGINT cast THROWS
-    (tools/fuzz_fixtures.py float_mag/float_nan variants).  Inside the
-    domain the clamp is the identity."""
-    return (
-        F.sum(
-            F.when(F.abs(col) < 9.2e12, F.floor(col * 1_000_000)).cast(
-                "decimal(38,0)"
-            )
-        ).cast("double")
-        / 1_000_000.0
+    Per-row conversion + domain clamp live in ONE place —
+    ops/windows.py::fixed_micros / fixed_micros_sql (NaN and
+    |x| ≥ FIXED_POINT_DOMAIN map to NULL identically in both engines;
+    see the rationale there)."""
+    return F.sum(windows.fixed_micros(col)).cast("double") / float(
+        windows.FIXED_POINT_SCALE
     )
 
 
@@ -132,11 +125,11 @@ def msum_sql(expr: str) -> str:
     """DuckDB twin of ``msum``: sum(BIGINT) promotes to HUGEINT (exact),
     then cast to DOUBLE — the same correctly-rounded conversion Spark
     applies to its decimal accumulator, so the doubles are identical.
-    The abs() domain clamp mirrors msum (see there)."""
+    Per-row conversion shared with the Spark side via
+    windows.fixed_micros_sql."""
     return (
-        f"cast(sum(CASE WHEN abs({expr}) < 9.2e12 THEN "
-        f"cast(floor(({expr}) * 1000000) AS BIGINT) END) AS DOUBLE)"
-        " / 1000000.0"
+        f"cast(sum({windows.fixed_micros_sql(expr)}) AS DOUBLE)"
+        f" / {windows.FIXED_POINT_SCALE}.0"
     )
 
 
@@ -678,16 +671,15 @@ def q_point_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-point running sum (micro-unit integers, one final int→double
     # conversion) — see ops/windows.py::cumulative for why a running
     # DOUBLE sum + round(,6) is not hash-stable at large magnitudes.
-    """
+    f"""
     WITH d AS (
         SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
-               sum(CASE WHEN abs(value) < 9.2e12
-                        THEN cast(floor(value * 1000000) AS BIGINT) END) AS m
+               sum({windows.fixed_micros_sql('value')}) AS m
         FROM events GROUP BY 1, 2
     )
     SELECT day, event_type,
            cast(sum(m) OVER (PARTITION BY event_type ORDER BY day)
-                AS DOUBLE) / 1000000.0 AS cum_value
+                AS DOUBLE) / {windows.FIXED_POINT_SCALE}.0 AS cum_value
     FROM d
     """,
 )

@@ -85,7 +85,20 @@ def _nanos_ts_cols(path: str) -> set[str]:
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         }
-    except Exception:
+    except Exception as e:
+        # Never fail the load over a footer probe — but never go silent
+        # either: without this probe a ns-encoded fixture surfaces as raw
+        # bigint and the failure lands far downstream (date_trunc on
+        # bigint, 1000x-off epochs) with no hint of the root cause.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "nanos-timestamp footer probe failed for %s (%s: %s); "
+            "INT64-nanos columns, if any, will surface as bigint",
+            path,
+            type(e).__name__,
+            e,
+        )
         return set()
 
 

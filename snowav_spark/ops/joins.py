@@ -266,15 +266,20 @@ def lookback_count(
 
     Rows with NULL keys or NULL timestamps count zero matches in both
     engines (NULL equi-keys never join; NULL comparisons are false).
-    Epoch seconds come from integer µs truncation — exact, no float.
+    The comparison runs on integer MICROSECOND epochs (``unix_micros``),
+    never second-truncated ``unix_timestamp``: fixture timestamps carry
+    sub-second precision, and truncating would count boundary rows
+    differently from an oracle comparing full-precision timestamps
+    (found in review — both divergence directions reproduce).
     """
-    a_ep = F.unix_timestamp(F.col(anchor_ts))
-    l_ep = F.unix_timestamp(F.col(lookup_ts))
-    a_bk = F.floor(a_ep / window_seconds)
+    window_us = int(window_seconds) * 1_000_000
+    a_ep = F.unix_micros(F.col(anchor_ts).cast("timestamp"))
+    l_ep = F.unix_micros(F.col(lookup_ts).cast("timestamp"))
+    a_bk = F.floor(a_ep / window_us)
     look = lookups.select(
         *[F.col(k) for k in keys],
         l_ep.alias("_le"),
-        F.floor(l_ep / window_seconds).alias("_bk"),
+        F.floor(l_ep / window_us).alias("_bk"),
     )
     probe = anchors.select(
         *[F.col(c) for c in id_cols],
@@ -282,7 +287,7 @@ def lookback_count(
         a_ep.alias("_ae"),
         F.explode(F.array(a_bk - 1, a_bk)).alias("_bk"),
     )
-    hit = (F.col("_le") >= F.col("_ae") - window_seconds) & (
+    hit = (F.col("_le") >= F.col("_ae") - window_us) & (
         F.col("_le") < F.col("_ae")
     )
     joined = probe.join(look, [*keys, "_bk"], "left")

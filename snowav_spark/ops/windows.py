@@ -31,6 +31,17 @@ def daily_then_window(
     )
 
 
+# The engine's ONE fixed-point sum convention (shared by contract.msum /
+# msum_sql, the windowed sums below, and every oracle that needs an
+# order-independent money-scale sum).  Change it HERE only — a clamp or
+# scale that drifts between any Spark/SQL pair is an instant engine
+# divergence.
+FIXED_POINT_SCALE = 1_000_000
+# Per-row domain bound: beyond this the micro-unit value overflows int64
+# (DuckDB's BIGINT cast throws, Spark's floor-to-long wraps).
+FIXED_POINT_DOMAIN = 9.2e12
+
+
 def fixed_micros(col: Column) -> Column:
     """Per-row fixed-point micro-units: floor(x·1e6) as decimal(38,0).
 
@@ -38,11 +49,19 @@ def fixed_micros(col: Column) -> Column:
     level so it can feed *windowed* sums: every engine floors the same
     double identically, the integer accumulation is exact (order- and
     partitioning-independent), and one final int→double conversion
-    rounds the same way everywhere.  |x| ≥ 9.2e12 and NaN map to NULL —
-    beyond that the micro-unit value overflows int64 (DuckDB's BIGINT
-    cast throws, Spark's floor-to-long wraps)."""
-    return F.when(F.abs(col) < 9.2e12, F.floor(col * 1_000_000)).cast(
-        "decimal(38,0)"
+    rounds the same way everywhere.  |x| ≥ FIXED_POINT_DOMAIN and NaN
+    map to NULL in both engines (NaN compares false here everywhere)."""
+    return F.when(
+        F.abs(col) < FIXED_POINT_DOMAIN, F.floor(col * FIXED_POINT_SCALE)
+    ).cast("decimal(38,0)")
+
+
+def fixed_micros_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fixed_micros` — keep the pair adjacent so
+    the clamp/scale can never drift apart."""
+    return (
+        f"CASE WHEN abs({expr}) < {FIXED_POINT_DOMAIN!r} THEN "
+        f"cast(floor(({expr}) * {FIXED_POINT_SCALE}) AS BIGINT) END"
     )
 
 
@@ -68,7 +87,9 @@ def cumulative(df: DataFrame, ts: str, groups: list[str], value: str) -> DataFra
     return daily.select(
         "day",
         *groups,
-        (F.sum("_m").over(w).cast("double") / 1_000_000.0).alias("cum_value"),
+        (F.sum("_m").over(w).cast("double") / float(FIXED_POINT_SCALE)).alias(
+            "cum_value"
+        ),
     )
 
 

@@ -70,6 +70,13 @@ def _parse_lines(
     schema: T.StructType,
     corrupt_col: str,
 ) -> DataFrame:
+    # Blank / whitespace-only lines are record SEPARATORS in line-oriented
+    # formats (trailing newlines, blank-line-delimited drops), not
+    # records: skip them entirely.  Left in, from_json('') returns a NULL
+    # struct with the corrupt column unset, and each blank line would
+    # surface as a phantom all-NULL document on the CLEAN side of the
+    # quarantine split (found in review).
+    lines = lines.filter(F.trim(F.col("value")) != "")
     full = _with_corrupt(schema, corrupt_col)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
     if parser is F.from_csv:
@@ -77,10 +84,21 @@ def _parse_lines(
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in full.fields
         )
-        parsed = lines.select(parser(F.col("value"), ddl, opts).alias("_d"))
+        parsed = lines.select(parser(F.col("value"), ddl, opts).alias("_d"), "value")
     else:
-        parsed = lines.select(parser(F.col("value"), full, opts).alias("_d"))
-    return parsed.select("_d.*")
+        parsed = lines.select(parser(F.col("value"), full, opts).alias("_d"), "value")
+    # Belt-and-braces for any other input the parser maps to a NULL
+    # struct without setting the corrupt column (e.g. the bare JSON
+    # literal `null`): a non-blank line that produced no struct is
+    # corrupt by definition — carry the raw line.
+    corrupt = F.coalesce(
+        F.col(f"_d.{corrupt_col}"),
+        F.when(F.col("_d").isNull(), F.col("value")),
+    )
+    return parsed.select(
+        *[F.col(f"_d.{f.name}").alias(f.name) for f in schema.fields],
+        corrupt.alias(corrupt_col),
+    )
 
 
 def read_jsonl(

@@ -37,6 +37,30 @@ def test_lookback_boundaries_and_straddle(spark):
     assert out[0].n_in_window == 3
 
 
+def test_lookback_subsecond_boundaries(spark):
+    """Comparisons are µs-exact: a lookup 300 ms before the anchor is in;
+    one 100 ms before the window start is out (a second-truncating
+    implementation gets both wrong)."""
+    us = dt.timedelta
+    anchor = dt.datetime(2024, 1, 5, 12, 0, 0, 500_000)
+    anchors = spark.createDataFrame(
+        [(1, 100, anchor)], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    lookups = spark.createDataFrame(
+        [
+            (100, anchor - us(milliseconds=300)),       # in
+            (100, anchor),                              # exact t: out
+            (100, anchor - us(seconds=3600)),           # exact -1h: in
+            (100, anchor - us(seconds=3600, milliseconds=100)),  # out
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = joins.lookback_count(
+        anchors, lookups, ["user_id"], "ts", "ts", 3600, ["event_id"]
+    ).collect()
+    assert out[0].n_in_window == 2
+
+
 def test_lookback_zero_matches_and_null_key(spark):
     anchors = spark.createDataFrame(
         [(1, 100, _ts(12)), (2, None, _ts(12)), (3, 100, None)],

@@ -227,12 +227,12 @@ def test_msum_matches_exact_fixed_point(spark, vals):
 
 @given(
     anchors=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 20000)),  # (user, sec)
+        st.tuples(st.integers(0, 3), st.integers(0, 20_000_000)),  # (user, ms)
         min_size=1,
         max_size=25,
     ),
     lookups=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 20000)),
+        st.tuples(st.integers(0, 3), st.integers(0, 20_000_000)),
         min_size=0,
         max_size=40,
     ),
@@ -241,8 +241,10 @@ def test_msum_matches_exact_fixed_point(spark, vals):
 @SET
 def test_lookback_count_matches_bruteforce(spark, anchors, lookups, window):
     """The band join must agree with the O(n·m) definition: count lookups
-    with the same key in [t−window, t) — for every window size and any
-    bucket alignment."""
+    with the same key in [t−window, t) — for every window size, any
+    bucket alignment, and SUB-SECOND timestamps (millisecond precision —
+    a second-truncating implementation miscounts boundary rows; found in
+    review)."""
     import datetime as dt
 
     from snowav_spark.ops import joins
@@ -250,13 +252,13 @@ def test_lookback_count_matches_bruteforce(spark, anchors, lookups, window):
     base = dt.datetime(2024, 1, 1)
     a_df = spark.createDataFrame(
         [
-            (i, u, base + dt.timedelta(seconds=s))
-            for i, (u, s) in enumerate(anchors)
+            (i, u, base + dt.timedelta(milliseconds=ms))
+            for i, (u, ms) in enumerate(anchors)
         ],
         "event_id long, user_id long, ts timestamp_ntz",
     )
     l_df = spark.createDataFrame(
-        [(u, base + dt.timedelta(seconds=s)) for u, s in lookups],
+        [(u, base + dt.timedelta(milliseconds=ms)) for u, ms in lookups],
         "user_id long, ts timestamp_ntz",
     ) if lookups else spark.createDataFrame([], "user_id long, ts timestamp_ntz")
     got = {
@@ -265,12 +267,13 @@ def test_lookback_count_matches_bruteforce(spark, anchors, lookups, window):
             a_df, l_df, ["user_id"], "ts", "ts", window, ["event_id"]
         ).collect()
     }
+    w_ms = window * 1000
     want = {
         i: sum(
             1
-            for (lu, ls) in lookups
-            if lu == u and s - window <= ls < s
+            for (lu, lms) in lookups
+            if lu == u and ms - w_ms <= lms < ms
         )
-        for i, (u, s) in enumerate(anchors)
+        for i, (u, ms) in enumerate(anchors)
     }
     assert got == want

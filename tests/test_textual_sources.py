@@ -88,6 +88,24 @@ def test_csv_read_and_quarantine(spark, tmp_path):
     assert "oops" in bad.first()[textual.CORRUPT_COL]
 
 
+def test_blank_lines_skipped_null_literal_quarantined(spark, tmp_path):
+    """Blank/whitespace lines are separators (skipped, not phantom NULL
+    docs); a bare `null` JSON literal parses to no record and must land
+    in quarantine with the raw line (review finding)."""
+    p = str(tmp_path / "blanky")
+    os.makedirs(p)
+    _write_lines(
+        os.path.join(p, "d.jsonl"),
+        [GOOD[0], "", "   ", GOOD[1], "null", ""],
+    )
+    good, bad = textual.split_quarantine(textual.read_jsonl(spark, p))
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert good.filter(F.col("doc_id").isNull()).count() == 0
+    badly = bad.collect()
+    assert len(badly) == 1
+    assert badly[0][textual.CORRUPT_COL] == "null"
+
+
 def test_explicit_schema_no_inference(spark, tmp_path):
     """The reader must take the declared schema verbatim (no inference
     pass): a field absent from the schema never surfaces."""

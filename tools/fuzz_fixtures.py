@@ -27,7 +27,8 @@ Variants (gating — a mismatch is a bug to fix):
 Report-only (engine disagreement noted, not fatal — NaN ordering and
 overflow semantics legitimately differ across engines and the driver's
 synthetic generator has never emitted them):
-  float_edge  NaN / -0.0 / 1e13-magnitude doubles in events.value
+  float_mag   -0.0 / ±1e13-magnitude / subnormal doubles in events.value
+  float_nan   NaN doubles in events.value
 
 Usage:
     python tools/fuzz_fixtures.py [variant ...]     # default: all
@@ -183,9 +184,14 @@ def build_variant(variant: str, dest: str) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     keep = "--keep" in sys.argv[1:]
+    unknown = [a for a in args if a not in VARIANTS]
+    if unknown:
+        print(f"unknown variant(s) {unknown}; valid: {sorted(VARIANTS)}")
+        return 2
     names = args or list(VARIANTS)
     root = tempfile.mkdtemp(prefix="fuzzfix_")
     gating_failed = []
+    report_failed = []
     for v in names:
         dest = os.path.join(root, v)
         build_variant(v, dest)
@@ -215,12 +221,19 @@ def main() -> int:
             if gating:
                 gating_failed.append(v)
             else:
+                report_failed.append(v)
                 print(f"  (report-only variant — not gating)")
     if not keep:
         shutil.rmtree(root, ignore_errors=True)
+    clean = len(names) - len(gating_failed) - len(report_failed)
     print(
-        f"\nfuzz: {len(names) - len(gating_failed)}/{len(names)} variants clean"
+        f"\nfuzz: {clean}/{len(names)} variants clean"
         + (f"; GATING FAILURES: {gating_failed}" if gating_failed else "")
+        + (
+            f"; report-only disagreements: {report_failed}"
+            if report_failed
+            else ""
+        )
     )
     return 1 if gating_failed else 0
 
