@@ -205,3 +205,25 @@ def incremental_ingest_stream(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes (source
+    weights, basin metadata, eval-set flags) to a streaming frame.
+
+    Structured Streaming joins a stream to a STATIC frame statelessly —
+    each micro-batch joins against the dimension's current snapshot, no
+    watermark, no state store.  With ``broadcast`` (the default; dims
+    are small by definition here) the stream side never shuffles, so
+    enrichment adds zero exchanges to the continuous query — the same
+    rule the batch engine enforces for q_join_dim.  For a dimension that
+    must update mid-stream, re-read it inside ``foreachBatch`` instead
+    (see incremental_ingest_stream for that shape)."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, keys, how)

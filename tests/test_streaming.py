@@ -195,3 +195,29 @@ def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     assert corpus_ids == [0, 1, 12]
     indexed_ids = {r.doc_id for r in spark.read.parquet(index).select("doc_id").collect()}
     assert indexed_ids == {0, 1, 12}
+
+
+def test_enrich_stream_static_join_matches_batch(spark, tmp_path, staged_events):
+    """Stream-static broadcast enrichment must produce exactly the batch
+    join's rows (stateless — no watermark required)."""
+    src, schema, ev = staged_events
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "eckpt")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    stream = incremental.stream_source(spark, src, schema)
+    enriched = incremental.enrich_stream(stream, dim, ["event_type"]).select(
+        "event_id", "event_type", "weight"
+    )
+    q = incremental.run_to_sink(enriched, out, ckpt, once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = ev.join(F.broadcast(dim), ["event_type"], "left").select(
+        "event_id", "event_type", "weight"
+    )
+    assert got.count() == ev.count()  # left join keeps every event
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
