@@ -2706,6 +2706,212 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS min_n FROM c),
+    r AS (SELECT source, n_docs,
+                 sqrt(cast(min_n AS double) / n_docs) AS rate,
+                 printf('%04x',
+                        cast(floor(sqrt(cast(min_n AS double) / n_docs)
+                                   * 65536) AS int)) AS cut
+          FROM c, m),
+    k AS (SELECT d.source FROM documents d JOIN r USING (source)
+          WHERE rate >= 1.0
+             OR substr(md5(cast(doc_id AS varchar)), 1, 4) < cut)
+    SELECT r.source, r.n_docs, round(r.rate, 6) AS rate, kk.n_kept
+    FROM r JOIN (SELECT source, count(*) AS n_kept FROM k GROUP BY 1) kk
+           USING (source)
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture balancing (EXT): per-source keep-rate
+    sqrt(min/n) — the α=0.5 low-resource-boosting temperature of
+    multilingual corpus mixing, between q_source_mix's full balancing and
+    no balancing.  α is pinned at 0.5 because sqrt is IEEE
+    correctly-rounded: both engines derive bit-identical rates and hex
+    cuts, so the SAME documents are selected (pow() for a free α is
+    libm-dependent and could flip a floor() at the cut boundary).  Same
+    plan shape as q_source_mix: tiny count agg → in-plan rates broadcast
+    onto one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.temperature_balance(docs, "doc_id", "source")
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per = kept.groupBy("source").agg(
+        F.round(F.first("_rate"), 6).alias("rate"),
+        F.count("*").alias("n_kept"),
+    )
+    return n_docs.join(per, "source").select(
+        "source", "n_docs", "rate", "n_kept"
+    )
+
+
+@q(
+    "q_rolling_active",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       cast(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day AS day, count(DISTINCT u.user_id) AS active_users
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (EXT) — the WAU curve.
+    Exact rolling COUNT(DISTINCT) is no engine's window function; the
+    scale-safe plan collapses raw events to distinct (user, day) first,
+    fans each user-day out to the ≤7 window days it supports (bounded
+    JVM-side sequence+explode on the collapsed table, clipped to
+    observed days via a broadcast semi-join), and finishes with one
+    distinct+count — the oracle's range self-join re-expressed without
+    an O(days·activity) theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.rolling_active(ev, "ts", "user_id", days=7)
+
+
+@q(
+    "q_transitions",
+    """
+    SELECT from_type, next_type, count(*) AS n
+    FROM (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events)
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (EXT): Markov edge counts over each
+    user's timeline — the input of journey/path analysis.  One window
+    shuffle keyed on user (ties pinned by event_id so the sequence is
+    engine-reproducible), then a 25-row hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@q(
+    "q_topk_per_group",
+    """
+    SELECT source, doc_id, n_chars, rnk
+    FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC NULLS LAST,
+                                             doc_id ASC) AS rnk
+          FROM documents)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 documents per source by length (EXT): grouped top-k — the
+    per-group companion of the global q_topk.  row_number + filter, one
+    shuffle on the group key; NULL order keys pinned LAST explicitly
+    (Spark and DuckDB default ASC null order differ)."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = windows.topk_per_group(docs, "source", "n_chars", 3, "doc_id")
+    return top.select("source", "doc_id", "n_chars", "rnk")
+
+
+@q(
+    "q_zscore_outlier",
+    f"""
+    WITH s AS (
+        SELECT event_type, count(*) AS n,
+               {msum_sql("value")} AS s1,
+               {msum_sql("value * value")} AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+    m AS (SELECT event_type, n, s1 / n AS mean,
+                 greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var
+          FROM s)
+    SELECT m.event_type, m.n,
+           cast(sum(CASE WHEN (e.value - m.mean) * (e.value - m.mean)
+                              > 9.0 * m.var THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(m.mean, 6) AS mean_value,
+           round(sqrt(m.var), 6) AS stddev_value
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY m.event_type, m.n, m.mean, m.var
+    """,
+)
+def q_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3σ outlier screen (EXT): anomaly gate over event values.
+    Moments come from the contract's fixed-point sums (order-independent
+    integer accumulation), so mean/var are bit-identical doubles in both
+    engines and the per-row (x−mean)² > 9·var flag can never flip at the
+    boundary — naive float moments would make the flag
+    partitioning-dependent.  Plan: one map-side-combined moment agg
+    (|groups| rows) broadcast back onto a second scan; the raw table is
+    never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    return scalars.zscore_outlier_stats(ev, "event_type", "value", 3.0)
+
+
+@q(
+    "q_dedup_keep_best",
+    """
+    SELECT digest, count(*) AS n_copies,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+           max(n_chars) AS best_score
+    FROM (SELECT md5(text) AS digest, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dup resolution (EXT): per content-digest
+    cluster keep the longest member (ties → lowest id) — the "keep the
+    best capture" survivorship rule, vs q_dedup_exact's min-id.  Spark
+    side is a single max_by(id, (score, -id)) hash aggregate with
+    map-side combine (no window, no second text pass); the oracle
+    expresses the same survivor with a row_number window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.keep_best(docs, "doc_id", "text", "n_chars").select(
+        "digest", "n_copies", "kept_id", "best_score"
+    )
+
+
+@q(
+    "q_decile_stats",
+    """
+    SELECT lang, decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC NULLS LAST,
+                                          doc_id ASC) AS decile
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (EXT): NTILE(10) bucketing — the
+    quality-pruning primitive ("drop the bottom-k deciles per language").
+    Deterministic total order inside each partition (score desc, id asc,
+    NULLs pinned last) makes bucket assignment engine-reproducible.
+    Scale note: NTILE needs its partition co-located, so partitions =
+    languages here (bounded); a GLOBAL decile at 100 TB should instead
+    broadcast exact quantile cut points and assign by comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -2852,6 +3058,13 @@ _GRADE_ORDER = [
     "q_skew_join",
     "q_cohort",
     "q_session_stats",
+    "q_temperature_mix",
+    "q_rolling_active",
+    "q_transitions",
+    "q_topk_per_group",
+    "q_zscore_outlier",
+    "q_dedup_keep_best",
+    "q_decile_stats",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -573,3 +573,32 @@ def dup_size_histogram(df: DataFrame, text: str) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def keep_best(
+    df: DataFrame, id_col: str, text: str, score: str
+) -> DataFrame:
+    """Quality-aware exact-dup resolution: per content-digest cluster,
+    keep the member with the highest ``score`` (ties → lowest id) — the
+    "keep the best copy" variant of drop_exact_dups, used when duplicate
+    crawls differ in completeness and min-id survivorship would throw
+    away the better capture.
+
+    One shuffle keyed on the digest; the survivor is a single
+    ``max_by(id, (score, -id))`` hash aggregate with map-side combine —
+    no window, no second pass over the text.  NULL text is excluded (a
+    NULL digest would otherwise form one giant bogus cluster).
+    Output: (digest, n_copies, kept_id, best_score).
+    """
+    d = df.filter(F.col(text).isNotNull()).select(
+        F.md5(F.col(text)).alias("digest"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(score).alias("_score"),
+    )
+    return d.groupBy("digest").agg(
+        F.count("*").alias("n_copies"),
+        F.max_by(
+            "_id", F.struct(F.col("_score"), (-F.col("_id")).alias("_nid"))
+        ).alias("kept_id"),
+        F.max("_score").alias("best_score"),
+    )

@@ -192,3 +192,40 @@ def balance_groups(
         | (hash_bucket(F.col(key), digits) < F.col("_cut"))
     )
     return kept.drop("_cut")
+
+
+def temperature_balance(
+    df: DataFrame, key: str, group: str, digits: int = 4
+) -> DataFrame:
+    """Temperature-weighted mixture balancing (α = 0.5): each group's
+    keep-rate is sqrt(min_count / count) — between full balancing
+    (balance_groups, α→0 behavior of keeping every group equal) and no
+    balancing (α=1).  The square-root law is the standard
+    low-resource-boosting temperature used for multilingual corpus
+    mixing; α is pinned to 0.5 here because sqrt is an IEEE
+    correctly-rounded primitive — both engines compute bit-identical
+    rates and hex cuts, so membership is engine-reproducible.  (A free
+    α would need pow(), which is libm-dependent and can flip the
+    floor() at a cut boundary.)
+
+    Same scale shape as balance_groups: one tiny count agg, rates/cuts
+    computed in-plan and broadcast back onto a single corpus scan; the
+    corpus itself is never shuffled.  Adds ``_rate`` to survivors.
+    """
+    counts = df.groupBy(group).agg(F.count("*").alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    rate = F.sqrt(F.col("_min_n").cast("double") / F.col("_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        group,
+        rate.alias("_rate"),
+        F.format_string(
+            f"%0{digits}x",
+            F.floor(rate * (16 ** digits)).cast("int"),
+        ).alias("_cut"),
+    )
+    tagged = df.join(F.broadcast(rates), group)
+    kept = tagged.filter(
+        (F.col("_rate") >= 1.0)
+        | (hash_bucket(F.col(key), digits) < F.col("_cut"))
+    )
+    return kept.drop("_cut")

@@ -78,3 +78,68 @@ def snow_line(
             F.when(F.col(mean_col) > F.lit(threshold), F.col(band))
         ).alias("snow_line")
     )
+
+
+def zscore_outlier_stats(
+    df: DataFrame, group: str, value: str, threshold: float = 3.0
+) -> DataFrame:
+    """Per-group z-score outlier screen: count values beyond ``threshold``
+    standard deviations of their group, plus the group's mean/stddev —
+    the anomaly gate of a metrics pipeline.
+
+    Hash-parity design: naive mean/stddev are summation-order-dependent
+    doubles, so the z of a value sitting near the threshold could flip
+    between engines/partitionings.  Instead both moments come from the
+    contract's fixed-point sums (ops/windows.fixed_micros — per-row
+    floor(x·1e6), exact integer accumulation): mean = Σ̂x/n and
+    E[x²] = Σ̂x²/n are then bit-identical doubles everywhere, and the
+    per-row flag (x−mean)² > t²·var is the same IEEE comparison in every
+    engine.  Semantics: moments of the micro-unit-truncated values.
+
+    Scale shape: one map-side-combined agg produces the per-group moment
+    table (|groups| rows), broadcast back onto a second scan for the
+    flag count — the raw table is never shuffled on data volume.
+    """
+    from snowav_spark.ops import windows as _w
+
+    sc = float(_w.FIXED_POINT_SCALE)
+    v = F.col(value)
+    stats = (
+        df.filter(v.isNotNull())
+        .groupBy(group)
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_w.fixed_micros(v)).cast("double") / sc).alias("_s1"),
+            (F.sum(_w.fixed_micros(v * v)).cast("double") / sc).alias("_s2"),
+        )
+    )
+    mean = F.col("_s1") / F.col("n")
+    var = F.greatest(
+        F.col("_s2") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    moments = stats.select(group, "n", mean.alias("_mean"), var.alias("_var"))
+    flagged = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(moments), group)
+        .select(
+            group,
+            "n",
+            "_mean",
+            "_var",
+            (
+                (v - F.col("_mean")) * (v - F.col("_mean"))
+                > F.lit(threshold * threshold) * F.col("_var")
+            )
+            .cast("long")
+            .alias("_is_out"),
+        )
+    )
+    return flagged.groupBy(group, "n", "_mean", "_var").agg(
+        F.sum("_is_out").alias("n_outliers")
+    ).select(
+        group,
+        "n",
+        "n_outliers",
+        F.round("_mean", 6).alias("mean_value"),
+        F.round(F.sqrt("_var"), 6).alias("stddev_value"),
+    )

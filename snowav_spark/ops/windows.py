@@ -246,3 +246,74 @@ def cohort_matrix(df: DataFrame, ts: str, user: str) -> DataFrame:
         .groupBy("cohort_day", "offset_days")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def rolling_active(
+    df: DataFrame, ts: str, user: str, days: int = 7
+) -> DataFrame:
+    """Trailing-N-day distinct active users per day (rolling WAU/MAU).
+
+    Exact rolling COUNT(DISTINCT) is not a window function in any SQL
+    engine (distinct state per frame), and the naive form is a range
+    self-join between the full activity table and the day dimension.
+    Scale shape here: raw events collapse to distinct (user, day)
+    map-side FIRST (≪ raw rows), each user-day is then fanned out to the
+    ≤``days`` window-days it supports (a bounded ×N ``sequence``+
+    ``explode`` on the already-collapsed table — JVM-side, no UDF), and
+    one distinct+count per day finishes it.  The day dimension used to
+    clip the fan-out to observed days is broadcast (it is tiny by
+    construction).  Counts are exact integers → hash-stable.
+    """
+    ud = df.select(
+        F.col(user), F.date_trunc("day", F.col(ts)).cast("date").alias("day")
+    ).distinct()
+    obs = ud.select("day").distinct()
+    spread = ud.select(
+        F.col(user),
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), days - 1))
+        ).alias("day"),
+    )
+    clipped = spread.join(F.broadcast(obs), "day", "left_semi").distinct()
+    return clipped.groupBy("day").agg(F.count("*").alias("active_users"))
+
+
+def transition_counts(
+    df: DataFrame, user: str, ts: str, typ: str, tiebreak: str
+) -> DataFrame:
+    """Per-user event-type transition matrix (Markov edge counts): for
+    each consecutive pair of events in a user's timeline, count
+    (from_type → next_type).  One window shuffle keyed on the user, then
+    a small hash aggregate on the (from, to) pair — the raw stream is
+    shuffled exactly once.  Ordering ties broken by ``tiebreak`` so the
+    sequence (and therefore the counts) is engine-reproducible.
+    """
+    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    nxt = df.select(
+        F.col(typ).alias("from_type"),
+        F.lead(typ).over(w).alias("next_type"),
+    )
+    return (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy("from_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group: str, order_col: str, k: int, tiebreak: str
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` descending (ties broken by
+    ``tiebreak`` ascending, NULL order keys last — pinned explicitly so
+    every engine agrees).  row_number + filter: one shuffle on the group
+    key, per-group sort bounded by the group's size; with AQE a skewed
+    group splits across reducers only at the exchange, the rank itself
+    needs the group co-located — for pathological single-key skew,
+    pre-filter with an approximate per-group threshold first.
+    Adds ``rnk`` (1-based)."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col(tiebreak).asc()
+    )
+    return df.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

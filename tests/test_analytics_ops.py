@@ -1,0 +1,214 @@
+"""Edge-case units for the round-4 analytics operators: rolling distinct
+actives, transition counts, grouped top-k, fixed-point z-score outliers,
+keep-best dup resolution, temperature-weighted mixing.
+
+The contract gate (tests/test_contract.py) already hash-matches each
+operator's contract key against DuckDB on the fixtures; these tests plant
+the inputs the fixtures don't contain — duplicate texts, score ties,
+activity gaps, constant-value groups, NULL order keys.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import dedup, sampling, scalars, windows
+
+
+def _ts(d, h=0):
+    return datetime.datetime(2024, 1, d, h)
+
+
+# ---------------------------------------------------------------- rolling
+
+
+def test_rolling_active_windows_and_gaps(spark):
+    # users: u1 active days 1,2,10; u2 active day 2 only.
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1), "a"),
+            (1, _ts(1, 5), "a"),  # same user-day twice → counted once
+            (1, _ts(2), "a"),
+            (2, _ts(2), "a"),
+            (1, _ts(10), "a"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {
+        r["day"].isoformat(): r["active_users"]
+        for r in windows.rolling_active(ev, "ts", "user_id", days=7).collect()
+    }
+    # only OBSERVED days appear — days 3..9 had no activity, so no rows,
+    # even though day-1/2 activity would fall inside their trailing window.
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-10"}
+    assert out["2024-01-01"] == 1          # u1
+    assert out["2024-01-02"] == 2          # u1 + u2
+    # day 10: window [4..10] — u1's day-10 activity only (days 1/2 expired)
+    assert out["2024-01-10"] == 1
+
+
+def test_rolling_active_dedups_across_window_days(spark):
+    # u1 active on days 1 AND 3: day 3's window sees it twice but the
+    # user must count once.
+    ev = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(3)), (2, _ts(3))], ["user_id", "ts"]
+    )
+    out = {
+        r["day"].isoformat(): r["active_users"]
+        for r in windows.rolling_active(ev, "ts", "user_id", days=7).collect()
+    }
+    assert out["2024-01-03"] == 2
+
+
+# ------------------------------------------------------------ transitions
+
+
+def test_transition_counts_order_and_ties(spark):
+    # u1: a(t1) -> b(t2) -> b(t2) tie broken by id -> c(t3)
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 1), "a", 10),
+            (1, _ts(1, 2), "b", 11),
+            (1, _ts(1, 2), "b", 12),  # tie on ts with id 11
+            (1, _ts(1, 3), "c", 13),
+            (2, _ts(1, 1), "z", 20),  # single event → no transition
+        ],
+        ["user_id", "ts", "event_type", "event_id"],
+    )
+    out = {
+        (r.from_type, r.next_type): r.n
+        for r in windows.transition_counts(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+
+
+# ----------------------------------------------------------------- top-k
+
+
+def test_topk_per_group_ties_and_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, 100),
+            ("s1", 2, 100),  # tie with id 1 → id 1 ranks first
+            ("s1", 3, 50),
+            ("s1", 4, None),  # NULL order key sorts last
+            ("s2", 5, 7),
+        ],
+        ["source", "doc_id", "n_chars"],
+    )
+    out = windows.topk_per_group(df, "source", "n_chars", 3, "doc_id")
+    got = {(r.source, r.doc_id): r.rnk for r in out.collect()}
+    assert got == {
+        ("s1", 1): 1,
+        ("s1", 2): 2,
+        ("s1", 3): 3,
+        ("s2", 5): 1,
+    }
+    # k larger than the group: NULL-key row ranks last but IS included
+    all4 = windows.topk_per_group(df, "source", "n_chars", 4, "doc_id")
+    got4 = {(r.source, r.doc_id): r.rnk for r in all4.collect()}
+    assert got4[("s1", 4)] == 4
+
+
+# ---------------------------------------------------------------- z-score
+
+
+def test_zscore_outlier_flags_planted_outlier(spark):
+    # a lone outlier's own z is bounded by sqrt(n-1) (it inflates the
+    # stddev it is judged against), so give it 30 inliers: z ≈ 5.5 > 3.
+    vals = [("g", 10.0 + (i % 3 - 1)) for i in range(30)]
+    vals.append(("g", 1000.0))  # the outlier
+    vals.append(("const", 5.0))
+    vals.append(("const", 5.0))  # zero-variance group
+    vals.append(("g", None))  # NULLs excluded from n and moments
+    df = spark.createDataFrame(vals, ["event_type", "value"])
+    out = {
+        r.event_type: r
+        for r in scalars.zscore_outlier_stats(
+            df, "event_type", "value", 3.0
+        ).collect()
+    }
+    assert out["g"].n == 31  # 30 inliers + outlier; NULL excluded
+    assert out["g"].n_outliers == 1
+    # constant group: var clamps to ≥0, stddev 0, strict > → no outliers
+    assert out["const"].n == 2
+    assert out["const"].n_outliers == 0
+    assert out["const"].stddev_value == 0.0
+    assert math.isclose(out["const"].mean_value, 5.0)
+
+
+def test_zscore_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("t", rng.uniform(0, 100)) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    a = scalars.zscore_outlier_stats(df, "event_type", "value").collect()
+    b = scalars.zscore_outlier_stats(
+        df.repartition(13), "event_type", "value"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -------------------------------------------------------------- keep-best
+
+
+def test_keep_best_survivor_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "dup text", 10),
+            (2, "dup text", 30),   # best score → survivor
+            (3, "dup text", 30),   # tie → lower id (2) wins
+            (4, "unique", 5),
+            (5, None, 99),         # NULL text excluded entirely
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    out = {
+        r.kept_id: r
+        for r in dedup.keep_best(df, "doc_id", "text", "n_chars").collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2].n_copies == 3
+    assert out[2].best_score == 30
+    assert out[4].n_copies == 1
+
+
+# ------------------------------------------------------------ temperature
+
+
+def test_temperature_balance_rates_and_membership(spark):
+    rows = [(i, "big") for i in range(400)] + [
+        (i, "small") for i in range(400, 500)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.temperature_balance(df, "doc_id", "source")
+    per = {
+        r.source: r
+        for r in kept.groupBy("source")
+        .agg(F.first("_rate").alias("rate"), F.count("*").alias("n"))
+        .collect()
+    }
+    # smallest source keeps everything (rate exactly 1.0)
+    assert per["small"].rate == 1.0
+    assert per["small"].n == 100
+    # big source: rate sqrt(100/400) = 0.5 — between full balance (0.25)
+    # and none (1.0); kept count near 200
+    assert math.isclose(per["big"].rate, 0.5)
+    assert abs(per["big"].n - 200) < 40
+    # determinism under partitioning
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.temperature_balance(
+            df.repartition(7), "doc_id", "source"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
