@@ -2912,6 +2912,44 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_global_decile",
+    """
+    WITH f AS (SELECT n_chars, count(*) AS c FROM documents
+               WHERE n_chars IS NOT NULL GROUP BY 1),
+    t AS (SELECT cast(sum(c) AS BIGINT) AS n FROM f),
+    cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cc FROM f),
+    cuts AS (SELECT k, min(n_chars) AS cut
+             FROM cum, t, (SELECT unnest(range(1, 10)) AS k)
+             WHERE cc >= (k * n + 9) // 10
+             GROUP BY k)
+    SELECT tile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (SELECT doc_id, n_chars,
+                 1 + (SELECT cast(count(*) AS INT) FROM cuts
+                      WHERE cuts.cut < d.n_chars) AS tile
+          FROM documents d WHERE n_chars IS NOT NULL)
+    GROUP BY 1
+    """,
+)
+def q_global_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL length deciles (EXT) — the 100 TB path q_decile_stats's
+    docstring promises: exact order-statistic cut points computed from a
+    value-frequency table (bounded by the value DOMAIN, not row count)
+    with pure integer thresholds ceil(k·N/10), broadcast as one sorted
+    array, and assigned by comparison — no global sort, no single-reducer
+    NTILE, no float quantile interpolation to disagree on.  Boundary mass
+    (x == cut) stays in the lower tile in both engines by the same
+    strict-< count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = sampling.global_decile_assign(docs, "n_chars", q=10)
+    return tiled.groupBy(F.col("tile")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -3065,6 +3103,7 @@ _GRADE_ORDER = [
     "q_zscore_outlier",
     "q_dedup_keep_best",
     "q_decile_stats",
+    "q_global_decile",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_bucket(key: Column, digits: int = 4) -> Column:
@@ -229,3 +230,61 @@ def temperature_balance(
         | (hash_bucket(F.col(key), digits) < F.col("_cut"))
     )
     return kept.drop("_cut")
+
+
+def global_quantile_cuts(df: DataFrame, value: str, q: int = 10) -> DataFrame:
+    """Exact global q-quantile cut points, computed WITHOUT a global
+    sort: collapse to a value-frequency table (bounded by the value
+    domain, not the row count — document lengths, scores, token counts
+    all have small domains), running-sum it, and take cut_k = min value
+    whose cumulative count reaches ceil(k·N/q).  All arithmetic is
+    integer (thresholds via (k·N + q−1) div q), so every engine lands on
+    the SAME cut values — no interpolation, no float quantile-definition
+    drift.  Output: (k, cut) for k = 1..q−1.
+
+    The frequency table is tiny, so its ordering window running on one
+    reducer is the correct plan; the 100 TB input only ever sees the
+    initial map-side-combined groupBy."""
+    f = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(value)
+        .agg(F.count("*").alias("_c"))
+    )
+    n = f.agg(F.sum("_c").alias("_n"))
+    cum = f.withColumn(
+        "_cc", F.sum("_c").over(Window.orderBy(value))
+    ).crossJoin(F.broadcast(n))
+    ks = n.select(
+        F.explode(F.sequence(F.lit(1), F.lit(q - 1))).alias("k"), "_n"
+    ).select(
+        "k",
+        F.expr(f"(k * _n + {q - 1}) div {q}").alias("_thr"),
+    )
+    return (
+        cum.join(F.broadcast(ks), F.col("_cc") >= F.col("_thr"))
+        .groupBy("k")
+        .agg(F.min(value).alias("cut"))
+    )
+
+
+def global_decile_assign(
+    df: DataFrame, value: str, q: int = 10
+) -> DataFrame:
+    """Assign each row its exact global q-tile (1..q) by comparing
+    against the broadcast cut array from :func:`global_quantile_cuts` —
+    the scale path for global NTILE, which would otherwise need the
+    entire table ordered on one reducer.  tile = 1 + #{cuts < x}:
+    boundary mass (x == cut) stays in the lower tile, and the comparison
+    is pure integer/IEEE equality — engine-reproducible.  Adds ``tile``.
+    """
+    cuts = (
+        global_quantile_cuts(df, value, q)
+        .agg(F.sort_array(F.collect_list("cut")).alias("_cuts"))
+    )
+    tagged = df.filter(F.col(value).isNotNull()).crossJoin(
+        F.broadcast(cuts)
+    )
+    tile = F.lit(1) + F.size(
+        F.filter(F.col("_cuts"), lambda c: c < F.col(value))
+    )
+    return tagged.withColumn("tile", tile.cast("int")).drop("_cuts")

@@ -227,3 +227,48 @@ def enrich_stream(
     (see incremental_ingest_stream for that shape)."""
     d = F.broadcast(dim) if broadcast else dim
     return stream.join(d, keys, how)
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    within_minutes: int,
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with the right
+    events of the same key that occur within ``within_minutes`` AFTER it
+    (attribution: view→purchase, request→response, trigger→alert).
+
+    Both sides carry a watermark and the join condition bounds right's
+    event time to [left.ts, left.ts + within] — the two things Structured
+    Streaming needs to make stream-stream state FINITE: a row can be
+    evicted from the state store once the other side's watermark passes
+    its join window.  Without the time bound the state grows without
+    limit; without the watermark nothing is ever evicted.  State is
+    keyed by the join key, so hot keys shard at the exchange like any
+    shuffle (salting does NOT apply — the equality must hold — so a
+    pathological single key needs a coarser key or a shorter window).
+
+    Right-side columns are renamed with ``right_prefix`` (streaming
+    self-joins otherwise hit ambiguous-column analysis errors); the
+    output carries all left columns plus the prefixed right columns.
+    The same call works in batch (watermarks are no-ops there), which is
+    how the parity test pins the semantics.
+    """
+    l = _ltz(left, ts).withWatermark(ts, watermark)
+    r = _ltz(right, ts).withWatermark(ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, right_prefix + c)
+    rk, rts = right_prefix + key, right_prefix + ts
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rts) >= F.col(ts))
+        & (
+            F.col(rts)
+            <= F.col(ts) + F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner").drop(rk)

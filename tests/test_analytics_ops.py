@@ -212,3 +212,46 @@ def test_temperature_balance_rates_and_membership(spark):
         .collect()
     )
     assert a == b
+
+
+# --------------------------------------------------------- global deciles
+
+
+def test_global_quantile_cuts_exact_order_stats(spark):
+    # values 1..10 once each, q=5 → thresholds ceil(k*10/5) = 2,4,6,8
+    # → cuts are the 2nd,4th,6th,8th order statistics = 2,4,6,8.
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], ["v"])
+    cuts = {
+        r.k: r.cut
+        for r in sampling.global_quantile_cuts(df, "v", q=5).collect()
+    }
+    assert cuts == {1: 2, 2: 4, 3: 6, 4: 8}
+
+
+def test_global_decile_assign_boundary_mass_stays_low(spark):
+    # heavy tie mass AT a cut: 8×5 then 2×9, q=2 → threshold ceil(10/2)=5
+    # → cut = 5; tile = 1 + #{cuts < x}: all the 5s stay in tile 1.
+    rows = [(5,)] * 8 + [(9,), (9,)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = sampling.global_decile_assign(df, "v", q=2)
+    got = {
+        (r.v, r.tile): r.n
+        for r in out.groupBy("v", "tile").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {(5, 1): 8, (9, 2): 2}
+
+
+def test_global_decile_assign_partitions_everything(spark, sf_dir):
+    from snowav_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = sampling.global_decile_assign(docs, "n_chars", q=10)
+    n_in = docs.filter(F.col("n_chars").isNotNull()).count()
+    assert tiled.count() == n_in
+    tiles = sorted(
+        r.tile for r in tiled.select("tile").distinct().collect()
+    )
+    assert tiles[0] >= 1 and tiles[-1] <= 10
+    # tiles are near-balanced: every tile within ±1% of N/10 + tie slack
+    per = [r.n for r in tiled.groupBy("tile").agg(F.count("*").alias("n")).collect()]
+    assert max(per) - min(per) < n_in * 0.1 + 10

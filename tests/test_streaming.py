@@ -221,3 +221,37 @@ def test_enrich_stream_static_join_matches_batch(spark, tmp_path, staged_events)
     assert got.count() == ev.count()  # left join keeps every event
     diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     assert diff == 0
+
+
+def test_correlate_streams_matches_batch_join(spark, tmp_path, staged_events):
+    """Stream-stream inner join (views × purchases per user within 60
+    min) must emit exactly the batch join's pairs when the whole backlog
+    is processed in one availableNow pass."""
+    src, schema, ev = staged_events
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    views_s = incremental.stream_source(spark, src, schema).filter(
+        F.col("event_type") == "view"
+    )
+    buys_s = incremental.stream_source(spark, src, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = incremental.correlate_streams(
+        views_s, buys_s, "user_id", "ts", within_minutes=60
+    ).select("event_id", "user_id", "ts", "r_event_id", "r_ts")
+    q = incremental.run_to_sink(joined, out, ckpt, once=True)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    # batch twin: identical operator call on the static frames —
+    # watermarks are no-ops in batch, so semantics are pinned 1:1.
+    views_b = ev.filter(F.col("event_type") == "view")
+    buys_b = ev.filter(F.col("event_type") == "purchase")
+    batch = incremental.correlate_streams(
+        views_b, buys_b, "user_id", "ts", within_minutes=60
+    ).select("event_id", "user_id", "ts", "r_event_id", "r_ts")
+
+    assert got.count() > 0
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    assert diff == 0
