@@ -20,7 +20,7 @@ Spark-first mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RESULTS_COLS = ("run_id", "date", "basin_id", "variable", "band", "value")
@@ -129,3 +129,76 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     coalesced to one file because report tables are driver-sized by
     construction (never use for big frames)."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def morton_key(
+    df: DataFrame, cols: list[str], bits_per_col: int = 16
+) -> Column:
+    """Z-order (Morton) key over ``cols``: each column is min/max-scaled
+    into ``bits_per_col`` bits from one tiny stats aggregate computed on
+    ``df`` itself, then the bit strings are interleaved round-robin — a
+    pure codegen expression tree (shift/and/or), no UDF.
+
+    Interleaving makes the 1-D sort order locality-preserving in EVERY
+    keyed dimension at once: rows close in any column land in few files,
+    so parquet min/max footer stats prune multi-dimensional predicates —
+    lexicographic sort only ever prunes its leading column.
+    ``bits_per_col · len(cols)`` must stay < 63 (the key is one long).
+    """
+    total = bits_per_col * len(cols)
+    if total >= 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits_per_col} bits = {total} >= 63"
+        )
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(c).cast("double").alias(f"_min_{c}"),
+                F.max(c).cast("double").alias(f"_max_{c}"),
+            )
+        ]
+    ).collect()[0]
+    top = (1 << bits_per_col) - 1
+    z = F.lit(0).cast("long")
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    for i in range(bits_per_col):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_col: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of ``cols``
+    — the data-layout optimization for tables filtered on SEVERAL
+    dimensions (user AND day, basin AND band): range-partition on the
+    Morton key (sampled split points, no single-reducer sort), sort
+    within partitions, one file per partition.  Readers then skip whole
+    files from footer min/max stats for predicates on ANY of ``cols``.
+    The key is layout-only — it is dropped from the written schema, so
+    the files are plan-compatible with an unclustered write."""
+    keyed = df.withColumn("_zkey", morton_key(df, cols, bits_per_col))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
