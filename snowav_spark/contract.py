@@ -2778,7 +2778,9 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT from_type, next_type, count(*) AS n
     FROM (SELECT event_type AS from_type,
                  lead(event_type) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS next_type
+                                        ORDER BY ts ASC NULLS LAST,
+                                                 event_id ASC NULLS LAST)
+                     AS next_type
           FROM events)
     WHERE next_type IS NOT NULL
     GROUP BY 1, 2

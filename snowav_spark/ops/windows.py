@@ -264,9 +264,19 @@ def rolling_active(
     clip the fan-out to observed days is broadcast (it is tiny by
     construction).  Counts are exact integers → hash-stable.
     """
-    ud = df.select(
-        F.col(user), F.date_trunc("day", F.col(ts)).cast("date").alias("day")
-    ).distinct()
+    # NULL user is not a user: the SQL twin's count(DISTINCT user_id)
+    # ignores NULLs while count(*) over a distinct frame would count one
+    # — filter explicitly so both dialects agree.  (NULL ts needs no
+    # filter: a NULL day survives no BETWEEN / no sequence() fan-out in
+    # either engine.)
+    ud = (
+        df.filter(F.col(user).isNotNull())
+        .select(
+            F.col(user),
+            F.date_trunc("day", F.col(ts)).cast("date").alias("day"),
+        )
+        .distinct()
+    )
     obs = ud.select("day").distinct()
     spread = ud.select(
         F.col(user),
@@ -288,7 +298,13 @@ def transition_counts(
     shuffled exactly once.  Ordering ties broken by ``tiebreak`` so the
     sequence (and therefore the counts) is engine-reproducible.
     """
-    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    # NULL order keys pinned LAST: Spark's ASC default is nulls FIRST,
+    # DuckDB's is nulls LAST — an unpinned sort would hand the two
+    # engines different event sequences the moment a fixture grows a
+    # NULL timestamp.
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()
+    )
     nxt = df.select(
         F.col(typ).alias("from_type"),
         F.lead(typ).over(w).alias("next_type"),

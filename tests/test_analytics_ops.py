@@ -255,3 +255,43 @@ def test_global_decile_assign_partitions_everything(spark, sf_dir):
     # tiles are near-balanced: every tile within ±1% of N/10 + tie slack
     per = [r.n for r in tiled.groupBy("tile").agg(F.count("*").alias("n")).collect()]
     assert max(per) - min(per) < n_in * 0.1 + 10
+
+
+def test_keep_best_null_scores_match_oracle_semantics(spark, duck):
+    """NULL scores: Spark's max_by(struct) treats a NULL field as
+    smallest — the same survivor DuckDB's row_number ORDER BY score DESC
+    (nulls last by default) picks; an all-NULL cluster falls back to the
+    lowest id in both.  Probed empirically; pinned here so an engine
+    upgrade that changes struct-NULL ordering fails loudly."""
+    df = spark.createDataFrame(
+        [
+            (1, "t", None),
+            (2, "t", 5),
+            (3, "t", None),
+            (4, "u", None),
+            (5, "u", None),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    got = sorted(
+        map(tuple, dedup.keep_best(df, "doc_id", "text", "n_chars").collect())
+    )
+    want = sorted(
+        duck.execute(
+            """
+            SELECT digest, count(*) AS n_copies,
+                   max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+                   max(n_chars) AS best_score
+            FROM (SELECT md5(text) AS digest, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY md5(text)
+                                            ORDER BY n_chars DESC,
+                                                     doc_id ASC) AS rn
+                  FROM (VALUES (1,'t',NULL),(2,'t',5),(3,'t',NULL),
+                               (4,'u',NULL),(5,'u',NULL))
+                       t(doc_id, text, n_chars)
+                  WHERE text IS NOT NULL)
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want

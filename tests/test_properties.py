@@ -277,3 +277,53 @@ def test_lookback_count_matches_bruteforce(spark, anchors, lookups, window):
         for i, (u, ms) in enumerate(anchors)
     }
     assert got == want
+
+
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 20)),  # (user, day)
+        min_size=1,
+        max_size=60,
+    ),
+    days=st.integers(1, 9),
+)
+@SET
+def test_rolling_active_matches_bruteforce(spark, activity, days):
+    import datetime
+
+    rows = [
+        (u, datetime.datetime(2024, 1, d, 12)) for u, d in activity
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        r["day"].day: r["active_users"]
+        for r in windows.rolling_active(df, "ts", "user_id", days=days).collect()
+    }
+    obs = sorted({d for _, d in activity})
+    want = {
+        d: len({u for u, ud in activity if d - days < ud <= d}) for d in obs
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=120),
+    q=st.integers(2, 10),
+)
+@SET
+def test_global_decile_matches_sorted_reference(spark, vals, q):
+    """tile assignment must equal the brute-force definition: sort the
+    values, cut at ceil(k·N/q) positions, boundary ties to the lower
+    tile (strict < against the cut values)."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "v"])
+    from snowav_spark.ops import sampling
+
+    got = {
+        r.i: r.tile
+        for r in sampling.global_decile_assign(df, "v", q=q).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    cuts = [s[-(-k * n // q) - 1] for k in range(1, q)]  # ceil(k n / q)-th
+    want = {i: 1 + sum(1 for c in cuts if c < v) for i, v in enumerate(vals)}
+    assert got == want
