@@ -2953,6 +2953,42 @@ def q_global_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_span_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE text IS NOT NULL),
+    spans AS (SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(w) - 3, 1)),
+                         i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM toks),
+    shared AS (SELECT s FROM (
+                   SELECT s, count(*) AS dfc
+                   FROM (SELECT DISTINCT doc_id, s FROM spans)
+                   GROUP BY s)
+               WHERE dfc >= 2),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+    dup AS (SELECT doc_id, count(*) AS n_dup FROM spans
+            JOIN shared USING (s) GROUP BY 1)
+    SELECT t.doc_id, t.n_spans,
+           coalesce(d.n_dup, 0) AS n_dup_spans,
+           round(coalesce(d.n_dup, 0) * 1.0 / t.n_spans, 6) AS dup_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span diagnostics (EXT): per document, the count and
+    fraction of its word 5-gram positions that also occur in at least
+    one OTHER document — the substring-level duplication signal behind
+    exact-substring dedup (the bounded n-gram form of the suffix-array
+    report).  Distinct from q_repetition (WITHIN-doc repeats) and
+    q_dedup_near (whole-doc similarity): this finds shared boilerplate
+    spans across otherwise-different documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dup_stats(docs, "doc_id", "text", n=5)
+
+
 @q("q_sketch_rollup")
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives from MERGEABLE per-day HLL
@@ -3123,6 +3159,7 @@ _GRADE_ORDER = [
     "q_dedup_keep_best",
     "q_decile_stats",
     "q_global_decile",
+    "q_span_dedup",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

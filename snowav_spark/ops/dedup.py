@@ -602,3 +602,58 @@ def keep_best(
         ).alias("kept_id"),
         F.max("_score").alias("best_score"),
     )
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str, text: str, n: int = 5
+) -> DataFrame:
+    """Cross-document duplicated-SPAN diagnostics: for each document,
+    how many of its n-token spans (all positions, repeats included)
+    also occur in at least one OTHER document — the substring-level
+    duplication signal behind exact-substring dedup (suffix-array
+    pipelines report the same per-doc fraction; this is the bounded
+    n-gram form of it, n fixed instead of longest-match).
+
+    Plan shape at 100 TB: one token-array projection, positions explode
+    to (doc, span) — linear in token count; span doc-frequency is a
+    map-side-combined count over the per-doc DISTINCT span set; the
+    shared-span set joins back by equi-join on the span key (AQE splits
+    the hot stopword-run spans — a df cap would erase exactly the
+    boilerplate the diagnostic exists to find).  Exact integer counts;
+    the fraction is one division of exact ints.  Docs with < n tokens
+    have no spans and are not emitted (consistent in both dialects).
+    Output: (id, n_spans, n_dup_spans, dup_frac).
+    """
+    toks = df.filter(F.col(text).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text), " ").alias("_toks")
+    )
+    spans = toks.select(
+        id_col,
+        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_s"),
+    )
+    docfreq = (
+        spans.select(id_col, "_s")
+        .distinct()
+        .groupBy("_s")
+        .agg(F.count("*").alias("_dfc"))
+    )
+    shared = docfreq.filter(F.col("_dfc") >= 2).select("_s")
+    tot = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dup = (
+        spans.join(shared, "_s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_dup"))
+    )
+    return (
+        tot.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("_n_dup"), F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.round(
+                F.coalesce(F.col("_n_dup"), F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -295,3 +295,34 @@ def test_keep_best_null_scores_match_oracle_semantics(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------------- span dedup
+
+
+def test_span_dup_stats_planted_spans(spark):
+    # doc1 & doc2 share the 5-gram "a b c d e"; doc3 is all-unique;
+    # doc4 repeats the shared span twice (both positions must count);
+    # doc5 is too short for any 5-gram → not emitted.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y"),        # spans: 3, dup: 1 (position 0)
+            (2, "q a b c d e"),          # spans: 2, dup: 1 (position 1)
+            (3, "u1 u2 u3 u4 u5 u6"),    # spans: 2, dup: 0
+            (4, "a b c d e a b c d e"),  # 6 spans; 'a b c d e' at 0 and 5
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in dedup.span_dup_stats(df, "doc_id", "text", n=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+    # doc4: within-doc repeat alone is NOT cross-doc dup — but the span
+    # is shared with docs 1/2, so both its positions count; the interior
+    # spans ("b c d e a" etc.) are unique to doc4.
+    assert out[4] == (6, 2, round(2 / 6, 6))
