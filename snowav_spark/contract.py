@@ -2989,6 +2989,68 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dup_stats(docs, "doc_id", "text", n=5)
 
 
+@q(
+    "q_gap_fill",
+    """
+    WITH daily AS (
+        SELECT event_type, cast(date_trunc('day', ts) AS DATE) AS day,
+               round(avg(value), 6) AS mean_value
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY 1),
+    spine AS (SELECT event_type,
+                     cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM b)
+    SELECT s.event_type, s.day, d.mean_value,
+           last_value(d.mean_value IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.day)
+               AS filled_value
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with forward-fill (EXT): pandas
+    ``resample('D').ffill()`` as a distributed plan — each group's full
+    day spine generated from a |groups|-row bounds agg (bounded by the
+    calendar, not raw rows), observed daily means left-joined on, and
+    one IGNORE-NULLS last() window carries observations into the holes.
+    The spine join and the fill window share the group partitioning —
+    one shuffle beyond the daily reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.gap_fill_daily(ev, "ts", "event_type", "value")
+
+
+@q(
+    "q_unpivot",
+    f"""
+    WITH wide AS (
+        SELECT {_BAND_SQL} AS band,
+               {msum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END")} AS A,
+               {msum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END")} AS N,
+               {msum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS R
+        FROM lineitem GROUP BY 1)
+    SELECT band, flag, vol FROM wide UNPIVOT (vol FOR flag IN (A, N, R))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long melt (EXT): q_pivot's report frame stacked back to
+    long format — the reshape pair's inverse, used to re-ingest edited
+    report frames into the store.  ``DataFrame.unpivot`` is a
+    zero-shuffle Expand projection; NULL cells drop (absence of a long
+    row), matching SQL UNPIVOT's default."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    wide = methods.pivot_frame(
+        li.select(_band(), F.col("l_returnflag"), vol.alias("vol")),
+        "band",
+        "l_returnflag",
+        ["A", "N", "R"],
+        msum(F.col("vol")),
+    )
+    return methods.unpivot_frame(wide, "band", "flag", "vol", ["A", "N", "R"])
+
+
 @q("q_sketch_rollup")
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives from MERGEABLE per-day HLL
@@ -3160,6 +3222,8 @@ _GRADE_ORDER = [
     "q_decile_stats",
     "q_global_decile",
     "q_span_dedup",
+    "q_gap_fill",
+    "q_unpivot",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -126,3 +126,26 @@ def pivot_frame(
     (``plotorder``) anyway.
     """
     return df.groupBy(row_key).pivot(pivot_key, pivot_values).agg(agg)
+
+
+def unpivot_frame(
+    df: DataFrame,
+    row_key: str,
+    var_name: str,
+    value_name: str,
+    cols: list[str],
+) -> DataFrame:
+    """Wide → long (melt): the inverse of pivot_frame, for re-ingesting
+    report frames into the long-format store.  ``DataFrame.unpivot`` is
+    a zero-shuffle Expand projection (each input row fans to |cols|
+    output rows in place).  NULL cells are dropped — a wide frame's NULL
+    means "no value for this (row, column)", which in long format is the
+    absence of the row (and SQL UNPIVOT agrees: it excludes NULLs by
+    default)."""
+    out = df.unpivot(
+        ids=[row_key],
+        values=cols,
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+    return out.filter(F.col(value_name).isNotNull())

@@ -333,3 +333,40 @@ def topk_per_group(
     return df.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def gap_fill_daily(
+    df: DataFrame, ts: str, group: str, value: str
+) -> DataFrame:
+    """Daily series per group with calendar gaps filled: build each
+    group's full day spine (min..max observed day), left-join the
+    observed daily aggregate onto it, and forward-fill the last
+    observation into the holes — pandas ``resample('D').ffill()`` as a
+    distributed plan.
+
+    Scale shape: the raw table collapses to (group, day) map-side first;
+    the spine is generated from a |groups|-row bounds aggregate via
+    ``sequence``+``explode`` (JVM-side, bounded by the calendar span,
+    NOT by raw rows); the fill is one window over the tiny daily frame
+    sharing the join's (group) partitioning.  Days before a group's
+    first observation keep NULL (nothing to carry forward).
+    Output: (group, day, mean_value nullable, filled_value)."""
+    daily = (
+        df.groupBy(
+            F.col(group),
+            F.date_trunc("day", F.col(ts)).cast("date").alias("day"),
+        )
+        .agg(F.round(F.avg(value), 6).alias("mean_value"))
+    )
+    bounds = daily.groupBy(group).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = bounds.select(
+        group,
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day"),
+    )
+    joined = spine.join(daily, [group, "day"], "left")
+    w = Window.partitionBy(group).orderBy("day")
+    return joined.withColumn(
+        "filled_value", F.last("mean_value", ignorenulls=True).over(w)
+    )

@@ -326,3 +326,32 @@ def test_span_dup_stats_planted_spans(spark):
     # is shared with docs 1/2, so both its positions count; the interior
     # spans ("b c d e a" etc.) are unique to doc4.
     assert out[4] == (6, 2, round(2 / 6, 6))
+
+
+# --------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_daily_planted_gaps(spark):
+    # group g: days 1, 4 observed → spine 1..4, days 2-3 forward-filled.
+    # group h: single day → spine of one, nothing to fill.
+    ev = spark.createDataFrame(
+        [
+            ("g", _ts(1), 10.0),
+            ("g", _ts(1, 6), 20.0),   # day-1 mean = 15
+            ("g", _ts(4), 40.0),
+            ("h", _ts(2), 7.0),
+        ],
+        ["event_type", "ts", "value"],
+    )
+    out = {
+        (r.event_type, r.day.day): (r.mean_value, r.filled_value)
+        for r in windows.gap_fill_daily(
+            ev, "ts", "event_type", "value"
+        ).collect()
+    }
+    assert out[("g", 1)] == (15.0, 15.0)
+    assert out[("g", 2)] == (None, 15.0)   # hole: carried forward
+    assert out[("g", 3)] == (None, 15.0)
+    assert out[("g", 4)] == (40.0, 40.0)
+    assert out[("h", 2)] == (7.0, 7.0)
+    assert len(out) == 5  # spine bounded by each group's own min..max
