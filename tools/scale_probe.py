@@ -140,6 +140,51 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     out["simhash"] = timed(
         lambda: dedup.simhash(docs, "doc_id", "text").count()
     )
+    out["span_dedup"] = timed(
+        lambda: dedup.span_dup_stats(docs, "doc_id", "text", n=5).count()
+    )
+
+    from snowav_spark.ops import sampling, windows
+
+    out["global_decile"] = timed(
+        lambda: sampling.global_decile_assign(
+            docs.select(
+                "doc_id", F.length("text").alias("n_chars")
+            ),
+            "n_chars",
+            q=10,
+        ).count()
+    )
+    # synthetic events: n_docs rows over n/100 users × 60 days, pure
+    # codegen off spark.range — rolling_active's cost is driven by the
+    # distinct (user, day) frame, which grows linearly here.
+    ev = (
+        spark.range(n_docs)
+        .select(
+            F.pmod(F.hash("id"), F.lit(max(n_docs // 100, 1))).alias(
+                "user_id"
+            ),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(
+                    days=F.pmod(F.hash("id", F.lit(1)), F.lit(60))
+                )
+            ).alias("ts"),
+            F.concat(
+                F.lit("e"), F.pmod(F.hash("id", F.lit(2)), F.lit(5))
+            ).alias("event_type"),
+            F.col("id").alias("event_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out["rolling_active"] = timed(
+        lambda: windows.rolling_active(ev, "ts", "user_id", days=7).count()
+    )
+    out["transitions"] = timed(
+        lambda: windows.transition_counts(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).count()
+    )
     return out
 
 
