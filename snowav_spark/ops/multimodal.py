@@ -2,11 +2,13 @@
 typed metadata, plus Pandas-UDF plumbing for decode / feature-extract /
 resize / frame-sample (SURVEY.md §2.6 EXT).
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container — see ``decode_media``): real deployments drop in a PIL/ffmpeg
-call inside the same ``mapInPandas`` body.  Everything around it — the
-schema contract, Arrow batch shape, partition sizing, and the deterministic
-fake used by tests — is real and tested.
+Compressed-format decode is STUBBED (image/audio codec libraries are not
+in this container — see ``decode_media``; PIL is used when importable):
+real deployments drop a PIL/ffmpeg call inside the same ``mapInPandas``
+body.  Raw-PCM audio needs no codec, so ``audio_features`` is a REAL
+numpy-FFT feature extractor, tested against synthesized sine waves.
+Everything else — the schema contract, Arrow batch shape, partition
+sizing, and the deterministic fake used by tests — is real and tested.
 
 Scale notes: media bytes are large and must never be shuffled casually.
 The pattern is: keep binary columns in their own table keyed by id,
@@ -25,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -204,3 +207,83 @@ def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("dominant_hz", DoubleType(), True),
+        StructField("spectral_centroid_hz", DoubleType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """REAL audio feature extraction over raw PCM payloads — no codec
+    libraries needed: payloads are interpreted as int16 little-endian
+    mono PCM (the WAV data chunk's layout) and featurized with numpy's
+    FFT inside ``mapInPandas``:
+
+    - ``rms``: root-mean-square level of the normalized signal,
+    - ``dominant_hz``: the peak magnitude bin of the real FFT,
+    - ``spectral_centroid_hz``: magnitude-weighted mean frequency (the
+      "brightness" feature of audio classification pipelines).
+
+    Same scale rules as every media op: narrow (no shuffle), Arrow
+    batches bounded by maxRecordsPerBatch, bytes never leave the
+    executor — only the five-column feature rows do.  Empty/NULL
+    payloads yield n_samples=0 with NULL spectral features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nyq_bins_cache: dict[int, "np.ndarray"] = {}
+        rows: dict[str, list] = {
+            "media_id": [],
+            "n_samples": [],
+            "rms": [],
+            "dominant_hz": [],
+            "spectral_centroid_hz": [],
+        }
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                if payload is None or len(payload) < 2:
+                    rows["n_samples"].append(0)
+                    rows["rms"].append(0.0)
+                    rows["dominant_hz"].append(None)
+                    rows["spectral_centroid_hz"].append(None)
+                    continue
+                # truncate a trailing odd byte rather than fail the batch
+                buf = payload[: len(payload) - (len(payload) % 2)]
+                x = (
+                    np.frombuffer(buf, dtype="<i2").astype(np.float64)
+                    / 32768.0
+                )
+                n = x.size
+                rows["n_samples"].append(int(n))
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                mag = np.abs(np.fft.rfft(x))
+                mag[0] = 0.0  # ignore DC for peak/centroid
+                freqs = nyq_bins_cache.get(n)
+                if freqs is None:
+                    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                    nyq_bins_cache[n] = freqs
+                total = mag.sum()
+                if total <= 0.0:
+                    rows["dominant_hz"].append(None)
+                    rows["spectral_centroid_hz"].append(None)
+                else:
+                    rows["dominant_hz"].append(
+                        float(freqs[int(np.argmax(mag))])
+                    )
+                    rows["spectral_centroid_hz"].append(
+                        float((freqs * mag).sum() / total)
+                    )
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

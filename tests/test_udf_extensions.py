@@ -35,3 +35,46 @@ def test_basin_percentile_summary_matches_numpy(spark):
     assert out["basin_A"].n_px == len(v)
     assert out["basin_A"].p50 == float(np.quantile(v, 0.5))
     assert set(out) == {"basin_A", "basin_B"}
+
+
+def test_audio_features_recover_sine_frequency(spark):
+    """Real DSP, real assertion: synthesize int16 PCM sines at known
+    frequencies and verify the FFT path recovers them — dominant bin
+    within resolution, RMS at amplitude/sqrt(2), centroid at the tone."""
+    import numpy as np
+
+    from snowav_spark.ops import multimodal
+
+    sr = 16_000
+    t = np.arange(sr // 2) / sr  # 0.5 s → 2 Hz bin resolution
+
+    def pcm(freq, amp):
+        return (
+            (amp * 32767 * np.sin(2 * np.pi * freq * t))
+            .astype("<i2")
+            .tobytes()
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "pcm", None, None, 500, bytearray(pcm(440.0, 0.8))),
+            (2, "audio", "pcm", None, None, 500, bytearray(pcm(3000.0, 0.5))),
+            (3, "audio", "pcm", None, None, 0, bytearray(b"")),
+            (4, "audio", "pcm", None, None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.audio_features(df, sample_rate=sr).collect()
+    }
+    assert out[1].n_samples == sr // 2
+    assert abs(out[1].dominant_hz - 440.0) <= 2.0
+    assert abs(out[1].rms - 0.8 / np.sqrt(2)) < 0.01
+    # a pure tone's centroid sits on the tone (leakage gives slight bias)
+    assert abs(out[1].spectral_centroid_hz - 440.0) < 30.0
+    assert abs(out[2].dominant_hz - 3000.0) <= 2.0
+    for empty in (3, 4):
+        assert out[empty].n_samples == 0
+        assert out[empty].dominant_hz is None
+        assert out[empty].spectral_centroid_hz is None
