@@ -3051,6 +3051,33 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return methods.unpivot_frame(wide, "band", "flag", "vol", ["A", "N", "R"])
 
 
+@q("q_pq_ann")
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (EXT, rows-only: codebooks are iterative
+    float k-means — engine-specific; the exact oracle-verified twin is
+    q_sim_topk).  The third ANN family next to LSH (q_ann_lsh) and IVF
+    (q_ann_ivf), and the only one that also COMPRESSES: each vector
+    becomes m=8 centroid ids, the float vectors need not be stored at
+    all, and asymmetric-distance top-k is m literal-table lookups + a
+    sum per row — pure codegen scan + TakeOrdered.  Codebooks train on
+    a deterministic sample (standard PQ practice; quality saturates),
+    encode is one projection over the full corpus.  Tests pin self-hit
+    at rank 0, recall vs exact top-k, and reconstruction MSE < corpus
+    variance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = quantize.train_pq_codebook(
+        emb, "vec_id", "embedding", dim=64, m=8, k=8, iters=2
+    )
+    codes = quantize.pq_encode(emb, "vec_id", "embedding", cb)
+    qrow = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    return quantize.pq_topk(codes, cb, [float(v) for v in qrow], 10)
+
+
 @q("q_sketch_rollup")
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives from MERGEABLE per-day HLL
@@ -3233,6 +3260,7 @@ _GRADE_ORDER = [
     "q_simhash",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_pq_ann",
     "q_tfidf",
     "q_approx_distinct",
     "q_sketch_rollup",

@@ -86,3 +86,130 @@ def dim_code_stats(
         f"stack({dim}, {stack}) AS (dim_idx, code_min, code_max, code_sum)",
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    train_fraction: float = 1.0,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split each vector into
+    ``m`` subvectors of dim/m and k-means each subspace independently
+    (deterministic Lloyd's from ops/cluster.py — auditable codebooks).
+    Returns m codebooks of k centroids each (m·k·dim/m floats — KBs:
+    driver-sized by construction).
+
+    Standard PQ practice at 100 TB: TRAIN on a deterministic hash sample
+    (``train_fraction``) — codebook quality saturates quickly — then
+    ENCODE the full corpus with :func:`pq_encode` (one codegen pass, no
+    further iteration)."""
+    from snowav_spark.ops import cluster, sampling
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    train = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+    if train_fraction < 1.0:
+        train = sampling.hash_sample(train, id_col, train_fraction)
+    codebook = []
+    for j in range(m):
+        sliced = train.select(
+            id_col,
+            F.slice(F.col(vec), j * sub + 1, sub)
+            .cast("array<double>")
+            .alias("_v"),
+        )
+        _, cents = cluster.kmeans(
+            sliced, id_col, "_v", k=k, dim=sub, iters=iters
+        )
+        codebook.append(cents)
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    codebook: list[list[list[float]]],
+) -> DataFrame:
+    """Encode every vector as ``m`` small centroid ids (array<int> —
+    m bytes of information per vector vs 4·dim for float32) in ONE
+    whole-stage-codegen projection: the codebook is inlined as literal
+    expressions (same trick as cluster._assign), each subspace computes
+    k squared distances over its slice and takes the argmin.  No join,
+    no shuffle, no UDF — a linear scan at any corpus size.
+    Output: (id, codes array<int>)."""
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+    dim = m * sub
+    wide = _wide(
+        df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)),
+        id_col,
+        vec,
+        dim,
+    )
+    dist_exprs = []
+    code_exprs = []
+    for j, cents in enumerate(codebook):
+        for ci, c in enumerate(cents):
+            d = " + ".join(
+                f"(x{j * sub + i} - {float(c[i])!r})"
+                f" * (x{j * sub + i} - {float(c[i])!r})"
+                for i in range(sub)
+            )
+            dist_exprs.append(f"{d} AS d{j}_{ci}")
+        best = f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{j}_{ci} = _b{j} THEN {ci}" for ci in range(k))
+            + " END"
+        )
+        dist_exprs_tail = f"{best} AS _b{j}"
+        dist_exprs.append(dist_exprs_tail)
+        code_exprs.append(f"CAST({case} AS INT)")
+    scored = wide.selectExpr("*", *dist_exprs)
+    return scored.selectExpr(
+        id_col, f"array({', '.join(code_exprs)}) AS codes"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    query: list[float],
+    k_out: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is
+    compared against CENTROIDS, so per subspace there are only k
+    distances — precomputed here into literal lookup tables — and each
+    row's approximate distance is m array lookups + a sum, pure codegen
+    over the codes column.  The corpus scan never touches float vectors
+    (they need not even be stored), and top-k is TakeOrdered (no global
+    sort).  Output: (id, adc_dist2) ascending."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    terms = []
+    for j, cents in enumerate(codebook):
+        q = query[j * sub : (j + 1) * sub]
+        table = [
+            sum((qv - cv) ** 2 for qv, cv in zip(q, c)) for c in cents
+        ]
+        lits = ", ".join(repr(float(t)) for t in table)
+        terms.append(
+            f"element_at(array({lits}), element_at(codes, {j + 1}) + 1)"
+        )
+    scored = codes.selectExpr(
+        codes.columns[0], f"{' + '.join(terms)} AS adc_dist2"
+    )
+    return scored.orderBy("adc_dist2", codes.columns[0]).limit(k_out)

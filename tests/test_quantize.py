@@ -62,3 +62,64 @@ def test_dim_code_stats_consistent_with_codes(spark):
     for d in range(4):
         vals = [r[f"c{d}"] for r in per_dim]
         assert stats[d + 1] == (min(vals), max(vals), sum(vals), len(vals))
+
+
+def test_pq_encode_and_adc_search(spark, sf_dir):
+    """PQ round trip on fixture embeddings: codes are m small ints,
+    reconstruction beats the zero-information baseline, and ADC search
+    finds the query itself first plus a majority of true neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from snowav_spark.io import load_table
+    from snowav_spark.ops import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = quantize.train_pq_codebook(
+        emb, "vec_id", "embedding", dim=64, m=8, k=8, iters=3
+    )
+    assert len(cb) == 8 and len(cb[0]) == 8 and len(cb[0][0]) == 8
+    codes = quantize.pq_encode(emb, "vec_id", "embedding", cb).cache()
+    n = emb.count()
+    assert codes.count() == n
+    code_rows = {r.vec_id: r.codes for r in codes.collect()}
+    assert all(
+        len(c) == 8 and all(0 <= x < 8 for x in c)
+        for c in code_rows.values()
+    )
+
+    rows = emb.collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    # reconstruction MSE < corpus variance (k=1 per subspace ≈ variance)
+    mses = []
+    for vid, v in vecs.items():
+        rec = [c for j in range(8) for c in cb[j][code_rows[vid][j]]]
+        mses.append(float(np.mean((np.array(rec) - np.array(v)) ** 2)))
+    var = float(np.var(np.array(list(vecs.values()))))
+    assert np.mean(mses) < var
+
+    # ADC: query vector's own code must rank first (distance to its own
+    # centroids is minimal); majority of exact top-5 inside ADC top-25
+    qid = sorted(vecs)[0]
+    q = vecs[qid]
+    adc = [r[0] for r in quantize.pq_topk(codes, cb, q, 25).collect()]
+    assert adc[0] == qid
+    exact5 = [
+        vid
+        for _, vid in sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+            for vid, v in vecs.items()
+        )[:5]
+    ]
+    assert len(set(exact5) & set(adc)) >= 3
+
+
+def test_pq_rejects_bad_dims(spark, sf_dir):
+    import pytest
+
+    from snowav_spark.io import load_table
+    from snowav_spark.ops import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        quantize.train_pq_codebook(emb, "vec_id", "embedding", dim=64, m=7)
