@@ -103,3 +103,49 @@ def test_kll_quantiles_close_to_exact(spark, sf_dir):
             # KLL guarantees RANK error, which for a smooth value
             # distribution maps to a small value error; 10% is generous.
             assert abs(g - e) <= 0.1 * abs(e) + 1e-6, (t, g, e)
+
+
+def test_sketch_table_persists_and_appends_incrementally(
+    spark, sf_dir, tmp_path
+):
+    """The persistable-rollup claim end to end: write the first half of
+    the stream's day sketches to parquet, append the second half later
+    (disjoint days — the daily-ingest pattern), and answer the global
+    distinct question from the FILES, matching a from-scratch sketch of
+    the full corpus exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date") + 14
+    ).collect()[0][0]
+    day = F.date_trunc("day", "ts").cast("date")
+    path = str(tmp_path / "sketch_store")
+
+    sketches.daily_distinct_sketches(
+        ev.filter(day <= F.lit(cut)), "ts", "user_id"
+    ).write.mode("overwrite").parquet(path)
+    sketches.daily_distinct_sketches(
+        ev.filter(day > F.lit(cut)), "ts", "user_id"
+    ).write.mode("append").parquet(path)
+
+    stored = spark.read.parquet(path)
+    est = sketches.total_distinct_approx(stored).collect()[0][0]
+    full = sketches.total_distinct_approx(
+        sketches.daily_distinct_sketches(ev, "ts", "user_id")
+    ).collect()[0][0]
+    assert est == full
+    # and the rolling series from the stored table matches the
+    # from-scratch one row for row (estimates, but identical inputs)
+    a = sorted(
+        map(tuple, sketches.rolling_distinct_approx(stored, 7).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sketches.rolling_distinct_approx(
+                sketches.daily_distinct_sketches(ev, "ts", "user_id"), 7
+            ).collect(),
+        )
+    )
+    assert a == b
