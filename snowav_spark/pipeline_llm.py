@@ -42,6 +42,14 @@ class CurationConfig:
     decontam_n: int = 5  # eval-overlap gram width
     decontam_max_hits: int = 0  # drop docs with > this many leaked grams
     index_est_threshold: float = 0.8  # near-dup bar vs an existing corpus
+    # exact-dup survivorship: "min_id" (default) or "best" — keep the
+    # LONGEST member of each normalized-digest cluster (dedup.keep_best;
+    # numeric ids required for its deterministic tie-break)
+    exact_survivor: str = "min_id"
+    # mixture balancing after dedup: None | "uniform" (downsample every
+    # group to the smallest) | "temperature" (sqrt(min/n) keep-rates)
+    balance: str | None = None
+    balance_col: str = "source"
 
 
 @dataclass
@@ -133,6 +141,15 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
             n=cfg.shingle_n,
             est_threshold=cfg.index_est_threshold,
         )
+    elif cfg.exact_survivor == "best":
+        # keep the longest capture per normalized-digest cluster
+        # (duplicate crawls differ in completeness; min-id would throw
+        # away the better copy).  keep_best is one max_by hash agg; the
+        # survivor filter is a semi-join on the id key.
+        kept = dedup.keep_best(
+            gated.withColumn("_len", F.length(txt)), id_c, "_clean", "_len"
+        ).select(F.col("kept_id").alias(id_c))
+        exact = gated.join(kept, id_c, "left_semi")
     else:
         exact = dedup.drop_exact_dups(gated, "_clean", id_c)
     note("exact_deduped", exact)
@@ -162,6 +179,23 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
         )
         corpus = corpus.join(leaked, id_c, "left_anti")
         note("decontaminated", corpus)
+
+    # 4c. mixture balancing: md5-deterministic per-group downsampling
+    #     AFTER dedup (duplicates must not inflate a group's share).
+    if cfg.balance is not None:
+        from snowav_spark.ops import sampling
+
+        if cfg.balance == "uniform":
+            corpus = sampling.balance_groups(
+                corpus, id_c, cfg.balance_col
+            ).drop("_rate")
+        elif cfg.balance == "temperature":
+            corpus = sampling.temperature_balance(
+                corpus, id_c, cfg.balance_col
+            ).drop("_rate")
+        else:
+            raise ValueError(f"unknown balance mode {cfg.balance!r}")
+        note("balanced", corpus)
 
     # 5. pack into training bins on token counts of the cleaned text.
     lens = corpus.select(

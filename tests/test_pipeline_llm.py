@@ -110,3 +110,50 @@ def test_curate_decontamination_gate(spark, corpus):
     assert 3 not in ids  # leaked doc dropped
     assert ids == base_ids - {3}
     assert res.stage_counts["decontaminated"] == len(ids)
+
+
+def test_curate_keep_best_survivor(spark):
+    """exact_survivor='best': the LONGEST member of a normalized-digest
+    cluster survives instead of the lowest id."""
+    base = "quick brown fox jumps over the lazy dog near the river today"
+    rows = [
+        (0, base),
+        (1, base + "..."),  # same normalized text, longer raw capture
+        (2, "an entirely different document about spark catalyst engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res_min = curate(df, CurationConfig(jaccard_threshold=0.99))
+    res_best = curate(
+        df, CurationConfig(jaccard_threshold=0.99, exact_survivor="best")
+    )
+    assert sorted(r.doc_id for r in res_min.corpus.collect()) == [0, 2]
+    assert sorted(r.doc_id for r in res_best.corpus.collect()) == [1, 2]
+
+
+def test_curate_balance_stages(spark):
+    """balance='uniform'/'temperature': per-source downsampling after
+    dedup, deterministic, rates ordered none ≥ temperature ≥ uniform."""
+    rows = [
+        (i, f"document number {i} with unique words w{i} x{i} y{i} z{i}",
+         "big" if i < 160 else "small")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    cfg = dict(jaccard_threshold=0.99, min_quality=0.0)
+    none = curate(df, CurationConfig(**cfg)).corpus.count()
+    uni = curate(
+        df, CurationConfig(**cfg, balance="uniform", balance_col="source")
+    ).corpus
+    temp = curate(
+        df, CurationConfig(**cfg, balance="temperature", balance_col="source")
+    ).corpus
+    n_uni = uni.count()
+    n_temp = temp.count()
+    assert none == 200
+    assert n_uni < n_temp < none  # sqrt-temperature keeps more than uniform
+    # the balanced corpora still carry all columns (balance drops _rate)
+    assert "_rate" not in uni.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate(df, CurationConfig(**cfg, balance="nope"))
