@@ -541,3 +541,50 @@ def ivf_topk(
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``dim``-d vectors
+    to ``out_dim`` dimensions with a fixed ±1/√out_dim sign matrix —
+    pairwise distances are preserved in expectation (JL), so every
+    downstream distance-based operator (LSH bucketing, k-means, PQ)
+    runs on vectors out_dim/dim the size at proportionally lower cost.
+
+    The sign matrix is seed-deterministic (reproducible across runs,
+    engines, partitionings) and INLINED as literal expressions — the
+    projection is one whole-stage-codegen pass: dim casts + out_dim
+    dot products, no join, no UDF, no shuffle.  Rows with NULL or
+    wrong-length vectors are dropped (same guard as cluster.kmeans).
+    """
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    signs = rng.choice([-scale, scale], size=(out_dim, dim))
+    wide = df.filter(
+        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+    ).selectExpr(
+        "*",
+        *[
+            f"CAST(element_at({vec}, {i + 1}) AS DOUBLE) AS _rp{i}"
+            for i in range(dim)
+        ],
+    )
+    outs = [
+        " + ".join(f"_rp{i} * {float(signs[j][i])!r}" for i in range(dim))
+        for j in range(out_dim)
+    ]
+    keep = [c for c in df.columns]
+    return wide.selectExpr(
+        *keep, f"array({', '.join(outs)}) AS {out_col}"
+    )

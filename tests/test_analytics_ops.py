@@ -355,3 +355,77 @@ def test_gap_fill_daily_planted_gaps(spark):
     assert out[("g", 4)] == (40.0, 40.0)
     assert out[("h", 2)] == (7.0, 7.0)
     assert len(out) == 5  # spine bounded by each group's own min..max
+
+
+# ------------------------------------------------------- random projection
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property, measured: project 64→16 dims and check (a) exact
+    shape/determinism, (b) pairwise squared distances correlate strongly
+    with the originals on real fixture embeddings."""
+    import numpy as np
+
+    from snowav_spark.io import load_table
+    from snowav_spark.ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.random_projection(
+        emb, "vec_id", "embedding", dim=64, out_dim=16
+    )
+    rows = {r.vec_id: (list(r.embedding), list(r.proj)) for r in proj.collect()}
+    assert all(len(p) == 16 for _, p in rows.values())
+    # determinism under different partitioning
+    again = {
+        r.vec_id: list(r.proj)
+        for r in similarity.random_projection(
+            emb.repartition(7), "vec_id", "embedding", 64, 16
+        ).collect()
+    }
+    assert all(again[k] == p for k, (_, p) in rows.items())
+
+    ids = sorted(rows)[:60]
+    orig = np.array([rows[i][0] for i in ids])
+    prj = np.array([rows[i][1] for i in ids])
+    d_o, d_p = [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d_o.append(((orig[a] - orig[b]) ** 2).sum())
+            d_p.append(((prj[a] - prj[b]) ** 2).sum())
+    # i.i.d. fixture vectors concentrate all pairwise distances near one
+    # value (high-dim concentration), so CORRELATION is uninformative
+    # here — the JL guarantee is the unbiased ratio, asserted tightly:
+    ratio = np.mean(np.array(d_p) / np.array(d_o))
+    assert 0.8 < ratio < 1.2, ratio
+
+
+def test_random_projection_separates_clustered_data(spark):
+    """On data with real distance structure (tight triplets, far-apart
+    cluster centers) the projected distances must still separate
+    near pairs from far pairs — the property LSH/k-means composition
+    relies on."""
+    import numpy as np
+
+    from snowav_spark.ops import similarity
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for c in range(10):
+        center = rng.randn(64) * 5.0
+        for j in range(3):
+            v = center + rng.randn(64) * 0.05
+            rows.append((c * 3 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {
+        r.vec_id: np.array(r.proj)
+        for r in similarity.random_projection(
+            df, "vec_id", "embedding", 64, 16
+        ).collect()
+    }
+    within, across = [], []
+    for a in range(30):
+        for b in range(a + 1, 30):
+            d = float(((proj[a] - proj[b]) ** 2).sum())
+            (within if a // 3 == b // 3 else across).append(d)
+    # every within-triplet distance below every cross-cluster distance
+    assert max(within) < min(across)
