@@ -2753,7 +2753,8 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ud AS (SELECT DISTINCT user_id,
                        cast(date_trunc('day', ts) AS DATE) AS day
-                FROM events),
+                FROM events
+                WHERE user_id IS NOT NULL),
     days AS (SELECT DISTINCT day FROM ud)
     SELECT d.day AS day, count(DISTINCT u.user_id) AS active_users
     FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day

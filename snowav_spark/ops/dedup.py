@@ -589,7 +589,18 @@ def keep_best(
     no window, no second pass over the text.  NULL text is excluded (a
     NULL digest would otherwise form one giant bogus cluster).
     Output: (digest, n_copies, kept_id, best_score).
+
+    Requires an integral id column: the lowest-id tie-break negates the
+    id inside max_by's ordering struct.  A non-numeric id would silently
+    cast to NULL and every cluster's survivor would vanish, so reject it
+    loudly instead.
     """
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"keep_best needs an integral id column for its deterministic"
+            f" tie-break; {id_col!r} is {id_type}"
+        )
     d = df.filter(F.col(text).isNotNull()).select(
         F.md5(F.col(text)).alias("digest"),
         F.col(id_col).cast("long").alias("_id"),

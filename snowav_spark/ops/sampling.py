@@ -173,18 +173,32 @@ def balance_groups(
 
     Adds ``_rate`` (the group's sampling rate) to the surviving rows.
     """
+    return _balance_by_rate(
+        df,
+        key,
+        group,
+        F.col("_min_n").cast("double") / F.col("_n"),
+        digits,
+    )
+
+
+def _balance_by_rate(
+    df: DataFrame, key: str, group: str, rate: Column, digits: int
+) -> DataFrame:
+    """Shared md5-cut scaffolding for the mixture balancers: per-group
+    counts (one tiny agg), ``rate`` evaluated against `_min_n`/`_n`,
+    the hex cut derived from the SAME rate expression (never a second
+    formula that could drift), broadcast back onto one corpus scan.
+    The rate >= 1.0 short-circuit keeps the smallest group exact (its
+    floor()'d cut would otherwise need digits+1 hex chars)."""
     counts = df.groupBy(group).agg(F.count("*").alias("_n"))
     min_n = counts.agg(F.min("_n").alias("_min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         group,
-        (F.col("_min_n").cast("double") / F.col("_n")).alias("_rate"),
+        rate.alias("_rate"),
         F.format_string(
             f"%0{digits}x",
-            F.floor(
-                F.col("_min_n").cast("double")
-                / F.col("_n")
-                * (16 ** digits)
-            ).cast("int"),
+            F.floor(rate * (16 ** digits)).cast("int"),
         ).alias("_cut"),
     )
     tagged = df.join(F.broadcast(rates), group)
@@ -213,23 +227,13 @@ def temperature_balance(
     computed in-plan and broadcast back onto a single corpus scan; the
     corpus itself is never shuffled.  Adds ``_rate`` to survivors.
     """
-    counts = df.groupBy(group).agg(F.count("*").alias("_n"))
-    min_n = counts.agg(F.min("_n").alias("_min_n"))
-    rate = F.sqrt(F.col("_min_n").cast("double") / F.col("_n"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
+    return _balance_by_rate(
+        df,
+        key,
         group,
-        rate.alias("_rate"),
-        F.format_string(
-            f"%0{digits}x",
-            F.floor(rate * (16 ** digits)).cast("int"),
-        ).alias("_cut"),
+        F.sqrt(F.col("_min_n").cast("double") / F.col("_n")),
+        digits,
     )
-    tagged = df.join(F.broadcast(rates), group)
-    kept = tagged.filter(
-        (F.col("_rate") >= 1.0)
-        | (hash_bucket(F.col(key), digits) < F.col("_cut"))
-    )
-    return kept.drop("_cut")
 
 
 def global_quantile_cuts(df: DataFrame, value: str, q: int = 10) -> DataFrame:

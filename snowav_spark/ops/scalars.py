@@ -126,10 +126,17 @@ def zscore_outlier_stats(
             "n",
             "_mean",
             "_var",
-            (
+            # when/otherwise, not a bare boolean cast: a NULL comparison
+            # (all-NaN / out-of-domain group → NULL moments) must count
+            # as 0, matching the oracle's CASE ... ELSE 0 — a NULL here
+            # would propagate through sum() into a NULL n_outliers on
+            # the Spark side only.
+            F.when(
                 (v - F.col("_mean")) * (v - F.col("_mean"))
-                > F.lit(threshold * threshold) * F.col("_var")
+                > F.lit(threshold * threshold) * F.col("_var"),
+                F.lit(1),
             )
+            .otherwise(F.lit(0))
             .cast("long")
             .alias("_is_out"),
         )

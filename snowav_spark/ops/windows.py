@@ -264,11 +264,13 @@ def rolling_active(
     clip the fan-out to observed days is broadcast (it is tiny by
     construction).  Counts are exact integers → hash-stable.
     """
-    # NULL user is not a user: the SQL twin's count(DISTINCT user_id)
-    # ignores NULLs while count(*) over a distinct frame would count one
-    # — filter explicitly so both dialects agree.  (NULL ts needs no
-    # filter: a NULL day survives no BETWEEN / no sequence() fan-out in
-    # either engine.)
+    # NULL user is not a user: filtered BEFORE the day collapse, so an
+    # "observed day" means a day with ≥1 real user — a day whose events
+    # are all NULL-user emits no row.  The SQL twin must apply the same
+    # WHERE user_id IS NOT NULL in its innermost CTE (count(DISTINCT)
+    # alone would still emit such days, with other users' window
+    # counts).  NULL ts needs no filter: a NULL day survives no
+    # BETWEEN / no sequence() fan-out in either engine.
     ud = (
         df.filter(F.col(user).isNotNull())
         .select(

@@ -84,6 +84,12 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     (the eval side is compared on the raw text column).
     """
     cfg = cfg or CurationConfig()
+    # validate enum-ish options up front — a typo must fail loudly, not
+    # silently run the other semantics for an entire corpus pass
+    if cfg.exact_survivor not in ("min_id", "best"):
+        raise ValueError(f"unknown exact_survivor mode {cfg.exact_survivor!r}")
+    if cfg.balance not in (None, "uniform", "temperature"):
+        raise ValueError(f"unknown balance mode {cfg.balance!r}")
     id_c, txt = cfg.id_col, cfg.text_col
     counts: dict[str, int] = {}
 
@@ -189,12 +195,10 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
             corpus = sampling.balance_groups(
                 corpus, id_c, cfg.balance_col
             ).drop("_rate")
-        elif cfg.balance == "temperature":
+        else:  # "temperature" — validated at entry
             corpus = sampling.temperature_balance(
                 corpus, id_c, cfg.balance_col
             ).drop("_rate")
-        else:
-            raise ValueError(f"unknown balance mode {cfg.balance!r}")
         note("balanced", corpus)
 
     # 5. pack into training bins on token counts of the cleaned text.

@@ -165,11 +165,23 @@ def morton_key(
     scaled = []
     for c in cols:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        # All-NULL column: min/max come back None — degrade to a
+        # constant dimension (zero bits of spread) instead of crashing.
+        if lo is None:
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(
                 F.lit(top),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top),
+                F.floor(
+                    # NULL cell → curve origin for that dimension (NULLs
+                    # cluster together, which is also what their footer
+                    # stats want); without the coalesce a single NULL
+                    # poisons the whole interleaved key to NULL.
+                    (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+                    / F.lit(span)
+                    * top
+                ),
             ).cast("long")
         )
     for i in range(bits_per_col):

@@ -429,3 +429,78 @@ def test_random_projection_separates_clustered_data(spark):
             (within if a // 3 == b // 3 else across).append(d)
     # every within-triplet distance below every cross-cluster distance
     assert max(within) < min(across)
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_rolling_active_null_user_only_day_emits_nothing(spark):
+    """A day whose events are ALL NULL-user is not an observed day —
+    matches the oracle's WHERE user_id IS NOT NULL in the innermost CTE
+    (without that filter the SQL side would emit the day with other
+    users' window counts while Spark drops it)."""
+    ev = spark.createDataFrame(
+        [(1, _ts(1)), (None, _ts(5))], ["user_id", "ts"]
+    )
+    out = {
+        r["day"].day: r["active_users"]
+        for r in windows.rolling_active(ev, "ts", "user_id", days=7).collect()
+    }
+    assert out == {1: 1}
+
+
+def test_keep_best_rejects_non_numeric_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("doc-1", "t", 5), ("doc-2", "t", 9)], ["doc_id", "text", "n"]
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        dedup.keep_best(df, "doc_id", "text", "n")
+
+
+def test_zscore_all_nan_group_counts_zero_outliers(spark):
+    """NULL moments (all-NaN group) must yield n_outliers 0, not NULL —
+    the oracle's CASE ... ELSE 0 says so, and a bare boolean cast would
+    propagate NULL through the sum on the Spark side only."""
+    df = spark.createDataFrame(
+        [("bad", float("nan")), ("bad", float("nan")), ("ok", 1.0), ("ok", 2.0)],
+        ["event_type", "value"],
+    )
+    out = {
+        r.event_type: r
+        for r in scalars.zscore_outlier_stats(df, "event_type", "value").collect()
+    }
+    assert out["bad"].n_outliers == 0
+    assert out["bad"].mean_value is None
+    assert out["ok"].n_outliers == 0
+
+
+def test_morton_key_survives_null_columns(spark, tmp_path):
+    from snowav_spark import sinks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a long, b long"
+    )
+    # all-NULL clustering column: constant dimension, not a crash
+    keyed = df.withColumn("k", sinks.morton_key(df, ["a", "b"], 8))
+    ks = [r.k for r in keyed.collect()]
+    assert all(k is not None for k in ks)
+    # partial NULLs: NULL cells cluster at the curve origin, key non-NULL
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, None), (300, 20)], ["a", "b"]
+    )
+    ks2 = {r.a: r.k for r in df2.withColumn(
+        "k", sinks.morton_key(df2, ["a", "b"], 8)).collect()}
+    assert all(k is not None for k in ks2.values())
+
+
+def test_curate_rejects_unknown_survivor_mode(spark):
+    import pytest
+
+    from snowav_spark.pipeline_llm import CurationConfig, curate
+
+    df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exact_survivor"):
+        curate(df, CurationConfig(exact_survivor="keep-best"))
