@@ -3052,6 +3052,82 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return methods.unpivot_frame(wide, "band", "flag", "vol", ["A", "N", "R"])
 
 
+@q(
+    "q_share_of_total",
+    f"""
+    WITH per AS (
+        SELECT n_name, {msum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+    t AS (SELECT {msum_sql("revenue")} AS total FROM per)
+    SELECT n_name, revenue, round(revenue / total, 6) AS share
+    FROM per, t
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total / ratio-to-report (EXT): each nation's revenue
+    share.  The naive SQL form is a window SUM over an EMPTY partition —
+    which materializes the whole frame on ONE reducer; here the total is
+    a second tiny aggregate broadcast back via a 1-row crossJoin, so the
+    plan stays map-side-combined end to end.  The share division runs on
+    fixed-point (msum) revenues — identical doubles in both engines — so
+    round(,6) of the ratio hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    total = per.agg(msum(F.col("revenue")).alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "revenue",
+        r6(F.col("revenue") / F.col("total")).alias("share"),
+    )
+
+
+@q(
+    "q_dedup_bursts",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (SELECT event_id, user_id, event_type, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC NULLS LAST,
+                                        event_id ASC NULLS LAST) AS prev
+          FROM events)
+    WHERE prev IS NULL OR ts - prev > INTERVAL 5 MINUTE
+    """,
+)
+def q_dedup_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch burst-dedup (EXT): keep only the opener of each
+    (user, event_type) burst — events within 5 minutes of their
+    predecessor collapse away (client retries, double-fires).  The
+    batch twin of streaming's dropDuplicatesWithinWatermark, with
+    sessionize's gaps-and-islands shape: one window shuffle, a lag, and
+    a µs-exact codegen interval comparison.  Output omits ts so the
+    hash compares ids, not timestamp encodings."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = windows.first_per_burst(
+        ev, ["user_id", "event_type"], "ts", 5, "event_id"
+    )
+    return kept.select("event_id", "user_id", "event_type")
+
+
 @q("q_pq_ann")
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (EXT, rows-only: codebooks are iterative
@@ -3252,6 +3328,8 @@ _GRADE_ORDER = [
     "q_span_dedup",
     "q_gap_fill",
     "q_unpivot",
+    "q_share_of_total",
+    "q_dedup_bursts",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

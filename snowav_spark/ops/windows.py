@@ -372,3 +372,34 @@ def gap_fill_daily(
     return joined.withColumn(
         "filled_value", F.last("mean_value", ignorenulls=True).over(w)
     )
+
+
+def first_per_burst(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    gap_minutes: float,
+    tiebreak: str,
+) -> DataFrame:
+    """Batch burst-dedup: keep only the FIRST event of each burst — rows
+    with the same ``keys`` arriving within ``gap_minutes`` of the
+    previous kept-or-dropped row collapse to their opener (client
+    retries, double-clicks, sensor chatter).  The batch twin of
+    streaming's dropDuplicatesWithinWatermark, sharing sessionize's
+    gaps-and-islands shape: one window partitioning on the keys, a lag,
+    and a codegen interval comparison (µs-exact, like sessionize).
+    NULL order keys pinned LAST in both dialects."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()
+    )
+    prev = F.lag(ts).over(w)
+    gap = F.expr(
+        f"INTERVAL {int(round(gap_minutes * 60 * 1_000_000))} MICROSECOND"
+    )
+    return (
+        df.withColumn(
+            "_opener", prev.isNull() | ((F.col(ts) - prev) > gap)
+        )
+        .filter("_opener")
+        .drop("_opener")
+    )

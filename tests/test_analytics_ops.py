@@ -504,3 +504,35 @@ def test_curate_rejects_unknown_survivor_mode(spark):
     df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="exact_survivor"):
         curate(df, CurationConfig(exact_survivor="keep-best"))
+
+
+# ------------------------------------------------------------ burst dedup
+
+
+def test_first_per_burst_chains_and_gaps(spark):
+    import datetime as dt
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 12, m, s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a", t(0)),
+            (2, 1, "a", t(3)),    # within 5 min of #1 → dropped
+            (3, 1, "a", t(7)),    # within 5 of #2 (chain!) → dropped
+            (4, 1, "a", t(20)),   # new burst → kept
+            (5, 1, "b", t(1)),    # different key → its own burst
+            (6, 2, "a", t(2)),    # different user → its own burst
+            (7, 1, "a", t(20)),   # exact tie with #4: id 4 is opener
+        ],
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+    kept = sorted(
+        r.event_id
+        for r in windows.first_per_burst(
+            ev, ["user_id", "event_type"], "ts", 5, "event_id"
+        ).collect()
+    )
+    # chain semantics: each event within gap of its PREDECESSOR extends
+    # the burst, so #3 dies even though it is >5 min from opener #1
+    assert kept == [1, 4, 5, 6]
