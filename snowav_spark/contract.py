@@ -3128,6 +3128,42 @@ def q_dedup_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("event_id", "user_id", "event_type")
 
 
+@q(
+    "q_overlap_matrix",
+    """
+    WITH us AS (SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM us a JOIN us b USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment co-occurrence matrix (EXT): for every pair of event
+    types, how many distinct users did BOTH — the exact audience-overlap
+    table (the Theta-sketch segment_overlap answers the same question
+    approximately from sketches when the raw stream is gone).  Shape:
+    distinct (user, segment) collapse map-side first, then a self
+    equi-join on the user key — per-user fan-out is s² for s segments
+    per user, bounded by the segment vocabulary, never by event volume.
+    The diagonal doubles as per-segment distinct-user counts."""
+    ev = load_table(spark, sf_dir, "events")
+    us = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    b = us.select(
+        "user_id", F.col("event_type").alias("type_b")
+    )
+    return (
+        us.join(b, "user_id")
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 @q("q_pq_ann")
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (EXT, rows-only: codebooks are iterative
@@ -3330,6 +3366,7 @@ _GRADE_ORDER = [
     "q_unpivot",
     "q_share_of_total",
     "q_dedup_bursts",
+    "q_overlap_matrix",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -536,3 +536,26 @@ def test_first_per_burst_chains_and_gaps(spark):
     # chain semantics: each event within gap of its PREDECESSOR extends
     # the burst, so #3 dies even though it is >5 min from opener #1
     assert kept == [1, 4, 5, 6]
+
+
+# ---------------------------------------------------------- overlap matrix
+
+
+def test_overlap_matrix_symmetry_and_diagonal(spark, sf_dir):
+    """The co-occurrence matrix must be symmetric, its diagonal must be
+    the per-segment distinct-user counts, and off-diagonal cells can
+    never exceed either diagonal."""
+    import __spark_entry__ as entrymod
+
+    m = {
+        (r.type_a, r.type_b): r.n_users
+        for r in entrymod.queries()["q_overlap_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    types = sorted({a for a, _ in m})
+    for a in types:
+        for b in types:
+            assert m[(a, b)] == m[(b, a)]
+            if a != b:
+                assert m[(a, b)] <= min(m[(a, a)], m[(b, b)])
