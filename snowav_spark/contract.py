@@ -3164,6 +3164,60 @@ def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_fuzzy_join",
+    """
+    WITH typo AS (SELECT n_nationkey AS typo_key,
+                         substr(n_name, 2) AS typo_name
+                  FROM nation),
+    lg AS (SELECT DISTINCT typo_key,
+                  unnest(CASE WHEN len(typo_name) >= 3
+                      THEN list_transform(
+                          range(1, len(lower(typo_name)) - 1),
+                          i -> substr(lower(typo_name), i, 3))
+                      ELSE [lower(typo_name)] END) AS g
+           FROM typo),
+    rg AS (SELECT DISTINCT n_nationkey,
+                  unnest(CASE WHEN len(n_name) >= 3
+                      THEN list_transform(
+                          range(1, len(lower(n_name)) - 1),
+                          i -> substr(lower(n_name), i, 3))
+                      ELSE [lower(n_name)] END) AS g
+           FROM nation),
+    cand AS (SELECT DISTINCT typo_key, n_nationkey
+             FROM lg JOIN rg USING (g))
+    SELECT c.typo_key, c.n_nationkey, t.typo_name, n.n_name,
+           cast(levenshtein(lower(t.typo_name), lower(n.n_name)) AS INT)
+               AS dist
+    FROM cand c
+    JOIN typo t USING (typo_key)
+    JOIN nation n USING (n_nationkey)
+    WHERE levenshtein(lower(t.typo_name), lower(n.n_name)) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (EXT): reconcile a corrupted name list
+    (each nation name with its first character dropped — a deterministic
+    in-plan typo table) against the canonical dim.  A levenshtein
+    theta-join is a cartesian product; ops/joins.fuzzy_join blocks on
+    shared character trigrams (equi-join, Σ df(g)² candidates) and
+    verifies the exact edit-distance predicate only on candidates —
+    both engines implement classic levenshtein, so the matches
+    hash-exactly.  Every typo matches its own nation at dist 1; extra
+    matches (nations within 1 edit of another's truncation) appear
+    identically in both dialects."""
+    nation = load_table(spark, sf_dir, "nation")
+    typo = nation.select(
+        F.col("n_nationkey").alias("typo_key"),
+        F.expr("substr(n_name, 2)").alias("typo_name"),
+    )
+    out = joins.fuzzy_join(
+        typo, nation, "typo_key", "n_nationkey", "typo_name", "n_name",
+        max_dist=1,
+    )
+    return out.withColumn("dist", F.col("dist").cast("int"))
+
+
 @q("q_pq_ann")
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (EXT, rows-only: codebooks are iterative
@@ -3367,6 +3421,7 @@ _GRADE_ORDER = [
     "q_share_of_total",
     "q_dedup_bursts",
     "q_overlap_matrix",
+    "q_fuzzy_join",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

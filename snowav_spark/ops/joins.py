@@ -294,3 +294,87 @@ def lookback_count(
     return joined.groupBy(*id_cols).agg(
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_in_window")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Approximate string join: match rows whose names are within
+    ``max_dist`` edits — station/basin name reconciliation, entity
+    resolution across feeds.  A direct theta-join on levenshtein() is a
+    full cartesian product; this is the scale form:
+
+    1. **block** on shared character trigrams (equi-join on the gram —
+       linear shuffle; candidate pairs ≈ Σ df(g)² over grams, not n·m),
+    2. **verify** candidates with the exact levenshtein predicate
+       (codegen, both engines implement classic edit distance).
+
+    Trigram blocking has no false negatives for strings longer than
+    ~3·max_dist (an edit touches ≤3 trigrams, so ≤3·max_dist of the
+    min(len)−2 grams can differ); for very short strings pad or lower
+    max_dist.  ``max_df`` drops corpus-hot grams from BLOCKING only
+    (stopword-ish prefixes shared by everything) — that re-introduces
+    possible false negatives, so an oracle-matched caller must apply
+    the same cap on both sides.
+    Output: (left_key, right_key, left_col, right_col, dist).
+    """
+    def grams(df, key, col, gname):
+        t = df.select(
+            key, F.lower(F.col(col)).alias("_s")
+        ).withColumn(
+            "_g",
+            F.explode(
+                F.when(
+                    F.length("_s") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("_s") - 2),
+                        lambda i: F.col("_s").substr(i, F.lit(3)),
+                    ),
+                ).otherwise(F.array(F.col("_s"))),
+            ),
+        )
+        return t.select(key, F.col("_g").alias(gname)).distinct()
+
+    lg = grams(left, left_key, left_col, "_g")
+    rg = grams(right, right_key, right_col, "_g")
+    if max_df is not None:
+        hot = (
+            lg.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_g")
+        )
+        lg = lg.join(F.broadcast(hot), "_g", "left_anti")
+        rg = rg.join(F.broadcast(hot), "_g", "left_anti")
+    cands = lg.join(rg, "_g").select(left_key, right_key).distinct()
+    # internal aliases so left_col == right_col (the common case: both
+    # sides call it "name") never produces an ambiguous reference; when
+    # the names collide the output pair gets l_/r_ prefixes.
+    out_l, out_r = left_col, right_col
+    if left_col == right_col:
+        out_l, out_r = f"l_{left_col}", f"r_{right_col}"
+    lf = left.select(left_key, F.col(left_col).alias("_lval"))
+    rf = right.select(right_key, F.col(right_col).alias("_rval"))
+    return (
+        cands.join(lf, left_key)
+        .join(rf, right_key)
+        .withColumn(
+            "dist",
+            F.levenshtein(F.lower(F.col("_lval")), F.lower(F.col("_rval"))),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            left_key,
+            right_key,
+            F.col("_lval").alias(out_l),
+            F.col("_rval").alias(out_r),
+            "dist",
+        )
+    )

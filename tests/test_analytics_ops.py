@@ -559,3 +559,59 @@ def test_overlap_matrix_symmetry_and_diagonal(spark, sf_dir):
             assert m[(a, b)] == m[(b, a)]
             if a != b:
                 assert m[(a, b)] <= min(m[(a, a)], m[(b, b)])
+
+
+# -------------------------------------------------------------- fuzzy join
+
+
+def test_fuzzy_join_finds_typos_and_respects_distance(spark):
+    from snowav_spark.ops import joins
+
+    canon = spark.createDataFrame(
+        [(1, "ALGERIA"), (2, "ARGENTINA"), (3, "PERU")], ["cid", "name"]
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "ALGERIA"),    # exact → dist 0
+            (11, "ALGERIE"),    # 1 edit
+            (12, "AGENTINA"),   # 1 deletion from ARGENTINA
+            (13, "BRAZIL"),     # no match within 2
+            (14, "PE"),         # shorter than a trigram → whole-string gram
+        ],
+        ["did", "name"],
+    )
+    out = {
+        (r.did, r.cid): r.dist
+        for r in joins.fuzzy_join(
+            dirty, canon, "did", "cid", "name", "name", max_dist=2
+        ).collect()
+    }
+    assert out[(10, 1)] == 0
+    assert out[(11, 1)] == 1
+    assert out[(12, 2)] == 1
+    assert not any(d == 13 for d, _ in out)
+    # "PE" blocks on its whole-string gram, which matches no trigram of
+    # "PERU" → correctly absent (documented short-string limitation)
+    assert not any(d == 14 for d, _ in out)
+
+
+def test_fuzzy_join_max_df_drops_hot_grams(spark):
+    from snowav_spark.ops import joins
+
+    # every name shares the hot prefix "cust-"; with max_df=2 the
+    # prefix grams are dropped from blocking and only the suffix grams
+    # (unique per pair) can block
+    canon = spark.createDataFrame(
+        [(i, f"cust-{chr(97 + i) * 4}") for i in range(20)], ["cid", "name"]
+    )
+    dirty = spark.createDataFrame(
+        [(100 + i, f"cust-{chr(97 + i) * 4}x") for i in range(20)],
+        ["did", "name"],
+    )
+    out = joins.fuzzy_join(
+        dirty, canon, "did", "cid", "name", "name",
+        max_dist=2, max_df=2,
+    )
+    got = {(r.did, r.cid) for r in out.collect()}
+    # each dirty row still finds its canonical twin via suffix grams
+    assert {(100 + i, i) for i in range(20)} <= got
