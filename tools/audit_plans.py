@@ -278,6 +278,122 @@ def main() -> int:
         ["PythonUDF", "SortMergeJoin"],
     )
 
+    # 6r. rolling distinct actives: bounded sequence/explode fan-out with
+    # the observed-day dim broadcast for the semi clip — no range
+    # self-join, no cartesian
+    p = formatted(qs["q_rolling_active"](spark, SF))
+    check(
+        "q_rolling_active",
+        p,
+        ["Generate", "BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+
+    # 6s. percent-of-total: the grand total rides a 1-row broadcast
+    # (BroadcastNestedLoopJoin), never an empty-partition window over the
+    # whole frame on one reducer
+    p = formatted(qs["q_share_of_total"](spark, SF))
+    check(
+        "q_share_of_total",
+        p,
+        ["BroadcastNestedLoopJoin", "partial_sum"],
+        ["CartesianProduct", "PythonUDF", "Window"],
+    )
+
+    # 6t. global deciles: cut array broadcast onto the scan; the only
+    # Window runs over the tiny value-frequency frame, and assignment is
+    # a codegen array comparison — no Python, no cartesian
+    p = formatted(qs["q_global_decile"](spark, SF))
+    check(
+        "q_global_decile",
+        p,
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+
+    # 6u. fuzzy join: candidates from an equi-join on trigrams, verify is
+    # codegen levenshtein — the cartesian theta-join must never appear
+    p = formatted(qs["q_fuzzy_join"](spark, SF))
+    check(
+        "q_fuzzy_join",
+        p,
+        ["levenshtein"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "PythonUDF"],
+    )
+
+    # 6v. overlap matrix / span dedup: self equi-joins, map-side combine,
+    # nothing cartesian and nothing Python
+    p = formatted(qs["q_overlap_matrix"](spark, SF))
+    check(
+        "q_overlap_matrix",
+        p,
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "PythonUDF"],
+    )
+    p = formatted(qs["q_span_dedup"](spark, SF))
+    check(
+        "q_span_dedup",
+        p,
+        ["Generate", "partial_count"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+
+    # 6w. PQ ANN: encode + ADC are PURE codegen (no Arrow, no Python —
+    # unlike the LSH/IVF families' vectorized bucket assignment), and
+    # top-k is sort-free
+    p = formatted(qs["q_pq_ann"](spark, SF))
+    check(
+        "q_pq_ann",
+        p,
+        ["TakeOrderedAndProject"],
+        ["PythonUDF", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    )
+
+    # 6x. sketch rollup: DataSketches aggregate is JVM-side with partial
+    # (map-side) sketch building before the exchange
+    p = formatted(qs["q_sketch_rollup"](spark, SF))
+    check(
+        "q_sketch_rollup",
+        p,
+        ["hll_sketch_agg", "ObjectHashAggregate"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+
+    # 6y. keep-best survivorship: one max_by hash aggregate with map-side
+    # combine — no window, no second text pass
+    p = formatted(qs["q_dedup_keep_best"](spark, SF))
+    check(
+        "q_dedup_keep_best",
+        p,
+        ["partial_max_by"],
+        ["Window", "PythonUDF"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_dedup_keep_best: expected 1 scan, saw {n_scans(p)}")
+
+    # 6z. z-score screen: the per-group moment table joins back BROADCAST
+    # (the raw table is never shuffled on data volume)
+    p = formatted(qs["q_zscore_outlier"](spark, SF))
+    check(
+        "q_zscore_outlier",
+        p,
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "PythonUDF", "Window"],
+    )
+
+    # 6aa. unpivot is a zero-shuffle Expand projection over the wide agg
+    p = formatted(qs["q_unpivot"](spark, SF))
+    check("q_unpivot", p, ["Expand"], ["PythonUDF", "Generate"])
+
+    # 6ab. gap-fill: spine explode + ONE window sharing the group key
+    p = formatted(qs["q_gap_fill"](spark, SF))
+    check(
+        "q_gap_fill",
+        p,
+        ["Generate", "Window", "partial_avg"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
