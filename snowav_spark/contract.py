@@ -3218,6 +3218,62 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.col("dist").cast("int"))
 
 
+@q(
+    "q_time_rollup",
+    f"""
+    SELECT grain, bucket, n, sum_value FROM (
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+               count(*) AS n, {msum_sql("value")} AS sum_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), count(*),
+               {msum_sql("value")}
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'month', date_trunc('month', ts), count(*),
+               {msum_sql("value")}
+        FROM events GROUP BY 2)
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (EXT): hour, day, and
+    month continuous-aggregate buckets from ONE scan — GROUPING SETS on
+    the three truncation columns compiles to a single Expand (each row
+    fans to its 3 grains before the map-side combine), where the naive
+    UNION-ALL form (the oracle's, for clarity) scans three times.  The
+    bucket is emitted NTZ so wall-times survive any host timezone; sums
+    are fixed-point (hour buckets hold few rows, but month buckets cross
+    the round(,6) noise floor).  The plan audit asserts Expand + one
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    truncs = ev.select(
+        F.date_trunc("hour", "ts").alias("_h"),
+        F.date_trunc("day", "ts").alias("_d"),
+        F.date_trunc("month", "ts").alias("_m"),
+        "value",
+    )
+    # grain via grouping() (1 = column absent from this set), NOT via
+    # which bucket is non-NULL — a NULL event time would mislabel its
+    # group under the IS NOT NULL formulation.
+    grain = (
+        F.when(F.grouping("_h") == 0, F.lit("hour"))
+        .when(F.grouping("_d") == 0, F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    return (
+        truncs.groupingSets([["_h"], ["_d"], ["_m"]], "_h", "_d", "_m")
+        .agg(
+            grain.alias("grain"),
+            F.coalesce("_h", "_d", "_m")
+            .cast("timestamp_ntz")
+            .alias("bucket"),
+            F.count("*").alias("n"),
+            msum(F.col("value")).alias("sum_value"),
+        )
+        .select("grain", "bucket", "n", "sum_value")
+    )
+
+
 @q("q_pq_ann")
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (EXT, rows-only: codebooks are iterative
@@ -3422,6 +3478,7 @@ _GRADE_ORDER = [
     "q_dedup_bursts",
     "q_overlap_matrix",
     "q_fuzzy_join",
+    "q_time_rollup",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -394,6 +394,13 @@ def main() -> int:
         ["CartesianProduct", "PythonUDF"],
     )
 
+    # 6ac. multi-granularity time rollup: hour/day/month buckets from ONE
+    # Expand scan, never the UNION-ALL's three scans
+    p = formatted(qs["q_time_rollup"](spark, SF))
+    check("q_time_rollup", p, ["Expand", "partial_count"], ["PythonUDF"])
+    if n_scans(p) != 1:
+        failures.append(f"q_time_rollup: expected 1 scan, saw {n_scans(p)}")
+
     # 7. window queries aggregate to the daily frame before the window sort
     p = formatted(qs["q_cumsum"](spark, SF))
     check("q_cumsum", p, ["Window", "partial_sum"])
