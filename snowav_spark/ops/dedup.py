@@ -595,8 +595,17 @@ def keep_best(
     cast to NULL and every cluster's survivor would vanish, so reject it
     loudly instead.
     """
-    id_type = dict(df.dtypes)[id_col]
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    import re as _re
+
+    dtypes = dict(df.dtypes)
+    if id_col not in dtypes:
+        raise ValueError(
+            f"keep_best: no column {id_col!r} (have {sorted(dtypes)})"
+        )
+    id_type = dtypes[id_col]
+    if id_type not in (
+        "tinyint", "smallint", "int", "bigint"
+    ) and not _re.fullmatch(r"decimal\(\d+,0\)", id_type):
         raise ValueError(
             f"keep_best needs an integral id column for its deterministic"
             f" tie-break; {id_col!r} is {id_type}"

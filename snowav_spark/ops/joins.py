@@ -319,15 +319,22 @@ def fuzzy_join(
     Trigram blocking has no false negatives for strings longer than
     ~3·max_dist (an edit touches ≤3 trigrams, so ≤3·max_dist of the
     min(len)−2 grams can differ); for very short strings pad or lower
-    max_dist.  ``max_df`` drops corpus-hot grams from BLOCKING only
-    (stopword-ish prefixes shared by everything) — that re-introduces
-    possible false negatives, so an oracle-matched caller must apply
-    the same cap on both sides.
-    Output: (left_key, right_key, left_col, right_col, dist).
+    max_dist.  ``max_df`` drops grams hot on EITHER side from BLOCKING
+    only (stopword-ish prefixes shared by everything — a gram hot only
+    in the big canonical corpus would otherwise still produce
+    df_l·df_r candidate pairs) — that re-introduces possible false
+    negatives, so an oracle-matched caller must apply the same cap on
+    both sides.
+
+    Every input role is aliased internally, so any combination of
+    colliding names across the four columns (both keys "id", value ==
+    other side's key, …) is legal; colliding OUTPUT names get l_/r_
+    prefixes.  Output: (left_key, right_key, left_col, right_col,
+    dist) under those resolved names.
     """
-    def grams(df, key, col, gname):
+    def grams(df, key, col, kname):
         t = df.select(
-            key, F.lower(F.col(col)).alias("_s")
+            F.col(key).alias(kname), F.lower(F.col(col)).alias("_s")
         ).withColumn(
             "_g",
             F.explode(
@@ -340,41 +347,56 @@ def fuzzy_join(
                 ).otherwise(F.array(F.col("_s"))),
             ),
         )
-        return t.select(key, F.col("_g").alias(gname)).distinct()
+        return t.select(kname, "_g").distinct()
 
-    lg = grams(left, left_key, left_col, "_g")
-    rg = grams(right, right_key, right_col, "_g")
+    lg = grams(left, left_key, left_col, "_lk")
+    rg = grams(right, right_key, right_col, "_rk")
     if max_df is not None:
-        hot = (
-            lg.groupBy("_g")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_g")
-        )
+        def hot_of(g):
+            return (
+                g.groupBy("_g")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max_df)
+                .select("_g")
+            )
+
+        hot = hot_of(lg).union(hot_of(rg)).distinct()
         lg = lg.join(F.broadcast(hot), "_g", "left_anti")
         rg = rg.join(F.broadcast(hot), "_g", "left_anti")
-    cands = lg.join(rg, "_g").select(left_key, right_key).distinct()
-    # internal aliases so left_col == right_col (the common case: both
-    # sides call it "name") never produces an ambiguous reference; when
-    # the names collide the output pair gets l_/r_ prefixes.
-    out_l, out_r = left_col, right_col
+    cands = lg.join(rg, "_g").select("_lk", "_rk").distinct()
+    lf = left.select(
+        F.col(left_key).alias("_lk"), F.col(left_col).alias("_lval")
+    )
+    rf = right.select(
+        F.col(right_key).alias("_rk"), F.col(right_col).alias("_rval")
+    )
+    # resolve output-name collisions: equal pairs get l_/r_ prefixes,
+    # then any residual key-vs-value clash prefixes the value column.
+    out_lk, out_rk = left_key, right_key
+    if left_key == right_key:
+        out_lk, out_rk = f"l_{left_key}", f"r_{right_key}"
+    out_lv, out_rv = left_col, right_col
     if left_col == right_col:
-        out_l, out_r = f"l_{left_col}", f"r_{right_col}"
-    lf = left.select(left_key, F.col(left_col).alias("_lval"))
-    rf = right.select(right_key, F.col(right_col).alias("_rval"))
+        out_lv, out_rv = f"l_{left_col}", f"r_{right_col}"
+    taken = {out_lk, out_rk}
+    while out_lv in taken:
+        out_lv = "l_" + out_lv
+    taken.add(out_lv)
+    while out_rv in taken:
+        out_rv = "r_" + out_rv
     return (
-        cands.join(lf, left_key)
-        .join(rf, right_key)
+        cands.join(lf, "_lk")
+        .join(rf, "_rk")
         .withColumn(
             "dist",
             F.levenshtein(F.lower(F.col("_lval")), F.lower(F.col("_rval"))),
         )
         .filter(F.col("dist") <= max_dist)
         .select(
-            left_key,
-            right_key,
-            F.col("_lval").alias(out_l),
-            F.col("_rval").alias(out_r),
+            F.col("_lk").alias(out_lk),
+            F.col("_rk").alias(out_rk),
+            F.col("_lval").alias(out_lv),
+            F.col("_rval").alias(out_rv),
             "dist",
         )
     )

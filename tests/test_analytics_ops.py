@@ -615,3 +615,56 @@ def test_fuzzy_join_max_df_drops_hot_grams(spark):
     got = {(r.did, r.cid) for r in out.collect()}
     # each dirty row still finds its canonical twin via suffix grams
     assert {(100 + i, i) for i in range(20)} <= got
+
+
+def test_fuzzy_join_colliding_key_and_value_names(spark):
+    """Every name-collision combination must work: both keys 'id', and a
+    value column named like the other side's key."""
+    from snowav_spark.ops import joins
+
+    left = spark.createDataFrame([(1, "ALGERIA")], ["id", "name"])
+    right = spark.createDataFrame([(7, "ALGERIE")], ["id", "name"])
+    out = joins.fuzzy_join(left, right, "id", "id", "name", "name", 2)
+    assert out.columns == ["l_id", "r_id", "l_name", "r_name", "dist"]
+    row = out.collect()[0]
+    assert (row.l_id, row.r_id, row.dist) == (1, 7, 1)
+
+    # value column named like the right key
+    l2 = spark.createDataFrame([(1, "PERUU")], ["lid", "name"])
+    r2 = spark.createDataFrame([("PERU", "x")], ["name", "other"])
+    out2 = joins.fuzzy_join(l2, r2, "lid", "name", "name", "name", 2)
+    # keys distinct ('lid' vs 'name'); values collide with each other →
+    # l_/r_ prefixed; r_key 'name' stays
+    assert set(out2.columns) == {"lid", "name", "l_name", "r_name", "dist"}
+    assert out2.count() == 1
+
+
+def test_fuzzy_join_max_df_counts_both_sides(spark):
+    """A gram hot only on the RIGHT side must also be dropped from
+    blocking (previously only left-side document frequency was capped)."""
+    from snowav_spark.ops import joins
+
+    left = spark.createDataFrame([(1, "zzzq")], ["did", "name"])
+    # right: many names sharing gram 'zzz' — hot on the right only
+    right = spark.createDataFrame(
+        [(i, f"zzz{chr(97 + i)}") for i in range(10)], ["cid", "name"]
+    )
+    out = joins.fuzzy_join(
+        left, right, "did", "cid", "name", "name", max_dist=2, max_df=3
+    )
+    # 'zzz' dropped (right df=10 > 3); remaining left grams 'zzq' match
+    # nothing → no candidates at all, NOT 10 near-cartesian candidates
+    assert out.count() == 0
+
+
+def test_keep_best_accepts_decimal_ids_and_names_missing_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "t", 5), (2, "t", 9)], ["doc_id", "text", "n"]
+    ).withColumn("doc_id", F.col("doc_id").cast("decimal(38,0)"))
+    out = dedup.keep_best(df, "doc_id", "text", "n").collect()
+    assert out[0].kept_id == 2
+    with pytest.raises(ValueError, match="no column"):
+        dedup.keep_best(df, "nope", "text", "n")

@@ -14,7 +14,8 @@ TZ=America/Denver SPARK_GRAFT_JAVA_TZ=America/Denver python tools/check.py \
     q_filter_daterange q_date_functions q_validation_join \
     q_tumbling_daily q_sliding_window q_session_window q_daily_series \
     q_lookback_join \
-    q_rolling_active q_transitions q_gap_fill q_dedup_bursts q_retention
+    q_rolling_active q_transitions q_gap_fill q_dedup_bursts q_retention \
+    q_time_rollup
 # fixture-regeneration drift gate (NULLs, encodings, dupes — gating
 # variants only fail on real engine divergence)
 python tools/fuzz_fixtures.py
