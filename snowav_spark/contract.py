@@ -3274,6 +3274,77 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_drift_bins",
+    """
+    WITH m AS (SELECT min(cast(date_trunc('day', ts) AS DATE)) AS d0
+               FROM events),
+    binned AS (
+        SELECT cast(greatest(least(floor(value / 50), 9), 0) AS INT) AS bin,
+               cast(date_trunc('day', ts) AS DATE) <= d0 + 14 AS is_ref
+        FROM events, m
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+    agg AS (SELECT bin,
+                   cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ref,
+                   cast(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_cur
+            FROM binned GROUP BY 1),
+    t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM agg)
+    SELECT bin, n_ref, n_cur,
+           round(n_ref * 1.0 / nullif(t_ref, 0), 6) AS rate_ref,
+           round(n_cur * 1.0 / nullif(t_cur, 0), 6) AS rate_cur
+    FROM agg, t
+    """,
+)
+def q_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring bins (EXT): the reference-window vs
+    current-window binned frequencies that feed PSI / KL drift scores —
+    kept to exact integer counts and exact-ratio rates so the frame
+    hash-matches (the PSI itself needs ln(), which is libm-dependent; it
+    is one driver-side reduction over these 10 rows, computed and
+    asserted in tests).  One scan, one Expand-free hash agg, totals as
+    a 1-row broadcast — drift monitoring costs a single pass however
+    large the window."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    mn = ev.agg(F.min(day).alias("_d0"))
+    # bins clamped to [0, 9] BEFORE the int cast (an unclamped ±1e13
+    # outlier would overflow Spark's ANSI cast where DuckDB saturates
+    # differently); NaN excluded — its ordering under least/greatest
+    # differs across engines (fuzz float_mag/float_nan findings).
+    binned = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.greatest(
+                F.least(F.floor(F.col("value") / 50), F.lit(9)), F.lit(0)
+            )
+            .cast("int")
+            .alias("bin"),
+            (day <= F.date_add(F.col("_d0"), 14)).alias("is_ref"),
+        )
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    totals = agg.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        r6(F.col("n_ref") / F.nullif(F.col("_tr"), F.lit(0))).alias(
+            "rate_ref"
+        ),
+        r6(F.col("n_cur") / F.nullif(F.col("_tc"), F.lit(0))).alias(
+            "rate_cur"
+        ),
+    )
+
+
 @q("q_pq_ann")
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (EXT, rows-only: codebooks are iterative
@@ -3479,6 +3550,7 @@ _GRADE_ORDER = [
     "q_overlap_matrix",
     "q_fuzzy_join",
     "q_time_rollup",
+    "q_drift_bins",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -668,3 +668,32 @@ def test_keep_best_accepts_decimal_ids_and_names_missing_column(spark):
     assert out[0].kept_id == 2
     with pytest.raises(ValueError, match="no column"):
         dedup.keep_best(df, "nope", "text", "n")
+
+
+# ------------------------------------------------------------- drift bins
+
+
+def test_drift_bins_feed_psi(spark, sf_dir):
+    """PSI computed from the exact-count frame: identical windows give
+    PSI ~ 0; a shifted synthetic current window gives PSI > threshold.
+    (The contract key keeps ln() out of the hash-matched frame — PSI is
+    this 10-row driver-side reduction.)"""
+    import math as m
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_drift_bins"](spark, sf_dir).collect()
+    assert sum(r.n_ref for r in rows) > 0 and sum(r.n_cur for r in rows) > 0
+
+    def psi(pairs):
+        out = 0.0
+        for p, q_ in pairs:
+            p, q_ = max(p, 1e-6), max(q_, 1e-6)
+            out += (p - q_) * m.log(p / q_)
+        return out
+
+    # fixture halves come from the same generator → tiny drift
+    assert psi([(r.rate_ref, r.rate_cur) for r in rows]) < 0.1
+    # planted shift: current = reference bins moved up one → large PSI
+    shifted = [(r.rate_ref, 0.0) for r in rows]
+    assert psi(shifted) > 0.5
