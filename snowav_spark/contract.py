@@ -3441,6 +3441,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_dedup_embed, q_sample_hash, q_data_quality) rotate out to the tail.
 # Every SURVEY §2 row keeps an in-window key; rotated-out keys stay gated
 # by tools/check.py + tests/test_contract.py on every run.
+#
+# Round-5 rotation (VERDICT r4 item 1): the six round-4 families the
+# driver has never graded — q_fuzzy_join, q_time_rollup, q_rolling_active,
+# q_share_of_total, q_gap_fill, q_pii_redact — move INTO the window;
+# the six keys that earned first-time green rows in r04 (q_scan_topo,
+# q_clean_text, q_decontam, q_chunk_docs, q_minhash_lsh_md5,
+# q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
+# prescribed (§2.1's scan row keeps q_scan_project in-window).
 
 _GRADE_ORDER = [
     # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row -------
@@ -3483,18 +3491,24 @@ _GRADE_ORDER = [
     "q_snow_line",
     "q_text_stats",
     "q_tokenize",
-    "q_scan_topo",
-    "q_clean_text",
-    "q_decontam",
+    "q_pii_redact",
+    "q_fuzzy_join",
     "q_dedup_exact",
     "q_dedup_near",
-    "q_chunk_docs",
+    "q_time_rollup",
     "q_sim_topk",
     "q_knn_join",
     "q_multimodal",
+    "q_rolling_active",
+    "q_share_of_total",
+    "q_gap_fill",
+    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
+    "q_scan_topo",
+    "q_clean_text",
+    "q_decontam",
+    "q_chunk_docs",
     "q_minhash_lsh_md5",
     "q_asof_tolerance",
-    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
     "q_quality_score",
     "q_lang_id",
     "q_fingerprint",
@@ -3513,7 +3527,6 @@ _GRADE_ORDER = [
     # -- tail: oracle-backed keys added after the window was pinned --------
     "q_dedup_resolve",
     "q_decontam_bloom",
-    "q_pii_redact",
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
@@ -3535,7 +3548,6 @@ _GRADE_ORDER = [
     "q_cohort",
     "q_session_stats",
     "q_temperature_mix",
-    "q_rolling_active",
     "q_transitions",
     "q_topk_per_group",
     "q_zscore_outlier",
@@ -3543,13 +3555,9 @@ _GRADE_ORDER = [
     "q_decile_stats",
     "q_global_decile",
     "q_span_dedup",
-    "q_gap_fill",
     "q_unpivot",
-    "q_share_of_total",
     "q_dedup_bursts",
     "q_overlap_matrix",
-    "q_fuzzy_join",
-    "q_time_rollup",
     "q_drift_bins",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",

@@ -240,7 +240,11 @@ def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        nyq_bins_cache: dict[int, "np.ndarray"] = {}
+        # single-entry memo (last length only): same-length runs reuse
+        # the bin array, variable-length audio stays O(1) memory — an
+        # unbounded dict would retain one float64 array per distinct
+        # length for the task's lifetime.
+        last_n, last_freqs = -1, None
         rows: dict[str, list] = {
             "media_id": [],
             "n_samples": [],
@@ -268,10 +272,10 @@ def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
                 rows["rms"].append(float(np.sqrt(np.mean(x * x))))
                 mag = np.abs(np.fft.rfft(x))
                 mag[0] = 0.0  # ignore DC for peak/centroid
-                freqs = nyq_bins_cache.get(n)
-                if freqs is None:
-                    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
-                    nyq_bins_cache[n] = freqs
+                if n != last_n:
+                    last_n = n
+                    last_freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                freqs = last_freqs
                 total = mag.sum()
                 if total <= 0.0:
                     rows["dominant_hz"].append(None)

@@ -568,6 +568,19 @@ def random_projection(
 
     import numpy as np
 
+    # helper columns _rp0.._rp{dim-1} and out_col are injected into the
+    # plan — a pre-existing column with either name would silently give
+    # wrong projections or an ambiguous-column error deep in codegen,
+    # so refuse loudly up front (same precondition style as keep_best).
+    clashes = sorted(
+        set(df.columns) & ({out_col} | {f"_rp{i}" for i in range(dim)})
+    )
+    if clashes:
+        raise ValueError(
+            "random_projection: input columns collide with helper/"
+            f"output names: {clashes}"
+        )
+
     rng = np.random.RandomState(seed)
     scale = 1.0 / math.sqrt(out_dim)
     signs = rng.choice([-scale, scale], size=(out_dim, dim))

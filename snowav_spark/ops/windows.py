@@ -330,7 +330,8 @@ def topk_per_group(
     pre-filter with an approximate per-group threshold first.
     Adds ``rnk`` (1-based)."""
     w = Window.partitionBy(group).orderBy(
-        F.col(order_col).desc_nulls_last(), F.col(tiebreak).asc()
+        F.col(order_col).desc_nulls_last(),
+        F.col(tiebreak).asc_nulls_last(),
     )
     return df.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k

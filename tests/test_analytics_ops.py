@@ -115,6 +115,23 @@ def test_topk_per_group_ties_and_nulls(spark):
     assert got4[("s1", 4)] == 4
 
 
+def test_topk_per_group_null_tiebreak(spark):
+    """ADVICE r4: a NULL TIEBREAK value must rank last (DuckDB ASC
+    default), not first (Spark ASC default) — regression for the
+    .asc() → .asc_nulls_last() fix."""
+    df = spark.createDataFrame(
+        [("s1", None, 100), ("s1", 2, 100), ("s1", 3, 100)],
+        ["source", "doc_id", "n_chars"],
+    )
+    got = {
+        r.doc_id: r.rnk
+        for r in windows.topk_per_group(
+            df, "source", "n_chars", 3, "doc_id"
+        ).collect()
+    }
+    assert got == {2: 1, 3: 2, None: 3}
+
+
 # ---------------------------------------------------------------- z-score
 
 
@@ -397,6 +414,36 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     # here — the JL guarantee is the unbiased ratio, asserted tightly:
     ratio = np.mean(np.array(d_p) / np.array(d_o))
     assert 0.8 < ratio < 1.2, ratio
+
+
+def test_random_projection_collision_guard(spark):
+    """ADVICE r4: inputs already containing _rp{i} or out_col must be
+    rejected loudly instead of producing ambiguous/wrong projections."""
+    import pytest
+
+    from snowav_spark.ops import similarity
+
+    base = spark.createDataFrame(
+        [(1, [0.0] * 4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="_rp2"):
+        similarity.random_projection(
+            base.withColumn("_rp2", F.lit(1)), "vec_id", "embedding", 4, 2
+        )
+    with pytest.raises(ValueError, match="proj"):
+        similarity.random_projection(
+            base.withColumn("proj", F.lit(1)), "vec_id", "embedding", 4, 2
+        )
+    # non-colliding out_col on the same frame is fine
+    ok = similarity.random_projection(
+        base.withColumn("proj", F.lit(1)),
+        "vec_id",
+        "embedding",
+        4,
+        2,
+        out_col="proj2",
+    )
+    assert ok.columns[-1] == "proj2"
 
 
 def test_random_projection_separates_clustered_data(spark):
