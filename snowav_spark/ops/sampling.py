@@ -236,7 +236,9 @@ def temperature_balance(
     )
 
 
-def global_quantile_cuts(df: DataFrame, value: str, q: int = 10) -> DataFrame:
+def global_quantile_cuts(
+    df: DataFrame, value: str, q: int = 10, max_domain: int = 1_000_000
+) -> DataFrame:
     """Exact global q-quantile cut points, computed WITHOUT a global
     sort: collapse to a value-frequency table (bounded by the value
     domain, not the row count — document lengths, scores, token counts
@@ -248,16 +250,39 @@ def global_quantile_cuts(df: DataFrame, value: str, q: int = 10) -> DataFrame:
 
     The frequency table is tiny, so its ordering window running on one
     reducer is the correct plan; the 100 TB input only ever sees the
-    initial map-side-combined groupBy."""
+    initial map-side-combined groupBy.  That plan is ONLY safe while the
+    value domain stays small — the running-sum window is unpartitioned —
+    so a ``max_domain`` guard (in-plan ``assert_true``, zero extra
+    scans) fails the job loudly if the frequency table exceeds it; for
+    genuinely high-cardinality values (raw floats, ids) use
+    ``approx_percentile`` cuts instead of this exact path."""
     f = (
         df.filter(F.col(value).isNotNull())
         .groupBy(value)
         .agg(F.count("*").alias("_c"))
     )
     n = f.agg(F.sum("_c").alias("_n"))
-    cum = f.withColumn(
-        "_cc", F.sum("_c").over(Window.orderBy(value))
-    ).crossJoin(F.broadcast(n))
+    guard = f.agg(
+        F.assert_true(
+            F.count("*") <= max_domain,
+            F.lit(
+                f"global_quantile_cuts: distinct '{value}' values exceed "
+                f"max_domain={max_domain}; the exact frequency-table plan "
+                "would funnel them through one reducer — use "
+                "approx_percentile cuts for high-cardinality domains"
+            ),
+        ).alias("_guard")
+    )
+    # the filter (always true on pass: assert_true yields NULL) pins the
+    # guard into the plan — a bare drop would let column pruning
+    # eliminate the assertion entirely.
+    cum = (
+        f.withColumn("_cc", F.sum("_c").over(Window.orderBy(value)))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("_guard").isNull())
+        .drop("_guard")
+    )
     ks = n.select(
         F.explode(F.sequence(F.lit(1), F.lit(q - 1))).alias("k"), "_n"
     ).select(

@@ -245,6 +245,21 @@ def test_global_quantile_cuts_exact_order_stats(spark):
     assert cuts == {1: 2, 2: 4, 3: 6, 4: 8}
 
 
+def test_global_quantile_cuts_max_domain_guard(spark):
+    """VERDICT r4 item 3: the exact frequency-table plan is only safe
+    while the value domain is small — exceeding max_domain must fail
+    loudly (in-plan assert_true), not silently funnel a huge frequency
+    table through one reducer."""
+    import pytest
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    with pytest.raises(Exception, match="max_domain"):
+        sampling.global_quantile_cuts(df, "v", q=4, max_domain=50).collect()
+    # at/below the bound the same data passes
+    ok = sampling.global_quantile_cuts(df, "v", q=4, max_domain=100)
+    assert {r.k: r.cut for r in ok.collect()} == {1: 24, 2: 49, 3: 74}
+
+
 def test_global_decile_assign_boundary_mass_stays_low(spark):
     # heavy tie mass AT a cut: 8×5 then 2×9, q=2 → threshold ceil(10/2)=5
     # → cut = 5; tile = 1 + #{cuts < x}: all the 5s stay in tile 1.
