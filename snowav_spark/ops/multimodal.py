@@ -96,8 +96,48 @@ def decode_media(payload: bytes, fmt: str):
         import numpy as np
 
         return np.asarray(Image.open(_io.BytesIO(payload)))
+    if fmt == "wav":
+        # stdlib decoder — no dependency gate needed.  Returns int16
+        # samples, shape (n_frames,) mono / (n_frames, n_channels).
+        samples, _rate = _decode_wav(payload)
+        return samples
     raise NotImplementedError(
         f"no codec wired for format {fmt!r}; wire soundfile/av here."
+    )
+
+
+def _decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE container via the stdlib ``wave`` module into
+    (int16 sample array, frame rate).  16-bit PCM only — the format the
+    wave module itself writes; other sample widths raise (callers treat
+    that as an undecodable payload)."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    with wave.open(_io.BytesIO(bytes(payload))) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"wav decode supports 16-bit PCM only, got sampwidth="
+                f"{w.getsampwidth()}"
+            )
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    arr = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        arr = arr[: (arr.size // nch) * nch].reshape(-1, nch)
+    return arr, rate
+
+
+def _is_wav(payload) -> bool:
+    """RIFF/WAVE magic check — cheap per-row container sniff."""
+    return (
+        payload is not None
+        and len(payload) >= 12
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
     )
 
 
@@ -221,10 +261,13 @@ AUDIO_FEATURE_SCHEMA = StructType(
 
 
 def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """REAL audio feature extraction over raw PCM payloads — no codec
-    libraries needed: payloads are interpreted as int16 little-endian
-    mono PCM (the WAV data chunk's layout) and featurized with numpy's
-    FFT inside ``mapInPandas``:
+    """REAL audio feature extraction — no codec libraries needed.
+    Payloads carrying a RIFF/WAVE header are decoded as real WAV
+    containers (stdlib ``wave``: the file's OWN frame rate is used and
+    multi-channel audio is downmixed to mono by averaging); anything
+    else is interpreted as headerless int16 little-endian mono PCM at
+    ``sample_rate`` (the raw fallback).  Features via numpy's FFT
+    inside ``mapInPandas``:
 
     - ``rms``: root-mean-square level of the normalized signal,
     - ``dominant_hz``: the peak magnitude bin of the real FFT,
@@ -240,11 +283,11 @@ def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # single-entry memo (last length only): same-length runs reuse
-        # the bin array, variable-length audio stays O(1) memory — an
-        # unbounded dict would retain one float64 array per distinct
+        # single-entry memo (last (length, rate) only): same-shape runs
+        # reuse the bin array, variable-length audio stays O(1) memory —
+        # an unbounded dict would retain one float64 array per distinct
         # length for the task's lifetime.
-        last_n, last_freqs = -1, None
+        last_key, last_freqs = None, None
         rows: dict[str, list] = {
             "media_id": [],
             "n_samples": [],
@@ -261,20 +304,42 @@ def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
                     rows["dominant_hz"].append(None)
                     rows["spectral_centroid_hz"].append(None)
                     continue
-                # truncate a trailing odd byte rather than fail the batch
-                buf = payload[: len(payload) - (len(payload) % 2)]
-                x = (
-                    np.frombuffer(buf, dtype="<i2").astype(np.float64)
-                    / 32768.0
-                )
+                if _is_wav(payload):
+                    try:
+                        samples, rate = _decode_wav(payload)
+                    except Exception:
+                        # undecodable container → null-feature row, not
+                        # a failed batch
+                        rows["n_samples"].append(0)
+                        rows["rms"].append(0.0)
+                        rows["dominant_hz"].append(None)
+                        rows["spectral_centroid_hz"].append(None)
+                        continue
+                    x = samples.astype(np.float64) / 32768.0
+                    if x.ndim > 1:  # downmix stereo+ to mono
+                        x = x.mean(axis=1)
+                else:
+                    # raw fallback: truncate a trailing odd byte rather
+                    # than fail the batch
+                    buf = payload[: len(payload) - (len(payload) % 2)]
+                    x = (
+                        np.frombuffer(buf, dtype="<i2").astype(np.float64)
+                        / 32768.0
+                    )
+                    rate = sample_rate
                 n = x.size
                 rows["n_samples"].append(int(n))
+                if n == 0:  # e.g. a WAV container with an empty data chunk
+                    rows["rms"].append(0.0)
+                    rows["dominant_hz"].append(None)
+                    rows["spectral_centroid_hz"].append(None)
+                    continue
                 rows["rms"].append(float(np.sqrt(np.mean(x * x))))
                 mag = np.abs(np.fft.rfft(x))
                 mag[0] = 0.0  # ignore DC for peak/centroid
-                if n != last_n:
-                    last_n = n
-                    last_freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                if (n, rate) != last_key:
+                    last_key = (n, rate)
+                    last_freqs = np.fft.rfftfreq(n, d=1.0 / rate)
                 freqs = last_freqs
                 total = mag.sum()
                 if total <= 0.0:

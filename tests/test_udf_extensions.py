@@ -78,3 +78,56 @@ def test_audio_features_recover_sine_frequency(spark):
         assert out[empty].n_samples == 0
         assert out[empty].dominant_hz is None
         assert out[empty].spectral_centroid_hz is None
+
+
+def test_audio_features_real_wav_container(spark):
+    """VERDICT r4 item 7: a REAL WAV container (stdlib wave writer)
+    flows through audio_features — the header is sniffed, the file's
+    OWN frame rate (8 kHz here, not the 16 kHz param) drives the
+    frequency axis, and stereo downmixes to mono.  Also covers
+    decode_media('wav')."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from snowav_spark.ops import multimodal
+
+    def make_wav(freq, rate, seconds, channels=1):
+        t = np.arange(int(rate * seconds)) / rate
+        x = (0.6 * 32767 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+        if channels == 2:
+            x = np.column_stack([x, x]).ravel()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    mono = make_wav(440.0, 8_000, 0.5)
+    stereo = make_wav(1000.0, 8_000, 0.5, channels=2)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "wav", None, None, 500, bytearray(mono)),
+            (2, "audio", "wav", None, None, 500, bytearray(stereo)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    # sample_rate param deliberately WRONG (16 kHz): the container's own
+    # 8 kHz header must win, so 440 Hz comes back as 440, not 880.
+    out = {
+        r.media_id: r
+        for r in multimodal.audio_features(df, sample_rate=16_000).collect()
+    }
+    assert out[1].n_samples == 4_000
+    assert abs(out[1].dominant_hz - 440.0) <= 2.0
+    assert out[2].n_samples == 4_000  # stereo downmixed: frames, not ints
+    assert abs(out[2].dominant_hz - 1000.0) <= 2.0
+
+    # decode_media parity: wav branch returns the raw int16 samples
+    arr = multimodal.decode_media(mono, "wav")
+    assert arr.dtype == np.dtype("<i2") and arr.shape == (4_000,)
+    st = multimodal.decode_media(stereo, "wav")
+    assert st.shape == (4_000, 2)
