@@ -23,6 +23,9 @@ Variants (gating — a mismatch is a bug to fix):
   ts_ns       events.ts, o_orderdate, l_shipdate re-encoded timestamp[ns]
   ts_tz       same columns re-encoded timestamp[us, tz=UTC]
   dupes       exact duplicate document rows + same-text-different-id pairs
+  fuzzy_text  sub-trigram-length / empty names and texts, a dist-1 name
+              pair, hot-trigram clusters (fuzzy_join fallback + max_df
+              paths, dedup-near shingling on degenerate docs)
 
 Report-only (engine disagreement noted, not fatal — NaN ordering and
 overflow semantics legitimately differ across engines and the driver's
@@ -142,6 +145,46 @@ def perturb_dupes(name: str, tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, head, clones])
 
 
+def perturb_fuzzy_text(name: str, tbl: pa.Table) -> pa.Table:
+    """Adversarial inputs for the trigram-blocked operators (VERDICT r4
+    item 8): names/texts SHORTER than a trigram (fuzzy_join's
+    whole-string-gram fallback branch), an empty string, a name pair
+    within 1 edit, and hot-trigram clusters (many rows sharing the same
+    gram — the df(g)² blocking hot spot).  Both engines see the same
+    rows, so any q_fuzzy_join / dedup-near / tokenizer mismatch is a
+    real dialect divergence."""
+    if name == "nation" and tbl.num_rows >= 15:
+        return _set_rows(
+            tbl,
+            "n_name",
+            {
+                0: "A",  # 1 char — below trigram length
+                1: "AB",  # 2 chars
+                2: "",  # empty string
+                3: "ABC",  # exactly one trigram
+                5: "THETHETHE1",  # hot-gram cluster: "the"/"het"/"eth"
+                6: "THETHETHE2",
+                8: "THETHETHE3",
+                10: "GERMANX",  # 1 edit from GERMANY (row 7)
+                12: "AB",  # short-string pair: dist 0 vs row 1
+            },
+        )
+    if name == "documents" and tbl.num_rows >= 40:
+        updates = {
+            1: "a",
+            9: "ab",
+            15: "",
+            21: "the the the the the",
+            27: "thethethethe",
+            33: "xy",
+        }
+        tbl = _set_rows(tbl, "text", updates)
+        return _set_rows(
+            tbl, "n_chars", {i: len(t) for i, t in updates.items()}
+        )
+    return tbl
+
+
 def perturb_float_mag(name: str, tbl: pa.Table) -> pa.Table:
     """-0.0, 1e13-magnitude, and subnormal doubles — values both engines
     agree on pointwise, so any mismatch is summation-noise absorption
@@ -167,6 +210,7 @@ VARIANTS = {
     "ts_ns": (perturb_ts_ns, True),
     "ts_tz": (perturb_ts_tz, True),
     "dupes": (perturb_dupes, True),
+    "fuzzy_text": (perturb_fuzzy_text, True),
     "float_mag": (perturb_float_mag, False),
     "float_nan": (perturb_float_nan, False),
 }
