@@ -130,9 +130,13 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    # NO broadcast hint on the size lookups: `sizes` is one row PER
+    # DOCUMENT — corpus-sized, exactly what must never be force-broadcast
+    # (a 1M-doc probe OOMed the driver here).  Left as plain equi-joins,
+    # AQE still broadcast-converts them when the corpus is actually small.
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -134,3 +134,77 @@ def drop_near_dups(
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an edge list — fixed-iteration power method, the
+    second iterative-graph primitive next to connected_components
+    (duplicate-cluster resolution): rank training documents /  sources
+    by link authority before sampling.
+
+    Per iteration: one equi-join (edge ⋈ rank on src) + one
+    map-side-combined sum per dst — the same join+agg round shape as
+    connected_components, eagerly localCheckpoint'ed so lineage stays
+    one round deep (without it iteration k recomputes rounds 1..k-1:
+    quadratic total work).  Dangling mass (nodes with no out-links) is
+    redistributed uniformly each round via a 1-row aggregate, keeping
+    Σ rank = 1 exactly (tested) rather than leaking it.  Rows-only in
+    any oracle contract: float summation order makes ranks
+    engine-specific; tests pin mass conservation and convergence
+    direction instead.
+
+    Output: (node, rank), every node appearing as src or dst.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+    # edges with each src's out-degree attached, reused every round
+    ed = e.join(out_deg, "s").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # dangling nodes (no out-edges) donate their mass uniformly
+        dangling = (
+            ranks.join(
+                out_deg.withColumnRenamed("s", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -400,3 +400,61 @@ def fuzzy_join(
             "dist",
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    ivl_id: str,
+    ivl_start: str,
+    ivl_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Point-in-interval (range-containment) join: every point row is
+    matched to the intervals whose half-open ``[start, end)`` span
+    contains its timestamp — maintenance windows over an event stream,
+    ad campaigns over impressions, outage windows over telemetry.
+
+    The naive theta-join is a cartesian product; this is the band-join
+    generalization for ARBITRARY-LENGTH intervals: each interval
+    explodes into the time buckets it covers (fan-out bounded by
+    ceil(len/bucket)+1 — pick ``bucket_seconds`` near the typical
+    interval length so most intervals emit 1-2 rows), points carry
+    exactly one bucket, and the join becomes an equi-join on the bucket
+    with the exact containment predicate filtering candidates.  Each
+    (point, interval) candidate arises at most once — a point has ONE
+    bucket and an interval lists each bucket once — so no dedup stage
+    is needed.  Overlapping intervals multi-match by design.
+
+    Microsecond-epoch comparisons end-exclusive; NULL timestamps and
+    degenerate intervals (end ≤ start) match nothing in both engines.
+    Output: all point columns + ``ivl_id``.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    s_ep = F.unix_micros(F.col(ivl_start).cast("timestamp"))
+    e_ep = F.unix_micros(F.col(ivl_end).cast("timestamp"))
+    ivl = (
+        intervals.select(
+            F.col(ivl_id), s_ep.alias("_s"), e_ep.alias("_e")
+        )
+        .filter(F.col("_e") > F.col("_s"))  # also guards desc sequence()
+        .withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / w_us),
+                    F.floor((F.col("_e") - 1) / w_us),
+                )
+            ),
+        )
+    )
+    p_ep = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    pts = points.withColumn("_pe", p_ep).withColumn(
+        "_bk", F.floor(F.col("_pe") / w_us)
+    )
+    return (
+        pts.join(ivl, "_bk")
+        .filter((F.col("_pe") >= F.col("_s")) & (F.col("_pe") < F.col("_e")))
+        .drop("_bk", "_pe", "_s", "_e")
+    )

@@ -317,3 +317,27 @@ def global_decile_assign(
         F.filter(F.col("_cuts"), lambda c: c < F.col(value))
     )
     return tagged.withColumn("tile", tile.cast("int")).drop("_cuts")
+
+
+def reservoir_per_group(
+    df: DataFrame, group: str, key: str, k: int, seed: str = "42"
+) -> DataFrame:
+    """Deterministic k-row sample per group — the distributed stand-in
+    for per-group reservoir sampling: rank rows by md5(key‖seed) within
+    the group and keep the first k.  Every engine, run, and
+    partitioning picks the SAME rows (md5 is bit-identical everywhere),
+    so train/eval carve-outs are reproducible and append-only corpora
+    re-sample consistently.
+
+    One window partitioned by the group key (shuffle on group, local
+    sort of each group — never a global sort); for pathologically hot
+    groups pre-thin with a hash_sample at rate ≈ k·10/|group| first.
+    Adds ``rk`` (1-based hash rank).
+    """
+    w = Window.partitionBy(group).orderBy(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))).asc(),
+        F.col(key).asc(),
+    )
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

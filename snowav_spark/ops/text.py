@@ -612,3 +612,51 @@ def oov_rate(
         n_oov.cast("long").alias("n_oov"),
         F.round(n_oov * 1.0 / F.count("*"), 6).alias("oov_frac"),
     )
+
+
+def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Adjacent-token bigram model counts — the n-gram LM / next-token
+    statistics pass of a training-data pipeline: for each (w1, w2)
+    bigram, its corpus count and the total count of bigrams opening
+    with w1, so P(w2|w1) = n_pair/n_w1 normalizes exactly to 1 per w1.
+
+    Shape: one projection builds the adjacent-pair array per document
+    (element_at over a sequence — NO self-join of exploded tokens, the
+    classic mistake that shuffles the corpus twice and joins on doc_id),
+    one explode, one map-side-combined count, and a vocab-sized
+    equi-join to attach the w1 totals (AQE broadcasts it when small).
+    Counts are exact integers, so the conditional probability divides
+    two identical ints in every engine — hash-exact after round(,6).
+    Docs with <2 tokens contribute nothing (guarded: Spark's sequence()
+    DESCENDS when start > stop — an unguarded size-1 doc would emit a
+    bogus reversed pair).
+    """
+    t = tokens(F.col(text_col))
+    pairs = (
+        df.filter(F.col(text_col).isNotNull() & (F.size(t) >= 2))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bi")
+        )
+        .select("bi.w1", "bi.w2")
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").alias("n_pair")
+    )
+    w1_totals = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").alias("n_w1")
+    )
+    return pair_counts.join(w1_totals, "w1").select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        F.round(F.col("n_pair") / F.col("n_w1"), 6).alias("p"),
+    )

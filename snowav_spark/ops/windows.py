@@ -404,3 +404,51 @@ def first_per_burst(
         .filter("_opener")
         .drop("_opener")
     )
+
+
+def scd2_segments(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change/event log:
+    per ``key`` ordered by ``ts``, consecutive rows with the same
+    ``attr`` collapse into one validity segment — the CDC→dimension
+    build every warehouse pipeline runs.
+
+    Gaps-and-islands, fully key-partitioned (no global window): a lag
+    compare marks attribute changes (NULL-safe: NULL→NULL is NOT a
+    change), a running count of change marks numbers the segments, and
+    one aggregate per (key, segment) takes valid_from/n_events;
+    valid_to = the next segment's valid_from via lead (NULL = current).
+    Every window partitions on ``key``, so a 100 TB log shuffles once
+    on the key and each group sorts locally — skewed keys split only at
+    the exchange (AQE), never serialize globally.  NULL order keys
+    pinned LAST in both dialects.
+
+    Output: (key, attr, valid_from, valid_to nullable, n_events).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()
+    )
+    seg = (
+        df.withColumn(
+            "_chg",
+            F.when(
+                F.lag(attr).over(w).eqNullSafe(F.col(attr)), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("_seg", F.sum("_chg").over(w))
+        .groupBy(key, "_seg")
+        .agg(
+            F.first(attr).alias(attr),
+            F.min(ts).alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col("_seg").asc())
+    return seg.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).select(key, attr, "valid_from", "valid_to", "n_events")

@@ -381,6 +381,40 @@ def test_pack_sequences_respects_capacity_and_covers_all(spark):
         assert (end <= 512).all()
 
 
+def test_pack_sequences_tree_matches_linear_scan_ffd(spark):
+    """The segment-tree first-fit must be BIT-IDENTICAL to the reference
+    linear-scan FFD (the r5 speedup changed the search, not the
+    algorithm) — including oversized and zero-length docs."""
+    import numpy as np
+
+    from snowav_spark.ops import packing
+
+    rng = np.random.RandomState(7)
+    lens = list(rng.randint(0, 700, size=400))  # includes >512 and 0
+    rows = [(i, int(l)) for i, l in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = (
+        packing.pack_sequences(df, "doc_id", "n_tokens", 512, n_shards=1)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+    # reference: the original linear-scan FFD
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    fill, ref = [], {}
+    for did, ln in order:
+        for b, f in enumerate(fill):
+            if f + ln <= 512:
+                ref[did] = (b, f)
+                fill[b] = f + ln
+                break
+        else:
+            ref[did] = (len(fill), 0)
+            fill.append(ln)
+    for _, r in got.iterrows():
+        assert (r["bin"], r["offset"]) == ref[r["doc_id"]], r["doc_id"]
+
+
 def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     from snowav_spark.ops import packing
 

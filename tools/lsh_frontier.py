@@ -35,7 +35,7 @@ TABLES = 4
 THRESHOLD = 0.9
 
 
-def probe(spark, name, emb, n):
+def probe(spark, name, emb, n, bits_list=BITS):
     from snowav_spark.ops import similarity
 
     emb = emb.localCheckpoint(eager=True)
@@ -48,7 +48,7 @@ def probe(spark, name, emb, n):
             ).collect()
         }
     out = []
-    for bits in BITS:
+    for bits in bits_list:
         t0 = time.perf_counter()
         n_cand = similarity.lsh_candidate_pairs(
             emb, "vec_id", "embedding", tables=TABLES, bits=bits
@@ -83,7 +83,18 @@ def probe(spark, name, emb, n):
 
 
 def main() -> None:
-    n_synth = [int(a) for a in sys.argv[1:]] or [20_000, 40_000]
+    # flags: --bits 15,16,17 overrides the bit sweep (big-N probes need
+    # constant-occupancy bits — bits=3 at 400k vectors would score ~42%
+    # of 8e10 pairs); --no-fixture skips the sf0.1 corpus re-run.
+    argv = sys.argv[1:]
+    bits_list = BITS
+    if "--bits" in argv:
+        i = argv.index("--bits")
+        bits_list = tuple(int(b) for b in argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    skip_fixture = "--no-fixture" in argv
+    argv = [a for a in argv if a != "--no-fixture"]
+    n_synth = [int(a) for a in argv] or [20_000, 40_000]
     from snowav_spark.session import get_spark
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -95,10 +106,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    fix = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    rows += probe(spark, "sf0.1-fixture", fix, fix.count())
+    if not skip_fixture:
+        fix = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        rows += probe(spark, "sf0.1-fixture", fix, fix.count(), bits_list)
     for n in n_synth:
-        rows += probe(spark, f"synthetic-{n}", gen_embeddings(spark, n), n)
+        rows += probe(
+            spark, f"synthetic-{n}", gen_embeddings(spark, n), n, bits_list
+        )
     print(json.dumps({"summary": rows}))
     spark.stop()
 

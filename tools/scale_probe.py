@@ -185,20 +185,74 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             ev, "user_id", "ts", "event_type", "event_id"
         ).count()
     )
+
+    # fuzzy-join frontier: n/10 syllable-composed names (hash-derived,
+    # so some trigrams are corpus-hot) reconciled against their
+    # first-char-dropped typos.  max_df caps the hot grams on both
+    # sides — without it Σ df(g)² over the hot grams would dominate;
+    # the measured ratio is the evidence the cap keeps growth linear.
+    from snowav_spark.ops import joins
+
+    names = (
+        spark.range(max(n_docs // 10, 100))
+        .select(
+            F.col("id").alias("key"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(4)),
+                    lambda i: F.concat(
+                        F.lit("s"),
+                        F.pmod(F.hash(F.col("id"), i), F.lit(500)).cast(
+                            "string"
+                        ),
+                    ),
+                ),
+            ).alias("name"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    typos = names.select(
+        (F.col("key") + 100_000_000).alias("key"),
+        F.expr("substr(name, 2)").alias("name"),
+    )
+    out["fuzzy_join"] = timed(
+        lambda: joins.fuzzy_join(
+            typos, names, "key", "key", "name", "name",
+            max_dist=1, max_df=200,
+        ).count()
+    )
     return out
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    import os
+
+    # The probe packs driver + 32 executor threads + every run's eager
+    # localCheckpoint blocks into ONE JVM; at 1M-doc scale the contract
+    # default (8g) fills with checkpoint blocks and the next broadcast
+    # build dies.  A real cluster spreads these across executors — for
+    # the single-JVM probe, size the heap to the simulation.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from snowav_spark.session import get_spark
 
     spark = get_spark(
         app_name="scale-probe", extra_conf={"spark.ui.enabled": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    run_at(spark, max(n // 10, 1000))  # untimed warmup: JIT + codegen
-    r1 = run_at(spark, n)
-    r2 = run_at(spark, 2 * n)
+    import gc
+
+    def run_and_release(nd):
+        out = run_at(spark, nd)
+        # drop the run's eager localCheckpoint blocks before the next,
+        # larger run claims the heap (ContextCleaner frees them on GC)
+        gc.collect()
+        return out
+
+    run_and_release(max(n // 10, 1000))  # untimed warmup: JIT + codegen
+    r1 = run_and_release(n)
+    r2 = run_and_release(2 * n)
     report = {
         "n_docs": n,
         "ops": {
