@@ -48,6 +48,7 @@ from snowav_spark.ops import (
     similarity,
     sketches,
     skew,
+    skyline,
     text,
     windows,
 )
@@ -3400,6 +3401,301 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.rolling_distinct_approx(daily, days=7)
 
 
+@q(
+    "q_skyline",
+    """
+    WITH pts AS (SELECT p_retailprice AS price, p_size AS sz, p_partkey
+                 FROM part
+                 WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+    SELECT price, sz, cast(count(*) AS BIGINT) AS n_rows,
+           min(p_partkey) AS min_id
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts s
+        WHERE s.price <= p.price AND s.sz <= p.sz
+          AND (s.price < p.price OR s.sz < p.sz))
+    GROUP BY price, sz
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (EXT): parts not dominated on (retail price,
+    size) — the "best tradeoff" query (cheapest-and-smallest part,
+    best-quality-at-lowest-token-cost document).  The oracle states the
+    quadratic NOT-EXISTS definition; ops/skyline.py computes the same
+    answer from one per-x aggregate + bucket-partitioned prefix-min
+    windows (the only single-reducer step is a ≤64-row bucket frame) —
+    the plan that survives a 100 TB input.  Pure comparisons on raw
+    values — no float arithmetic in the answer, so it hash-matches."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("sz"),
+        "p_partkey",
+    )
+    return skyline.skyline_points(pts, "price", "sz", "p_partkey")
+
+
+@q(
+    "q_scd2",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN lag(event_type) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+                    ) IS NOT DISTINCT FROM event_type THEN 0 ELSE 1
+               END AS chg
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS seg
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, seg, min(event_type) AS event_type,
+               min(ts) AS valid_from, cast(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, seg
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY seg) AS valid_to,
+           n_events
+    FROM g
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (EXT): per user, consecutive events with
+    the same type collapse into validity segments with
+    valid_from/valid_to — the CDC→dimension transform every warehouse
+    pipeline runs.  Gaps-and-islands fully partitioned on the user key
+    (windows.scd2_segments): one shuffle of the log, local sorts, no
+    global window.  NULL-safe change detection (NULL→NULL is not a
+    change) via eqNullSafe / IS NOT DISTINCT FROM in the two dialects."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.scd2_segments(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@q(
+    "q_interval_join",
+    f"""
+    WITH w AS (SELECT n_nationkey AS window_id,
+                      TIMESTAMP '2024-01-01'
+                          + n_nationkey * INTERVAL 1 DAY AS ws,
+                      TIMESTAMP '2024-01-01'
+                          + (n_nationkey + 3) * INTERVAL 1 DAY AS we
+               FROM nation)
+    SELECT window_id,
+           cast(count(*) AS BIGINT) AS n_events,
+           {msum_sql("value")} AS sum_value,
+           cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY window_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range containment) join (EXT): events rolled
+    up per overlapping 3-day maintenance window (windows derived from
+    the nation dim in-plan, so both engines build identical intervals).
+    The oracle states the theta-join; ops/joins.interval_join explodes
+    each interval into its covered time buckets and equi-joins on the
+    bucket (bounded fan-out, never a per-key cartesian) — the
+    arbitrary-length generalization of lookback_count's band join.
+    Money sums fixed-point; distinct users exact."""
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    base = F.lit("2024-01-01").cast("timestamp_ntz")
+    ivl = nation.select(
+        F.col("n_nationkey").alias("window_id"),
+        (base + F.make_interval(days=F.col("n_nationkey"))).alias("ws"),
+        (base + F.make_interval(days=F.col("n_nationkey") + 3)).alias("we"),
+    )
+    matched = joins.interval_join(
+        ev, ivl, "ts", "window_id", "ws", "we", bucket_seconds=3 * 86_400
+    )
+    return matched.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        msum(F.col("value")).alias("sum_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+@q(
+    "q_bigram_lm",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE text IS NOT NULL
+                    AND len(string_split(text, ' ')) >= 2),
+    bi AS (SELECT l[i] AS w1, l[i+1] AS w2
+           FROM toks, unnest(range(1, len(l))) AS t(i)),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
+    tot AS (SELECT w1, sum(n_pair) AS n_w1 FROM pc GROUP BY w1)
+    SELECT w1, w2, cast(n_pair AS BIGINT) AS n_pair,
+           cast(n_w1 AS BIGINT) AS n_w1,
+           round(n_pair / n_w1, 6) AS p
+    FROM pc JOIN tot USING (w1)
+    ORDER BY n_pair DESC, w1, w2 LIMIT 30
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts (EXT): adjacent-token pair counts
+    with per-opener totals, P(w2|w1) = n_pair/n_w1 — the n-gram LM /
+    next-token statistics pass of a training-data pipeline.  The pair
+    array is built by ONE projection (element_at over a sequence — no
+    exploded-token self-join); counts are exact ints so the conditional
+    probability divides identical integers in both engines.  Top 30 by
+    count with full tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.bigram_counts(docs, "text")
+        .orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+@q(
+    "q_reservoir",
+    """
+    SELECT source, doc_id, cast(rk AS INT) AS rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(cast(doc_id AS VARCHAR) || '42')
+                                ASC NULLS LAST,
+                            doc_id ASC NULLS LAST) AS rk
+        FROM documents) t
+    WHERE rk <= 5
+    """,
+)
+def q_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (EXT): 5 documents per source,
+    ranked by md5(doc_id‖seed) — the reproducible stand-in for
+    per-group reservoir sampling (same rows on every engine, run, and
+    partitioning; append-only corpora re-sample consistently).  One
+    window partitioned by source — shuffle on the group key only."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.reservoir_per_group(
+        docs.select("source", "doc_id"), "source", "doc_id", 5
+    )
+    return out.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+@q(
+    "q_mode_daily",
+    """
+    WITH d AS (SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                      event_type, count(*) AS cnt
+               FROM events WHERE event_type IS NOT NULL
+               GROUP BY 1, 2)
+    SELECT day, event_type AS mode_type, cast(cnt AS BIGINT) AS n
+    FROM (SELECT day, event_type, cnt,
+                 row_number() OVER (
+                     PARTITION BY day
+                     ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM d) t
+    WHERE rn = 1
+    """,
+)
+def q_mode_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (EXT): the modal event type per day
+    with its count, ties to the lexicographically smallest type.  Two
+    hash aggregates, NO window: the survivor is min_by over a
+    (-count, type) ordering struct — map-side combinable, the same
+    no-window shape as q_dedup_keep_best (the oracle states the
+    row_number form for clarity)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    pick = F.min_by(
+        F.struct(F.col("event_type"), F.col("cnt")),
+        F.struct((-F.col("cnt")).alias("o1"), F.col("event_type").alias("o2")),
+    )
+    return daily.groupBy("day").agg(pick.alias("m")).select(
+        "day",
+        F.col("m.event_type").alias("mode_type"),
+        F.col("m.cnt").alias("n"),
+    )
+
+
+@q(
+    "q_mad_outlier",
+    """
+    WITH med AS (SELECT event_type,
+                        round(quantile_cont(value, 0.5), 6) AS p50
+                 FROM events GROUP BY event_type),
+    d AS (SELECT e.event_type, abs(e.value - m.p50) AS dev
+          FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+            FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median-absolute-deviation) outlier counts per event type
+    (EXT) — the quality-monitoring twin of q_zscore_outlier that a few
+    extreme rows cannot poison (medians, not means).  Two exact-median
+    passes, each a tiny per-type aggregate broadcast back onto one
+    corpus scan; medians rounded to the shared r6 grid BEFORE the
+    deviation math so both engines branch identically at the 3·MAD
+    boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    med = scalars.exact_percentiles(ev, ["event_type"], "value", [0.5])
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("p50")).alias("dev")
+    )
+    mad = (
+        scalars.exact_percentiles(dev, ["event_type"], "dev", [0.5])
+        .withColumnRenamed("p50", "mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@q("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user↔event-type bipartite graph (EXT,
+    rows-only: float rank sums are summation-order-specific, so no
+    value hash; row count = |nodes| is deterministic).  The second
+    iterative-graph primitive next to connected_components — fixed
+    5-iteration power method with per-round localCheckpoint (lineage
+    stays one round deep) and uniform dangling-mass redistribution
+    (Σ rank = 1 exactly; pinned by tests/test_analytics_ops.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("e"), F.col("event_type")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(edges, "src", "dst", iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -3571,7 +3867,16 @@ _GRADE_ORDER = [
     "q_dedup_bursts",
     "q_overlap_matrix",
     "q_drift_bins",
+    # -- round-5 oracle-backed additions -------------------------------
+    "q_skyline",
+    "q_scd2",
+    "q_interval_join",
+    "q_bigram_lm",
+    "q_reservoir",
+    "q_mode_daily",
+    "q_mad_outlier",
     # -- tail: rows-only by construction -----------------------------------
+    "q_pagerank",
     "q_cluster_kmeans",
     "q_cluster_sample",
     "q_pack_sequences",

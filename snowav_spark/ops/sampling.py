@@ -335,8 +335,10 @@ def reservoir_per_group(
     Adds ``rk`` (1-based hash rank).
     """
     w = Window.partitionBy(group).orderBy(
-        F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))).asc(),
-        F.col(key).asc(),
+        F.md5(
+            F.concat(F.col(key).cast("string"), F.lit(seed))
+        ).asc_nulls_last(),
+        F.col(key).asc_nulls_last(),
     )
     return df.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k

@@ -51,10 +51,16 @@ def skyline_points(
     """
     pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
     # step 1: per-x candidate (also carries per-(x,y) row stats so the
-    # final join-back is against a frontier-sized frame, not the corpus)
+    # final join-back is against a frontier-sized frame, not the corpus).
+    # per_xy and gb (below) are each referenced twice downstream;
+    # Catalyst duplicates unshared subtrees, so WITHOUT the lazy
+    # localCheckpoints the corpus would be scanned five times (caught by
+    # tools/audit_plans.py).  Lazy (eager=False): nothing runs at plan
+    # build; the first action materializes the |distinct (x,y)|-sized
+    # frame once and every later branch reads it back.
     per_xy = pts.groupBy(x, y).agg(
         F.count("*").alias("n_rows"), F.min(id_col).alias("min_id")
-    )
+    ).localCheckpoint(eager=False)
     g = per_xy.groupBy(x).agg(F.min(y).alias("_min_y"))
 
     # step 2: fixed-width range buckets from a broadcast bounds row
@@ -74,14 +80,16 @@ def skyline_points(
                 F.lit(buckets - 1),
             )
         ).cast("int"),
-    )
+    ).localCheckpoint(eager=False)
 
-    # step 3a: strictly-left prefix min INSIDE each bucket (RANGE frame
-    # excludes ties on x — dominance needs x′ < x, not x′ ≤ x)
+    # step 3a: strictly-left prefix min INSIDE each bucket.  g holds ONE
+    # row per distinct x, so a ROWS frame ending 1 before the current
+    # row is exactly {x′ < x} — a RANGE -1 frame would be wrong for
+    # real-valued x (it excludes everything in (x−1, x), not just ties).
     w_in = (
         Window.partitionBy("_b")
         .orderBy(F.col(x).asc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     gb = gb.withColumn("_pref_in", F.min("_min_y").over(w_in))
 

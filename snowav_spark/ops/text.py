@@ -650,13 +650,16 @@ def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
     pair_counts = pairs.groupBy("w1", "w2").agg(
         F.count("*").alias("n_pair")
     )
-    w1_totals = pair_counts.groupBy("w1").agg(
-        F.sum("n_pair").alias("n_w1")
-    )
-    return pair_counts.join(w1_totals, "w1").select(
+    from pyspark.sql.window import Window
+
+    # w1 totals as a window over the (vocab-pair)-sized count table — a
+    # groupBy+self-join would re-scan the CORPUS (Catalyst does not reuse
+    # the aggregated subtree), which the plan audit caught; the window
+    # costs one exchange of the tiny pair table instead.
+    w = Window.partitionBy("w1")
+    return pair_counts.select(
         "w1",
         "w2",
         "n_pair",
-        "n_w1",
-        F.round(F.col("n_pair") / F.col("n_w1"), 6).alias("p"),
-    )
+        F.sum("n_pair").over(w).alias("n_w1"),
+    ).withColumn("p", F.round(F.col("n_pair") / F.col("n_w1"), 6))

@@ -443,7 +443,9 @@ def scd2_segments(
         .withColumn("_seg", F.sum("_chg").over(w))
         .groupBy(key, "_seg")
         .agg(
-            F.first(attr).alias(attr),
+            # attr is constant within a segment; min() (not first()) so
+            # the pick is order-independent and matches the oracle
+            F.min(attr).alias(attr),
             F.min(ts).alias("valid_from"),
             F.count("*").alias("n_events"),
         )

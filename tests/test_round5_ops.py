@@ -1,0 +1,221 @@
+"""Round-5 operators: skyline, SCD2 segments, interval join, bigram LM,
+reservoir-per-group, pagerank.  Oracle parity runs in test_contract /
+tools/check.py; these pin semantics the oracle can't (edge cases,
+invariants, determinism under repartitioning)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from snowav_spark.ops import graph, joins, sampling, skyline, text, windows
+
+TS = datetime.datetime
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Randomized cross-check: the bucketed prefix-min plan must equal
+    the quadratic dominance definition, including duplicate points and
+    y-ties at different x."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = [
+        (i, float(rng.randint(0, 30)), int(rng.randint(0, 30)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    got = {
+        (r.x, r.y)
+        for r in skyline.skyline_points(df, "x", "y", "pid", buckets=7)
+        .collect()
+    }
+    uniq = {(x, y) for _, x, y in pts}
+    expect = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            sx <= x and sy <= y and (sx < x or sy < y) for (sx, sy) in uniq
+        )
+    }
+    assert got == expect
+
+
+def test_skyline_counts_and_representative(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 5), (2, 1.0, 5), (3, 2.0, 4), (4, 2.0, 9), (5, None, 1)],
+        ["pid", "x", "y"],
+    )
+    out = {
+        (r.x, r.y): (r.n_rows, r.min_id)
+        for r in skyline.skyline_points(df, "x", "y", "pid").collect()
+    }
+    # (1.0,5) kept twice (coincident duplicates don't dominate each
+    # other); (2.0,4) kept (better y); (2.0,9) dominated; NULL dropped
+    assert out == {(1.0, 5): (2, 1), (2.0, 4): (1, 3)}
+
+
+# ------------------------------------------------------------ SCD2
+
+
+def test_scd2_segments_null_safe_and_tiebreaks(spark):
+    rows = [
+        # user 1: a a b a — three segments; NULL attr run collapses
+        (1, TS(2024, 1, 1), "a", 10),
+        (1, TS(2024, 1, 2), "a", 11),
+        (1, TS(2024, 1, 3), "b", 12),
+        (1, TS(2024, 1, 4), "a", 13),
+        # user 2: NULL NULL x — NULL→NULL is NOT a change
+        (2, TS(2024, 1, 1), None, 20),
+        (2, TS(2024, 1, 2), None, 21),
+        (2, TS(2024, 1, 3), "x", 22),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = windows.scd2_segments(df, "user_id", "ts", "event_type", "event_id")
+    got = sorted(
+        (
+            (r.user_id, r.valid_from),
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.n_events),
+        )
+        for r in out.collect()
+    )
+    assert [g for _, g in got] == [
+        (1, "a", TS(2024, 1, 1), TS(2024, 1, 3), 2),
+        (1, "b", TS(2024, 1, 3), TS(2024, 1, 4), 1),
+        (1, "a", TS(2024, 1, 4), None, 1),
+        (2, None, TS(2024, 1, 1), TS(2024, 1, 3), 2),
+        (2, "x", TS(2024, 1, 3), None, 1),
+    ]
+
+
+# ------------------------------------------------------ interval join
+
+
+def test_interval_join_boundaries_and_overlaps(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 0, 0, 0)),
+            (2, TS(2024, 1, 2, 12, 0, 0)),
+            (3, TS(2024, 1, 4, 0, 0, 0)),  # == end of w0: excluded
+            (4, TS(2024, 2, 1)),  # outside everything
+        ],
+        ["eid", "ts"],
+    )
+    ivl = spark.createDataFrame(
+        [
+            (0, TS(2024, 1, 1), TS(2024, 1, 4)),
+            (1, TS(2024, 1, 2), TS(2024, 1, 5)),
+            (2, TS(2024, 1, 3), TS(2024, 1, 3)),  # degenerate: matches none
+        ],
+        ["wid", "ws", "we"],
+    )
+    out = joins.interval_join(pts, ivl, "ts", "wid", "ws", "we", 86_400)
+    got = sorted((r.eid, r.wid) for r in out.collect())
+    # half-open [start, end): eid1→w0 only; eid2→w0,w1 (overlap
+    # multi-match); eid3→w1 (w0 end-exclusive); eid4 nowhere
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1)]
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The bucket width is a physical knob — any width must give the
+    same matches."""
+    pts = spark.createDataFrame(
+        [(i, TS(2024, 1, 1 + i % 20, i % 24)) for i in range(60)],
+        ["eid", "ts"],
+    )
+    ivl = spark.createDataFrame(
+        [(w, TS(2024, 1, 1 + w), TS(2024, 1, 4 + w)) for w in range(10)],
+        ["wid", "ws", "we"],
+    )
+    ref = None
+    for width in (3_600, 86_400, 7 * 86_400):
+        got = sorted(
+            (r.eid, r.wid)
+            for r in joins.interval_join(
+                pts, ivl, "ts", "wid", "ws", "we", width
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, width
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def test_bigram_counts_probabilities_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "solo"), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.w1, r.w2): (r.n_pair, r.n_w1, r.p)
+        for r in text.bigram_counts(df, "text").collect()
+    }
+    # pairs: (a,b)x3, (b,a)x1, (b,c)x1; 'solo' and NULL contribute none
+    assert out[("a", "b")] == (3, 3, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "c")] == (1, 2, 0.5)
+    assert len(out) == 3
+    # P(w2|w1) sums to 1 per opener
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (w1, _), (_, _, p) in out.items():
+        sums[w1] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_bigram_counts_single_token_doc_no_reversed_pair(spark):
+    """Spark's sequence() DESCENDS when start > stop — an unguarded
+    1-token doc would emit a reversed bogus pair."""
+    df = spark.createDataFrame([(1, "only")], ["doc_id", "text"])
+    assert text.bigram_counts(df, "text").count() == 0
+
+
+# ----------------------------------------------------------- reservoir
+
+
+def test_reservoir_per_group_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(200)], ["grp", "k"]
+    )
+    a = sorted(
+        (r.grp, r.k, r.rk)
+        for r in sampling.reservoir_per_group(df, "grp", "k", 5).collect()
+    )
+    b = sorted(
+        (r.grp, r.k, r.rk)
+        for r in sampling.reservoir_per_group(
+            df.repartition(13), "grp", "k", 5
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 20  # 4 groups × 5
+    assert all(1 <= rk <= 5 for _, _, rk in a)
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_mass_conserved_and_ordering(spark):
+    # star: everyone links to hub 0; hub is dangling
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], ["s", "d"]
+    )
+    pr = {r.node: r.rank for r in graph.pagerank(edges, "s", "d", iters=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # dangling mass recycled
+    assert all(abs(pr[i] - pr[1]) < 1e-12 for i in range(2, 6))
+    assert pr[0] > pr[1] * 3  # the hub dominates
+
+
+def test_pagerank_cycle_uniform(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], ["s", "d"]
+    )
+    pr = [r.rank for r in graph.pagerank(edges, "s", "d", iters=15).collect()]
+    assert all(abs(x - 1 / 3) < 1e-9 for x in pr)

@@ -410,6 +410,50 @@ def main() -> int:
     if p.count("Exchange") // 2 != 2:
         failures.append("q_cumsum: expected agg exchange + window exchange")
 
+    # 8. round-5 operators
+    # skyline: the quadratic NOT-EXISTS form would plan a nested-loop
+    # join; the bucketed plan must have none, and its windows must be
+    # partitioned (the only unpartitioned window runs on the ≤64-row
+    # bucket frame, upstream of a partial agg)
+    p = formatted(qs["q_skyline"](spark, SF))
+    check(
+        "q_skyline",
+        p,
+        ["partial_min", "Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+    # exactly ONE nested-loop node is legal: the 1-row bounds crossJoin
+    # (same shape as q_share_of_total); the quadratic NOT-EXISTS form
+    # would add corpus-sized ones
+    if p.count("BroadcastNestedLoopJoin") // 2 > 1:
+        failures.append("q_skyline: more than the 1-row bounds BNLJ")
+    # interval join: equi-join on the time bucket, never a pure theta join
+    p = formatted(qs["q_interval_join"](spark, SF))
+    check(
+        "q_interval_join",
+        p,
+        ["partial_count"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "PythonUDF"],
+    )
+    # bigram LM: pair array built in ONE projection over ONE scan (no
+    # exploded-token self-join re-scanning documents)
+    p = formatted(qs["q_bigram_lm"](spark, SF))
+    check("q_bigram_lm", p, ["Generate", "partial_count"], ["PythonUDF"])
+    if n_scans(p) != 1:
+        failures.append(f"q_bigram_lm: expected 1 scan, saw {n_scans(p)}")
+    # mode: no window — two hash aggregates with map-side partials
+    p = formatted(qs["q_mode_daily"](spark, SF))
+    check("q_mode_daily", p, ["partial_min_by"], ["Window", "PythonUDF"])
+    # scd2: every window partitions on the user key (no empty-frame
+    # global window)
+    p = formatted(qs["q_scd2"](spark, SF))
+    check(
+        "q_scd2",
+        p,
+        ["windowspecdefinition(user_id"],  # every window keyed on user
+        ["PythonUDF"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
