@@ -3696,6 +3696,95 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+@q(
+    "q_coverage",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT sum(n) AS total_tokens FROM c),
+    r AS (SELECT w, n,
+                 row_number() OVER (ORDER BY n DESC, w ASC) AS k
+          FROM c),
+    cum AS (SELECT k,
+                   sum(n) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM r)
+    SELECT cast(k AS INT) AS k,
+           cast(cum_tokens AS BIGINT) AS cum_tokens,
+           cast(total_tokens AS BIGINT) AS total_tokens,
+           round(cum_tokens / total_tokens, 6) AS coverage
+    FROM cum, tot WHERE k IN (5, 10, 25)
+    """,
+)
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (EXT): the share of all corpus tokens
+    covered by the top-k words (k = 5/10/25 — the fixture vocabulary is 31 words at every sf; real corpora use the 10/100/1000 default) — the tokenizer-design
+    statistic.  The oracle ranks the whole vocabulary in one window;
+    the Spark plan never globally sorts it: TakeOrdered pulls the top
+    max(k) rows, the running sum windows over that driver-bounded frame
+    only, and the total is a 1-row agg off the same lazily-checkpointed
+    count table (one corpus scan).  Exact integer counts; coverage
+    divides identical ints."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.vocab_coverage(docs, "text", ks=(5, 10, 25))
+    return out.select(
+        F.col("k").cast("int").alias("k"),
+        "cum_tokens",
+        "total_tokens",
+        "coverage",
+    )
+
+
+@q(
+    "q_winsorize",
+    f"""
+    WITH b AS (SELECT event_type,
+                      round(quantile_cont(value, 0.05), 6) AS p5,
+                      round(quantile_cont(value, 0.95), 6) AS p95
+               FROM events GROUP BY event_type),
+    cl AS (SELECT e.event_type,
+                  least(greatest(e.value, b.p5), b.p95) AS v
+           FROM events e JOIN b USING (event_type)
+           WHERE e.value IS NOT NULL)
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           {msum_sql("v")} AS sum_w,
+           round(({msum_sql("v")}) / count(*), 6) AS mean_w
+    FROM cl GROUP BY event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type (EXT): clamp values at the
+    r6-rounded p5/p95 before averaging — the outlier-robust mean every
+    metrics pipeline reports next to the raw one.  The percentile
+    bounds are a tiny per-type aggregate broadcast back onto one corpus
+    scan; the clamp is codegen least/greatest; the mean divides a
+    fixed-point sum by an exact count so no summation-order noise
+    survives.  NULL values drop in both dialects (explicit filter —
+    Spark's clamp would keep NULL as NULL but count(*) differs)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = scalars.exact_percentiles(
+        ev, ["event_type"], "value", [0.05, 0.95]
+    )
+    clamped = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.greatest(F.col("value"), F.col("p5")), F.col("p95")
+            ).alias("v"),
+        )
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        msum(F.col("v")).alias("sum_w"),
+        r6(msum(F.col("v")) / F.count("*")).alias("mean_w"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -3875,6 +3964,8 @@ _GRADE_ORDER = [
     "q_reservoir",
     "q_mode_daily",
     "q_mad_outlier",
+    "q_coverage",
+    "q_winsorize",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -663,3 +663,50 @@ def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
         "n_pair",
         F.sum("n_pair").over(w).alias("n_w1"),
     ).withColumn("p", F.round(F.col("n_pair") / F.col("n_w1"), 6))
+
+
+def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000)) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "what
+    fraction of corpus tokens do the top-k words cover?": for each
+    k ∈ ``ks``, the cumulative count of the k most frequent words and
+    its share of all tokens.
+
+    Scale shape: token counts are one explode + map-side-combined agg
+    (vocab-sized output); the top max(ks) rows come via TakeOrdered —
+    never a global sort of the vocabulary — and the running sum windows
+    over that driver-bounded frame only.  The total is a 1-row agg off
+    the same (lazily checkpointed) count table, so the corpus scans
+    once.  Counts are exact ints; coverage divides identical ints.
+    Output: (k, cum_tokens, total_tokens, coverage).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # reused by top-k AND the total
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    top = counts.orderBy(F.desc("n"), F.asc("w")).limit(max(ks))
+    w = Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))).alias(
+            "k"
+        ),
+        F.sum("n").over(w).alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(*ks))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "cum_tokens",
+            "total_tokens",
+            F.round(F.col("cum_tokens") / F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

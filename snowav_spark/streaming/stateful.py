@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -61,5 +62,92 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SCD2_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), True),
+        StructField("valid_from", TimestampType(), False),
+        StructField("valid_to", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+# state = the OPEN segment: (attr nullable, valid_from epoch-µs, count).
+# Epoch longs rather than timestamps keep the state codec trivial and
+# the compare exact.
+SCD2_STATE = StructType(
+    [
+        StructField("attr", StringType(), True),
+        StructField("vf_us", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def _scd2_track(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cur = list(state.get) if state.exists else None
+    out: dict[str, list] = {
+        "user_id": [],
+        "event_type": [],
+        "valid_from": [],
+        "valid_to": [],
+        "n_events": [],
+    }
+    frames = [p for p in pdfs if len(p)]
+    if frames:
+        df = pd.concat(frames).sort_values(["ts", "event_id"])
+        for ts, attr in zip(df["ts"], df["event_type"]):
+            attr = None if pd.isna(attr) else attr
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if cur is None:
+                cur = [attr, us, 1]
+            elif attr == cur[0] or (attr is None and cur[0] is None):
+                cur[2] += 1
+            else:
+                out["user_id"].append(int(key[0]))
+                out["event_type"].append(cur[0])
+                out["valid_from"].append(pd.Timestamp(cur[1] * 1_000))
+                out["valid_to"].append(pd.Timestamp(us * 1_000))
+                out["n_events"].append(cur[2])
+                cur = [attr, us, 1]
+    if cur is not None:
+        state.update(tuple(cur))
+    yield pd.DataFrame(out).astype(
+        {
+            "user_id": "int64",
+            "event_type": "object",
+            "valid_from": "datetime64[ns]",
+            "valid_to": "datetime64[ns]",
+            "n_events": "int64",
+        }
+    )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD type-2 build — the stateful twin of
+    ``ops.windows.scd2_segments``: per user the OPEN validity segment
+    lives in managed state (three scalars — O(users) memory, runs
+    forever); an attribute change CLOSES the previous segment and emits
+    it downstream (append semantics: each history row is emitted exactly
+    once, when it closes).  The final open segment stays in state, never
+    emitted — exactly the "current" row a dimension merge would upsert.
+
+    Ordering contract: events are sequenced by (ts, event_id) WITHIN
+    each micro-batch; cross-batch order is the arrival order, so feed
+    this from a source that respects event time (or accept
+    arrival-order semantics, the standard CDC-stream tradeoff).
+    Input columns: user_id, ts, event_type, event_id.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_track,
+        outputStructType=SCD2_OUTPUT,
+        stateStructType=SCD2_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -114,3 +114,57 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         assert latest[et][1] == n, f"{et}: count {latest[et][1]} != {n}"
         assert latest[et][0] == pytest.approx(s, abs=1e-3)
         assert first[et][1] < n  # first run really was partial
+
+
+def test_scd2_stream_matches_batch_closed_segments(spark, sf_dir, tmp_path):
+    """Streaming SCD2 must emit exactly the CLOSED segments the batch
+    operator produces (valid_to non-NULL), with state carrying open
+    segments across two availableNow runs via the checkpoint."""
+    from snowav_spark.ops import windows as w_ops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    ).filter(F.col("user_id").isNotNull())
+    half1 = ev.filter(F.dayofmonth("ts") <= 15)
+    half2 = ev.filter(F.dayofmonth("ts") > 15)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(src)
+
+    def run_once():
+        stream = incremental.stream_source(spark, src, half1.schema)
+        seg = stateful.scd2_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            seg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    # batch reference: closed segments only (valid_to IS NOT NULL).
+    # The two halves arrive in event-time order, so streaming order ==
+    # batch order here.
+    expect = sorted(
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.n_events)
+        for r in w_ops.scd2_segments(
+            ev, "user_id", "ts", "event_type", "event_id"
+        )
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    )
+    assert got == expect

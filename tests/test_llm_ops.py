@@ -184,9 +184,13 @@ def _has_pil() -> bool:
 
 
 def test_decode_stub_raises():
-    # audio/video codecs are never wired in this container
+    # video codecs are never wired in this container (wav IS wired via
+    # the stdlib since round 5 — garbage wav bytes raise a decode error,
+    # which audio_features maps to a null-feature row)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", "wav")
+        multimodal.decode_media(b"bytes", "mp4")
+    with pytest.raises(Exception):
+        multimodal.decode_media(b"RIFFxxxxWAVEgarbage", "wav")
     if not _has_pil():
         # image formats are PIL-gated: absent PIL → NotImplementedError
         with pytest.raises(NotImplementedError):

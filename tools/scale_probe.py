@@ -222,6 +222,56 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             max_dist=1, max_df=200,
         ).count()
     )
+
+    # round-5 operators
+    from snowav_spark.ops import skyline, text as text_ops, windows as w_ops
+
+    sky_in = docs.select(
+        F.col("doc_id"),
+        F.pmod(F.hash("doc_id"), F.lit(2000)).cast("double").alias("x"),
+        F.pmod(F.hash("doc_id", F.lit(3)), F.lit(2000)).alias("y"),
+    )
+    out["skyline"] = timed(
+        lambda: skyline.skyline_points(sky_in, "x", "y", "doc_id").count()
+    )
+    out["scd2"] = timed(
+        lambda: w_ops.scd2_segments(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).count()
+    )
+    ivl = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("wid"),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=F.col("id"))
+            ).alias("ws"),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=F.col("id") + 3)
+            ).alias("we"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out["interval_join"] = timed(
+        lambda: joins.interval_join(
+            ev, ivl, "ts", "wid", "ws", "we", 3 * 86_400
+        ).groupBy("wid").count().count()
+    )
+    out["bigram_lm"] = timed(
+        lambda: text_ops.bigram_counts(docs, "text").count()
+    )
+    out["reservoir"] = timed(
+        lambda: sampling.reservoir_per_group(
+            docs.select(
+                F.pmod(F.col("doc_id"), F.lit(100)).alias("grp"), "doc_id"
+            ),
+            "grp",
+            "doc_id",
+            10,
+        ).count()
+    )
     return out
 
 
