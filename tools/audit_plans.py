@@ -453,6 +453,20 @@ def main() -> int:
         ["windowspecdefinition(user_id"],  # every window keyed on user
         ["PythonUDF"],
     )
+    # coverage: top-k via TakeOrdered (never a global vocab sort); the
+    # count table is checkpointed so the corpus scans once
+    p = formatted(qs["q_coverage"](spark, SF))
+    check("q_coverage", p, ["TakeOrderedAndProject"], ["PythonUDF"])
+    if n_scans(p) > 1:
+        failures.append(f"q_coverage: expected ≤1 scan, saw {n_scans(p)}")
+    # winsorize: bounds broadcast, map-side partial agg, no window
+    p = formatted(qs["q_winsorize"](spark, SF))
+    check(
+        "q_winsorize",
+        p,
+        ["BroadcastHashJoin", "partial_count"],
+        ["Window", "PythonUDF", "CartesianProduct"],
+    )
 
     for f in failures:
         print("FAIL:", f)
