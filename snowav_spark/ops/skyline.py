@@ -103,21 +103,12 @@ def skyline_points(
         "_b", "_pref_prior"
     )
 
-    m1 = F.least(
-        F.col("_pref_in"),
-        F.col("_pref_prior"),
-    )  # least() ignores NULLs only when both NULL → NULL; coalesce below
+    # least() skips NULLs (NULL only when BOTH are): exactly the wanted
+    # "min over whichever prefixes exist; NULL when the point is global-
+    # leftmost" semantics.
     sky_x = (
         gb.join(F.broadcast(prior), "_b")
-        .withColumn(
-            "_m1",
-            F.when(
-                F.col("_pref_in").isNull(), F.col("_pref_prior")
-            ).otherwise(
-                F.when(F.col("_pref_prior").isNull(), F.col("_pref_in"))
-                .otherwise(m1)
-            ),
-        )
+        .withColumn("_m1", F.least(F.col("_pref_in"), F.col("_pref_prior")))
         .filter(F.col("_m1").isNull() | (F.col("_m1") > F.col("_min_y")))
         .select(x, F.col("_min_y").alias(y))
     )
