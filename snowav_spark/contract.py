@@ -3740,14 +3740,15 @@ def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_winsorize",
     f"""
-    WITH b AS (SELECT event_type,
-                      round(quantile_cont(value, 0.05), 6) AS p5,
-                      round(quantile_cont(value, 0.95), 6) AS p95
-               FROM events GROUP BY event_type),
+    WITH f AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    b AS (SELECT event_type,
+                 round(quantile_cont(value, 0.05), 6) AS p5,
+                 round(quantile_cont(value, 0.95), 6) AS p95
+          FROM f GROUP BY event_type),
     cl AS (SELECT e.event_type,
                   least(greatest(e.value, b.p5), b.p95) AS v
-           FROM events e JOIN b USING (event_type)
-           WHERE e.value IS NOT NULL)
+           FROM f e JOIN b USING (event_type))
     SELECT event_type,
            cast(count(*) AS BIGINT) AS n,
            {msum_sql("v")} AS sum_w,
@@ -3762,15 +3763,20 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are a tiny per-type aggregate broadcast back onto one corpus
     scan; the clamp is codegen least/greatest; the mean divides a
     fixed-point sum by an exact count so no summation-order noise
-    survives.  NULL values drop in both dialects (explicit filter —
-    Spark's clamp would keep NULL as NULL but count(*) differs)."""
-    ev = load_table(spark, sf_dir, "events")
+    survives.  NULL *and NaN* values drop in both dialects (explicit
+    filter before both the bounds and the clamp: engines disagree on
+    NaN's sort position inside percentile and on NaN propagation
+    through least/greatest, so "winsorized mean over finite values" is
+    the only cross-engine-stable definition — pinned by the float_nan
+    fuzz variant)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     bounds = scalars.exact_percentiles(
         ev, ["event_type"], "value", [0.05, 0.95]
     )
     clamped = (
-        ev.filter(F.col("value").isNotNull())
-        .join(F.broadcast(bounds), "event_type")
+        ev.join(F.broadcast(bounds), "event_type")
         .select(
             "event_type",
             F.least(
