@@ -3791,6 +3791,237 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_market_basket",
+    """
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    bc AS (SELECT p_brand, count(*) AS n FROM ob GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM ob),
+    pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                  count(*) AS support
+           FROM ob a JOIN ob b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2)
+    SELECT brand_a, brand_b, cast(support AS BIGINT) AS support,
+           round(support * 1.0 / ca.n, 6) AS confidence,
+           round(support * 1.0 * t / (ca.n * cb.n), 6) AS lift
+    FROM pr JOIN bc ca ON pr.brand_a = ca.p_brand
+            JOIN bc cb ON pr.brand_b = cb.p_brand, tot
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs (EXT): brand co-occurrence within
+    orders with support / confidence / lift — the frequent-itemset-pairs
+    core of recommendation pipelines.  The scale shape: collapse to
+    DISTINCT (order, brand) FIRST (bounds the self-join fan-out at
+    C(brands_per_order, 2) ≤ C(25,2) rows per order — never line-item
+    quadratic), then one equi-join on the order key; per-brand counts and
+    the grand total are tiny broadcast aggregates, so the metrics land as
+    codegen ratios of exact integers (r6-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused 4× (pairs ×2, bc, tot)
+    )
+    bc = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("t"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.withColumnRenamed("n", "na")),
+            pairs.brand_a == F.col("p_brand"),
+        )
+        .drop("p_brand")
+        .join(
+            F.broadcast(bc.withColumnRenamed("n", "nb")),
+            F.col("brand_b") == F.col("p_brand"),
+        )
+        .drop("p_brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            r6(F.col("support") / F.col("na")).alias("confidence"),
+            r6(
+                F.col("support") * F.col("t") / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@q(
+    "q_running_distinct",
+    """
+    WITH f AS (SELECT event_type, user_id,
+                      min(cast(ts AS DATE)) AS first_day
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT event_type, first_day, count(*) AS new_users
+          FROM f GROUP BY 1, 2)
+    SELECT event_type, first_day AS day,
+           cast(new_users AS BIGINT) AS new_users,
+           cast(sum(new_users) OVER (PARTITION BY event_type
+                ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type per day (EXT) — the
+    "users to date" adoption curve.  The naive form, COUNT(DISTINCT user)
+    OVER (ORDER BY day), is an expanding-set rescan no engine does well
+    at scale; the rewrite is the standard first-seen collapse: min(day)
+    per (type, user) — one shuffle, map-side combined — then new-user
+    counts per (type, first-day) and a running sum over that tiny per-day
+    table, windowed PER TYPE over #days rows (bounded calendar domain;
+    distinct sort keys within each partition keep the frame
+    deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.select("event_type", "user_id", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = first.groupBy("event_type", "first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("first_day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@q(
+    "q_rfm",
+    f"""
+    WITH pc AS (SELECT o_custkey,
+                       max(cast(o_orderdate AS DATE)) AS last_day,
+                       count(*) AS frequency,
+                       {msum_sql("o_totalprice")} AS monetary
+                FROM orders GROUP BY 1),
+    ref AS (SELECT max(cast(o_orderdate AS DATE)) AS ref_day FROM orders),
+    rf AS (SELECT o_custkey, frequency, monetary,
+                  date_diff('day', last_day, ref_day) AS recency
+           FROM pc, ref),
+    cuts AS (SELECT
+        round(quantile_cont(recency,   0.25), 6) AS r25,
+        round(quantile_cont(recency,   0.50), 6) AS r50,
+        round(quantile_cont(recency,   0.75), 6) AS r75,
+        round(quantile_cont(frequency, 0.25), 6) AS f25,
+        round(quantile_cont(frequency, 0.50), 6) AS f50,
+        round(quantile_cont(frequency, 0.75), 6) AS f75,
+        round(quantile_cont(monetary,  0.25), 6) AS m25,
+        round(quantile_cont(monetary,  0.50), 6) AS m50,
+        round(quantile_cont(monetary,  0.75), 6) AS m75 FROM rf)
+    SELECT
+        1 + CASE WHEN recency > r25 THEN 1 ELSE 0 END
+          + CASE WHEN recency > r50 THEN 1 ELSE 0 END
+          + CASE WHEN recency > r75 THEN 1 ELSE 0 END AS r_bucket,
+        1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+          + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+          + CASE WHEN frequency > f75 THEN 1 ELSE 0 END AS f_bucket,
+        1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+          + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+          + CASE WHEN monetary > m75 THEN 1 ELSE 0 END AS m_bucket,
+        cast(count(*) AS BIGINT) AS n_customers,
+        round(avg(recency), 6) AS avg_recency,
+        round(avg(monetary), 6) AS avg_monetary
+    FROM rf, cuts GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (EXT): recency / frequency / monetary quartile
+    buckets per customer, rolled up to segment cells — the classic
+    customer-value grid.  Deliberately NOT ntile(4): an equal-frequency
+    ntile needs a global sort of every customer through one reducer per
+    dimension.  Instead the quartile CUT VALUES come from one 1-row
+    exact-percentile aggregate (broadcast), and bucket assignment is a
+    codegen comparison chain — value-threshold quartiles, tie-stable
+    across engines because msum/r6 make every compared double identical
+    on both sides.  Shape: one per-customer agg shuffle, two 1-row
+    broadcasts, final ≤64-cell agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            msum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .localCheckpoint(eager=False)  # reused by ref, cuts and the rollup
+    )
+    # max(last_day) over customers == max(o_orderdate) over orders, so the
+    # reference day comes off the checkpointed per-customer table — orders
+    # itself scans exactly once.
+    ref = pc.agg(F.max("last_day").alias("ref_day"))
+    rf = pc.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.datediff("ref_day", "last_day").alias("recency"),
+    )
+    cuts = rf.agg(
+        *[
+            F.round(F.percentile(c, qq), 6).alias(f"{c[0]}{int(qq * 100)}")
+            for c in ("recency", "frequency", "monetary")
+            for qq in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def bucket(col: str, pfx: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + F.when(v > F.col(f"{pfx}25"), 1).otherwise(0)
+            + F.when(v > F.col(f"{pfx}50"), 1).otherwise(0)
+            + F.when(v > F.col(f"{pfx}75"), 1).otherwise(0)
+        ).alias(f"{pfx}_bucket")
+
+    return (
+        rf.crossJoin(F.broadcast(cuts))
+        .select(
+            bucket("recency", "r"),
+            bucket("frequency", "f"),
+            bucket("monetary", "m"),
+            "recency",
+            "monetary",
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count("*").alias("n_customers"),
+            r6(F.avg("recency")).alias("avg_recency"),
+            r6(F.avg("monetary")).alias("avg_monetary"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -3972,6 +4203,9 @@ _GRADE_ORDER = [
     "q_mad_outlier",
     "q_coverage",
     "q_winsorize",
+    "q_market_basket",
+    "q_running_distinct",
+    "q_rfm",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -219,3 +219,89 @@ def test_pagerank_cycle_uniform(spark):
     )
     pr = [r.rank for r in graph.pagerank(edges, "s", "d", iters=15).collect()]
     assert all(abs(x - 1 / 3) < 1e-9 for x in pr)
+
+
+# ------------------------------------------- round-5b contract compositions
+# These three live as compositions in contract.py, so the tests plant
+# minimal parquet tables in tmp_path and drive the contract key itself.
+
+
+def _plant(spark, tmp_path, name, rows, cols):
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def test_market_basket_support_confidence_lift(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # order 1: brands A,B (B twice — distinct collapse counts it once);
+    # order 2: brands A,B; order 3: brand A only.
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1, 10), (1, 20), (1, 21), (2, 11), (2, 22), (3, 12)],
+        ["l_orderkey", "l_partkey"],
+    )
+    _plant(
+        spark, tmp_path, "part",
+        [(10, "A"), (11, "A"), (12, "A"), (20, "B"), (21, "B"), (22, "B")],
+        ["p_partkey", "p_brand"],
+    )
+    rows = QUERIES["q_market_basket"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.brand_a, r.brand_b, r.support) == ("A", "B", 2)
+    assert abs(r.confidence - round(2 / 3, 6)) < 1e-12  # vs n(A)=3
+    assert abs(r.lift - 1.0) < 1e-12  # 2·3 / (3·2)
+
+
+def test_running_distinct_first_seen_per_type(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # user 1 re-appearing on day 5 is NOT new; user 1 under type b is a
+    # fresh first-seen (the collapse is per (type, user))
+    _plant(
+        spark, tmp_path, "events",
+        [(1, TS(2024, 1, 1, 8), "a"), (1, TS(2024, 1, 5, 9), "a"),
+         (2, TS(2024, 1, 5, 10), "a"), (1, TS(2024, 1, 2, 7), "b")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {
+        (r.event_type, str(r.day)): (r.new_users, r.cum_users)
+        for r in QUERIES["q_running_distinct"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): (1, 1),
+        ("a", "2024-01-05"): (1, 2),
+        ("b", "2024-01-02"): (1, 1),
+    }
+
+
+def test_rfm_quartile_cells(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # customer k: k orders of 100·k each, last order day 11-k →
+    # recency k-1, frequency k, monetary 100·k² — every dimension is
+    # strictly ordered so customer k lands in bucket k on all three.
+    rows = []
+    for k in range(1, 5):
+        for j in range(k):
+            rows.append((k, float(100 * k), TS(2024, 1, 11 - k - j)))
+    _plant(
+        spark, tmp_path, "orders", rows,
+        ["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    out = {
+        (r.r_bucket, r.f_bucket, r.m_bucket): (
+            r.n_customers,
+            r.avg_recency,
+            r.avg_monetary,
+        )
+        for r in QUERIES["q_rfm"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (k, k, k): (1, float(k - 1), float(100 * k * k))
+        for k in range(1, 5)
+    }

@@ -468,6 +468,38 @@ def main() -> int:
         ["Window", "PythonUDF", "CartesianProduct"],
     )
 
+    # market basket: distinct (order,brand) table checkpointed (scan count
+    # 0 in the visible plan), per-brand counts broadcast, no cartesian
+    p = formatted(qs["q_market_basket"](spark, SF))
+    check(
+        "q_market_basket",
+        p,
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+    # running distinct: ONE corpus scan, first-seen collapse partials,
+    # running-sum window partitioned by event type (never global)
+    p = formatted(qs["q_running_distinct"](spark, SF))
+    check(
+        "q_running_distinct",
+        p,
+        ["windowspecdefinition(event_type", "partial_min"],
+        ["PythonUDF"],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_running_distinct: expected 1 scan, saw {n_scans(p)}"
+        )
+    # rfm: cut-value quartiles, NOT ntile — no window at all, no cartesian
+    # beyond the 1-row broadcast NLJs for ref-day and cuts
+    p = formatted(qs["q_rfm"](spark, SF))
+    check(
+        "q_rfm",
+        p,
+        ["BroadcastNestedLoopJoin", "partial_count"],
+        ["Window", "CartesianProduct", "PythonUDF"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
