@@ -4022,6 +4022,124 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_top_paths",
+    """
+    WITH e AS (SELECT user_id, cast(ts AS DATE) AS day, ts, event_id,
+                      event_type
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                       ORDER BY ts, event_id) AS rn
+          FROM e),
+    s AS (SELECT user_id, day,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM r WHERE rn <= 20 GROUP BY 1, 2),
+    p AS (SELECT path, count(*) AS n_sessions FROM s GROUP BY 1)
+    SELECT path, cast(n_sessions AS BIGINT) AS n_sessions
+    FROM p ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths (EXT): the most common ordered event-type
+    sequences per user-day session — journey mining.  One grouped agg
+    builds each session's path as an in-JVM array (collect_list →
+    array_sort on a (ts, event_id, type) struct, so ties are pinned and
+    partitioning never changes the sequence), capped at the first 20
+    events per session so a runaway session can't build an unbounded
+    string; then a path-frequency agg and a TakeOrdered top-10 (never a
+    global sort).  NULLs in any keyed column are filtered identically in
+    both dialects — engines disagree on NULL placement inside sort keys
+    and on NULL elements in string aggregation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sess = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("e")), 1, 20),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    paths = sess.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return paths.orderBy(
+        F.desc("n_sessions"), F.asc("path")
+    ).limit(10)
+
+
+@q(
+    "q_weighted_median",
+    """
+    WITH wf AS (SELECT l_returnflag, l_discount,
+                       sum(cast(l_quantity AS BIGINT)) AS w
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+                  AND l_quantity IS NOT NULL
+                GROUP BY 1, 2),
+    c AS (SELECT l_returnflag, l_discount,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_discount
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM wf)
+    SELECT l_returnflag, min(l_discount) AS wmedian_discount,
+           cast(min(tw) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median discount per return flag (EXT) — the
+    weighted-median operator engines don't ship: the smallest value v
+    whose cumulative weight reaches half the group total.  The scale
+    shape is the value-frequency collapse first (exact integer weight
+    per (group, value) — map-side combined, ≤ |value domain| rows per
+    group), then cumulative/total weight windows over that tiny
+    collapsed table only — the same bounded-domain argument as
+    q_global_decile's cuts.  Weights sum as exact BIGINTs so the
+    half-total comparison is engine-identical; NULL/NaN values filter
+    identically in both dialects."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull()
+        & ~F.isnan("l_discount")
+        & F.col("l_quantity").isNotNull()
+    )
+    wf = li.groupBy("l_returnflag", "l_discount").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_discount").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    c = wf.select(
+        "l_returnflag",
+        "l_discount",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_discount").alias("wmedian_discount"),
+            F.min("tw").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4206,6 +4324,8 @@ _GRADE_ORDER = [
     "q_market_basket",
     "q_running_distinct",
     "q_rfm",
+    "q_top_paths",
+    "q_weighted_median",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

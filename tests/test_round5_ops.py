@@ -305,3 +305,69 @@ def test_rfm_quartile_cells(spark, tmp_path):
         (k, k, k): (1, float(k - 1), float(100 * k * k))
         for k in range(1, 5)
     }
+
+
+def test_top_paths_ordering_cap_and_null_drop(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # user 1 day 1: c(08:00) then a(09:00) → path "c>a" (ts order, not
+    # insertion or alphabetical); a NULL event_type row is dropped, not
+    # joined as an empty element; user 2 emits 25 'x' events → capped at 20.
+    rows = [
+        (1, 101, TS(2024, 1, 1, 9), "a"),
+        (1, 100, TS(2024, 1, 1, 8), "c"),
+        (1, 102, TS(2024, 1, 1, 10), None),
+    ]
+    rows += [(2, 200 + i, TS(2024, 1, 1, 6, i), "x") for i in range(25)]
+    spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.path: r.n_sessions for r in QUERIES["q_top_paths"](
+        spark, str(tmp_path)
+    ).collect()}
+    assert out == {"c>a": 1, ">".join(["x"] * 20): 1}
+
+
+def test_top_paths_tie_pinned_by_event_id(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # identical timestamps: order falls back to event_id
+    rows = [(1, 2, TS(2024, 1, 1, 8), "b"), (1, 1, TS(2024, 1, 1, 8), "a")]
+    spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = QUERIES["q_top_paths"](spark, str(tmp_path)).collect()
+    assert r.path == "a>b"
+
+
+def test_weighted_median_half_total_and_null_nan_drop(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # group A: weights 1@0.0, 3@0.1, 2@0.2 (total 6; cum at 0.1 is 4 ≥ 3)
+    # group B: single value; NULL and NaN rows must not perturb either.
+    rows = [
+        ("A", 1.0, 0.0), ("A", 3.0, 0.1), ("A", 2.0, 0.2),
+        ("B", 5.0, 0.05),
+        ("A", 9.0, None), ("A", 9.0, float("nan")), ("A", None, 0.0),
+    ]
+    spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_discount"]
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.l_returnflag: (r.wmedian_discount, r.total_qty)
+        for r in QUERIES["q_weighted_median"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (0.1, 6), "B": (0.05, 5)}
+
+
+def test_weighted_median_even_split_takes_lower(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # 2·cw >= tw at the LOWER value when weights split evenly: w=(2,2) →
+    # at v=0.1 cum 2, total 4, 2·2 >= 4 → median 0.1
+    rows = [("A", 2.0, 0.1), ("A", 2.0, 0.3)]
+    spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_discount"]
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = QUERIES["q_weighted_median"](spark, str(tmp_path)).collect()
+    assert (r.wmedian_discount, r.total_qty) == (0.1, 4)

@@ -500,6 +500,31 @@ def main() -> int:
         ["Window", "CartesianProduct", "PythonUDF"],
     )
 
+    # top paths: per-session path built in one grouped agg, top-10 via
+    # TakeOrdered (never a global path sort), single scan
+    p = formatted(qs["q_top_paths"](spark, SF))
+    check(
+        "q_top_paths",
+        p,
+        ["TakeOrderedAndProject", "partial_count"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_top_paths: expected 1 scan, saw {n_scans(p)}")
+    # weighted median: value-frequency collapse first (partial sums), then
+    # group-partitioned windows over the collapsed table only
+    p = formatted(qs["q_weighted_median"](spark, SF))
+    check(
+        "q_weighted_median",
+        p,
+        ["windowspecdefinition(l_returnflag", "partial_sum"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_weighted_median: expected 1 scan, saw {n_scans(p)}"
+        )
+
     for f in failures:
         print("FAIL:", f)
     print(
