@@ -124,6 +124,81 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Format-agnostic columnar write (parquet or ORC — both ship with
+    Spark and both carry column stats + predicate pushdown).  ORC matters
+    for interop with Hive-era lakes; everything downstream (partition
+    pruning, filter pushdown, column pruning) works identically, which
+    test_columnar_sources asserts on the ORC plan."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt}")
+    return spark.read.format(fmt).load(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-files compaction — the table-maintenance job every streaming
+    or incremental-append lake needs at 100 TB: micro-batch appends leave
+    thousands of KB-sized files per partition, and scan cost becomes
+    task-scheduling overhead instead of IO.
+
+    Rewrites the dataset with files re-sized to ``target_rows_per_file``
+    (repartitioned BY the partition columns so each output task writes
+    into exactly one partition — no shuffle-per-file explosion, no
+    cross-partition file mixing), staging into a sibling directory and
+    swapping atomically-enough for a single-writer lake (write staged →
+    move old → move staged → delete old).  Returns the number of files
+    after compaction.
+
+    On a real cluster this is the nightly OPTIMIZE job; the rewrite cost
+    is one scan + one write of the live partitions, independent of how
+    fragmented the input was.
+    """
+    df = read_columnar(spark, path, fmt)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
+
+    import os
+    import shutil
+
+    staged = path.rstrip("/") + "._compact_staged"
+    old = path.rstrip("/") + "._compact_old"
+    write_columnar(out, staged, fmt, partition_by)
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(f".{fmt}")
+    )
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """CSV export analog of ref:snowav/plotting/write_properties.py —
     coalesced to one file because report tables are driver-sized by
