@@ -73,6 +73,30 @@ class ResultsStore:
             return
         self.write(fresh)
 
+    def merge_upsert(self, updates: DataFrame, keys: tuple[str, ...]) -> None:
+        """MERGE INTO semantics on the parquet store: rows matching
+        ``keys`` are replaced by the update, everything else in the
+        touched partitions survives.  The scale shape: partition pruning
+        first — only (run_id, date) partitions PRESENT IN THE UPDATE are
+        ever read (a semi-join of the store against the update's distinct
+        partition values, which the scan prunes on), then an anti-join on
+        the business keys drops the superseded rows, union with the
+        updates, and dynamic partition overwrite writes back just those
+        partitions.  Partitions the update doesn't touch are never read
+        or written — the cost is proportional to the update's partition
+        footprint, not the store size."""
+        try:
+            store = self.read()
+        except Exception:
+            self.write(updates)
+            return
+        parts = updates.select("run_id", "date").distinct()
+        touched = store.join(F.broadcast(parts), ["run_id", "date"], "semi")
+        survivors = touched.join(
+            updates.select(*keys).distinct(), list(keys), "left_anti"
+        )
+        self.write(survivors.unionByName(updates))
+
     def collect_frame(
         self,
         run_id: str,

@@ -111,3 +111,51 @@ def test_incremental_append_skips_existing(store, spark):
     assert n_new_day > 0
     # existing dates not duplicated
     assert after.count() == n_before + n_new_day
+
+
+def test_merge_upsert_replaces_matches_keeps_rest(spark, tmp_path):
+    from snowav_spark.sinks import ResultsStore
+
+    st = ResultsStore(spark, str(tmp_path / "merge_store"))
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    base = spark.createDataFrame(
+        [
+            ("r1", d1, "A", "v", 0, 1.0),
+            ("r1", d1, "A", "v", 1, 2.0),
+            ("r1", d2, "A", "v", 0, 3.0),
+            ("r1", d2, "B", "v", 0, 4.0),
+        ],
+        ["run_id", "date", "basin_id", "variable", "band", "value"],
+    )
+    st.write(base)
+    updates = spark.createDataFrame(
+        [
+            ("r1", d2, "A", "v", 0, 30.0),   # replaces the 3.0 row
+            ("r1", d2, "B", "v", 9, 99.0),   # brand-new key, same partition
+        ],
+        ["run_id", "date", "basin_id", "variable", "band", "value"],
+    )
+    st.merge_upsert(updates, keys=("basin_id", "variable", "band"))
+    got = {
+        (r.run_id, str(r.date), r.basin_id, r.variable, r.band): r.value
+        for r in st.read().collect()
+    }
+    assert got == {
+        ("r1", "2024-01-01", "A", "v", 0): 1.0,   # untouched partition
+        ("r1", "2024-01-01", "A", "v", 1): 2.0,
+        ("r1", "2024-01-02", "A", "v", 0): 30.0,  # replaced
+        ("r1", "2024-01-02", "B", "v", 0): 4.0,   # survivor in partition
+        ("r1", "2024-01-02", "B", "v", 9): 99.0,  # inserted
+    }
+
+
+def test_merge_upsert_first_write(spark, tmp_path):
+    from snowav_spark.sinks import ResultsStore
+
+    st = ResultsStore(spark, str(tmp_path / "merge_empty"))
+    upd = spark.createDataFrame(
+        [("r1", datetime.date(2024, 1, 1), "A", "v", 0, 1.0)],
+        ["run_id", "date", "basin_id", "variable", "band", "value"],
+    )
+    st.merge_upsert(upd, keys=("basin_id", "variable", "band"))
+    assert st.read().count() == 1

@@ -272,6 +272,107 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             10,
         ).count()
     )
+
+    # round-5b compositions (mirroring the contract plan shapes on the
+    # synthetic event frame — all first-collapse-then-window/join, so the
+    # expected growth is linear)
+    from pyspark.sql.window import Window
+
+    def _running_distinct():
+        first = (
+            ev.select(
+                "event_type", "user_id", F.to_date("ts").alias("day")
+            )
+            .groupBy("event_type", "user_id")
+            .agg(F.min("day").alias("first_day"))
+        )
+        daily = first.groupBy("event_type", "first_day").agg(
+            F.count("*").alias("new_users")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("first_day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return daily.select(
+            "event_type", F.sum("new_users").over(w).alias("cum")
+        ).count()
+
+    out["running_distinct"] = timed(_running_distinct)
+
+    def _top_paths():
+        sess = (
+            ev.select(
+                "user_id",
+                F.to_date("ts").alias("day"),
+                F.struct("ts", "event_id", "event_type").alias("e"),
+            )
+            .groupBy("user_id", "day")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.array_sort(F.collect_list("e")), 1, 20),
+                        lambda x: x.event_type,
+                    ),
+                    ">",
+                ).alias("path")
+            )
+        )
+        return (
+            sess.groupBy("path")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("path"))
+            .limit(10)
+            .count()
+        )
+
+    out["top_paths"] = timed(_top_paths)
+
+    def _weighted_median():
+        vals = ev.select(
+            "event_type",
+            F.pmod(F.hash("event_id"), F.lit(20)).alias("v"),
+            F.lit(1).cast("bigint").alias("wt"),
+        )
+        wf = vals.groupBy("event_type", "v").agg(F.sum("wt").alias("w"))
+        cum = (
+            Window.partitionBy("event_type")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = Window.partitionBy("event_type")
+        c = wf.select(
+            "event_type",
+            "v",
+            F.sum("w").over(cum).alias("cw"),
+            F.sum("w").over(tot).alias("tw"),
+        )
+        return (
+            c.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+            .groupBy("event_type")
+            .agg(F.min("v"))
+            .count()
+        )
+
+    out["weighted_median"] = timed(_weighted_median)
+
+    def _market_basket():
+        ob = ev.select(
+            F.col("user_id").alias("bid"), F.col("event_type").alias("itm")
+        ).distinct().localCheckpoint(eager=False)
+        aa, bb = ob.alias("a"), ob.alias("b")
+        return (
+            aa.join(
+                bb,
+                (F.col("a.bid") == F.col("b.bid"))
+                & (F.col("a.itm") < F.col("b.itm")),
+            )
+            .groupBy(F.col("a.itm"), F.col("b.itm"))
+            .agg(F.count("*"))
+            .count()
+        )
+
+    out["market_basket"] = timed(_market_basket)
     return out
 
 
