@@ -131,3 +131,57 @@ def quantiles_from_sketches(
         ],
     )
     return out
+
+
+def daily_frequency_sketches(
+    df: DataFrame,
+    ts: str,
+    key: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-day Count-Min sketch of ``key`` frequencies — the mergeable
+    heavy-hitter state completing the sketch suite (HLL: distinct,
+    Theta: set algebra, KLL: quantiles, CMS: frequencies).  One
+    map-side-combined JVM aggregate per day; each row is a
+    ceil(e/eps) × ceil(ln(1/(1-conf))) counter grid (~2.7 k counters at
+    the defaults) that answers "how often did X occur" for ANY later
+    x without rescanning — overestimates only, by ≤ eps·N with
+    probability ``confidence``.
+
+    All sketches MUST share (eps, confidence, seed): CMS merge is exact
+    counter addition only across identically-shaped grids (enforced by
+    the JVM library at merge time)."""
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.date_trunc("day", F.col(ts)).cast("date").alias("day"))
+        .agg(
+            F.count_min_sketch(
+                F.col(key), F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("cms")
+        )
+    )
+
+
+def frequency_estimates(spark, sketches: DataFrame, keys: list) -> list:
+    """Merge stored CMS blobs and estimate each key's total frequency.
+
+    Spark ships no SQL-side CMS reader, so evaluation decodes the
+    binary column through the JVM sketch library
+    (org.apache.spark.util.sketch.CountMinSketch) on the DRIVER — the
+    right side of the driver-size line: the sketch table is |days| rows
+    of KB blobs (the corpus never moves), and merge is exact counter
+    addition, so merged-then-estimate equals one-shot-then-estimate
+    bit-for-bit (pinned by test).  Returns [(key, estimate), ...]."""
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for row in sketches.select("cms").collect():
+        sk = jcms.readFrom(bytes(row.cms))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return [(k, 0) for k in keys]
+    return [(k, merged.estimateCount(k)) for k in keys]

@@ -149,3 +149,53 @@ def test_sketch_table_persists_and_appends_incrementally(
         )
     )
     assert a == b
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """CMS never undercounts, and at these sizes (eps·N ≪ 1 collision
+    expected) the per-key estimates should match exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.daily_frequency_sketches(ev, "ts", "event_type")
+    exact = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    est = dict(
+        sketches.frequency_estimates(spark, sk, list(exact))
+    )
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS overestimates only
+        assert est[k] <= n + max(1, int(0.001 * n_total) + 1)
+
+
+def test_cms_merge_equals_oneshot(spark):
+    """Counter addition is exact: merging per-day sketches must give the
+    SAME estimates as one sketch over the whole frame."""
+    rows = [(i, f"k{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["i", "key"]).select(
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(days=F.col("i") % 10)).alias("ts"),
+        "key",
+    )
+    per_day = sketches.daily_frequency_sketches(df, "ts", "key")
+    assert per_day.count() == 10
+    one = sketches.daily_frequency_sketches(
+        df.withColumn("ts", F.lit("2024-01-01").cast("timestamp")), "ts", "key"
+    )
+    keys = [f"k{j}" for j in range(7)]
+    assert sketches.frequency_estimates(
+        spark, per_day, keys
+    ) == sketches.frequency_estimates(spark, one, keys)
+
+
+def test_cms_empty_table(spark):
+    df = spark.createDataFrame([], "ts timestamp, key string")
+    sk = sketches.daily_frequency_sketches(df, "ts", "key")
+    assert sketches.frequency_estimates(spark, sk, ["a"]) == [("a", 0)]
