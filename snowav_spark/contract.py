@@ -4140,6 +4140,52 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_rank_family",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+               {msum_sql("l_extendedprice * (1 - l_discount)")} AS vol
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT zone, band, vol,
+           cast(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           cast(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM v
+    WINDOW w AS (PARTITION BY zone ORDER BY vol DESC, band)
+    """,
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface beyond q_rank's rank():
+    dense_rank, percent_rank, cume_dist, and per-group ntile(4) over one
+    shared window spec — one sort serves all four (a single Window node
+    in the plan).  Ranks run over the banded-volume AGGREGATE (bounded:
+    zones × bands), never the fact table, so the per-partition sort is
+    trivially sized; volumes are fixed-point and the tie-break is pinned,
+    making every rank engine-identical.  percent_rank/cume_dist divide
+    exact small ints (r6 absorbs nothing but is kept for convention);
+    per-group ntile is safe HERE because partitions are groups —
+    the global-ntile scale rewrite lives in q_global_decile/q_rfm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vols = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "vol"
+        )
+    )
+    w = Window.partitionBy("zone").orderBy(F.desc("vol"), F.asc("band"))
+    return vols.select(
+        "zone",
+        "band",
+        "vol",
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        r6(F.percent_rank().over(w)).alias("prank"),
+        r6(F.cume_dist().over(w)).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4326,6 +4372,7 @@ _GRADE_ORDER = [
     "q_rfm",
     "q_top_paths",
     "q_weighted_median",
+    "q_rank_family",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -525,6 +525,18 @@ def main() -> int:
             f"q_weighted_median: expected 1 scan, saw {n_scans(p)}"
         )
 
+    # rank family: ONE Window node + ONE sort serves all four ranking
+    # functions, over the aggregate only (single scan)
+    p = formatted(qs["q_rank_family"](spark, SF))
+    check("q_rank_family", p, [], ["PythonUDF", "CartesianProduct"])
+    n_windows = sum(1 for l in p.splitlines() if ") Window" in l)
+    n_sorts = sum(1 for l in p.splitlines() if ") Sort" in l)
+    if n_windows != 1 or n_sorts != 1 or n_scans(p) != 1:
+        failures.append(
+            f"q_rank_family: expected 1 window/1 sort/1 scan, saw "
+            f"{n_windows}/{n_sorts}/{n_scans(p)}"
+        )
+
     for f in failures:
         print("FAIL:", f)
     print(
