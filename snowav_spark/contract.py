@@ -4186,6 +4186,101 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_first_touch",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM e),
+    f AS (SELECT user_id, event_type AS first_type FROM r WHERE rn = 1),
+    c AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS conv
+          FROM e GROUP BY 1)
+    SELECT first_type, cast(count(*) AS BIGINT) AS n_users,
+           cast(sum(conv) AS BIGINT) AS n_conv,
+           round(sum(conv) * 1.0 / count(*), 6) AS conv_rate
+    FROM f JOIN c USING (user_id) GROUP BY 1
+    """,
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (EXT): which entry event converts —
+    users bucketed by their FIRST event type, with purchase-conversion
+    counts and rates per bucket.  The oracle states the row_number
+    formulation; the Spark plan needs no window at all: ONE user-keyed
+    aggregate computes both the first touch (min_by over a pinned
+    (ts, event_id) ordering struct — map-side combinable) and the
+    conversion flag, then a ≤|types|-row rollup.  Exact-integer ratio,
+    NULL keyed columns filtered identically in both dialects."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias(
+            "first_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    return per_user.groupBy("first_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+        r6(F.sum("conv") / F.count("*")).alias("conv_rate"),
+    )
+
+
+@q(
+    "q_benford",
+    """
+    WITH d AS (SELECT substr(cast(cast(floor(o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS digit
+               FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    t AS (SELECT count(*) AS c FROM d)
+    SELECT digit, cast(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / t.c, 6) AS share
+    FROM d, t GROUP BY digit, t.c
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of order totals (EXT) — the
+    classic fraud/data-quality screen.  The leading digit comes from the
+    exact integer cents (floor(x·100) is the identical IEEE op in both
+    engines, and BIGINT→string formatting is engine-stable — never
+    format the DOUBLE, whose text form differs across engines, and never
+    log10, which is libm).  One scan, one 9-row aggregate, total as a
+    1-row broadcast; the expected-vs-observed log comparison stays a
+    driver-side reduction over the 9-row frame (libm, like q_drift_bins'
+    PSI)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("c"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select("digit", "n", r6(F.col("n") / F.col("c")).alias("share"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4373,6 +4468,8 @@ _GRADE_ORDER = [
     "q_top_paths",
     "q_weighted_median",
     "q_rank_family",
+    "q_first_touch",
+    "q_benford",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

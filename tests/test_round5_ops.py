@@ -371,3 +371,54 @@ def test_weighted_median_even_split_takes_lower(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
     [r] = QUERIES["q_weighted_median"](spark, str(tmp_path)).collect()
     assert (r.wmedian_discount, r.total_qty) == (0.1, 4)
+
+
+def test_first_touch_tiebreak_and_conversion(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        # user 1: tie at 08:00 → event_id 1 wins (first = "view"),
+        # converts later
+        (1, 2, TS(2024, 1, 1, 8), "click"),
+        (1, 1, TS(2024, 1, 1, 8), "view"),
+        (1, 3, TS(2024, 1, 2), "purchase"),
+        # user 2: first = "click", never converts
+        (2, 4, TS(2024, 1, 1), "click"),
+        # user 3: converts immediately (first = "purchase")
+        (3, 5, TS(2024, 1, 1), "purchase"),
+        # NULL user dropped
+        (None, 6, TS(2024, 1, 1), "view"),
+    ]
+    spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.first_type: (r.n_users, r.n_conv, r.conv_rate)
+        for r in QUERIES["q_first_touch"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "view": (1, 1, 1.0),
+        "click": (1, 0, 0.0),
+        "purchase": (1, 1, 1.0),
+    }
+
+
+def test_benford_digits_from_exact_cents(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # 19.99 → 1999 cents → digit 1; 0.07 → 7 cents → digit 7 (sub-unit
+    # values take their cents' leading digit); 999.0 → digit 9;
+    # zero/negative/NULL dropped
+    rows = [(19.99,), (0.07,), (999.0,), (0.0,), (-5.0,), (None,)]
+    spark.createDataFrame(rows, ["o_totalprice"]).coalesce(1).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.digit: (r.n, r.share)
+        for r in QUERIES["q_benford"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "1": (1, round(1 / 3, 6)),
+        "7": (1, round(1 / 3, 6)),
+        "9": (1, round(1 / 3, 6)),
+    }

@@ -537,6 +537,26 @@ def main() -> int:
             f"{n_windows}/{n_sorts}/{n_scans(p)}"
         )
 
+    # first touch: NO window (min_by struct agg, unlike the oracle's
+    # row_number form), single scan
+    p = formatted(qs["q_first_touch"](spark, SF))
+    check(
+        "q_first_touch",
+        p,
+        ["partial_min_by"],
+        ["Window", "PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_first_touch: expected 1 scan, saw {n_scans(p)}")
+    # benford: one 9-row agg + 1-row broadcast total, no cartesian
+    p = formatted(qs["q_benford"](spark, SF))
+    check(
+        "q_benford",
+        p,
+        ["BroadcastNestedLoopJoin", "partial_count"],
+        ["Window", "PythonUDF", "CartesianProduct"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
