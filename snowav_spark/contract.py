@@ -4281,6 +4281,68 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_twap",
+    f"""
+    WITH e AS (SELECT event_type, user_id, value, ts, event_id
+               FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)
+                 AND user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL),
+    d AS (SELECT event_type, value,
+                 (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000
+                     AS dur_s
+          FROM e
+          WINDOW w AS (PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id)),
+    h AS (SELECT event_type, value, dur_s FROM d
+          WHERE dur_s IS NOT NULL AND dur_s > 0)
+    SELECT event_type,
+           round(({msum_sql("value * dur_s")})
+                 / sum(dur_s), 6) AS twap,
+           cast(sum(dur_s) AS BIGINT) AS total_dur_s
+    FROM h GROUP BY 1
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (EXT) — the TWAP /
+    IoT-sensor mean, where each observation counts for how long it was
+    in effect, not once per row.  Each (type, user) series gets one lead
+    window (partitions = entities: many and bounded, never a per-type
+    global sort); holding time is exact integer SECONDS via integer
+    division of µs epochs (`div`/`//` — identical in both engines,
+    unlike float division), keeping value·duration inside the
+    fixed-point msum domain so the weighted sum is bit-deterministic.
+    Zero-duration and series-final rows drop (no holding time); NULL/NaN
+    filtered identically in both dialects."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = (
+        ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("next_us", F.lead("us").over(w))
+        .select(
+            "event_type",
+            "value",
+            F.expr("(next_us - us) div 1000000").alias("dur_s"),
+        )
+    )
+    h = d.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return h.groupBy("event_type").agg(
+        r6(
+            msum(F.col("value") * F.col("dur_s")) / F.sum("dur_s")
+        ).alias("twap"),
+        F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4470,6 +4532,7 @@ _GRADE_ORDER = [
     "q_rank_family",
     "q_first_touch",
     "q_benford",
+    "q_twap",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -422,3 +422,30 @@ def test_benford_digits_from_exact_cents(spark, tmp_path):
         "7": (1, round(1 / 3, 6)),
         "9": (1, round(1 / 3, 6)),
     }
+
+
+def test_twap_holding_time_weighting(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # user 1, type a: value 10 held 10s, then 20 held 30s, last event
+    # contributes no holding time → twap = (10·10 + 20·30) / 40 = 17.5.
+    # user 2 contributes a single event (no duration) → drops entirely.
+    # zero-duration pair (same ts) drops the zero-length holding.
+    rows = [
+        (1, 1, TS(2024, 1, 1, 0, 0, 0), "a", 10.0),
+        (1, 2, TS(2024, 1, 1, 0, 0, 10), "a", 20.0),
+        (1, 3, TS(2024, 1, 1, 0, 0, 40), "a", 99.0),
+        (2, 4, TS(2024, 1, 1), "a", 1000.0),
+        (3, 5, TS(2024, 1, 1, 1), "b", 5.0),
+        (3, 6, TS(2024, 1, 1, 1), "b", 7.0),  # 0s apart: no holding
+        (3, 7, TS(2024, 1, 1, 1, 0, 4), "b", 9.0),
+    ]
+    spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type", "value"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.twap, r.total_dur_s)
+        for r in QUERIES["q_twap"](spark, str(tmp_path)).collect()
+    }
+    # type b: event 6 (value 7, tie broken by event_id) holds 4s → twap 7
+    assert out == {"a": (17.5, 40), "b": (7.0, 4)}

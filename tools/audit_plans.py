@@ -557,6 +557,18 @@ def main() -> int:
         ["Window", "PythonUDF", "CartesianProduct"],
     )
 
+    # twap: ONE window partitioned by (type, user) entities — never a
+    # per-type global sort — then a partial-agg rollup
+    p = formatted(qs["q_twap"](spark, SF))
+    check(
+        "q_twap",
+        p,
+        ["windowspecdefinition(event_type", "partial_sum"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_twap: expected 1 scan, saw {n_scans(p)}")
+
     for f in failures:
         print("FAIL:", f)
     print(
