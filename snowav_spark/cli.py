@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import configparser
+import json
 import sys
 
 from snowav_spark import pipeline, sources
@@ -127,10 +128,44 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def compact_main(argv: list[str]) -> int:
+    """``python -m snowav_spark compact`` — the table-maintenance job:
+    rewrite a fragmented columnar dataset to target file sizes
+    (sinks.compact_partitions)."""
+    ap = argparse.ArgumentParser(prog="snowav_spark compact")
+    ap.add_argument("--path", required=True, help="dataset directory")
+    ap.add_argument("--format", choices=("parquet", "orc"), default="parquet")
+    ap.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma list of partition columns (must match the layout)",
+    )
+    ap.add_argument("--target-rows", type=int, default=1_000_000)
+    args = ap.parse_args(argv)
+
+    from snowav_spark import sinks
+
+    spark = get_spark(app_name="snowav_spark:compact")
+    parts = tuple(
+        c for c in (args.partition_by or "").split(",") if c
+    )
+    n = sinks.compact_partitions(
+        spark,
+        args.path,
+        fmt=args.format,
+        partition_by=parts,
+        target_rows_per_file=args.target_rows,
+    )
+    print(json.dumps({"path": args.path, "files_after": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return compact_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

@@ -146,3 +146,26 @@ def test_cli_curate_jsonl_corpus(spark, sf_dir, tmp_path):
     assert rc == 0
     corpus = spark.read.json(f"{out}/corpus")
     assert corpus.count() > 0 and "doc_id" in corpus.columns
+
+
+def test_cli_compact(spark, sf_dir, tmp_path):
+    """`compact` subcommand rewrites a fragmented dataset in place."""
+    import json as _json
+    import os
+
+    from snowav_spark import cli
+    from snowav_spark.io import load_table
+
+    path = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "region").repartition(8).write.parquet(path)
+    n_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_before > 1  # fragmented (empty partitions may skip files)
+    rc = cli.main(["compact", "--path", path, "--target-rows", "1000000"])
+    assert rc == 0
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == 1
+    assert spark.read.parquet(path).count() == load_table(
+        spark, sf_dir, "region"
+    ).count()
