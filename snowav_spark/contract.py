@@ -4343,6 +4343,103 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_period_over_period",
+    f"""
+    WITH m AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE)
+                          AS month,
+                      {msum_sql("o_totalprice")} AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS pct_change
+    FROM m
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change (EXT) — the period-over-period
+    report every dashboard ships.  The monthly rollup collapses first
+    (one map-side-combined shuffle); the lag window then runs over the
+    |months|-row table only (bounded calendar domain, distinct sort
+    keys).  Fixed-point monthly sums make the lag operand and the pct
+    ratio bit-identical across engines; the first month's pct is NULL in
+    both."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(msum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy(F.col("month").asc())
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        r6((F.col("revenue") - prev) / prev).alias("pct_change"),
+    )
+
+
+@q(
+    "q_topn_other",
+    f"""
+    WITH s AS (SELECT p_brand,
+                      sum({windows.fixed_micros_sql("l_extendedprice")})
+                          AS rev_micros
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY 1),
+    r AS (SELECT *, row_number() OVER (ORDER BY rev_micros DESC, p_brand)
+                        AS rn
+          FROM s)
+    SELECT CASE WHEN rn <= 3 THEN p_brand ELSE 'Other' END AS brand_group,
+           cast(count(*) AS BIGINT) AS n_brands,
+           cast(sum(rev_micros) AS DOUBLE)
+               / {windows.FIXED_POINT_SCALE}.0 AS revenue
+    FROM r GROUP BY 1
+    """,
+)
+def q_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + 'Other' contribution rollup (EXT): the report shape that
+    keeps the top 3 brands by revenue and folds the tail into one
+    'Other' row.  The rank window runs over the already-aggregated brand
+    table (≤ |brand vocabulary| rows — bounded domain, pinned
+    tie-break), and the regroup sums INTEGER micro-units, not doubles:
+    re-aggregating fixed-point doubles would reintroduce
+    summation-order noise, so the micros stay integral until the single
+    final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(windows.fixed_micros(F.col("l_extendedprice"))).alias(
+                "rev_micros"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("rev_micros"), F.asc("p_brand"))
+    r = s.withColumn("rn", F.row_number().over(w))
+    return (
+        r.select(
+            F.when(F.col("rn") <= 3, F.col("p_brand"))
+            .otherwise(F.lit("Other"))
+            .alias("brand_group"),
+            "rev_micros",
+        )
+        .groupBy("brand_group")
+        .agg(
+            F.count("*").alias("n_brands"),
+            (
+                F.sum("rev_micros").cast("double")
+                / float(windows.FIXED_POINT_SCALE)
+            ).alias("revenue"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4533,6 +4630,8 @@ _GRADE_ORDER = [
     "q_first_touch",
     "q_benford",
     "q_twap",
+    "q_period_over_period",
+    "q_topn_other",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

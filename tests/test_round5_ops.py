@@ -449,3 +449,54 @@ def test_twap_holding_time_weighting(spark, tmp_path):
     }
     # type b: event 6 (value 7, tie broken by event_id) holds 4s → twap 7
     assert out == {"a": (17.5, 40), "b": (7.0, 4)}
+
+
+def test_period_over_period_pct_and_first_null(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 5), 100.0), (TS(2024, 1, 20), 100.0),  # Jan: 200
+        (TS(2024, 2, 10), 300.0),                           # Feb: 300
+        (TS(2024, 4, 1), 150.0),                            # Apr: 150 (gap)
+    ]
+    spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        str(r.month): (r.revenue, r.prev_revenue, r.pct_change)
+        for r in QUERIES["q_period_over_period"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "2024-01-01": (200.0, None, None),
+        "2024-02-01": (300.0, 200.0, 0.5),
+        # calendar gaps compare against the previous PRESENT month
+        "2024-04-01": (150.0, 300.0, -0.5),
+    }
+
+
+def test_topn_other_folds_tail_exactly(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    # 5 brands with revenues 500,400,300,200,100 → top3 kept, Other=300
+    li, parts = [], []
+    for i, rev in enumerate([500.0, 400.0, 300.0, 200.0, 100.0]):
+        parts.append((i, f"B{i}"))
+        li.append((1, i, rev))
+    spark.createDataFrame(
+        li, ["l_orderkey", "l_partkey", "l_extendedprice"]
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(parts, ["p_partkey", "p_brand"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    out = {
+        r.brand_group: (r.n_brands, r.revenue)
+        for r in QUERIES["q_topn_other"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "B0": (1, 500.0),
+        "B1": (1, 400.0),
+        "B2": (1, 300.0),
+        "Other": (2, 300.0),
+    }

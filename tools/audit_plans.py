@@ -569,6 +569,29 @@ def main() -> int:
     if n_scans(p) != 1:
         failures.append(f"q_twap: expected 1 scan, saw {n_scans(p)}")
 
+    # period-over-period: monthly collapse precedes the lag window (the
+    # window sees the bounded month table, not the fact table)
+    p = formatted(qs["q_period_over_period"](spark, SF))
+    check(
+        "q_period_over_period",
+        p,
+        ["partial_sum", "lag(revenue"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_period_over_period: expected 1 scan, saw {n_scans(p)}"
+        )
+    # top-N + Other: rank window over the aggregated brand table, regroup
+    # sums integer micros (no double re-aggregation)
+    p = formatted(qs["q_topn_other"](spark, SF))
+    check(
+        "q_topn_other",
+        p,
+        ["BroadcastHashJoin", "row_number", "partial_sum"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
