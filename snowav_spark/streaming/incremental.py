@@ -272,3 +272,44 @@ def correlate_streams(
         )
     )
     return l.join(r, cond, "inner").drop(rk)
+
+
+def frequency_sketch_stream(
+    events: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    ts: str = "ts",
+    key: str = "event_type",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    once: bool = True,
+):
+    """Continuous heavy-hitter maintenance: each micro-batch appends its
+    per-day Count-Min sketches (ops/sketches.daily_frequency_sketches)
+    to a persisted sketch store.  Because CMS merge is exact counter
+    addition, appending PARTIAL per-batch sketches is lossless — reading
+    the store and merging (sketches.frequency_estimates) answers "how
+    often has X occurred, ever" without rescanning any event data, and
+    equals the one-shot batch sketch bit-for-bit (pinned by test).
+
+    State lives entirely in the KB-sized sketch files (no in-memory
+    streaming state): a restart resumes from the checkpoint, and the
+    store stays append-only — the same lambda split as
+    incremental_ingest_stream's dedup index.  All batches share
+    (eps, confidence, seed) via the shared default, which CMS merge
+    requires."""
+    from snowav_spark.ops import sketches
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sk = sketches.daily_frequency_sketches(
+            batch, ts, key, eps=eps, confidence=confidence
+        )
+        sk.write.mode("append").parquet(sketch_path)
+
+    writer = (
+        events.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

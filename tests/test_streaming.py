@@ -255,3 +255,45 @@ def test_correlate_streams_matches_batch_join(spark, tmp_path, staged_events):
     assert got.count() > 0
     diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
     assert diff == 0
+
+
+def test_frequency_sketch_stream_matches_oneshot(spark, tmp_path, staged_events):
+    """Per-batch partial sketches appended by the stream must merge to
+    the SAME estimates as one batch sketch over all the data — CMS
+    counter addition is exact, so the stream loses nothing."""
+    from snowav_spark.ops import sketches
+    from snowav_spark.streaming import incremental
+
+    src_dir, schema, batch_df = staged_events
+    stream = incremental.stream_source(spark, src_dir, schema)
+    q = incremental.frequency_sketch_stream(
+        stream,
+        str(tmp_path / "sketches"),
+        str(tmp_path / "ckpt_cms"),
+    )
+    q.awaitTermination(120)
+    store = spark.read.parquet(str(tmp_path / "sketches"))
+    assert store.count() >= 1
+    keys = [
+        r.event_type
+        for r in batch_df.select("event_type").distinct().collect()
+        if r.event_type is not None
+    ]
+    got = dict(sketches.frequency_estimates(spark, store, keys))
+    oneshot = dict(
+        sketches.frequency_estimates(
+            spark,
+            sketches.daily_frequency_sketches(batch_df, "ts", "event_type"),
+            keys,
+        )
+    )
+    assert got == oneshot
+    exact = {
+        r.event_type: r.n
+        for r in batch_df.filter(batch_df.event_type.isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert got[k] >= n  # overestimate-only
