@@ -4440,6 +4440,81 @@ def q_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_trend_slope",
+    f"""
+    WITH d AS (SELECT event_type,
+                      date_diff('day', DATE '2024-01-01',
+                                cast(ts AS DATE)) AS x,
+                      sum({windows.fixed_micros_sql("value")}) AS ym
+               FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)
+               GROUP BY 1, 2),
+    r AS (SELECT event_type,
+                 count(*) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(ym) AS sy, sum(x * ym) AS sxy
+          FROM d GROUP BY 1)
+    SELECT event_type, cast(n AS BIGINT) AS n_days,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(cast(n * sxx - sx * sx AS DOUBLE), 0)
+                 / {windows.FIXED_POINT_SCALE}.0, 6) AS slope_per_day
+    FROM r
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend detection (EXT): the least-squares slope of daily
+    total value over time — is this metric rising or falling, and how
+    fast.  NOT regr_slope(): that divides engine-ordered float sums and
+    can't hash-match.  Instead the regression moments are EXACT
+    integers — x is a day index against a fixed anchor, y is the daily
+    fixed-point total — so n·Σxy−Σx·Σy and n·Σx²−(Σx)² are the same
+    integers in both engines (Spark's decimal(38) and DuckDB's HUGEINT
+    both stay exact), and the single int→double conversion before the
+    final division is correctly rounded identically.  Shape: daily
+    collapse (map-side combined), then a ≤|groups × days|-row moment
+    aggregate; single-day groups yield NULL (nullif-guarded), never an
+    engine-specific Infinity."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.sum(windows.fixed_micros(F.col("value"))).alias("ym"))
+    r = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        # accumulate the large moments in decimal(38,0), not long — at
+        # scale Σ(x·ym) passes Long.MAX long before decimal's 38 digits
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(F.col("ym").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("ym")
+        ).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    return r.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        r6(num / den / float(windows.FIXED_POINT_SCALE)).alias(
+            "slope_per_day"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4632,6 +4707,7 @@ _GRADE_ORDER = [
     "q_twap",
     "q_period_over_period",
     "q_topn_other",
+    "q_trend_slope",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

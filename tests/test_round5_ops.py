@@ -500,3 +500,26 @@ def test_topn_other_folds_tail_exactly(spark, tmp_path):
         "B2": (1, 300.0),
         "Other": (2, 300.0),
     }
+
+
+def test_trend_slope_exact_line_and_degenerate(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    # type "up": daily totals 10, 20, 30 on days 0,1,2 → slope exactly 10
+    for i, v in enumerate([10.0, 20.0, 30.0]):
+        rows.append((TS(2024, 1, 1 + i, 9), "up", v))
+    # type "flat": constant 5 over two days → slope 0
+    rows += [(TS(2024, 1, 1), "flat", 5.0), (TS(2024, 1, 2), "flat", 5.0)]
+    # type "one": a single day → denominator 0 → NULL, not Infinity
+    rows += [(TS(2024, 1, 1), "one", 7.0)]
+    # same-day rows sum into one daily point first
+    rows += [(TS(2024, 1, 1, 1), "up", 0.0)]
+    spark.createDataFrame(rows, ["ts", "event_type", "value"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_days, r.slope_per_day)
+        for r in QUERIES["q_trend_slope"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"up": (3, 10.0), "flat": (2, 0.0), "one": (1, None)}

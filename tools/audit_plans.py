@@ -592,6 +592,18 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct"],
     )
 
+    # trend slope: daily collapse precedes the moment aggregate, no
+    # window, single scan
+    p = formatted(qs["q_trend_slope"](spark, SF))
+    check(
+        "q_trend_slope",
+        p,
+        ["partial_sum", "partial_count"],
+        ["Window", "PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_trend_slope: expected 1 scan, saw {n_scans(p)}")
+
     for f in failures:
         print("FAIL:", f)
     print(
