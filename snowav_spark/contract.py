@@ -4515,6 +4515,291 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_gini",
+    """
+    WITH f AS (SELECT source, n_chars, count(*) AS cnt
+               FROM documents WHERE n_chars IS NOT NULL
+               GROUP BY 1, 2),
+    c AS (SELECT source, n_chars, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY source
+                          ORDER BY n_chars ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS c0
+          FROM f),
+    r AS (SELECT source,
+                 sum(cnt) AS n,
+                 sum(cnt * n_chars) AS s,
+                 sum((2 * cnt * c0 + cnt * (cnt + 1)) * n_chars) AS t2
+          FROM c GROUP BY 1)
+    SELECT source, cast(n AS BIGINT) AS n_docs,
+           round(cast(t2 - (n + 1) * s AS DOUBLE)
+                 / nullif(cast(n * s AS DOUBLE), 0), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length (EXT): corpus
+    balance / inequality screening for training-data mixes (ref: report
+    inequality summaries, snowav/report/report.py analog).  NOT the
+    textbook per-row rank sort: ranks come from a VALUE-FREQUENCY table
+    (group by (source, n_chars) then a prefix-count window over distinct
+    values only), so the window input is domain-bounded — same trick as
+    q_global_decile — instead of a per-source sort of every row.  Tie
+    groups contribute the exact consecutive-rank sum
+    2·Σr·x = (2·cnt·c0 + cnt·(cnt+1))·x, which equals the naive ranked
+    sum for equal values, so the result is identical to sorting rows.
+    Every moment is an exact integer (decimal38 / HUGEINT); the single
+    int→double division is correctly rounded in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    freq = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = freq.withColumn(
+        "c0", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    r = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(dec(F.col("cnt")) * F.col("n_chars")).alias("s"),
+        F.sum(
+            (
+                2 * dec(F.col("cnt")) * dec(F.col("c0"))
+                + dec(F.col("cnt")) * (dec(F.col("cnt")) + 1)
+            )
+            * F.col("n_chars")
+        ).alias("t2"),
+    )
+    num = (F.col("t2") - (F.col("n") + 1) * F.col("s")).cast("double")
+    den = F.nullif((F.col("n") * F.col("s")).cast("double"), F.lit(0.0))
+    return r.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        r6(num / den).alias("gini"),
+    )
+
+
+@q(
+    "q_diversity",
+    """
+    WITH c AS (SELECT source, lang, count(*) AS c
+               FROM documents WHERE lang IS NOT NULL
+               GROUP BY 1, 2),
+    r AS (SELECT source, sum(c) AS n, count(*) AS n_langs,
+                 sum(c * c) AS sq
+          FROM c GROUP BY 1)
+    SELECT source, cast(n AS BIGINT) AS n_docs,
+           cast(n_langs AS BIGINT) AS n_langs,
+           round(cast(n * n - sq AS DOUBLE)
+                 / nullif(cast(n * n AS DOUBLE), 0), 6) AS simpson
+    FROM r
+    """,
+)
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity (EXT): Gini–Simpson index
+    1 − Σpᵢ² — the log-free diversity measure (Shannon entropy needs
+    ln(), which is libm-dependent and can't hash-match; Simpson is pure
+    integer moments: (n² − Σcᵢ²)/n²).  Two map-side-combined
+    aggregations, counts accumulated exactly (decimal38 / HUGEINT) so
+    n² never overflows a long at petabyte corpus sizes."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    r = c.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_langs"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("sq"),
+    )
+    n = dec(F.col("n"))
+    num = (n * n - F.col("sq")).cast("double")
+    den = F.nullif((n * n).cast("double"), F.lit(0.0))
+    return r.select(
+        F.col("source"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        r6(num / den).alias("simpson"),
+    )
+
+
+_EWMA_K = 16
+_EWMA_NUM_SQL = " + ".join(
+    f"cast(coalesce(lag(ym, {d}) OVER w, 0) AS HUGEINT)"
+    f" * {1 << (_EWMA_K - 1 - d)}"
+    for d in range(_EWMA_K)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN lag(ym, {d}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_K - 1 - d)} ELSE 0 END"
+    for d in range(_EWMA_K)
+)
+
+
+@q(
+    "q_ewma",
+    f"""
+    WITH d AS (SELECT event_type, cast(ts AS DATE) AS day,
+                      sum({windows.fixed_micros_sql("value")}) AS ym
+               FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)
+               GROUP BY 1, 2)
+    SELECT event_type, day,
+           round(cast({_EWMA_NUM_SQL} AS DOUBLE)
+                 / cast({_EWMA_DEN_SQL} AS DOUBLE)
+                 / {windows.FIXED_POINT_SCALE}.0, 6) AS ewma
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily total, per
+    event type (EXT).  EWMA is a RECURSIVE smoother (sₜ = αxₜ +
+    (1−α)sₜ₋₁) that no engine's window algebra expresses directly; with
+    α = 1/2 the weights are exact powers of two, so a 16-term bounded
+    lookback (weight 2¹⁵ for today … 2⁰ for 15 observations back,
+    normalized by the sum of PRESENT weights — tail mass < 2⁻¹⁶ is
+    dropped) turns it into a single window node of 16 lag() calls over
+    exact fixed-point integers.  Zero Python, zero recursion; the
+    window input is the daily collapse (map-side combined), so the
+    per-partition series is ≤ days-per-type rows no matter the corpus
+    size.  Numerator terms accumulate in decimal38/HUGEINT (2¹⁵·ym
+    passes a long at petabyte daily totals)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(windows.fixed_micros(F.col("value"))).alias("ym"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    num = F.lit(0).cast("decimal(38,0)")
+    den = F.lit(0).cast("decimal(38,0)")
+    for lag in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - lag)
+        lagged = F.lag("ym", lag).over(w)
+        num = num + F.coalesce(lagged, F.lit(0)).cast("decimal(38,0)") * wt
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0)
+        ).cast("decimal(38,0)")
+    return d.select(
+        "event_type",
+        "day",
+        r6(
+            num.cast("double")
+            / den.cast("double")
+            / float(windows.FIXED_POINT_SCALE)
+        ).alias("ewma"),
+    )
+
+
+_KEYWORDS = ("query", "join", "vector", "stream", "merge", "window", "hash")
+_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _KEYWORDS) + "]"
+_KW_SPARK = "array(" + ", ".join(f"'{k}'" for k in _KEYWORDS) + ")"
+
+
+@q(
+    "q_keyword_tags",
+    f"""
+    WITH t AS (SELECT source, unnest(list_filter({_KW_SQL},
+                              k -> instr(text, k) > 0)) AS keyword
+               FROM documents WHERE text IS NOT NULL)
+    SELECT source, keyword, cast(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast keyword/taxonomy tagging (EXT): which watch-list terms
+    appear in each document — the shape of brand-safety wordlists,
+    topic taxonomies, and policy filters in LLM data pipelines.  The
+    term list is a LITERAL ARRAY inside the expression (a broadcast of
+    zero bytes); `filter(array, k -> instr(text,k) > 0)` is one codegen
+    lambda per row — no explode-then-filter of every (doc, term) pair,
+    no Python.  The explode emits only MATCHED (doc, term) pairs
+    (≤ |terms| per doc) and the count is map-side combined."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.expr(f"filter({_KW_SPARK}, k -> instr(text, k) > 0)")
+            ).alias("keyword"),
+        )
+    )
+    return t.groupBy("source", "keyword").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+@q(
+    "q_conversion_lag",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view
+               FROM events WHERE event_type = 'view'
+               GROUP BY 1),
+    c AS (SELECT e.user_id, v.first_view, min(e.ts) AS first_purchase
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+          GROUP BY 1, 2)
+    SELECT cast(first_view AS DATE) AS day,
+           cast(count(*) AS BIGINT) AS n_converted,
+           round(cast(sum(epoch_us(first_purchase)
+                          - epoch_us(first_view)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS avg_lag_s
+    FROM c GROUP BY 1
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion latency (EXT): per first-view day, how many
+    users went view → purchase and the mean lag in seconds.  Both sides
+    of the join are PRE-AGGREGATED per user (min-ts collapse, map-side
+    combined) before the equi-join, so nothing wider than one row per
+    user ever shuffles; the lag is an exact µs integer difference
+    (unix_micros/epoch_us) summed in decimal38/HUGEINT, with ONE
+    int→double division chain ordered identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        p.join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lag_us = F.unix_micros(
+        F.col("first_purchase").cast("timestamp")
+    ) - F.unix_micros(F.col("first_view").cast("timestamp"))
+    agg = (
+        conv.select(
+            F.to_date("first_view").alias("day"),
+            lag_us.alias("lag_us"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("lag_us").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return agg.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_converted"),
+        r6(F.col("s").cast("double") / F.col("n") / 1000000.0).alias(
+            "avg_lag_s"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4708,6 +4993,11 @@ _GRADE_ORDER = [
     "q_period_over_period",
     "q_topn_other",
     "q_trend_slope",
+    "q_gini",
+    "q_diversity",
+    "q_ewma",
+    "q_keyword_tags",
+    "q_conversion_lag",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

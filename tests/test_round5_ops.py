@@ -523,3 +523,154 @@ def test_trend_slope_exact_line_and_degenerate(spark, tmp_path):
         for r in QUERIES["q_trend_slope"](spark, str(tmp_path)).collect()
     }
     assert out == {"up": (3, 10.0), "flat": (2, 0.0), "one": (1, None)}
+
+
+# ------------------------------------------------- round-5c additions
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_gini_hand_computed(spark, tmp_path):
+    """Frequency-table Gini == textbook ranked-row Gini, incl. ties,
+    equal-value groups (gini 0), singletons (gini 0), NULL drop."""
+    from snowav_spark.contract import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            # A: lengths [1, 1, 2] → 2Σrx=18, s=4, n=3 → (18-16)/12
+            (1, "t", "en", "A", 1),
+            (2, "t", "en", "A", 1),
+            (3, "t", "en", "A", 2),
+            # B: all equal → 0
+            (4, "t", "en", "B", 5),
+            (5, "t", "en", "B", 5),
+            # C: singleton → 0; NULL length dropped
+            (6, "t", "en", "C", 7),
+            (7, "t", "en", "C", None),
+        ],
+    )
+    out = {
+        r.source: (r.n_docs, r.gini)
+        for r in QUERIES["q_gini"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (3, round(2 / 12, 6)), "B": (2, 0.0), "C": (1, 0.0)}
+
+
+def test_diversity_simpson_exact(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            # A: en,en,fr → 1 - (4+1)/9 = 4/9
+            (1, "t", "en", "A", 1),
+            (2, "t", "en", "A", 1),
+            (3, "t", "fr", "A", 1),
+            # B: one lang → 0.0; NULL lang dropped
+            (4, "t", "de", "B", 1),
+            (5, "t", None, "B", 1),
+        ],
+    )
+    out = {
+        r.source: (r.n_docs, r.n_langs, r.simpson)
+        for r in QUERIES["q_diversity"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (3, 2, round(4 / 9, 6)), "B": (1, 1, 0.0)}
+
+
+def test_ewma_power_of_two_weights(spark, tmp_path):
+    """Day 1 seeds at the raw value; day 2 is (4·2¹⁵ + 2·2¹⁴)/(2¹⁵+2¹⁴)
+    = 10/3; a gap in the calendar does NOT reset the lookback (row-based
+    lag over observed days)."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1), "a", 2.0),
+        (TS(2024, 1, 2), "a", 4.0),
+        # calendar gap: next observation 3 days later still lags day 2
+        (TS(2024, 1, 5), "a", 4.0),
+        # same-day rows collapse to a daily total first
+        (TS(2024, 1, 1, 5), "b", 1.0),
+        (TS(2024, 1, 1, 7), "b", 2.0),
+    ]
+    spark.createDataFrame(rows, ["ts", "event_type", "value"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.event_type, str(r.day)): r.ewma
+        for r in QUERIES["q_ewma"](spark, str(tmp_path)).collect()
+    }
+    w0, w1, w2 = 1 << 15, 1 << 14, 1 << 13
+    assert out[("a", "2024-01-01")] == 2.0
+    assert out[("a", "2024-01-02")] == round(
+        (4 * w0 + 2 * w1) / (w0 + w1), 6
+    )
+    assert out[("a", "2024-01-05")] == round(
+        (4 * w0 + 4 * w1 + 2 * w2) / (w0 + w1 + w2), 6
+    )
+    assert out[("b", "2024-01-01")] == 3.0
+
+
+def test_keyword_tags_matches_and_nulls(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a query and a join", "en", "A", 1),
+            (2, "query again", "en", "A", 1),
+            (3, "nothing of note", "en", "A", 1),
+            (4, None, "en", "A", 1),
+            (5, "hash join stream", "en", "B", 1),
+        ],
+    )
+    out = {
+        (r.source, r.keyword): r.n_docs
+        for r in QUERIES["q_keyword_tags"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("A", "query"): 2,
+        ("A", "join"): 1,
+        ("B", "hash"): 1,
+        ("B", "join"): 1,
+        ("B", "stream"): 1,
+    }
+
+
+def test_conversion_lag_semantics(spark, tmp_path):
+    """Purchase strictly after FIRST view; earliest qualifying purchase
+    wins; purchase-before-view users and view-only users excluded."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        # user 1: view 09:00, purchases 09:01:30 and 10:00 → lag 90 s
+        (TS(2024, 1, 1, 9, 0, 0), 1, "view"),
+        (TS(2024, 1, 1, 9, 1, 30), 1, "purchase"),
+        (TS(2024, 1, 1, 10, 0, 0), 1, "purchase"),
+        # user 1 second view later — first_view stays 09:00
+        (TS(2024, 1, 1, 9, 30, 0), 1, "view"),
+        # user 2: purchase BEFORE the only view → excluded
+        (TS(2024, 1, 2, 8, 0, 0), 2, "purchase"),
+        (TS(2024, 1, 2, 9, 0, 0), 2, "view"),
+        # user 3: view only → excluded
+        (TS(2024, 1, 3, 9, 0, 0), 3, "view"),
+        # user 4: same first-view DAY as user 1, lag 30 s → avg (90+30)/2
+        (TS(2024, 1, 1, 12, 0, 0), 4, "view"),
+        (TS(2024, 1, 1, 12, 0, 30), 4, "purchase"),
+    ]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        str(r.day): (r.n_converted, r.avg_lag_s)
+        for r in QUERIES["q_conversion_lag"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"2024-01-01": (2, 60.0)}

@@ -604,6 +604,69 @@ def main() -> int:
     if n_scans(p) != 1:
         failures.append(f"q_trend_slope: expected 1 scan, saw {n_scans(p)}")
 
+    # gini: the rank window runs over the VALUE-FREQUENCY table (a
+    # partial-agg collapse precedes the Window), never over raw rows
+    p = formatted(qs["q_gini"](spark, SF))
+    check(
+        "q_gini",
+        p,
+        ["Window", "partial_count"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_gini: expected 1 scan, saw {n_scans(p)}")
+
+    # diversity: two stacked hash aggregates, both map-side combined
+    p = formatted(qs["q_diversity"](spark, SF))
+    check(
+        "q_diversity",
+        p,
+        ["partial_count"],
+        ["Window", "PythonUDF", "CartesianProduct", "SortAggregate"],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_diversity: expected 1 scan, saw {n_scans(p)}")
+
+    # ewma: all 16 lags collapse into ONE Window node over the daily
+    # collapse (partial_sum before the exchange)
+    p = formatted(qs["q_ewma"](spark, SF))
+    check("q_ewma", p, ["Window", "partial_sum"], ["PythonUDF"])
+    if p.count("Window") > 2:  # tree node + detail section
+        failures.append("q_ewma: expected a single Window node")
+    if n_scans(p) != 1:
+        failures.append(f"q_ewma: expected 1 scan, saw {n_scans(p)}")
+
+    # keyword tags: codegen lambda filter + explode of matches only;
+    # count is map-side combined; no Python, no join at all
+    p = formatted(qs["q_keyword_tags"](spark, SF))
+    check(
+        "q_keyword_tags",
+        p,
+        ["Generate", "partial_count"],
+        # NB: 'join' the literal keyword appears in the plan's array
+        # argument, so assert on physical join node names, not "Join"
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_keyword_tags: expected 1 scan, saw {n_scans(p)}")
+
+    # conversion lag: both join inputs are pre-aggregated per user
+    # (partial_min before the exchange); equi-join, no cartesian
+    p = formatted(qs["q_conversion_lag"](spark, SF))
+    check(
+        "q_conversion_lag",
+        p,
+        ["partial_min", "Join"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
