@@ -4800,6 +4800,122 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_attribution_linear",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL AND event_id IS NOT NULL),
+    v AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+            AND ts IS NOT NULL),
+    pr AS (SELECT p.event_id, cast(v.ts AS DATE) AS view_day
+           FROM p JOIN v ON p.user_id = v.user_id
+            AND epoch_us(v.ts) >= epoch_us(p.ts) - 604800000000
+            AND epoch_us(v.ts) < epoch_us(p.ts)),
+    c AS (SELECT event_id, view_day,
+                 count(*) OVER (PARTITION BY event_id) AS n
+          FROM pr)
+    SELECT view_day AS day, cast(count(*) AS BIGINT) AS n_touches,
+           cast(sum(1000000 // n) AS DOUBLE) / 1000000.0 AS credit
+    FROM c GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (EXT): every view in the 7 days
+    before a purchase shares that conversion's credit equally; output is
+    credited conversions per view-day.  The oracle states the semantics
+    as a theta-join; the Spark plan is the scale form — the SAME
+    two-bucket band join as q_lookback_join (ops/joins.py::
+    lookback_pairs: equi-join on (user, 7-day bucket), exact µs interval
+    filter), so candidate pairs are bounded by two buckets of same-user
+    traffic, never the user's whole history.  Credits are INTEGER
+    micro-units (1000000 div n — floor semantics pinned in both
+    dialects, per-purchase total ≤ 1.0 by construction) summed in
+    decimal38/HUGEINT; the one int→double division is identical bits in
+    both engines.  The per-purchase touch count is a window over
+    event_id — partitions bounded by the lookback fan-out, never a
+    global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    p = base.filter(
+        (F.col("event_type") == "purchase") & F.col("event_id").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    v = base.filter(F.col("event_type") == "view").select("user_id", "ts")
+    pairs = joins.lookback_pairs(
+        p, v, ["user_id"], "ts", "ts", 7 * 86400, ["event_id"], []
+    )
+    w = Window.partitionBy("event_id")
+    c = pairs.select(
+        "event_id",
+        F.to_date(F.timestamp_micros(F.col("_le"))).alias("view_day"),
+    ).withColumn("n", F.count("*").over(w))
+    return (
+        c.groupBy(F.col("view_day").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum(
+                F.expr("1000000 div n").cast("decimal(38,0)")
+            ).alias("cm"),
+        )
+        .select(
+            "day",
+            "n_touches",
+            (F.col("cm").cast("double") / 1000000.0).alias("credit"),
+        )
+    )
+
+
+@q(
+    "q_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day ASC) AS grp
+          FROM d),
+    s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp),
+    m AS (SELECT user_id, max(len) AS max_streak FROM s GROUP BY 1)
+    SELECT cast(max_streak AS BIGINT) AS max_streak,
+           cast(count(*) AS BIGINT) AS n_users
+    FROM m GROUP BY 1
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a histogram
+    (EXT) — the classic gaps-and-islands rewrite: within a user,
+    ``day_index − row_number`` is constant exactly across consecutive
+    days, so streaks fall out of a groupBy on that difference — no
+    self-join, no iterative loop.  The distinct (user, day) collapse is
+    partially aggregated map-side; the row_number window partitions by
+    user (bounded by days-per-user, never global); everything downstream
+    is exact integer counts."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    r = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    m = s.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return m.groupBy(F.col("max_streak").cast("bigint").alias("max_streak")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -4998,6 +5114,8 @@ _GRADE_ORDER = [
     "q_ewma",
     "q_keyword_tags",
     "q_conversion_lag",
+    "q_attribution_linear",
+    "q_streaks",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

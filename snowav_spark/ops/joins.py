@@ -296,6 +296,51 @@ def lookback_count(
     )
 
 
+def lookback_pairs(
+    anchors: DataFrame,
+    lookups: DataFrame,
+    keys: list[str],
+    anchor_ts: str,
+    lookup_ts: str,
+    window_seconds: int,
+    anchor_cols: list[str],
+    lookup_cols: list[str],
+) -> DataFrame:
+    """The band-join candidate stage of :func:`lookback_count`, returning
+    the matched (anchor, lookup) PAIRS instead of counts — the input
+    shape for attribution, enrichment, and per-pair credit splitting.
+
+    Same scale argument: bucket both sides by ``floor(epoch/window)``,
+    each anchor probes exactly two consecutive buckets (a half-open
+    window of length ``window`` cannot span three), the join is a pure
+    equi-join on (keys…, bucket), and the exact µs-epoch interval
+    predicate ``[anchor − window, anchor)`` filters candidates.  Output
+    carries ``anchor_cols`` + ``lookup_cols`` + the integer µs epochs
+    ``_ae``/``_le`` for downstream exact time math.  Column names in
+    ``anchor_cols``/``lookup_cols`` must be disjoint (caller-controlled).
+    """
+    window_us = int(window_seconds) * 1_000_000
+    a_ep = F.unix_micros(F.col(anchor_ts).cast("timestamp"))
+    l_ep = F.unix_micros(F.col(lookup_ts).cast("timestamp"))
+    a_bk = F.floor(a_ep / window_us)
+    look = lookups.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in lookup_cols],
+        l_ep.alias("_le"),
+        F.floor(l_ep / window_us).alias("_bk"),
+    )
+    probe = anchors.select(
+        *[F.col(c) for c in anchor_cols],
+        *[F.col(k) for k in keys],
+        a_ep.alias("_ae"),
+        F.explode(F.array(a_bk - 1, a_bk)).alias("_bk"),
+    )
+    hit = (F.col("_le") >= F.col("_ae") - window_us) & (
+        F.col("_le") < F.col("_ae")
+    )
+    return probe.join(look, [*keys, "_bk"], "inner").filter(hit).drop("_bk")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -674,3 +674,66 @@ def test_conversion_lag_semantics(spark, tmp_path):
         for r in QUERIES["q_conversion_lag"](spark, str(tmp_path)).collect()
     }
     assert out == {"2024-01-01": (2, 60.0)}
+
+
+def test_attribution_linear_credit_split(spark, tmp_path):
+    """7-day lookback, half-open [p−7d, p); equal integer micro-credits
+    per touch (floor), credit conservation ≤ 1 per purchase."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        # purchase for user 1 at Jan 10 12:00; views Jan 9 (in), Jan 4
+        # (in, exactly 7d-1s before? Jan 3 12:00:00 is the boundary:
+        # v.ts >= p.ts - 7d), Jan 3 11:59 (out), purchase-time view (out)
+        (1, TS(2024, 1, 10, 12, 0, 0), 1, "purchase"),
+        (2, TS(2024, 1, 9, 10, 0, 0), 1, "view"),
+        (3, TS(2024, 1, 3, 12, 0, 0), 1, "view"),   # boundary: included
+        (4, TS(2024, 1, 3, 11, 59, 59), 1, "view"),  # too old
+        (5, TS(2024, 1, 10, 12, 0, 0), 1, "view"),   # not strictly before
+        # user 2: three views one day → credit 3·⌊1e6/3⌋ = 0.999999
+        (6, TS(2024, 1, 20, 12, 0, 0), 2, "purchase"),
+        (7, TS(2024, 1, 19, 8, 0, 0), 2, "view"),
+        (8, TS(2024, 1, 19, 9, 0, 0), 2, "view"),
+        (9, TS(2024, 1, 19, 10, 0, 0), 2, "view"),
+        # user 3: purchase with no prior view → contributes nothing
+        (10, TS(2024, 1, 25, 12, 0, 0), 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        str(r.day): (r.n_touches, r.credit)
+        for r in QUERIES["q_attribution_linear"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "2024-01-09": (1, 0.5),
+        "2024-01-03": (1, 0.5),
+        "2024-01-19": (3, 999999 / 1e6),
+    }
+
+
+def test_streaks_gaps_and_islands(spark, tmp_path):
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    # user 1: days 1,2,3 then 5 → max streak 3
+    for d in (1, 2, 3, 5):
+        rows.append((TS(2024, 1, d, 9), 1, "view"))
+    # user 2: days 1, 3, 5 → max streak 1; duplicate same-day rows collapse
+    for d in (1, 1, 3, 5):
+        rows.append((TS(2024, 1, d, 10), 2, "click"))
+    # user 3: 4 consecutive days → max streak 4
+    for d in (10, 11, 12, 13):
+        rows.append((TS(2024, 1, d, 11), 3, "view"))
+    # user 4: single day → streak 1
+    rows.append((TS(2024, 2, 1, 9), 4, "view"))
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.max_streak: r.n_users
+        for r in QUERIES["q_streaks"](spark, str(tmp_path)).collect()
+    }
+    assert out == {3: 1, 1: 2, 4: 1}

@@ -667,6 +667,38 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "Window"],
     )
 
+    # linear attribution: the 7-day lookback is the two-bucket BAND join
+    # (equi-join on user+bucket, explode fan-out of exactly 2), never a
+    # theta-only join (no cartesian / nested-loop node)
+    p = formatted(qs["q_attribution_linear"](spark, SF))
+    check(
+        "q_attribution_linear",
+        p,
+        ["Generate", "Window", "partial_count"],
+        ["PythonUDF", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    if n_scans(p) != 2:  # purchases + views branches of one table
+        failures.append(
+            f"q_attribution_linear: expected 2 scans, saw {n_scans(p)}"
+        )
+
+    # streaks: distinct collapses before the row_number window (partial
+    # agg present); no join at all
+    p = formatted(qs["q_streaks"](spark, SF))
+    check(
+        "q_streaks",
+        p,
+        ["Window", "partial_count"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_streaks: expected 1 scan, saw {n_scans(p)}")
+
     for f in failures:
         print("FAIL:", f)
     print(
