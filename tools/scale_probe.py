@@ -373,6 +373,105 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
 
     out["market_basket"] = timed(_market_basket)
+
+    # round-5c compositions: attribution band join, gaps-and-islands
+    # streaks, 16-lag EWMA window, keyword lambda-filter, frequency-table
+    # gini — all first-collapse-then-window/join shapes, expected linear
+    def _attribution():
+        p = ev.filter(F.col("event_type") == "e0").select(
+            "event_id", "user_id", "ts"
+        )
+        v = ev.filter(F.col("event_type") == "e1").select("user_id", "ts")
+        pairs = joins.lookback_pairs(
+            p, v, ["user_id"], "ts", "ts", 7 * 86400, ["event_id"], []
+        )
+        w = Window.partitionBy("event_id")
+        return (
+            pairs.withColumn("n", F.count("*").over(w))
+            .groupBy(F.to_date(F.timestamp_micros(F.col("_le"))).alias("d"))
+            .agg(F.sum(F.expr("1000000 div n")).alias("c"))
+            .count()
+        )
+
+    out["attribution"] = timed(_attribution)
+
+    def _streaks():
+        d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+        w = Window.partitionBy("user_id").orderBy("day")
+        r = d.select(
+            "user_id",
+            (
+                F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+                - F.row_number().over(w)
+            ).alias("grp"),
+        )
+        return (
+            r.groupBy("user_id", "grp")
+            .agg(F.count("*").alias("len"))
+            .groupBy("user_id")
+            .agg(F.max("len").alias("m"))
+            .groupBy("m")
+            .count()
+            .count()
+        )
+
+    out["streaks"] = timed(_streaks)
+
+    def _ewma16():
+        d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("ym")
+        )
+        w = Window.partitionBy("event_type").orderBy("day")
+        num = None
+        for lag in range(16):
+            t = F.coalesce(F.lag("ym", lag).over(w), F.lit(0)) * (
+                1 << (15 - lag)
+            )
+            num = t if num is None else num + t
+        return d.select("event_type", "day", num.alias("s")).count()
+
+    out["ewma16"] = timed(_ewma16)
+
+    def _keyword_tags():
+        t = docs.select(
+            F.explode(
+                F.expr(
+                    "filter(array('w1','w22','w333','w4','w55','w666',"
+                    "'w77'), k -> instr(text, k) > 0)"
+                )
+            ).alias("kw")
+        )
+        return t.groupBy("kw").count().count()
+
+    out["keyword_tags"] = timed(_keyword_tags)
+
+    def _gini_freq():
+        lens = docs.select(
+            F.pmod(F.hash("doc_id"), F.lit(20)).alias("src"),
+            F.length("text").alias("v"),
+        )
+        freq = lens.groupBy("src", "v").agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy("src")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        c = freq.withColumn("c0", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        return (
+            c.groupBy("src")
+            .agg(
+                F.sum(
+                    (
+                        2 * F.col("cnt") * F.col("c0")
+                        + F.col("cnt") * (F.col("cnt") + 1)
+                    )
+                    * F.col("v")
+                ).alias("t2")
+            )
+            .count()
+        )
+
+    out["gini_freq"] = timed(_gini_freq)
     return out
 
 
