@@ -4916,6 +4916,268 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_chi_square",
+    """
+    WITH o AS (SELECT event_type,
+                      date_part('isodow', cast(ts AS DATE)) AS dow,
+                      count(*) AS o
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(o) AS rt FROM o GROUP BY 1),
+    ct AS (SELECT dow, sum(o) AS ct FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM o)
+    SELECT o.event_type, cast(rt AS BIGINT) AS n_obs,
+           round(sum(cast((cast(o AS HUGEINT) * n - cast(rt AS HUGEINT) * ct)
+                          * (cast(o AS HUGEINT) * n - cast(rt AS HUGEINT) * ct)
+                          AS DOUBLE)
+                     / cast(cast(n AS HUGEINT) * rt * ct AS DOUBLE)), 6)
+               AS chi2_part
+    FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    GROUP BY 1, rt
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen of event type vs ISO weekday
+    (EXT): per-type contribution Σ_dow (o·N − rt·ct)²/(N·rt·ct) — the
+    contingency-table drift test run as four tiny aggregates over ONE
+    map-side-combined collapse.  The corpus is touched exactly once (the
+    (type, dow) cell counts); row totals, column totals, and the grand
+    total are re-aggregations of the ≤ |types|·7 cell frame, joined back
+    broadcast.  All moments are exact integers — (o·N − rt·ct)² needs
+    decimal38/HUGEINT (o·N ≈ 1e10 at sf0.1 squares past int64) — and the
+    per-cell division is the identical IEEE op in both engines; the
+    final ≤7-term double sum stays ulp-exact under round(,6)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    o = (
+        ev.groupBy(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        )
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)  # ≤|types|·7 cells, reused 4×
+    )
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("o")) * F.col("n") - dec(F.col("rt")) * F.col("ct")
+    cell = (diff * diff).cast("double") / (
+        dec(F.col("n")) * F.col("rt") * F.col("ct")
+    ).cast("double")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .groupBy("event_type", "rt")
+        .agg(r6(F.sum(cell)).alias("chi2_part"))
+        .select(
+            "event_type",
+            F.col("rt").cast("bigint").alias("n_obs"),
+            "chi2_part",
+        )
+    )
+
+
+@q(
+    "q_autocorr",
+    """
+    WITH d AS (SELECT event_type, cast(ts AS DATE) AS day, count(*) AS c
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    p AS (SELECT event_type, c AS y,
+                 lag(c) OVER (PARTITION BY event_type
+                              ORDER BY day ASC) AS x
+          FROM d),
+    m AS (SELECT event_type, count(*) AS n,
+                 sum(cast(x AS HUGEINT)) AS sx,
+                 sum(cast(y AS HUGEINT)) AS sy,
+                 sum(cast(x AS HUGEINT) * y) AS sxy,
+                 sum(cast(x AS HUGEINT) * x) AS sxx,
+                 sum(cast(y AS HUGEINT) * y) AS syy
+          FROM p WHERE x IS NOT NULL GROUP BY 1)
+    SELECT event_type, cast(n AS BIGINT) AS n_pairs,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(cast(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS autocorr
+    FROM m
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event count, per type (EXT) —
+    burstiness / persistence screening for monitoring.  NOT the engine
+    corr() aggregate (streaming co-moments accumulate double noise in
+    engine-specific order): Pearson r is reassembled from six EXACT
+    integer moments over the (yₜ₋₁, yₜ) pairs — the same
+    exact-moment trick as q_trend_slope — so the only floats are the
+    final exact-int→double conversions, two IEEE-correctly-rounded
+    sqrt()s (pinned to the same sqrt·sqrt factorization in both
+    dialects), and one division.  The lag window runs over the daily
+    collapse: ≤ days-per-type rows per partition, never corpus-sized."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    p = d.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               .cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                 .cast("double")),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r6(num / den).alias("autocorr"),
+    )
+
+
+@q(
+    "q_ttr",
+    """
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT source, w, count(*) AS cnt
+          FROM t WHERE w <> '' GROUP BY 1, 2),
+    r AS (SELECT source, sum(cnt) AS n_tokens, count(*) AS n_types,
+                 count(*) FILTER (WHERE cnt = 1) AS n_hapax
+          FROM c GROUP BY 1)
+    SELECT source, cast(n_tokens AS BIGINT) AS n_tokens,
+           cast(n_types AS BIGINT) AS n_types,
+           cast(n_hapax AS BIGINT) AS n_hapax,
+           round(cast(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(cast(n_hapax AS DOUBLE) / nullif(n_types, 0), 6)
+               AS hapax_ratio
+    FROM r
+    """,
+)
+def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness (EXT): type-token ratio and hapax-
+    legomenon ratio — the vocabulary-health signals an LLM-corpus audit
+    runs next to quality_score.  One explode → (source, token) hash agg
+    (map-side combined, vocabulary-sized shuffle — same shape as
+    q_tokenize) → per-source integer roll-up; the two ratios are single
+    exact-int→double divisions.  Empty tokens from consecutive spaces
+    are filtered identically in both dialects."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    c = toks.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    r = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.count_if(F.col("cnt") == 1).alias("n_hapax"),
+    )
+    return r.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        r6(F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "ttr"
+        ),
+        r6(
+            F.col("n_hapax").cast("double")
+            / F.nullif(F.col("n_types"), F.lit(0))
+        ).alias("hapax_ratio"),
+    )
+
+
+@q(
+    "q_seasonality",
+    """
+    WITH e AS (SELECT event_type, cast(ts AS DATE) AS day,
+                      date_part('isodow', cast(ts AS DATE)) AS dow
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    dd AS (SELECT DISTINCT day, dow FROM e),
+    nd AS (SELECT count(*) AS n_days FROM dd),
+    ndw AS (SELECT dow, count(*) AS n_dow_days FROM dd GROUP BY 1),
+    c AS (SELECT event_type, dow, count(*) AS c FROM e GROUP BY 1, 2),
+    ct AS (SELECT event_type, sum(c) AS c_total FROM c GROUP BY 1)
+    SELECT c.event_type, cast(c.dow AS INT) AS dow,
+           cast(c.c AS BIGINT) AS n_events,
+           round(cast(cast(c.c AS HUGEINT) * n_days AS DOUBLE)
+                 / cast(cast(n_dow_days AS HUGEINT) * c_total AS DOUBLE), 6)
+               AS dow_index
+    FROM c JOIN ct USING (event_type) JOIN ndw USING (dow) CROSS JOIN nd
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type (EXT):
+    (rate on that weekday) / (overall daily rate), normalized by how
+    many calendar days of each weekday the data actually spans — so a
+    dataset ending mid-week doesn't fake a weekend dip.  index > 1 ⇒
+    that weekday over-indexes.  One corpus collapse to (type, dow)
+    cells plus a distinct-day calendar frame (≤ |days| rows); the index
+    is a single division of two exact integer products (decimal38 /
+    HUGEINT), broadcast-joined back onto the cells."""
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # |types|·|days| cells, reused 4×
+    )
+    dd = cells.select("day", "dow").distinct()
+    nd = dd.agg(F.count("*").alias("n_days"))
+    ndw = dd.groupBy("dow").agg(F.count("*").alias("n_dow_days"))
+    c = cells.groupBy("event_type", "dow").agg(F.sum("c").alias("c"))
+    ct = c.groupBy("event_type").agg(F.sum("c").alias("c_total"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    return (
+        c.join(F.broadcast(ct), "event_type")
+        .join(F.broadcast(ndw), "dow")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("c").cast("bigint").alias("n_events"),
+            r6(
+                (dec(F.col("c")) * F.col("n_days")).cast("double")
+                / (dec(F.col("n_dow_days")) * F.col("c_total")).cast(
+                    "double"
+                )
+            ).alias("dow_index"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5116,6 +5378,10 @@ _GRADE_ORDER = [
     "q_conversion_lag",
     "q_attribution_linear",
     "q_streaks",
+    "q_chi_square",
+    "q_autocorr",
+    "q_ttr",
+    "q_seasonality",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -737,3 +737,100 @@ def test_streaks_gaps_and_islands(spark, tmp_path):
         for r in QUERIES["q_streaks"](spark, str(tmp_path)).collect()
     }
     assert out == {3: 1, 1: 2, 4: 1}
+
+
+def test_chi_square_independent_table_is_zero(spark, tmp_path):
+    """A contingency table that exactly factorizes (o = rt*ct/N for every
+    cell) must yield chi2_part == 0.0 for every type; breaking one cell
+    makes it strictly positive."""
+    from snowav_spark.contract import QUERIES
+
+    mon, tue = TS(2024, 1, 1, 9), TS(2024, 1, 2, 9)  # Mon=1, Tue=2
+    rows = []
+    for ts, n in ((mon, 2), (tue, 4)):
+        rows += [(ts, 1, "a")] * n
+    for ts, n in ((mon, 1), (tue, 2)):
+        rows += [(ts, 2, "b")] * n
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_obs, r.chi2_part)
+        for r in QUERIES["q_chi_square"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"a": (6, 0.0), "b": (3, 0.0)}
+
+    skew = tmp_path / "skew"
+    skew.mkdir()
+    spark.createDataFrame(
+        rows + [(mon, 3, "b")] * 5, ["ts", "user_id", "event_type"]
+    ).coalesce(1).write.parquet(str(skew / "events.parquet"))
+    out2 = {
+        r.event_type: r.chi2_part
+        for r in QUERIES["q_chi_square"](spark, str(skew)).collect()
+    }
+    assert out2["a"] > 0 and out2["b"] > 0
+
+
+def test_autocorr_alternating_and_constant(spark, tmp_path):
+    """An alternating daily series has lag-1 autocorrelation exactly −1;
+    a constant series has zero variance → NULL (not NaN, not a crash)."""
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    for d, n in ((1, 1), (2, 2), (3, 1), (4, 2), (5, 1)):
+        rows += [(TS(2024, 1, d, 8), 1, "alt")] * n
+    for d in (1, 2, 3, 4):
+        rows += [(TS(2024, 1, d, 8), 2, "flat")] * 3
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_pairs, r.autocorr)
+        for r in QUERIES["q_autocorr"](spark, str(tmp_path)).collect()
+    }
+    assert out["alt"] == (4, -1.0)
+    assert out["flat"] == (3, None)
+
+
+def test_ttr_hand_counted(spark, tmp_path):
+    """source s1: tokens {a:2, b:1, c:1} → 4 tokens, 3 types, 2 hapax;
+    consecutive spaces produce no empty token; NULL text is ignored."""
+    from snowav_spark.contract import QUERIES
+
+    docs = [
+        (1, "a  b a", "s1"),
+        (2, "c", "s1"),
+        (3, None, "s1"),
+        (4, "x x x", "s2"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text", "source"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax, r.ttr, r.hapax_ratio)
+        for r in QUERIES["q_ttr"](spark, str(tmp_path)).collect()
+    }
+    assert out["s1"] == (4, 3, 2, 0.75, 0.666667)
+    assert out["s2"] == (3, 1, 0, 0.333333, 0.0)
+
+
+def test_seasonality_normalizes_by_calendar_coverage(spark, tmp_path):
+    """Two Mondays vs one Tuesday in the span: 4 Monday events over 2
+    Mondays vs 1 Tuesday event over 1 Tuesday, type total 5 over 3 days
+    → Mon index (4·3)/(2·5)=1.2, Tue index (1·3)/(1·5)=0.6."""
+    from snowav_spark.contract import QUERIES
+
+    rows = (
+        [(TS(2024, 1, 1, 9), 1, "a")] * 2
+        + [(TS(2024, 1, 8, 9), 1, "a")] * 2
+        + [(TS(2024, 1, 2, 9), 1, "a")]
+    )
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.dow: (r.n_events, r.dow_index)
+        for r in QUERIES["q_seasonality"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (4, 1.2), 2: (1, 0.6)}

@@ -699,6 +699,70 @@ def main() -> int:
     if n_scans(p) != 1:
         failures.append(f"q_streaks: expected 1 scan, saw {n_scans(p)}")
 
+    # chi-square: ONE corpus scan (cell frame checkpointed, then three
+    # re-aggregations of it joined back broadcast); the 1-row grand total
+    # arrives via BroadcastNestedLoopJoin, never a cartesian
+    p = formatted(qs["q_chi_square"](spark, SF))
+    # (the corpus collapse sits behind the localCheckpoint, so its
+    # partial_count is not visible in this plan — scan count is the
+    # invariant here)
+    check(
+        "q_chi_square",
+        p,
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        ["PythonUDF", "CartesianProduct", "SortMergeJoin", "Window"],
+    )
+    if n_scans(p) > 1:
+        failures.append(f"q_chi_square: expected <=1 scan, saw {n_scans(p)}")
+
+    # autocorr: lag window over the daily collapse only (partial agg
+    # before the exchange); moments are plain aggregates — no join
+    p = formatted(qs["q_autocorr"](spark, SF))
+    check(
+        "q_autocorr",
+        p,
+        ["Window", "partial_count"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_autocorr: expected 1 scan, saw {n_scans(p)}")
+
+    # ttr: explode → vocabulary-sized hash agg; no window, no join
+    p = formatted(qs["q_ttr"](spark, SF))
+    check(
+        "q_ttr",
+        p,
+        ["Generate", "partial_count"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "Window",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_ttr: expected 1 scan, saw {n_scans(p)}")
+
+    # seasonality: one corpus scan to day-cells (checkpointed), calendar
+    # and totals re-aggregated from it, everything joined back broadcast
+    p = formatted(qs["q_seasonality"](spark, SF))
+    check(
+        "q_seasonality",
+        p,
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        ["PythonUDF", "CartesianProduct", "SortMergeJoin", "Window"],
+    )
+    if n_scans(p) > 1:
+        failures.append(
+            f"q_seasonality: expected <=1 scan, saw {n_scans(p)}"
+        )
+
     for f in failures:
         print("FAIL:", f)
     print(
