@@ -5178,6 +5178,210 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_cusum_change",
+    """
+    WITH d AS (SELECT event_type, cast(ts AS DATE) AS day, count(*) AS c
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(c) AS tot, count(*) AS nd FROM d GROUP BY 1),
+    s AS (SELECT d.event_type, day,
+                 sum(cast(nd AS HUGEINT) * c - tot)
+                   OVER (PARTITION BY d.event_type ORDER BY day ASC) AS s,
+                 nd
+          FROM d JOIN t USING (event_type)),
+    m AS (SELECT event_type, day, abs(s) AS a, nd,
+                 max(abs(s)) OVER (PARTITION BY event_type) AS ma
+          FROM s)
+    SELECT event_type, cast(any_value(nd) AS BIGINT) AS n_days,
+           round(cast(max(a) AS DOUBLE) / any_value(nd), 6) AS cusum_max,
+           min(day) FILTER (WHERE a = ma) AS change_day
+    FROM m GROUP BY 1
+    """,
+)
+def q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen of the daily event rate, per type (EXT):
+    the day where the cumulative deviation from the per-type mean peaks
+    — the standard single-changepoint location estimator, run entirely
+    on EXACT integers.  The running statistic is Σ(nd·cᵢ − tot) (the
+    mean-centered cumulative sum scaled by nd to stay integral —
+    decimal38/HUGEINT), so both engines agree bit-for-bit; the only
+    float is the final max/nd division under round(,6).  Shape: ONE
+    corpus collapse to (type, day) cells (checkpointed, reused for the
+    per-type totals), broadcast join back, then two windows over the
+    SAME per-type partition — each bounded by days-per-type, never
+    corpus-sized.  Ties on the peak resolve to the earliest day in both
+    dialects (min ... FILTER a = ma)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # |types|·|days| cells, reused 2×
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("nd")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    s = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "nd",
+        F.sum(dec(F.col("nd")) * F.col("c") - F.col("tot"))
+        .over(w_run)
+        .alias("s"),
+    )
+    m = s.select(
+        "event_type",
+        "day",
+        "nd",
+        F.abs(F.col("s")).alias("a"),
+        F.max(F.abs(F.col("s"))).over(w_all).alias("ma"),
+    )
+    return m.groupBy("event_type").agg(
+        F.any_value(F.col("nd")).cast("bigint").alias("n_days"),
+        r6(
+            F.max("a").cast("double") / F.any_value(F.col("nd"))
+        ).alias("cusum_max"),
+        F.min(F.when(F.col("a") == F.col("ma"), F.col("day"))).alias(
+            "change_day"
+        ),
+    )
+
+
+@q(
+    "q_source_jaccard",
+    """
+    WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+    vv AS (SELECT * FROM v WHERE w <> ''),
+    sz AS (SELECT source, count(*) AS n FROM vv GROUP BY 1),
+    i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+          FROM vv a JOIN vv b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT s1, s2, cast(n_common AS BIGINT) AS n_common,
+           round(cast(n_common AS DOUBLE) / (x.n + y.n - n_common), 6)
+               AS jaccard
+    FROM i JOIN sz x ON x.source = i.s1 JOIN sz y ON y.source = i.s2
+    """,
+)
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources (EXT): which
+    corpus slices speak the same language — the source-level
+    contamination/redundancy audit run before mixing (q_overlap_matrix
+    is the same shape over users×segments; this is vocab×sources with
+    |A∩B|/|A∪B| normalization).  Shape: corpus collapses ONCE to the
+    distinct (source, token) vocabulary frame (checkpointed, reused
+    3×); the pair counts come from a self equi-join on the token key —
+    per-token fan-out is at most |sources|² (the output's own size),
+    NEVER corpus-sized, so cost is Σ_w s_w², bounded by
+    |vocab|·|sources|².  Source registries are small by construction
+    (they're mix weights); the union size in the denominator is
+    inclusion-exclusion from the two broadcast per-source totals, so no
+    second pass."""
+    vv = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=False)  # vocab frame, reused 3×
+    )
+    sz = vv.groupBy("source").agg(F.count("*").alias("n"))
+    a = vv.select(F.col("source").alias("s1"), "w")
+    b = vv.select(F.col("source").alias("s2"), "w")
+    i = (
+        a.join(b, (a.w == b.w) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    szx = sz.select(F.col("source").alias("s1"), F.col("n").alias("nx"))
+    szy = sz.select(F.col("source").alias("s2"), F.col("n").alias("ny"))
+    return (
+        i.join(F.broadcast(szx), "s1")
+        .join(F.broadcast(szy), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            r6(
+                F.col("n_common").cast("double")
+                / (F.col("nx") + F.col("ny") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "q_growth_accounting",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    c AS (SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS first_day,
+                 lag(day) OVER (PARTITION BY user_id
+                                ORDER BY day ASC) AS prev
+          FROM ud)
+    SELECT day,
+           cast(count(*) FILTER (WHERE day = first_day) AS BIGINT)
+               AS n_new,
+           cast(count(*) FILTER (WHERE day - prev = 1) AS BIGINT)
+               AS n_retained,
+           cast(count(*) FILTER (WHERE day <> first_day
+                                 AND (prev IS NULL OR day - prev > 1))
+                AS BIGINT) AS n_resurrected
+    FROM c GROUP BY 1
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (EXT): every active (user, day) is
+    classified as NEW (first day ever), RETAINED (also active
+    yesterday), or RESURRECTED (returning after a gap) — the standard
+    DAU decomposition dashboards plot as stacked bars.  Shape: corpus
+    collapses to the distinct (user, day) activity frame map-side
+    first; both windows (running min + lag) share ONE per-user
+    partition bounded by days-per-user; the final day roll-up is a
+    plain hash agg.  day/prev arithmetic is integer datediff in both
+    dialects; counts are exact."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    c = ud.select(
+        "day",
+        F.min("day").over(w_all).alias("first_day"),
+        F.lag("day").over(w_ord).alias("prev"),
+    )
+    gap = F.datediff(F.col("day"), F.col("prev"))
+    return c.groupBy("day").agg(
+        F.count_if(F.col("day") == F.col("first_day"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.count_if(gap == 1).cast("bigint").alias("n_retained"),
+        F.count_if(
+            (F.col("day") != F.col("first_day"))
+            & (F.col("prev").isNull() | (gap > 1))
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5382,6 +5586,9 @@ _GRADE_ORDER = [
     "q_autocorr",
     "q_ttr",
     "q_seasonality",
+    "q_cusum_change",
+    "q_source_jaccard",
+    "q_growth_accounting",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -834,3 +834,81 @@ def test_seasonality_normalizes_by_calendar_coverage(spark, tmp_path):
         for r in QUERIES["q_seasonality"](spark, str(tmp_path)).collect()
     }
     assert out == {1: (4, 1.2), 2: (1, 0.6)}
+
+
+def test_cusum_change_level_shift(spark, tmp_path):
+    """A series jumping 1/day -> 5/day after day 4 peaks its centered
+    cumulative sum at day 4 (|s|=64, nd=8 -> cusum_max 8.0); a constant
+    series has cusum 0 with the tie resolving to the earliest day."""
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    for d in (1, 2, 3, 4):
+        rows += [(TS(2024, 1, d, 9), 1, "a")]
+    for d in (5, 6, 7, 8):
+        rows += [(TS(2024, 1, d, 9), 1, "a")] * 5
+    for d in (1, 2, 3):
+        rows += [(TS(2024, 1, d, 9), 2, "flat")] * 2
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_days, r.cusum_max, r.change_day)
+        for r in QUERIES["q_cusum_change"](spark, str(tmp_path)).collect()
+    }
+    assert out["a"] == (8, 8.0, datetime.date(2024, 1, 4))
+    assert out["flat"] == (3, 0.0, datetime.date(2024, 1, 1))
+
+
+def test_source_jaccard_hand_counted(spark, tmp_path):
+    """Vocab s1={a,b,c}, s2={b,c,d} -> |common|=2, jaccard 2/4=0.5;
+    disjoint pairs produce NO row (inner join on shared tokens);
+    duplicate tokens within a source count once."""
+    from snowav_spark.contract import QUERIES
+
+    docs = [
+        (1, "a b", "s1"),
+        (2, "b c", "s1"),
+        (3, "b c d", "s2"),
+        (4, "x", "s3"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text", "source"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.s1, r.s2): (r.n_common, r.jaccard)
+        for r in QUERIES["q_source_jaccard"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {("s1", "s2"): (2, 0.5)}
+
+
+def test_growth_accounting_classes(spark, tmp_path):
+    """user 1 active on days 1,2,4 (new/retained/resurrected);
+    user 2 on days 2,3 (new/retained); same-day duplicates collapse."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1, 9), 1, "view"),
+        (TS(2024, 1, 1, 10), 1, "view"),
+        (TS(2024, 1, 2, 9), 1, "view"),
+        (TS(2024, 1, 4, 9), 1, "view"),
+        (TS(2024, 1, 2, 9), 2, "view"),
+        (TS(2024, 1, 3, 9), 2, "view"),
+    ]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day.day: (r.n_new, r.n_retained, r.n_resurrected)
+        for r in QUERIES["q_growth_accounting"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        1: (1, 0, 0),
+        2: (1, 1, 0),
+        3: (0, 1, 0),
+        4: (0, 0, 1),
+    }

@@ -763,6 +763,55 @@ def main() -> int:
             f"q_seasonality: expected <=1 scan, saw {n_scans(p)}"
         )
 
+    # cusum changepoint: daily cells checkpointed, per-type totals joined
+    # back broadcast, both windows share the per-type partition
+    p = formatted(qs["q_cusum_change"](spark, SF))
+    check(
+        "q_cusum_change",
+        p,
+        ["Window", "BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "SortMergeJoin"],
+    )
+    if n_scans(p) > 1:
+        failures.append(
+            f"q_cusum_change: expected <=1 scan, saw {n_scans(p)}"
+        )
+
+    # source jaccard: vocab frame checkpointed; the pair counts come from
+    # a token-keyed EQUI self-join (shuffle join is the right shape — the
+    # frame is vocabulary-sized, not broadcastable in general); per-source
+    # totals broadcast back; never a cartesian, never a window
+    p = formatted(qs["q_source_jaccard"](spark, SF))
+    check(
+        "q_source_jaccard",
+        p,
+        ["BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window", "BroadcastNestedLoop"],
+    )
+    if n_scans(p) > 1:
+        failures.append(
+            f"q_source_jaccard: expected <=1 scan, saw {n_scans(p)}"
+        )
+
+    # growth accounting: one scan -> distinct (user, day) -> two windows
+    # on ONE per-user partition -> hash agg; no joins at all
+    p = formatted(qs["q_growth_accounting"](spark, SF))
+    check(
+        "q_growth_accounting",
+        p,
+        ["Window"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_growth_accounting: expected 1 scan, saw {n_scans(p)}"
+        )
+
     for f in failures:
         print("FAIL:", f)
     print(
