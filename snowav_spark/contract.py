@@ -5382,6 +5382,247 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_activity_histogram",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    pu AS (SELECT user_id, count(*) AS n_days FROM ud GROUP BY 1)
+    SELECT cast(n_days AS INT) AS n_days,
+           cast(count(*) AS BIGINT) AS n_users
+    FROM pu GROUP BY 1
+    """,
+)
+def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (EXT): how many users were active exactly k
+    distinct days — the engagement-distribution histogram next to
+    growth accounting on every DAU dashboard.  A distribution OF a
+    distribution: distinct (user, day) collapse map-side, per-user day
+    count, then a second hash agg over the count itself.  Every stage
+    is integer-exact; the final frame is ≤ |days| rows."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    pu = ud.groupBy("user_id").agg(F.count("*").alias("n_days"))
+    return pu.groupBy(F.col("n_days").cast("int").alias("n_days")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@q(
+    "q_interarrival",
+    """
+    WITH t AS (SELECT DISTINCT user_id, ts FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC)) AS gap
+          FROM t),
+    b AS (SELECT CASE WHEN gap < 60000000 THEN 'lt_1m'
+                      WHEN gap < 3600000000 THEN 'lt_1h'
+                      WHEN gap < 86400000000 THEN 'lt_1d'
+                      ELSE 'ge_1d' END AS bucket, gap
+          FROM g WHERE gap IS NOT NULL)
+    SELECT bucket, cast(count(*) AS BIGINT) AS n_gaps,
+           cast(min(gap) AS BIGINT) AS min_us,
+           cast(max(gap) AS BIGINT) AS max_us,
+           cast(sum(gap) AS BIGINT) AS sum_us
+    FROM b GROUP BY 1
+    """,
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram (EXT): per-user gaps between
+    consecutive distinct event timestamps, bucketed minute/hour/day —
+    the burstiness fingerprint monitoring reads next to q_fano.
+    Duplicate timestamps collapse BEFORE the lag (so ordering inside a
+    tie can never reach the output — no tiebreak column needed, unlike
+    the sessionize path), the per-user window is bounded by
+    events-per-user, and every statistic is an exact µs integer
+    (unix_micros both dialects; gaps are shift-invariant so the
+    NTZ→LTZ cast convention of q_conversion_lag applies)."""
+    t = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    g = t.select(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bucket = (
+        F.when(F.col("gap") < 60_000_000, "lt_1m")
+        .when(F.col("gap") < 3_600_000_000, "lt_1h")
+        .when(F.col("gap") < 86_400_000_000, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_us"),
+        F.max("gap").cast("bigint").alias("max_us"),
+        F.sum("gap").cast("bigint").alias("sum_us"),
+    )
+
+
+@q(
+    "q_fano",
+    """
+    WITH d AS (SELECT event_type, cast(ts AS DATE) AS day, count(*) AS c
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n, sum(cast(c AS HUGEINT)) AS s,
+                 sum(cast(c AS HUGEINT) * c) AS ss FROM d GROUP BY 1)
+    SELECT event_type, cast(n AS BIGINT) AS n_days,
+           round(cast(s AS DOUBLE) / n, 6) AS mean_daily,
+           round((cast(n * ss - s * s AS DOUBLE)
+                  / cast(cast(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                 / (cast(s AS DOUBLE) / n), 6) AS fano
+    FROM m WHERE n > 1 AND s > 0
+    """,
+)
+def q_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of the daily event count per
+    type (EXT): sample-variance / mean — 1 for a Poisson process, >1
+    for bursty arrivals, <1 for regular ones; the companion statistic
+    to q_autocorr for rate monitoring.  Same exact-moment discipline:
+    n, Σc, Σc² accumulate as exact integers (decimal38/HUGEINT) off ONE
+    corpus collapse, and the result is a pinned division chain
+    (var-over-mean with identical nesting in both dialects) on the
+    final |types|-row frame.  Degenerate groups (single day, zero
+    count) are filtered identically."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c")) * F.col("c")).alias("ss"),
+    )
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (dec(F.col("n")) * (F.col("n") - 1)).cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    return m.filter((F.col("n") > 1) & (F.col("s") > 0)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        r6(mean).alias("mean_daily"),
+        r6(var / mean).alias("fano"),
+    )
+
+
+@q(
+    "q_peak_concurrency",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS sid
+        FROM flagged
+    ),
+    iv AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+           FROM sess GROUP BY 1, 2),
+    spans AS (
+        SELECT unnest(generate_series(cast(s AS DATE), cast(e AS DATE),
+                                      INTERVAL 1 DAY))::DATE AS day, s, e
+        FROM iv
+    ),
+    clip AS (
+        SELECT day,
+               greatest(s, cast(day AS TIMESTAMP)) AS cs,
+               least(e, cast(day AS TIMESTAMP) + INTERVAL 1 DAY
+                        - INTERVAL 1 MICROSECOND) AS ce
+        FROM spans
+    ),
+    pts AS (SELECT day, cs AS t, 1 AS d FROM clip
+            UNION ALL
+            SELECT day, ce, -1 FROM clip),
+    run AS (SELECT day,
+                   sum(d) OVER (PARTITION BY day ORDER BY t ASC, d DESC
+                                ROWS UNBOUNDED PRECEDING) AS r
+            FROM pts)
+    SELECT day, cast(count(*) / 2 AS BIGINT) AS n_sessions,
+           cast(max(r) AS INT) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (EXT): the classic sweep-line
+    over session intervals — sessionize (30-min gap, the
+    q_session_window convention), clip each session to the days it
+    touches (midnight-crossers count on both days), then sort the ±1
+    endpoints and take the running-sum maximum.  The +1-before-−1 tie
+    order (d DESC at equal t) makes touching intervals overlap, pinned
+    identically in both dialects; equal-(t,d) tie runs are
+    permutation-invariant for the max.  Scale shape: the sweep runs
+    over SESSION endpoints (2·sessions-per-day rows per partition,
+    ~DAU-sized), never raw events; all timestamp arithmetic stays NTZ
+    (no epoch conversion), so the day boundaries are tz-free."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    sess = windows.sessionize(
+        ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id"
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    spans = iv.select(
+        "s",
+        "e",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp_ntz")
+    day_end = F.expr(
+        "timestampadd(MICROSECOND, -1, "
+        "timestampadd(DAY, 1, cast(day AS timestamp_ntz)))"
+    )
+    clip = spans.select(
+        "day",
+        F.greatest(F.col("s"), day_start).alias("cs"),
+        F.least(F.col("e"), day_end).alias("ce"),
+    )
+    # both endpoints via ONE explode (a unionAll of two selects off clip
+    # would evaluate the session lineage twice -> two corpus scans)
+    pts = clip.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("cs").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("ce").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select("day", F.col("p.t").alias("t"), F.col("p.d").alias("d"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("d").over(w).alias("r"))
+    return run.groupBy("day").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+        F.max("r").cast("int").alias("peak_concurrency"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5589,6 +5830,10 @@ _GRADE_ORDER = [
     "q_cusum_change",
     "q_source_jaccard",
     "q_growth_accounting",
+    "q_activity_histogram",
+    "q_interarrival",
+    "q_fano",
+    "q_peak_concurrency",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

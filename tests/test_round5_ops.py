@@ -912,3 +912,103 @@ def test_growth_accounting_classes(spark, tmp_path):
         3: (0, 1, 0),
         4: (0, 0, 1),
     }
+
+
+def test_activity_histogram_counts_users(spark, tmp_path):
+    """u1,u2 active 3 distinct days, u3 one day; same-day duplicate
+    events collapse before the per-user count."""
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    for u in (1, 2):
+        for d in (1, 2, 3):
+            rows += [(TS(2024, 1, d, 9), u, "view")]
+    rows += [(TS(2024, 1, 5, 9), 3, "view"), (TS(2024, 1, 5, 11), 3, "view")]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.n_days: r.n_users
+        for r in QUERIES["q_activity_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {3: 2, 1: 1}
+
+
+def test_interarrival_buckets_and_boundaries(spark, tmp_path):
+    """Gaps of 30 s / 30 min / exactly 24 h land in lt_1m / lt_1h /
+    ge_1d (the 24 h boundary is exclusive for lt_1d); duplicate
+    timestamps collapse before the lag so no zero gap appears."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1, 9, 0, 0), 1, "view"),
+        (TS(2024, 1, 1, 9, 0, 30), 1, "view"),
+        (TS(2024, 1, 1, 9, 0, 30), 1, "click"),  # dup ts
+        (TS(2024, 1, 1, 9, 30, 30), 1, "view"),
+        (TS(2024, 1, 2, 9, 30, 30), 1, "view"),
+    ]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.bucket: (r.n_gaps, r.min_us, r.max_us, r.sum_us)
+        for r in QUERIES["q_interarrival"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "lt_1m": (1, 30_000_000, 30_000_000, 30_000_000),
+        "lt_1h": (1, 1_800_000_000, 1_800_000_000, 1_800_000_000),
+        "ge_1d": (1, 86_400_000_000, 86_400_000_000, 86_400_000_000),
+    }
+
+
+def test_fano_hand_counted(spark, tmp_path):
+    """Constant daily counts -> fano 0; counts (1,3) -> sample variance
+    2 over mean 2 -> fano 1.0; a single-day type is excluded (n>1)."""
+    from snowav_spark.contract import QUERIES
+
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(TS(2024, 1, d, 9), 1, "a")] * 2
+    rows += [(TS(2024, 1, 1, 9), 1, "b")]
+    rows += [(TS(2024, 1, 2, 9), 1, "b")] * 3
+    rows += [(TS(2024, 1, 1, 9), 1, "c")]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_days, r.mean_daily, r.fano)
+        for r in QUERIES["q_fano"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"a": (3, 2.0, 0.0), "b": (2, 2.0, 1.0)}
+
+
+def test_peak_concurrency_sweep_and_midnight(spark, tmp_path):
+    """Overlapping sessions count toward the same peak; a session whose
+    start equals another's end overlaps it (+1 sweeps before -1); a
+    session crossing midnight is active on BOTH days."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1, 9, 0), 1, 1),
+        (TS(2024, 1, 1, 9, 10), 1, 2),
+        (TS(2024, 1, 1, 9, 5), 2, 3),
+        (TS(2024, 1, 1, 10, 0), 3, 4),
+        (TS(2024, 1, 1, 10, 20), 3, 5),
+        (TS(2024, 1, 1, 23, 50), 4, 6),
+        (TS(2024, 1, 2, 0, 10), 4, 7),
+        (TS(2024, 1, 1, 11, 0), 5, 8),
+        (TS(2024, 1, 1, 11, 30), 5, 9),
+        (TS(2024, 1, 1, 11, 30), 6, 10),
+    ]
+    spark.createDataFrame(
+        rows, ["ts", "user_id", "event_id"]
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day.day: (r.n_sessions, r.peak_concurrency)
+        for r in QUERIES["q_peak_concurrency"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (6, 2), 2: (1, 1)}

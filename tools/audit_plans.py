@@ -812,6 +812,82 @@ def main() -> int:
             f"q_growth_accounting: expected 1 scan, saw {n_scans(p)}"
         )
 
+    # activity histogram: distinct -> per-user agg -> histogram agg; pure
+    # hash-agg pipeline, no windows, no joins
+    p = formatted(qs["q_activity_histogram"](spark, SF))
+    check(
+        "q_activity_histogram",
+        p,
+        ["HashAggregate"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "Window",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_activity_histogram: expected 1 scan, saw {n_scans(p)}"
+        )
+
+    # interarrival: distinct -> per-user lag window -> bucket hash agg
+    p = formatted(qs["q_interarrival"](spark, SF))
+    check(
+        "q_interarrival",
+        p,
+        ["Window"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_interarrival: expected 1 scan, saw {n_scans(p)}"
+        )
+
+    # fano: one corpus collapse (partial agg before the exchange) -> exact
+    # integer moments; no window, no join
+    p = formatted(qs["q_fano"](spark, SF))
+    check(
+        "q_fano",
+        p,
+        ["partial_count"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "Window",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(f"q_fano: expected 1 scan, saw {n_scans(p)}")
+
+    # peak concurrency: sessionize windows + day-span/endpoint explodes +
+    # per-day sweep window; session-frame-sized after the first agg,
+    # never a join, ONE corpus scan (endpoints explode, not unionAll)
+    p = formatted(qs["q_peak_concurrency"](spark, SF))
+    check(
+        "q_peak_concurrency",
+        p,
+        ["Window", "Generate"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) != 1:
+        failures.append(
+            f"q_peak_concurrency: expected 1 scan, saw {n_scans(p)}"
+        )
+
     for f in failures:
         print("FAIL:", f)
     print(

@@ -472,6 +472,80 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
 
     out["gini_freq"] = timed(_gini_freq)
+
+    # q_ttr shape: explode -> (source, token) hash agg.  The shuffle is
+    # vocabulary-sized (src × 5000-token vocab here), so cost is the
+    # linear explode+partial-agg pass, not the constant-size final agg.
+    def _ttr():
+        toks = docs.select(
+            F.pmod(F.hash("doc_id"), F.lit(20)).alias("src"),
+            F.explode(F.split("text", " ")).alias("w"),
+        ).filter(F.col("w") != "")
+        c = toks.groupBy("src", "w").agg(F.count("*").alias("cnt"))
+        return (
+            c.groupBy("src")
+            .agg(
+                F.sum("cnt").alias("n_tokens"),
+                F.count("*").alias("n_types"),
+                F.count_if(F.col("cnt") == 1).alias("n_hapax"),
+            )
+            .count()
+        )
+
+    out["ttr"] = timed(_ttr)
+
+    # q_source_jaccard shape: distinct (src, token) vocab frame, then a
+    # token-keyed self equi-join.  Per-token fan-out is ≤ |sources|² (20²
+    # here) independent of corpus size, so the join cost is bounded by
+    # |vocab|·|sources|² — the measured ratio isolates the linear
+    # corpus-collapse pass from the constant pair stage.
+    def _source_jaccard():
+        vv = (
+            docs.select(
+                F.pmod(F.hash("doc_id"), F.lit(20)).alias("src"),
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        a = vv.select(F.col("src").alias("s1"), "w")
+        b = vv.select(F.col("src").alias("s2"), "w")
+        return (
+            a.join(b, (a.w == b.w) & (F.col("s1") < F.col("s2")))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("n_common"))
+            .count()
+        )
+
+    out["source_jaccard"] = timed(_source_jaccard)
+
+    # q_growth_accounting shape: distinct (user, day) collapse, then a
+    # running-min + lag window pair on ONE per-user partition (bounded by
+    # days-per-user: ≤60 here), then a day-keyed hash agg.
+    def _growth():
+        ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+        w_all = Window.partitionBy("user_id")
+        w_ord = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+        c = ud.select(
+            "day",
+            F.min("day").over(w_all).alias("first_day"),
+            F.lag("day").over(w_ord).alias("prev"),
+        )
+        gap = F.datediff(F.col("day"), F.col("prev"))
+        return (
+            c.groupBy("day")
+            .agg(
+                F.count_if(F.col("day") == F.col("first_day")).alias("nn"),
+                F.count_if(gap == 1).alias("nr"),
+                F.count_if(
+                    (F.col("day") != F.col("first_day"))
+                    & (F.col("prev").isNull() | (gap > 1))
+                ).alias("ns"),
+            )
+            .count()
+        )
+
+    out["growth_accounting"] = timed(_growth)
     return out
 
 
