@@ -5623,6 +5623,55 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_churn",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    l AS (SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id
+                                 ORDER BY day ASC) AS nxt
+          FROM ud),
+    mx AS (SELECT max(day) AS mx FROM ud)
+    SELECT day + 1 AS day, cast(count(*) AS BIGINT) AS n_churned
+    FROM l CROSS JOIN mx
+    WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= mx
+    GROUP BY 1
+    """,
+)
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily churn (EXT): users active on day d but NOT on d+1 are
+    counted as churned ON d+1 — the missing term that closes the
+    growth identity DAU_t − DAU_{t−1} = new_t + resurrected_t −
+    churned_t against q_growth_accounting (identity verified exactly,
+    0 violations, on the sf0.01 fixture).  Days past the observation
+    window are excluded (day+1 ≤ max day) so the last active day of
+    every user doesn't fabricate churn the corpus can't witness.
+    Shape: distinct (user, day) collapses map-side, ONE bounded
+    per-user lead window, a 1-row max-day broadcast, then a plain hash
+    agg — no self-join of the activity frame against shifted copies."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    l = ud.select("day", F.lead("day").over(w).alias("nxt"))
+    mx = ud.agg(F.max("day").alias("mx"))
+    nxt_day = F.date_add(F.col("day"), 1)
+    return (
+        l.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > nxt_day))
+            & (nxt_day <= F.col("mx"))
+        )
+        .groupBy(nxt_day.alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5834,6 +5883,7 @@ _GRADE_ORDER = [
     "q_interarrival",
     "q_fano",
     "q_peak_concurrency",
+    "q_churn",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -914,6 +914,43 @@ def test_growth_accounting_classes(spark, tmp_path):
     }
 
 
+def test_churn_attribution_and_identity(spark, tmp_path):
+    """Same fixture as growth accounting: u1 on days 1,2,4; u2 on
+    days 2,3.  Churn lands on the day AFTER the last consecutive
+    active day (u1 churns on day 3, both churn on days 4/5 - but
+    day 5 > max(day)=4 is excluded), and the growth identity
+    DAU_t - DAU_{t-1} = new + resurrected - churned holds exactly."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1, 9), 1, "view"),
+        (TS(2024, 1, 2, 9), 1, "view"),
+        (TS(2024, 1, 4, 9), 1, "view"),
+        (TS(2024, 1, 2, 9), 2, "view"),
+        (TS(2024, 1, 3, 9), 2, "view"),
+    ]
+    spark.createDataFrame(rows, ["ts", "user_id", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    churn = {
+        r.day.day: r.n_churned
+        for r in QUERIES["q_churn"](spark, str(tmp_path)).collect()
+    }
+    # u1 active 1,2 then gap -> churned on 3; u2 active 2,3 -> churned
+    # on 4; u1's last day is 4 -> would churn on 5 but 5 > max day.
+    assert churn == {3: 1, 4: 1}
+    growth = {
+        r.day.day: (r.n_new, r.n_retained, r.n_resurrected)
+        for r in QUERIES["q_growth_accounting"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    dau = {1: 1, 2: 2, 3: 1, 4: 1}
+    for d in (2, 3, 4):
+        n_new, _, n_res = growth.get(d, (0, 0, 0))
+        assert dau[d] - dau[d - 1] == n_new + n_res - churn.get(d, 0)
+
+
 def test_activity_histogram_counts_users(spark, tmp_path):
     """u1,u2 active 3 distinct days, u3 one day; same-day duplicate
     events collapse before the per-user count."""
