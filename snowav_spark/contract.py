@@ -5648,14 +5648,17 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 violations, on the sf0.01 fixture).  Days past the observation
     window are excluded (day+1 ≤ max day) so the last active day of
     every user doesn't fabricate churn the corpus can't witness.
-    Shape: distinct (user, day) collapses map-side, ONE bounded
-    per-user lead window, a 1-row max-day broadcast, then a plain hash
-    agg — no self-join of the activity frame against shifted copies."""
+    Shape: distinct (user, day) collapses map-side and is checkpointed
+    (reused by BOTH the lead window and the max-day scalar — one corpus
+    scan, not two), then ONE bounded per-user lead window, a 1-row
+    max-day broadcast, and a plain hash agg — no self-join of the
+    activity frame against shifted copies."""
     ud = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
+        .localCheckpoint(eager=False)  # activity frame, reused 2×
     )
     w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
     l = ud.select("day", F.lead("day").over(w).alias("nxt"))

@@ -888,6 +888,25 @@ def main() -> int:
             f"q_peak_concurrency: expected 1 scan, saw {n_scans(p)}"
         )
 
+    # churn: the checkpointed activity frame feeds BOTH branches (0
+    # visible corpus scans — lineage truncated), the max-day scalar is
+    # the 1-row BNLJ broadcast, the only window is the bounded per-user
+    # lead — never a shifted self-join of the activity frame
+    p = formatted(qs["q_churn"](spark, SF))
+    check(
+        "q_churn",
+        p,
+        ["Window", "BroadcastNestedLoopJoin"],
+        [
+            "PythonUDF",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
+    )
+    if n_scans(p) > 1:
+        failures.append(f"q_churn: expected <=1 scan, saw {n_scans(p)}")
+
     for f in failures:
         print("FAIL:", f)
     print(
