@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -126,6 +127,85 @@ def _scd2_track(
             "valid_to": "datetime64[ns]",
             "n_events": "int64",
         }
+    )
+
+
+GROWTH_OUTPUT = StructType(
+    [
+        StructField("day", DateType(), False),
+        StructField("cls", StringType(), False),
+    ]
+)
+
+# state = (first active day, last active day) as proleptic ordinals —
+# two longs per user, O(users) memory, runs forever.
+GROWTH_STATE = StructType(
+    [
+        StructField("first_d", LongType(), False),
+        StructField("last_d", LongType(), False),
+    ]
+)
+
+
+def _classify_growth(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import datetime as _dt
+
+    first_d, last_d = state.get if state.exists else (None, None)
+    days: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            days.extend(
+                pd.Timestamp(t).date().toordinal() for t in pdf["ts"]
+            )
+    out_day: list = []
+    out_cls: list = []
+    for d in sorted(set(days)):
+        if first_d is None:
+            cls = "new"
+            first_d = last_d = d
+        elif d <= last_d:
+            continue  # duplicate or late day — already classified
+        elif d == last_d + 1:
+            cls = "retained"
+            last_d = d
+        else:
+            cls = "resurrected"
+            last_d = d
+        out_day.append(_dt.date.fromordinal(d))
+        out_cls.append(cls)
+    if first_d is not None:
+        state.update((first_d, last_d))
+    yield pd.DataFrame({"day": out_day, "cls": out_cls})
+
+
+def growth_accounting_stream(events: DataFrame) -> DataFrame:
+    """Streaming DAU decomposition — the stateful twin of the batch
+    ``q_growth_accounting`` contract key: each newly observed
+    (user, day) activity is classified NEW (first day ever), RETAINED
+    (also active the previous day) or RESURRECTED (returning after a
+    gap) the moment it arrives, carrying only (first_day, last_day)
+    per user in managed state.  Downstream a per-day
+    ``groupBy(day, cls).count()`` (or a foreachBatch merge into a
+    rollup store) yields the live new/retained/resurrected counters a
+    growth dashboard plots — without ever rescanning history, which is
+    the point at 100 TB: the batch key re-reads the corpus, this
+    maintains the same decomposition from two longs per user.
+
+    Ordering contract (same as scd2_stream): each user's days must
+    arrive non-decreasing across micro-batches (guaranteed when the
+    source respects event time); a day older than the user's last
+    classified day is dropped as already-classified.  Emits one row per
+    newly observed (user, day) — append semantics, each classified
+    exactly once.  Input columns: user_id, ts.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _classify_growth,
+        outputStructType=GROWTH_OUTPUT,
+        stateStructType=GROWTH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -116,6 +116,69 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         assert first[et][1] < n  # first run really was partial
 
 
+def test_growth_stream_matches_batch_decomposition(spark, sf_dir, tmp_path):
+    """Streaming growth accounting must reproduce the batch
+    q_growth_accounting decomposition exactly when days arrive in
+    event-time order, with (first_day, last_day) state carried across
+    two availableNow runs via the checkpoint."""
+    from snowav_spark.contract import QUERIES
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    half1 = ev.filter(F.dayofmonth("ts") <= 15)
+    half2 = ev.filter(F.dayofmonth("ts") > 15)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(src)
+
+    def run_once():
+        stream = incremental.stream_source(spark, src, half1.schema)
+        cls = stateful.growth_accounting_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            cls.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # cross-run state: user first seen in half1 and returning in half2
+    # must classify retained/resurrected, never new again
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r.day, r.cls): r.n
+        for r in spark.read.parquet(out)
+        .groupBy("day", "cls")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expect = {}
+    for r in QUERIES["q_growth_accounting"](spark, sf_dir).collect():
+        for cls, n in (
+            ("new", r.n_new),
+            ("retained", r.n_retained),
+            ("resurrected", r.n_resurrected),
+        ):
+            if n:
+                expect[(r.day, cls)] = n
+    assert got == expect
+    # every (user, day) classified exactly once across both runs
+    n_pairs = ev.select(F.to_date("ts").alias("d"), "user_id").distinct().count()
+    assert spark.read.parquet(out).count() == n_pairs
+
+
 def test_scd2_stream_matches_batch_closed_segments(spark, sf_dir, tmp_path):
     """Streaming SCD2 must emit exactly the CLOSED segments the batch
     operator produces (valid_to non-NULL), with state carrying open
