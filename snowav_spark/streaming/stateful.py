@@ -209,6 +209,92 @@ def growth_accounting_stream(events: DataFrame) -> DataFrame:
     )
 
 
+CHURN_OUTPUT = StructType(
+    [
+        StructField("day", DateType(), False),  # churn day = last_day + 1
+    ]
+)
+
+CHURN_STATE = StructType([StructField("last_d", LongType(), False)])
+
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _detect_churn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import datetime as _dt
+
+    if state.hasTimedOut:
+        # the whole day after the user's last activity passed the
+        # watermark with no new events: the user churned on that day
+        (last_d,) = state.get
+        state.remove()
+        yield pd.DataFrame({"day": [_dt.date.fromordinal(last_d + 1)]})
+        return
+    last_d = state.get[0] if state.exists else None
+    days: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            days.extend(
+                pd.Timestamp(t).date().toordinal() for t in pdf["ts"]
+            )
+    out: list = []
+    for d in sorted(set(days)):
+        if last_d is not None and d <= last_d:
+            continue  # duplicate or late day
+        if last_d is not None and d > last_d + 1:
+            # resurrection witnesses the gap: churn known immediately,
+            # no need to wait for the timeout
+            out.append(_dt.date.fromordinal(last_d + 1))
+        last_d = d
+    if last_d is not None:
+        state.update((last_d,))
+        # fire once the whole candidate churn day (last_d + 1) is past
+        # the watermark; clamp to wm+1 — late data can make the nominal
+        # deadline already-past, and Spark rejects deadlines <= wm
+        deadline_ms = (last_d + 2 - _EPOCH_ORD) * 86_400_000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
+    yield pd.DataFrame({"day": out})
+
+
+def churn_stream(events: DataFrame, delay: str = "1 day") -> DataFrame:
+    """Streaming churn detection — the stateful twin of the batch
+    ``q_churn`` contract key, and the operator that NEEDS event-time
+    timeouts: churn is the *absence* of activity, which no arriving
+    record can witness.  Two emission paths cover it exactly once per
+    gap: a returning user's resurrection proves the earlier gap
+    immediately (emit on data), and a user who never returns is caught
+    by the state timeout once the watermark passes the end of the day
+    after their last activity (emit on timeout, state freed — O(1) per
+    quiet user, so state shrinks as users churn instead of growing
+    forever).  Downstream ``groupBy(day).count()`` is the live churn
+    counter; summed with ``growth_accounting_stream`` classes it closes
+    the DAU identity DAUₜ−DAUₜ₋₁ = new + resurrected − churned without
+    rescanning history.
+
+    Frontier semantics: churn on day c is emittable once the watermark
+    passes the start of c+1, so the stream lags the batch key by one
+    day at the live edge (the batch key's max-day row needs the full
+    corpus; the stream's needs tomorrow's watermark) — the standard
+    completeness/latency tradeoff, asserted in the parity test.
+    A user reappearing after their timeout fired starts fresh state;
+    the churn already emitted for them stays correct.  Input columns:
+    user_id, ts (watermark applied here with ``delay``)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _detect_churn,
+            outputStructType=CHURN_OUTPUT,
+            stateStructType=CHURN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def scd2_stream(events: DataFrame) -> DataFrame:
     """Streaming SCD type-2 build — the stateful twin of
     ``ops.windows.scd2_segments``: per user the OPEN validity segment

@@ -179,6 +179,64 @@ def test_growth_stream_matches_batch_decomposition(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_pairs
 
 
+def test_churn_stream_matches_batch_behind_watermark(spark, sf_dir, tmp_path):
+    """Streaming churn (resurrection-witnessed + event-time timeout)
+    must equal the batch q_churn decomposition for every churn day the
+    watermark has fully passed; the only permitted difference is the
+    live edge (the batch key's final-day row, which the stream can only
+    emit once tomorrow's watermark arrives)."""
+    from snowav_spark.contract import QUERIES
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    half1 = ev.filter(F.dayofmonth("ts") <= 15)
+    half2 = ev.filter(F.dayofmonth("ts") > 15)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(src)
+
+    def run_once():
+        stream = incremental.stream_source(spark, src, half1.schema)
+        churn = stateful.churn_stream(stream, delay="0 seconds")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            churn.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r.day: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = {
+        r.day: r.n_churned
+        for r in QUERIES["q_churn"](spark, sf_dir).collect()
+    }
+    max_day = ev.select(F.max(F.to_date("ts"))).first()[0]
+    expect = {d: n for d, n in batch.items() if d < max_day}
+    assert got == expect
+    # the live edge is exactly the final-day batch row (when present)
+    assert set(batch) - set(got) <= {max_day}
+
+
 def test_scd2_stream_matches_batch_closed_segments(spark, sf_dir, tmp_path):
     """Streaming SCD2 must emit exactly the CLOSED segments the batch
     operator produces (valid_to non-NULL), with state carrying open
