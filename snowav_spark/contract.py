@@ -5675,6 +5675,69 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_top_share",
+    f"""
+    WITH tot AS (
+        SELECT o_custkey,
+               sum({windows.fixed_micros_sql("o_totalprice")}) AS tm
+        FROM orders GROUP BY 1),
+    j AS (SELECT c_mktsegment AS segment, tm, cast(tm AS DOUBLE) AS td
+          FROM tot JOIN customer ON o_custkey = c_custkey),
+    c AS (SELECT segment, round(quantile_cont(td, 0.99), 6) AS cut
+          FROM j GROUP BY 1)
+    SELECT j.segment,
+           cast(count(*) FILTER (WHERE td >= cut) AS BIGINT) AS n_top,
+           round(cast(sum(tm) FILTER (WHERE td >= cut) AS DOUBLE)
+                 / cast(sum(tm) AS DOUBLE), 6) AS share
+    FROM j JOIN c ON j.segment = c.segment
+    GROUP BY j.segment
+    """,
+)
+def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (EXT): the share of each market segment's
+    revenue held by its top-1% customers (everyone at or above the
+    exact p99 of per-customer totals — a value threshold, not a count
+    cutoff, so boundary ties need no arbitrary pick).  The whale-curve
+    metric next to q_gini on monetization dashboards.  Parity: customer
+    totals are exact micro-unit integers (msum convention) whose
+    double image is identical in both engines, the p99 interpolates
+    those identical doubles (q_percentiles precedent) and is r6-rounded
+    before the compare, and the share divides two correctly-rounded
+    exact-integer sums.  Shape: orders collapse map-side to one row per
+    customer, the segment lookup is a |customers|-sized equi-join, the
+    exact percentile buffers one segment's totals per reducer (the
+    documented exact-path caveat — approx_percentile / q_global_decile
+    cuts are the 100 TB path), and the cuts broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    tot = orders.groupBy("o_custkey").agg(
+        F.sum(windows.fixed_micros(F.col("o_totalprice"))).alias("tm")
+    )
+    j = (
+        tot.join(cust, tot.o_custkey == cust.c_custkey)
+        .select("segment", "tm", F.col("tm").cast("double").alias("td"))
+        .localCheckpoint(eager=False)  # |customers| rows, reused 2×
+    )
+    cut = j.groupBy("segment").agg(
+        r6(F.percentile("td", 0.99)).alias("cut")
+    )
+    top = F.col("td") >= F.col("cut")
+    return (
+        j.join(F.broadcast(cut), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count_if(top).cast("bigint").alias("n_top"),
+            r6(
+                F.sum(F.when(top, F.col("tm"))).cast("double")
+                / F.sum("tm").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5887,6 +5950,7 @@ _GRADE_ORDER = [
     "q_fano",
     "q_peak_concurrency",
     "q_churn",
+    "q_top_share",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

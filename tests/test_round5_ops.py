@@ -914,6 +914,38 @@ def test_growth_accounting_classes(spark, tmp_path):
     }
 
 
+def test_top_share_threshold_and_ties(spark, tmp_path):
+    """Segment s1: totals 100,200,300,400 → p99 = 300+0.97·100 = 397 →
+    only the 400-customer is top (share 0.4); multi-order customers
+    aggregate BEFORE the percentile.  Segment s2: totals 400,400,200,
+    remaining — ties AT the cut (p99=400) are all included."""
+    from snowav_spark.contract import QUERIES
+
+    orders = []
+    # s1 customers 1..4: customer k has k orders summing to 100·k
+    for k in range(1, 5):
+        for j in range(k):
+            orders.append((k, 100.0 * k / k))  # k orders of 100.0 each
+    # s2 customers 5..7: totals 400, 400, 200
+    orders += [(5, 400.0), (6, 400.0), (7, 200.0)]
+    _plant(
+        spark, tmp_path, "orders",
+        [(c, float(v)) for c, v in orders],
+        ["o_custkey", "o_totalprice"],
+    )
+    _plant(
+        spark, tmp_path, "customer",
+        [(k, "s1") for k in range(1, 5)] + [(k, "s2") for k in (5, 6, 7)],
+        ["c_custkey", "c_mktsegment"],
+    )
+    out = {
+        r.segment: (r.n_top, r.share)
+        for r in QUERIES["q_top_share"](spark, str(tmp_path)).collect()
+    }
+    assert out["s1"] == (1, round(400 / 1000, 6))
+    assert out["s2"] == (2, round(800 / 1000, 6))
+
+
 def test_churn_attribution_and_identity(spark, tmp_path):
     """Same fixture as growth accounting: u1 on days 1,2,4; u2 on
     days 2,3.  Churn lands on the day AFTER the last consecutive

@@ -907,6 +907,20 @@ def main() -> int:
     if n_scans(p) > 1:
         failures.append(f"q_churn: expected <=1 scan, saw {n_scans(p)}")
 
+    # top-share: orders collapse map-side per customer BEFORE the segment
+    # join; the checkpointed |customers| frame feeds BOTH the p99 and the
+    # final agg (≤1 visible scan); cuts broadcast back; no window,
+    # nothing cartesian
+    p = formatted(qs["q_top_share"](spark, SF))
+    check(
+        "q_top_share",
+        p,
+        ["BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window", "SortMergeJoin"],
+    )
+    if n_scans(p) > 1:
+        failures.append(f"q_top_share: expected <=1 scan, saw {n_scans(p)}")
+
     for f in failures:
         print("FAIL:", f)
     print(

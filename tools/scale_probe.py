@@ -546,6 +546,28 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
 
     out["growth_accounting"] = timed(_growth)
+
+    # the remaining event-analytics contract keys run AS-IS against the
+    # synthetic frame written out as a fixture dir: interarrival (distinct
+    # -> per-user lag window -> bucket agg), churn (distinct collapse
+    # checkpointed, lead window + 1-row max broadcast), peak concurrency
+    # (sessionize -> intervals -> per-day endpoint sweep).  Timing the
+    # contract functions themselves means the measured shape is exactly
+    # what the driver grades.
+    import shutil
+    import tempfile
+
+    from snowav_spark.contract import QUERIES
+
+    evdir = tempfile.mkdtemp(prefix="probe_ev_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{evdir}/events.parquet")
+        for key in ("q_interarrival", "q_churn", "q_peak_concurrency"):
+            out[key.removeprefix("q_")] = timed(
+                lambda k=key: QUERIES[k](spark, evdir).count()
+            )
+    finally:
+        shutil.rmtree(evdir, ignore_errors=True)
     return out
 
 
