@@ -5738,6 +5738,53 @@ def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_new_vs_returning",
+    f"""
+    WITH fo AS (SELECT o_custkey, min(o_orderdate) AS first_dt
+                FROM orders GROUP BY 1),
+    f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CASE WHEN o_orderdate > first_dt
+                      THEN 'returning' ELSE 'new' END AS cohort,
+                 o_totalprice
+          FROM orders JOIN fo USING (o_custkey))
+    SELECT month, cohort,
+           cast(count(*) AS BIGINT) AS n_orders,
+           {msum_sql("o_totalprice")} AS revenue
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split (EXT): each order is attributed
+    to the 'new' cohort iff it falls on its customer's FIRST order
+    date (ties on the first date all count as new — a date-equality
+    rule both engines apply identically; every later date is
+    'returning'), then rolled up per month — the acquisition-vs-
+    retention revenue mix next to q_growth_accounting on the same
+    dashboard.  Shape: orders collapse map-side to one first-date row
+    per customer, join back is a |customers|-sized equi-join on the
+    already-aggregated side (the fact side shuffles once on custkey),
+    and the month roll-up is a plain hash agg — no window.  Revenue is
+    the exact fixed-point msum."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    return (
+        orders.join(fo, "o_custkey")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.when(F.col("o_orderdate") > F.col("first_dt"), "returning")
+            .otherwise("new")
+            .alias("cohort"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            msum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -5951,6 +5998,7 @@ _GRADE_ORDER = [
     "q_peak_concurrency",
     "q_churn",
     "q_top_share",
+    "q_new_vs_returning",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -946,6 +946,35 @@ def test_top_share_threshold_and_ties(spark, tmp_path):
     assert out["s2"] == (2, round(800 / 1000, 6))
 
 
+def test_new_vs_returning_first_date_ties(spark, tmp_path):
+    """Customer 1: two orders ON the first date (both 'new' — date
+    equality, not a pick-one) plus a later order ('returning');
+    customer 2: single order (new).  Months split correctly."""
+    from snowav_spark.contract import QUERIES
+
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 100.0, TS(2024, 1, 5)),
+            (1, 50.0, TS(2024, 1, 5)),
+            (1, 70.0, TS(2024, 2, 10)),
+            (2, 30.0, TS(2024, 2, 1)),
+        ],
+        ["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    out = {
+        (r.month, r.cohort): (r.n_orders, r.revenue)
+        for r in QUERIES["q_new_vs_returning"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("2024-01", "new"): (2, 150.0),
+        ("2024-02", "returning"): (1, 70.0),
+        ("2024-02", "new"): (1, 30.0),
+    }
+
+
 def test_churn_attribution_and_identity(spark, tmp_path):
     """Same fixture as growth accounting: u1 on days 1,2,4; u2 on
     days 2,3.  Churn lands on the day AFTER the last consecutive

@@ -921,6 +921,17 @@ def main() -> int:
     if n_scans(p) > 1:
         failures.append(f"q_top_share: expected <=1 scan, saw {n_scans(p)}")
 
+    # new-vs-returning: first-date side pre-aggregated (partial_min)
+    # before the custkey equi-join; month rollup is a hash agg — no
+    # window, nothing cartesian
+    p = formatted(qs["q_new_vs_returning"](spark, SF))
+    check(
+        "q_new_vs_returning",
+        p,
+        ["partial_min", "partial_count"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
