@@ -160,12 +160,47 @@ def compact_main(argv: list[str]) -> int:
     return 0
 
 
+def explain_main(argv: list[str]) -> int:
+    """``python -m snowav_spark explain <key> [...]`` — print the
+    optimized physical plan for any contract query key, the same
+    explain output the plan audits assert on.  The cluster-side debug
+    loop: a regressed query's first diagnostic is its plan (did the
+    broadcast survive? is the filter pushed? did a window sneak in?),
+    and this makes that one command against any fixture directory."""
+    ap = argparse.ArgumentParser(prog="snowav_spark explain")
+    ap.add_argument("keys", nargs="+", help="contract query key(s)")
+    ap.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="fixture dir"
+    )
+    ap.add_argument(
+        "--mode",
+        choices=("formatted", "simple", "extended", "cost", "codegen"),
+        default="formatted",
+    )
+    args = ap.parse_args(argv)
+
+    from snowav_spark import contract
+
+    unknown = [k for k in args.keys if k not in contract.QUERIES]
+    if unknown:
+        known = ", ".join(sorted(contract.QUERIES))
+        print(f"unknown key(s): {unknown}\nknown: {known}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="snowav_spark:explain")
+    for k in args.keys:
+        print(f"=== {k} ===")
+        contract.QUERIES[k](spark, args.sf_dir).explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
     if argv and argv[0] == "compact":
         return compact_main(argv[1:])
+    if argv and argv[0] == "explain":
+        return explain_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

@@ -148,6 +148,24 @@ def test_cli_curate_jsonl_corpus(spark, sf_dir, tmp_path):
     assert corpus.count() > 0 and "doc_id" in corpus.columns
 
 
+def test_cli_explain(spark, sf_dir, capsys):
+    """`explain` prints the physical plan for a contract key; unknown
+    keys exit 2 with the known-key list on stderr."""
+    from snowav_spark import cli
+
+    rc = cli.main(["explain", "q_join_dim", "--sf-dir", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== q_join_dim ===" in out
+    assert "Physical Plan" in out
+    assert "BroadcastHashJoin" in out
+
+    rc = cli.main(["explain", "q_nope", "--sf-dir", sf_dir])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown key" in err and "q_join_dim" in err
+
+
 def test_cli_compact(spark, sf_dir, tmp_path):
     """`compact` subcommand rewrites a fragmented dataset in place."""
     import json as _json
