@@ -16,6 +16,13 @@ preference order:
    basin, get the basin's pixels as a frame, run arbitrary numpy.  The
    group must fit in executor memory — group by (basin, date), never by
    basin alone, at raster scale.
+3. ``udtf`` (Spark 4) — Python table functions for row→rows expansion
+   whose output shape built-in generators can't express.  Registered
+   UDTFs compose with ``LATERAL`` so each input row drives its own
+   expansion (``BandLegendUDTF`` below).  Per-row Python, NOT
+   Arrow-batched — prefer ``explode``/``transform``/``sequence`` when
+   they fit (every contract generator does); this is the escape hatch
+   for genuinely procedural expansions.
 
 Both run as Arrow transfers (engine conf enables Arrow); neither
 participates in oracle grading (SURVEY §2.8: UDF outputs are not
@@ -42,6 +49,34 @@ def available_swe(swe_mm: pd.Series, coldcont: pd.Series) -> pd.Series:
     where cold content exceeds the threshold (ref:process.py semantics).
     Example pandas_udf — plain numpy-on-Series, Arrow-batched."""
     return swe_mm.where(coldcont >= COLD_CONTENT_THRESHOLD, 0.0)
+
+
+try:  # Spark 4 Python UDTF — absent on older runtimes
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="band int, lo double, hi double")
+    class BandLegendUDTF:
+        """Worked UDTF example: expand one run's elevation band edges
+        into (band, lo, hi) legend rows — the reference's per-run band
+        legend (SURVEY §1.3) as a table function.  Each input row emits
+        its own variable-length expansion, so with LATERAL every run
+        carries its own edge list:
+
+            spark.udtf.register("band_legend", BandLegendUDTF)
+            SELECT r.run_id, b.* FROM runs r,
+                   LATERAL band_legend(r.edges) b
+        """
+
+        def eval(self, edges):  # noqa: D102 — contract set by @udtf
+            if edges is None:
+                return
+            for i in range(len(edges) - 1):
+                yield i, float(edges[i]), float(edges[i + 1])
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover
+    BandLegendUDTF = None
+    HAS_UDTF = False
 
 
 def per_group_apply(

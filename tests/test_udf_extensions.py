@@ -21,6 +21,38 @@ def test_available_swe_pandas_udf(spark):
     assert got == [100.0, 0.0, 50.0, 80.0]
 
 
+def test_band_legend_udtf_lateral(spark):
+    """UDTF surface: direct call expands an edge array into legend
+    rows; registered + LATERAL, each run drives its own expansion
+    (variable-length, NULL edges emit nothing)."""
+    import pytest
+
+    if not udf.HAS_UDTF:
+        pytest.skip("Spark runtime lacks Python UDTFs")
+    direct = udf.BandLegendUDTF(
+        F.array(F.lit(0.0), F.lit(5.0), F.lit(10.0))
+    ).collect()
+    assert [tuple(r) for r in direct] == [(0, 0.0, 5.0), (1, 5.0, 10.0)]
+
+    spark.udtf.register("band_legend", udf.BandLegendUDTF)
+    spark.createDataFrame(
+        [("r1", [1000.0, 2000.0, 3000.0]), ("r2", [500.0, 900.0]), ("r3", None)],
+        "run_id string, edges array<double>",
+    ).createOrReplaceTempView("runs_udtf")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT r.run_id, b.band, b.lo, b.hi "
+            "FROM runs_udtf r, LATERAL band_legend(r.edges) b"
+        ).collect()
+    )
+    assert got == [
+        ("r1", 0, 1000.0, 2000.0),
+        ("r1", 1, 2000.0, 3000.0),
+        ("r2", 0, 500.0, 900.0),
+    ]
+
+
 def test_basin_percentile_summary_matches_numpy(spark):
     import numpy as np
 
