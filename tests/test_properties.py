@@ -327,3 +327,73 @@ def test_global_decile_matches_sorted_reference(spark, vals, q):
     cuts = [s[-(-k * n // q) - 1] for k in range(1, q)]  # ceil(k n / q)-th
     want = {i: 1 + sum(1 for c in cuts if c < v) for i, v in enumerate(vals)}
     assert got == want
+
+
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 20)),  # (user, day)
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_growth_churn_match_bruteforce_and_identity(spark, activity, tmp_path):
+    """q_growth_accounting and q_churn must match the set-based
+    brute-force definitions on arbitrary activity patterns, and the
+    growth identity DAU_t − DAU_{t−1} = new + resurrected − churned
+    must hold exactly on every interior day."""
+    import datetime
+
+    from snowav_spark import io as sio
+    from snowav_spark.contract import QUERIES
+
+    rows = [(u, datetime.datetime(2024, 1, d, 12)) for u, d in activity]
+    spark.createDataFrame(rows, ["user_id", "ts"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    sio.clear_cache()  # same path, new files: drop the cached frame
+
+    days = {}
+    for u, d in activity:
+        days.setdefault(u, set()).add(d)
+    max_day = max(d for _, d in activity)
+    obs = sorted({d for _, d in activity})
+    want_growth = {
+        t: (
+            sum(1 for s in days.values() if min(s) == t),
+            sum(1 for s in days.values() if t in s and t - 1 in s),
+            sum(
+                1
+                for s in days.values()
+                if t in s and t - 1 not in s and min(s) < t
+            ),
+        )
+        for t in obs
+    }
+    want_churn = {
+        t: n
+        for t in range(2, max_day + 1)
+        if (
+            n := sum(
+                1 for s in days.values() if t - 1 in s and t not in s
+            )
+        )
+    }
+    got_growth = {
+        r.day.day: (r.n_new, r.n_retained, r.n_resurrected)
+        for r in QUERIES["q_growth_accounting"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    got_churn = {
+        r.day.day: r.n_churned
+        for r in QUERIES["q_churn"](spark, str(tmp_path)).collect()
+    }
+    assert got_growth == want_growth
+    assert got_churn == want_churn
+    dau = {t: sum(1 for s in days.values() if t in s) for t in obs}
+    for t in range(min(obs) + 1, max_day + 1):
+        nn, _, ns = got_growth.get(t, (0, 0, 0))
+        assert dau.get(t, 0) - dau.get(t - 1, 0) == nn + ns - got_churn.get(
+            t, 0
+        )
