@@ -397,3 +397,75 @@ def test_growth_churn_match_bruteforce_and_identity(spark, activity, tmp_path):
         assert dau.get(t, 0) - dau.get(t - 1, 0) == nn + ns - got_churn.get(
             t, 0
         )
+
+
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2879)),  # (user, minute)
+        min_size=1,
+        max_size=50,
+    )
+)
+@SET
+def test_peak_concurrency_matches_bruteforce(spark, activity, tmp_path):
+    """The sweep-line must equal the brute-force definition on arbitrary
+    2-day event patterns: sessionize (30-min gap), clip each session to
+    the days it touches, and per day the peak is the max number of
+    clipped intervals covering any single instant (inclusive endpoints —
+    touching intervals overlap)."""
+    import datetime
+    from collections import defaultdict
+
+    from snowav_spark import io as sio
+    from snowav_spark.contract import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + datetime.timedelta(minutes=m), i)
+        for i, (u, m) in enumerate(activity)
+    ]
+    spark.createDataFrame(rows, ["user_id", "ts", "event_id"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    sio.clear_cache()
+
+    by_user = defaultdict(list)
+    for u, ts, _ in rows:
+        by_user[u].append(ts)
+    gap = datetime.timedelta(minutes=30)
+    sess = []
+    for ts_list in by_user.values():
+        ts_list.sort()
+        cur = [ts_list[0], ts_list[0]]
+        for t in ts_list[1:]:
+            if t - cur[1] > gap:
+                sess.append(tuple(cur))
+                cur = [t, t]
+            else:
+                cur[1] = t
+        sess.append(tuple(cur))
+    per_day = defaultdict(list)
+    for s, e in sess:
+        d = s.date()
+        while d <= e.date():
+            ds = datetime.datetime.combine(d, datetime.time.min)
+            de = ds + datetime.timedelta(days=1, microseconds=-1)
+            per_day[d].append((max(s, ds), min(e, de)))
+            d += datetime.timedelta(days=1)
+    want = {
+        d.day: (
+            len(iv),
+            max(
+                sum(1 for cs, ce in iv if cs <= t <= ce)
+                for t, _ in iv
+            ),
+        )
+        for d, iv in per_day.items()
+    }
+    got = {
+        r.day.day: (r.n_sessions, r.peak_concurrency)
+        for r in QUERIES["q_peak_concurrency"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == want
