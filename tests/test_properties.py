@@ -469,3 +469,54 @@ def test_peak_concurrency_matches_bruteforce(spark, activity, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # customer
+            st.integers(1, 10_000),  # order total in cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_top_share_matches_numpy_quantile(spark, orders, tmp_path):
+    """q_top_share must equal the numpy reference: per-customer totals,
+    linear-interpolated p99 (numpy 'linear' == Spark percentile ==
+    DuckDB quantile_cont), r6-rounded cut, inclusive >= membership."""
+    from collections import defaultdict
+
+    from snowav_spark import io as sio
+    from snowav_spark.contract import QUERIES
+
+    rows = [(c, cents / 100.0) for c, cents in orders]
+    spark.createDataFrame(rows, ["o_custkey", "o_totalprice"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    custs = sorted({c for c, _ in orders})
+    spark.createDataFrame(
+        [(c, "s" + str(c % 2)) for c in custs],
+        ["c_custkey", "c_mktsegment"],
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    sio.clear_cache()
+
+    tot = defaultdict(int)
+    for c, cents in orders:
+        # micro-units of cents/100: floor((cents/100)*1e6) — cents are
+        # exact in double so this is cents·10_000 exactly
+        tot[c] += cents * 10_000
+    by_seg = defaultdict(list)
+    for c, t in tot.items():
+        by_seg["s" + str(c % 2)].append(t)
+    want = {}
+    for seg, ts in by_seg.items():
+        cut = round(float(np.quantile(ts, 0.99, method="linear")), 6)
+        top = [t for t in ts if t >= cut]
+        want[seg] = (len(top), round(sum(top) / sum(ts), 6))
+    got = {
+        r.segment: (r.n_top, r.share)
+        for r in QUERIES["q_top_share"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
