@@ -1012,6 +1012,73 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_session_duration",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_id
+        FROM flagged
+    ), per_sess AS (
+        SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CASE WHEN dur = 0 THEN 'instant'
+                WHEN dur < 60000000 THEN 'lt_1m'
+                WHEN dur < 1800000000 THEN 'lt_30m'
+                ELSE 'ge_30m' END AS bucket,
+           cast(count(*) AS BIGINT) AS n_sessions,
+           cast(min(dur) AS BIGINT) AS min_us,
+           cast(max(dur) AS BIGINT) AS max_us,
+           cast(sum(dur) AS BIGINT) AS sum_us
+    FROM per_sess GROUP BY 1
+    """,
+)
+def q_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration histogram (EXT): sessionize (30-min gap, the
+    q_session_window convention), take each session's first→last span
+    as exact µs integers, bucket instant/minute/half-hour — the dwell-
+    time distribution next to q_session_stats' event counts.  Durations
+    are shift-invariant (the q_interarrival NTZ→LTZ convention), every
+    statistic an exact µs integer; NULL ts/user filtered identically in
+    both dialects BEFORE the lag so null ordering can't diverge.
+    Shape: one per-user window (bounded by events-per-user), then two
+    hash aggs — session frame is ~DAU-sized, the final ≤4 rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    sess = windows.sessionize(
+        ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id"
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur")
+    )
+    bucket = (
+        F.when(F.col("dur") == 0, "instant")
+        .when(F.col("dur") < 60_000_000, "lt_1m")
+        .when(F.col("dur") < 1_800_000_000, "lt_30m")
+        .otherwise("ge_30m")
+    )
+    return per_sess.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.min("dur").cast("bigint").alias("min_us"),
+        F.max("dur").cast("bigint").alias("max_us"),
+        F.sum("dur").cast("bigint").alias("sum_us"),
+    )
+
+
+@q(
     "q_cohort",
     """
     SELECT cohort_day, day - cohort_day AS offset_days,
@@ -5999,6 +6066,7 @@ _GRADE_ORDER = [
     "q_churn",
     "q_top_share",
     "q_new_vs_returning",
+    "q_session_duration",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",
