@@ -5852,6 +5852,188 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_regional_volume",
+    f"""
+    SELECT n_name,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           cast(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (EXT, TPC-H Q5 shape): revenue per nation
+    for one region-year where the customer and the line's supplier sit
+    in the SAME nation — the six-way snowflake join that stresses join
+    ordering.  Shape: the only fact-fact shuffle is lineitem ⋈ orders on
+    orderkey (the o_orderdate year filter is pushed to the orders scan
+    first, shrinking the shuffled side ~6×); customer, supplier, nation
+    and region are broadcast, with the same-nation predicate evaluated
+    inside the supplier broadcast join (never a post-join filter over a
+    wider result).  Revenue is the exact fixed-point msum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@q(
+    "q_market_share",
+    f"""
+    WITH rev AS (
+        SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+               l_extendedprice * (1 - l_discount) AS v
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT yr,
+           {msum_sql("CASE WHEN supp_nation = 'NATION_7' THEN v END")}
+               AS nation_rev,
+           {msum_sql("v")} AS total_rev,
+           round(({msum_sql("CASE WHEN supp_nation = 'NATION_7' THEN v END")})
+                 / ({msum_sql("v")}), 6) AS share
+    FROM rev GROUP BY 1
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (EXT, TPC-H Q8 shape): for each order year, the
+    fraction of one region's customer revenue supplied by one nation —
+    conditional-aggregate share, NOT a self-join of two filtered copies.
+    Shape: identical join tree to q_regional_volume (one fact-fact
+    shuffle, all dims broadcast; nation enters twice under different
+    roles, once per side of the trade), then a single hash agg computes
+    numerator and denominator together — one pass.  Both are exact
+    fixed-point msums, so the share is the same double division in both
+    engines; NULL when the nation sold nothing that year (sum of an
+    empty set) in both dialects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_regionkey").alias("cn_region"),
+        )
+    )
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("supp_nation"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_7", F.col("v"))
+    return rev.groupBy("yr").agg(
+        msum(target).alias("nation_rev"),
+        msum(F.col("v")).alias("total_rev"),
+        r6(msum(target) / msum(F.col("v"))).alias("share"),
+    )
+
+
+@q(
+    "q_hhi",
+    """
+    WITH c AS (SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                      event_type, count(*) AS cnt
+               FROM events WHERE event_type IS NOT NULL
+               GROUP BY 1, 2)
+    SELECT day,
+           cast(count(*) AS BIGINT) AS n_types,
+           cast(sum(cnt) AS BIGINT) AS n_events,
+           round(cast(sum(cast(cnt AS HUGEINT) * cnt) AS DOUBLE)
+                 / (cast(sum(cnt) AS DOUBLE) * cast(sum(cnt) AS DOUBLE)),
+                 6) AS hhi
+    FROM c GROUP BY 1
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration (EXT): per day, the HHI of the
+    event-type mix — Σ share² rewritten as Σcnt² / (Σcnt)² so every
+    aggregate is an EXACT integer (no per-row float shares whose
+    summation order could differ); the single final division and round
+    are then identical in both engines.  Complements q_gini /
+    q_diversity on the same per-day concentration dashboard (HHI is the
+    inverse of Simpson diversity's effective-count).  Shape: two hash
+    aggs, both map-side combinable; Σcnt² accumulates in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB) because a hot type-day at 100 TB has
+    cnt ≈ 1e10 and cnt² overflows a long."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    cnt_dec = F.col("cnt").cast("decimal(38,0)")
+    total = F.sum("cnt")
+    return daily.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        total.cast("bigint").alias("n_events"),
+        r6(
+            F.sum(cnt_dec * cnt_dec).cast("double")
+            / (total.cast("double") * total.cast("double"))
+        ).alias("hhi"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -6067,6 +6249,9 @@ _GRADE_ORDER = [
     "q_top_share",
     "q_new_vs_returning",
     "q_session_duration",
+    "q_regional_volume",
+    "q_market_share",
+    "q_hhi",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

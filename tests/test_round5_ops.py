@@ -1110,3 +1110,116 @@ def test_peak_concurrency_sweep_and_midnight(spark, tmp_path):
         ).collect()
     }
     assert out == {1: (6, 2), 2: (1, 1)}
+
+
+def test_hhi_hand_counted(spark, tmp_path):
+    """Day 1: type a×3 + b×1 → HHI = (9+1)/16 = 0.625; day 2: uniform
+    2×2 → 0.5; NULL types excluded before counting."""
+    from snowav_spark.contract import QUERIES
+
+    rows = [
+        (TS(2024, 1, 1, 9), "a"),
+        (TS(2024, 1, 1, 10), "a"),
+        (TS(2024, 1, 1, 11), "a"),
+        (TS(2024, 1, 1, 12), "b"),
+        (TS(2024, 1, 1, 13), None),
+        (TS(2024, 1, 2, 9), "a"),
+        (TS(2024, 1, 2, 10), "a"),
+        (TS(2024, 1, 2, 11), "b"),
+        (TS(2024, 1, 2, 12), "b"),
+    ]
+    spark.createDataFrame(rows, ["ts", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day.day: (r.n_types, r.n_events, r.hhi)
+        for r in QUERIES["q_hhi"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (2, 4, 0.625), 2: (2, 4, 0.5)}
+
+
+def _plant_snowflake(spark, tmp_path, orders, lineitem):
+    """Shared star-schema dims for the Q5/Q8-shaped contract tests:
+    nations 0/7 in ASIA-side region 0, nations 7/8 in EUROPE region 1
+    (region fixture carries both names so each query's literal filter
+    selects its own slice)."""
+    _plant(
+        spark, tmp_path, "region",
+        [(0, "ASIA"), (1, "EUROPE")], ["r_regionkey", "r_name"],
+    )
+    _plant(
+        spark, tmp_path, "nation",
+        [(0, "NATION_0", 0), (7, "NATION_7", 1), (8, "NATION_8", 1)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    _plant(
+        spark, tmp_path, "customer",
+        [(1, 0), (2, 7)], ["c_custkey", "c_nationkey"],
+    )
+    _plant(
+        spark, tmp_path, "supplier",
+        [(10, 0), (11, 7), (12, 8)], ["s_suppkey", "s_nationkey"],
+    )
+    _plant(
+        spark, tmp_path, "orders", orders,
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    _plant(
+        spark, tmp_path, "lineitem", lineitem,
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+
+def test_regional_volume_same_nation_and_daterange(spark, tmp_path):
+    """Only lines where customer and supplier share a nation inside the
+    filtered region-year survive: cross-nation supplier, out-of-range
+    year, and non-ASIA customer are each dropped."""
+    from snowav_spark.contract import QUERIES
+
+    orders = [
+        (100, 1, TS(1996, 5, 1)),   # ASIA customer, in range
+        (101, 1, TS(1995, 5, 1)),   # out of date range
+        (102, 2, TS(1996, 6, 1)),   # EUROPE customer -> not ASIA
+    ]
+    lineitem = [
+        (100, 10, 100.0, 0.1),      # same nation 0 -> revenue 90
+        (100, 11, 500.0, 0.0),      # supplier nation 7 != customer 0
+        (101, 10, 700.0, 0.0),      # date-filtered
+        (102, 11, 900.0, 0.0),      # region-filtered
+    ]
+    _plant_snowflake(spark, tmp_path, orders, lineitem)
+    out = [
+        (r.n_name, r.revenue, r.n_items)
+        for r in QUERIES["q_regional_volume"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert out == [("NATION_0", 90.0, 1)]
+
+
+def test_market_share_conditional_aggregate(spark, tmp_path):
+    """1996: NATION_7 supplies 200 of 300 EUROPE revenue → share
+    0.666667; 1997: NATION_7 absent → NULL numerator and NULL share,
+    denominator still counts; ASIA customer excluded entirely."""
+    from snowav_spark.contract import QUERIES
+
+    orders = [
+        (200, 2, TS(1996, 3, 1)),   # EUROPE customer
+        (201, 2, TS(1997, 3, 1)),   # EUROPE, later year
+        (202, 1, TS(1996, 4, 1)),   # ASIA customer -> excluded
+    ]
+    lineitem = [
+        (200, 11, 200.0, 0.0),      # supplier NATION_7
+        (200, 12, 100.0, 0.0),      # supplier NATION_8
+        (201, 12, 50.0, 0.0),
+        (202, 10, 999.0, 0.0),      # excluded with its order
+    ]
+    _plant_snowflake(spark, tmp_path, orders, lineitem)
+    out = {
+        r.yr: (r.nation_rev, r.total_rev, r.share)
+        for r in QUERIES["q_market_share"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        1996: (200.0, 300.0, 0.666667),
+        1997: (None, 50.0, None),
+    }
