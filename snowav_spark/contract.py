@@ -6034,6 +6034,124 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_late_orders",
+    """
+    SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n_late
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-EXISTS audit (EXT, TPC-H Q4 shape): orders in a
+    half-year window with at least one line shipped more than 30 days
+    after ordering, counted per priority.  Unlike q_semi_anti's pure
+    key-existence probe, the EXISTS here carries a NON-equi residual
+    (l_shipdate > o_orderdate + 30d) — Spark plans it as a left-semi
+    hash join on orderkey with the residual evaluated inside the join,
+    so each order emits at most once no matter how many late lines.
+    Shape: the date filter prunes the orders scan first; the semi join
+    shuffles only (orderkey, shipdate) off the fact side; final agg is
+    5 rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_late")
+    )
+
+
+@q(
+    "q_promo_share",
+    f"""
+    WITH j AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+               l_extendedprice * (1 - l_discount) AS v
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT month,
+           {msum_sql("CASE WHEN p_type = 'PROMO' THEN v END")} AS promo_rev,
+           {msum_sql("v")} AS total_rev,
+           round(({msum_sql("CASE WHEN p_type = 'PROMO' THEN v END")})
+                 / ({msum_sql("v")}), 6) AS promo_share
+    FROM j GROUP BY 1
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (EXT, TPC-H Q14 shape): per ship month,
+    the fraction of revenue from PROMO-type parts — numerator and
+    denominator computed in ONE hash agg over the joined fact (no
+    two-pass self-join).  Shape: part is pruned to (p_partkey, p_type)
+    before the join; at fixture scale AQE broadcasts it, and at 100 TB
+    the fallback is a shuffle join where the dim side carries two
+    columns only.  Both msums are exact fixed-point, so the share is
+    the identical double division in both engines (NULL for a month
+    with no promo sales)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "p_type",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("v"))
+    return j.groupBy("month").agg(
+        msum(promo).alias("promo_rev"),
+        msum(F.col("v")).alias("total_rev"),
+        r6(msum(promo) / msum(F.col("v"))).alias("promo_share"),
+    )
+
+
+@q(
+    "q_fanout_profile",
+    """
+    WITH c AS (SELECT l_orderkey, count(*) AS cnt
+               FROM lineitem GROUP BY 1)
+    SELECT cast(coalesce(cnt, 0) AS BIGINT) AS n_lines,
+           cast(count(*) AS BIGINT) AS n_orders
+    FROM orders LEFT JOIN c ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK fan-out profile (EXT): the distribution of lines-per-order,
+    INCLUDING zero-line orders — the skew histogram you read before
+    choosing a join strategy on this edge (a heavy tail here is what
+    motivates q_skew_join's salting).  Shape: lineitem collapses
+    map-side to one (orderkey, cnt) row BEFORE the join, so the left
+    join operands are |orders| × |distinct orderkeys| — the wide fact
+    never crosses the shuffle twice; final histogram agg is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cnts = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return (
+        orders.join(cnts, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_lines")
+        )
+        .groupBy("n_lines")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -6252,6 +6370,9 @@ _GRADE_ORDER = [
     "q_regional_volume",
     "q_market_share",
     "q_hhi",
+    "q_late_orders",
+    "q_promo_share",
+    "q_fanout_profile",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

@@ -1223,3 +1223,87 @@ def test_market_share_conditional_aggregate(spark, tmp_path):
         1996: (200.0, 300.0, 0.666667),
         1997: (None, 50.0, None),
     }
+
+
+def test_late_orders_semi_once_and_boundary(spark, tmp_path):
+    """An order with two late lines counts ONCE (semi join); exactly
+    +30 days is NOT late (strict >); out-of-window orders excluded."""
+    from snowav_spark.contract import QUERIES
+
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, "1-URGENT", TS(1996, 2, 1)),
+            (2, "1-URGENT", TS(1996, 3, 1)),
+            (3, "5-LOW", TS(1996, 4, 1)),
+            (4, "1-URGENT", TS(1995, 2, 1)),
+        ],
+        ["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, TS(1996, 3, 15)),   # late
+            (1, TS(1996, 4, 15)),   # late again -> still one order
+            (2, TS(1996, 3, 31)),   # exactly +30d -> NOT late
+            (3, TS(1996, 6, 1)),    # late, different priority
+            (4, TS(1996, 2, 1)),    # order outside window
+        ],
+        ["l_orderkey", "l_shipdate"],
+    )
+    out = {
+        r.o_orderpriority: r.n_late
+        for r in QUERIES["q_late_orders"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_promo_share_conditional_and_null_month(spark, tmp_path):
+    """Promo share is numerator/denominator from one agg; a month with
+    no promo revenue yields NULL share; lines whose part is missing
+    from the dim are dropped by the inner join."""
+    from snowav_spark.contract import QUERIES
+
+    _plant(
+        spark, tmp_path, "part",
+        [(1, "PROMO"), (2, "STANDARD")],
+        ["p_partkey", "p_type"],
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 100.0, 0.0, TS(2024, 1, 5)),
+            (2, 300.0, 0.0, TS(2024, 1, 6)),
+            (2, 50.0, 0.0, TS(2024, 2, 1)),
+            (9, 999.0, 0.0, TS(2024, 2, 2)),   # no matching part
+        ],
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    out = {
+        r.month: (r.promo_rev, r.total_rev, r.promo_share)
+        for r in QUERIES["q_promo_share"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-01": (100.0, 400.0, 0.25),
+        "2024-02": (None, 50.0, None),
+    }
+
+
+def test_fanout_profile_zero_bucket(spark, tmp_path):
+    """Orders with no lines land in the n_lines=0 bucket; multi-line
+    orders bucket by their exact count."""
+    from snowav_spark.contract import QUERIES
+
+    _plant(
+        spark, tmp_path, "orders",
+        [(1,), (2,), (3,), (4,)], ["o_orderkey"],
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1,), (1,), (1,), (2,), (3,)], ["l_orderkey"],
+    )
+    out = {
+        r.n_lines: r.n_orders
+        for r in QUERIES["q_fanout_profile"](spark, str(tmp_path)).collect()
+    }
+    assert out == {0: 1, 1: 2, 3: 1}
