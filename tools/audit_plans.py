@@ -932,6 +932,84 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "Window"],
     )
 
+    # session-duration: one per-user window for sessionization, then two
+    # hash aggs; the ≤4-row bucket rollup must not re-sort globally
+    p = formatted(qs["q_session_duration"](spark, SF))
+    check(
+        "q_session_duration",
+        p,
+        ["Window", "partial_min", "partial_max"],
+        ["PythonUDF", "CartesianProduct"],
+    )
+    if n_scans(p) > 1:
+        failures.append(
+            f"q_session_duration: expected <=1 scan, saw {n_scans(p)}"
+        )
+
+    # Q5-shaped regional volume: the year filter reaches the orders scan,
+    # every dim joins as a broadcast, nothing cartesian, no window
+    p = formatted(qs["q_regional_volume"](spark, SF))
+    check(
+        "q_regional_volume",
+        p,
+        [
+            "GreaterThanOrEqual(o_orderdate",
+            "BroadcastHashJoin",
+            "partial_count",
+        ],
+        ["PythonUDF", "CartesianProduct", "Window", "SortMergeJoin"],
+    )
+
+    # Q8-shaped market share: ONE aggregation computes numerator and
+    # denominator (no second scan/self-join of filtered copies)
+    p = formatted(qs["q_market_share"](spark, SF))
+    check(
+        "q_market_share",
+        p,
+        ["BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window", "SortMergeJoin"],
+    )
+    if n_scans(p) > 7:  # 6 tables + at most one re-read of nation
+        failures.append(
+            f"q_market_share: expected <=7 scans, saw {n_scans(p)}"
+        )
+
+    # HHI: two hash aggs, decimal accumulator, no window, one scan
+    p = formatted(qs["q_hhi"](spark, SF))
+    check("q_hhi", p, ["partial_count"], ["PythonUDF", "Window"])
+    if n_scans(p) != 1:
+        failures.append(f"q_hhi: expected 1 scan, saw {n_scans(p)}")
+
+    # Q4-shaped late orders: LeftSemi with the non-equi residual INSIDE
+    # the join (each order emits once); date filter pushed to orders scan
+    p = formatted(qs["q_late_orders"](spark, SF))
+    check(
+        "q_late_orders",
+        p,
+        ["LeftSemi", "GreaterThanOrEqual(o_orderdate"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q14-shaped promo share: part pruned to two columns at the scan;
+    # numerator+denominator in one agg
+    p = formatted(qs["q_promo_share"](spark, SF))
+    check(
+        "q_promo_share",
+        p,
+        ["ReadSchema: struct<p_partkey:bigint,p_type:string>"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # fan-out profile: lineitem collapses to (key, cnt) BEFORE the left
+    # join (partial_count under the join), never after
+    p = formatted(qs["q_fanout_profile"](spark, SF))
+    check(
+        "q_fanout_profile",
+        p,
+        ["partial_count"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
