@@ -6152,6 +6152,67 @@ def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_rolling_median",
+    """
+    WITH d AS (SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                      event_type, count(*) AS cnt
+               FROM events WHERE event_type IS NOT NULL
+               GROUP BY 1, 2)
+    SELECT day, event_type, cast(cnt AS BIGINT) AS cnt,
+           cast(median(cnt) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+    FROM d
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median (EXT): the robust smoother q_moving_avg's
+    mean can't be — one outlier day doesn't move it.  Spark has no
+    holistic window median, so the frame is materialized as a ≤7-element
+    collect_list per row, array_sort'ed, and the exact middle (or mean
+    of the two middles) extracted — all codegen array expressions, frame
+    size bounded by the constant 7 so per-row state is O(1).  Inputs are
+    integer counts, so middles and their .5 means are exact doubles in
+    both engines — no rounding needed.  Shape: one day-grain hash agg
+    (~days×types rows), then one window per type partition; never a
+    corpus-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("cnt").over(w7))
+    n = F.size(arr)
+    mid = F.floor((n + 1) / 2).cast("int")
+    med = (
+        F.when(
+            n % 2 == 1, F.element_at(arr, mid).cast("double")
+        ).otherwise(
+            (
+                F.element_at(arr, mid)
+                + F.element_at(arr, mid + 1)
+            ).cast("double")
+            / 2.0
+        )
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        med.alias("med7"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -6373,6 +6434,7 @@ _GRADE_ORDER = [
     "q_late_orders",
     "q_promo_share",
     "q_fanout_profile",
+    "q_rolling_median",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

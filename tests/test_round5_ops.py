@@ -1307,3 +1307,23 @@ def test_fanout_profile_zero_bucket(spark, tmp_path):
         for r in QUERIES["q_fanout_profile"](spark, str(tmp_path)).collect()
     }
     assert out == {0: 1, 1: 2, 3: 1}
+
+
+def test_rolling_median_odd_even_frames(spark, tmp_path):
+    """Growing frames: day1 [3]→3.0; day2 [1,3]→2.0 (mean of middles);
+    day3 [1,2,3]→2.0 (exact middle, outlier-robust vs the mean 2.67)."""
+    from snowav_spark.contract import QUERIES
+
+    rows = (
+        [(TS(2024, 1, 1, h), "a") for h in range(3)]
+        + [(TS(2024, 1, 2, 9), "a")]
+        + [(TS(2024, 1, 3, h), "a") for h in range(2)]
+    )
+    spark.createDataFrame(rows, ["ts", "event_type"]).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.day.day: (r.cnt, r.med7)
+        for r in QUERIES["q_rolling_median"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (3, 3.0), 2: (1, 2.0), 3: (2, 2.0)}

@@ -562,12 +562,130 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     evdir = tempfile.mkdtemp(prefix="probe_ev_")
     try:
         ev.write.mode("overwrite").parquet(f"{evdir}/events.parquet")
-        for key in ("q_interarrival", "q_churn", "q_peak_concurrency"):
+        for key in (
+            "q_interarrival",
+            "q_churn",
+            "q_peak_concurrency",
+            "q_session_duration",
+            "q_hhi",
+        ):
             out[key.removeprefix("q_")] = timed(
                 lambda k=key: QUERIES[k](spark, evdir).count()
             )
     finally:
         shutil.rmtree(evdir, ignore_errors=True)
+
+    # Star-schema contract keys (Q4/Q5/Q8/Q14 shapes + fan-out profile):
+    # synthetic orders (N/4 rows) with hash-fanout lineitem (~N rows) and
+    # small fixed dims, all generated codegen-side and written as a
+    # fixture dir so the TIMED code is the contract functions themselves.
+    # Every one of these is a broadcast-dim join tree over one fact
+    # shuffle — the probe checks the measured growth stays ~linear in the
+    # fact size.
+    n_ord = n_docs // 4
+    orders = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.hash("id", F.lit(3)), F.lit(max(n_ord // 10, 1))).alias(
+            "o_custkey"
+        ),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.make_interval(
+                days=F.pmod(F.hash("id", F.lit(4)), F.lit(2000))
+            )
+        ).alias("o_orderdate"),
+        F.concat(
+            F.lit("P"), F.pmod(F.hash("id", F.lit(5)), F.lit(5))
+        ).alias("o_orderpriority"),
+    )
+    li = (
+        spark.range(n_ord)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.pmod(F.hash("id", F.lit(6)), F.lit(7)) + 1,
+                )
+            ).alias("ln"),
+        )
+        .select(
+            "l_orderkey",
+            F.pmod(F.hash("l_orderkey", "ln", F.lit(7)), F.lit(100)).alias(
+                "l_suppkey"
+            ),
+            F.pmod(F.hash("l_orderkey", "ln", F.lit(8)), F.lit(2000)).alias(
+                "l_partkey"
+            ),
+            (
+                F.pmod(F.hash("l_orderkey", "ln", F.lit(9)), F.lit(90000))
+                .cast("double")
+                / 100.0
+                + 1.0
+            ).alias("l_extendedprice"),
+            (
+                F.pmod(F.hash("l_orderkey", "ln", F.lit(10)), F.lit(10))
+                .cast("double")
+                / 100.0
+            ).alias("l_discount"),
+            (
+                F.lit("1995-01-01").cast("timestamp")
+                + F.make_interval(
+                    days=F.pmod(F.hash("l_orderkey", "ln", F.lit(11)), F.lit(2030))
+                )
+            ).alias("l_shipdate"),
+        )
+    )
+    customer = spark.range(max(n_ord // 10, 1)).select(
+        F.col("id").alias("c_custkey"),
+        F.pmod(F.hash("id", F.lit(12)), F.lit(25)).cast("int").alias(
+            "c_nationkey"
+        ),
+    )
+    supplier = spark.range(100).select(
+        F.col("id").alias("s_suppkey"),
+        F.pmod(F.hash("id", F.lit(13)), F.lit(25)).cast("int").alias(
+            "s_nationkey"
+        ),
+    )
+    part = spark.range(2000).select(
+        F.col("id").alias("p_partkey"),
+        F.when(F.col("id") % 6 == 0, "PROMO")
+        .otherwise(F.concat(F.lit("T"), (F.col("id") % 6).cast("string")))
+        .alias("p_type"),
+    )
+    nation = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias(
+            "n_name"
+        ),
+        (F.col("id") % 5).cast("int").alias("n_regionkey"),
+    )
+    region = spark.createDataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+         (4, "MIDDLE EAST")],
+        ["r_regionkey", "r_name"],
+    )
+    stardir = tempfile.mkdtemp(prefix="probe_star_")
+    try:
+        for name, df in (
+            ("orders", orders), ("lineitem", li), ("customer", customer),
+            ("supplier", supplier), ("part", part), ("nation", nation),
+            ("region", region),
+        ):
+            df.write.mode("overwrite").parquet(f"{stardir}/{name}.parquet")
+        for key in (
+            "q_regional_volume",
+            "q_market_share",
+            "q_late_orders",
+            "q_promo_share",
+            "q_fanout_profile",
+        ):
+            out[key.removeprefix("q_")] = timed(
+                lambda k=key: QUERIES[k](spark, stardir).count()
+            )
+    finally:
+        shutil.rmtree(stardir, ignore_errors=True)
     return out
 
 
