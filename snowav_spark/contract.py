@@ -6213,6 +6213,532 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_ship_priority",
+    f"""
+    SELECT l_orderkey AS orderkey,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           cast(o_orderdate AS DATE) AS odate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-06-01'
+      AND l_shipdate  > DATE '1997-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (EXT, TPC-H Q3 shape): the ten highest-revenue
+    unshipped orders for one market segment as of a cutoff date — the
+    classic filter-join-agg-topk report.  Shape: the segment filter
+    prunes customer BEFORE its broadcast, the date filters prune both
+    fact scans (pushed to parquet), the only shuffle is lineitem ⋈
+    orders on orderkey, and the final ORDER BY + LIMIT plans as
+    TakeOrderedAndProject — per-partition top-10 then a 10-row driver
+    merge, never a global sort.  Revenue is the exact fixed-point msum,
+    so the top-10 cut is deterministic; ties break on orderkey."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("date")
+    )
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q_trade_pairs",
+    f"""
+    WITH j AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS yr,
+               l_extendedprice * (1 - l_discount) AS v
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+          AND n2.n_name IN ('NATION_3', 'NATION_8')
+          AND n1.n_name <> n2.n_name
+    )
+    SELECT supp_nation, cust_nation, yr,
+           {msum_sql("v")} AS revenue,
+           cast(count(*) AS BIGINT) AS n_items
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def q_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (EXT, TPC-H Q7 shape): yearly revenue
+    shipped between two nations, keyed by direction — nation enters the
+    join twice under different roles (supplier side and customer side),
+    and only cross-nation flows survive.  Shape: the two-nation filter
+    is applied INSIDE each broadcast nation dim, which turns the joins
+    through supplier/customer into semi-filters that shrink the fact
+    stream before the one lineitem ⋈ orders shuffle; the direction
+    inequality is evaluated on two broadcast-joined string columns,
+    never a self-join of two filtered fact copies.  Revenue is the
+    exact fixed-point msum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+    n_supp = F.broadcast(
+        pair.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n_cust = F.broadcast(
+        pair.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+    ).agg(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@q(
+    "q_returned_report",
+    f"""
+    SELECT c_custkey AS custkey, c_name, n_name,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           cast(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item report (EXT, TPC-H Q10 shape): the twenty customers
+    who returned the most revenue in one quarter, with their nation
+    attached — a customer-grain agg over a quarter of the fact, then a
+    dim decoration.  Shape: the quarter filter prunes the orders scan
+    and the returnflag filter prunes lineitem (both pushed to parquet);
+    one fact-fact shuffle on orderkey; customer and nation broadcast;
+    the top-20 is TakeOrderedAndProject (no global sort).  Revenue is
+    the exact msum, ties break on custkey."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("c_custkey").alias("custkey"), "c_name", "n_name"
+        )
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "q_cheapest_supplier",
+    """
+    WITH m AS (
+        SELECT l_partkey, min(l_extendedprice / l_quantity) AS mp
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_partkey AS partkey, p_brand,
+           round(m.mp, 6) AS unit_price,
+           cast(min(l.l_suppkey) AS BIGINT) AS suppkey
+    FROM lineitem l
+    JOIN m ON l.l_partkey = m.l_partkey
+          AND l.l_extendedprice / l.l_quantity = m.mp
+    JOIN part ON l.l_partkey = p_partkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (EXT, TPC-H Q2 shape): for every part,
+    the supplier that ever sold it at the lowest unit price — the
+    correlated MIN subquery of Q2, decorrelated into aggregate-then-
+    join-back.  Per-row unit price is one IEEE double division
+    (identical in every engine), so the min and the equality join-back
+    are exact; ties on the minimum price resolve to the smallest
+    suppkey.  Shape: both sides of the join-back shuffle on l_partkey —
+    the aggregate side is one row per part, so the join is dim-sized on
+    the right and co-partitioned with the left; part is broadcast for
+    the brand decoration; round(,6) is applied only at output, never in
+    the join key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    m = li.groupBy("l_partkey").agg(F.min("unit").alias("mp")).select(
+        F.col("l_partkey").alias("m_partkey"), "mp"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(
+            m,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit") == F.col("mp")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            "p_brand",
+            r6(F.col("mp")).alias("unit_price"),
+        )
+        .agg(F.min("l_suppkey").cast("bigint").alias("suppkey"))
+    )
+
+
+@q(
+    "q_small_qty_rev",
+    f"""
+    WITH a AS (
+        SELECT l_partkey, avg(l_quantity) AS aq
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p_brand,
+           {msum_sql("l_extendedprice")} AS revenue,
+           cast(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN a    ON l.l_partkey = a.l_partkey
+    JOIN part ON l.l_partkey = p_partkey
+    WHERE l.l_quantity < 0.2 * a.aq
+    GROUP BY 1
+    """,
+)
+def q_small_qty_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (EXT, TPC-H Q17 shape): revenue from lines
+    whose quantity is below 20% of that part's average order quantity —
+    the correlated AVG filter, decorrelated into aggregate-then-join.
+    Quantities are integer-valued doubles, so the per-part average is
+    sum-order-independent (exact integer sum / exact count) and the
+    0.2·avg threshold is the identical double in both engines.  Shape:
+    the per-part aggregate collapses lineitem map-side to one row per
+    part before the join-back, so the shuffle joins |lineitem| against
+    |part|-sized input co-partitioned on l_partkey; part is broadcast
+    for the brand label; final agg is brand-cardinality rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(F.avg("l_quantity").alias("aq"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(a, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            msum(F.col("l_extendedprice")).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q_big_orders",
+    """
+    WITH s AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, o_orderkey AS orderkey,
+           cast(o_orderdate AS DATE) AS odate,
+           o_totalprice, sum_qty
+    FROM orders
+    JOIN s        ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (EXT, TPC-H Q18 shape): orders whose total
+    line quantity exceeds 300 units (~the 99.5th percentile of order
+    size), decorated with the customer — the HAVING-subquery-IN of Q18
+    expressed as aggregate-filter-join.  Quantities are integer-valued
+    doubles so the per-order sum is exact and the >300 cut is
+    deterministic.  Shape: lineitem collapses map-side to one row per
+    orderkey and the HAVING prunes that to the ~0.5% tail BEFORE any
+    join, so the orders join probes a tiny build side (AQE broadcasts
+    it at fixture scale; at 100 TB it stays an orderkey-co-partitioned
+    shuffle join); customer is broadcast; o_totalprice is a per-row
+    double, exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(s, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@q(
+    "q_bracket_filter",
+    f"""
+    SELECT {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           cast(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#6'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_bracket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bracket revenue (EXT, TPC-H Q19 shape): one revenue
+    total over an OR of three conjunctive brackets mixing part
+    attributes (brand, size) with line attributes (quantity) — the
+    query that tests whether a disjunction across join sides still
+    prunes.  Shape: the part-only residue of the disjunction
+    (brand ∈ {11,22,6} — the union of the brackets' part terms) is
+    applied to the part scan BEFORE the broadcast join, so the build
+    side shrinks ~4×; the full mixed OR is then evaluated inside the
+    join.  Spark cannot infer that cross-side residue from the OR on
+    its own — deriving it is the operator's job here (per-bracket
+    semantics stay with the post-join OR, so results are identical).
+    Final agg is a single row; revenue is the exact msum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    # part-only residue of the disjunction: prunes the broadcast build side
+    part = part.filter(
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#6") & F.col("p_size").between(1, 35))
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#6")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q_waiting_suppliers",
+    """
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, cast(count(*) AS BIGINT) AS numwait
+    FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (EXT, TPC-H Q21 shape): late
+    lines (shipped >30 days after ordering) in finished multi-supplier
+    orders where THIS supplier was the only late one — the classic
+    EXISTS + NOT-EXISTS double correlation.  Instead of two correlated
+    self-joins over the fact, both quantifiers collapse into ONE
+    per-order aggregate: n_supp = distinct suppliers and n_late_supp =
+    distinct late suppliers; a late line survives iff n_supp ≥ 2 and
+    n_late_supp = 1 (it is itself late, so the single late supplier is
+    its own).  Shape: one orderkey-grain agg over the joined fact, then
+    a join back to the late lines co-partitioned on orderkey — the same
+    scan feeds both sides; supplier is broadcast for the name.  The
+    count basis is late LINES (matching the oracle's l1 rows), so both
+    engines count identically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ).alias("late"),
+    )
+    stats = l.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l.filter(F.col("late"))
+        .join(stats, F.col("l_orderkey") == F.col("s_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+@q(
+    "q_idle_customers",
+    f"""
+    WITH m AS (
+        SELECT sum({windows.fixed_micros_sql("c_acctbal")}) AS s,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cast(c_nationkey AS BIGINT) AS nationkey,
+           cast(count(*) AS BIGINT) AS n_cust,
+           {msum_sql("c_acctbal")} AS total_bal
+    FROM customer, m
+    WHERE cast({windows.fixed_micros_sql("c_acctbal")} AS DOUBLE) * m.n
+            > cast(m.s AS DOUBLE)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers (EXT, TPC-H Q22 shape): customers
+    whose balance is above the positive-balance average but who placed
+    no order since 2000, counted per nation — scalar subquery +
+    NOT EXISTS.  The average threshold compares in fixed-point micro
+    units (row_micros · n > Σmicros, all doubles derived from exact
+    integers by the identical conversion), so the above-average cut
+    cannot flip on a summation-order ulp the way a raw double avg
+    could.  Shape: the scalar (Σ, n) aggregate is a 1-row broadcast
+    fanned onto the customer scan (no shuffle); the NOT EXISTS is a
+    left-anti join against orders pre-filtered to the date window and
+    pruned to o_custkey; final agg is nation-cardinality rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    m = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0.0).agg(
+            F.sum(windows.fixed_micros(F.col("c_acctbal"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(m)
+        .filter(
+            windows.fixed_micros(F.col("c_acctbal")).cast("double")
+            * F.col("n")
+            > F.col("s").cast("double")
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            msum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -6435,6 +6961,15 @@ _GRADE_ORDER = [
     "q_promo_share",
     "q_fanout_profile",
     "q_rolling_median",
+    "q_ship_priority",
+    "q_trade_pairs",
+    "q_returned_report",
+    "q_cheapest_supplier",
+    "q_small_qty_rev",
+    "q_big_orders",
+    "q_bracket_filter",
+    "q_waiting_suppliers",
+    "q_idle_customers",
     # -- tail: rows-only by construction -----------------------------------
     "q_pagerank",
     "q_cluster_kmeans",

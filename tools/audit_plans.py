@@ -1010,6 +1010,99 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "Window"],
     )
 
+    # Q3-shaped shipping priority: segment filter pushed to customer scan,
+    # sort-free top-10 (TakeOrderedAndProject), broadcast customer dim
+    p = formatted(qs["q_ship_priority"](spark, SF))
+    check(
+        "q_ship_priority",
+        p,
+        ["TakeOrderedAndProject", "EqualTo(c_mktsegment,BUILDING)", "BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q7-shaped trade pairs: the two-nation filter reaches the nation scans
+    # (In(n_name)), dims broadcast, no fact self-join (exactly 2 fact scans
+    # + 4 dim scans = 6)
+    p = formatted(qs["q_trade_pairs"](spark, SF))
+    check(
+        "q_trade_pairs",
+        p,
+        ["In(n_name, [NATION_3,NATION_8])", "BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window", "SortMergeJoin"],
+    )
+
+    # Q10-shaped returned report: returnflag pushed to lineitem scan,
+    # quarter filter pushed to orders scan, sort-free top-20
+    p = formatted(qs["q_returned_report"](spark, SF))
+    check(
+        "q_returned_report",
+        p,
+        ["TakeOrderedAndProject", "EqualTo(l_returnflag,R)"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q2-shaped argmin join-back: per-part min collapses map-side
+    # (partial_min) before the join; no window rank over the fact
+    p = formatted(qs["q_cheapest_supplier"](spark, SF))
+    check(
+        "q_cheapest_supplier",
+        p,
+        ["partial_min"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q17-shaped correlated-avg filter: per-part avg collapses map-side
+    # (partial_avg) before the join-back; part pruned to 2 columns
+    p = formatted(qs["q_small_qty_rev"](spark, SF))
+    check(
+        "q_small_qty_rev",
+        p,
+        ["partial_avg", "ReadSchema: struct<p_partkey:bigint,p_brand:string>"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q18-shaped big orders: the HAVING cut (sum_qty > 300) is applied to
+    # the per-order aggregate BEFORE the orders join, never after
+    p = formatted(qs["q_big_orders"](spark, SF))
+    check(
+        "q_big_orders",
+        p,
+        ["partial_sum", "sum_qty#", "> 300.0"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q19-shaped bracket filter: the derived part-only residue of the
+    # disjunction reaches the part scan as pushed Or() filters
+    p = formatted(qs["q_bracket_filter"](spark, SF))
+    check(
+        "q_bracket_filter",
+        p,
+        ["Or(And(EqualTo(p_brand,Brand#11)", "BroadcastHashJoin"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q21-shaped waiting suppliers: both EXISTS quantifiers collapse into
+    # one per-order aggregate (no correlated self-joins, no window); the
+    # status filter reaches the orders scan
+    p = formatted(qs["q_waiting_suppliers"](spark, SF))
+    check(
+        "q_waiting_suppliers",
+        p,
+        ["EqualTo(o_orderstatus,F)", "Expand"],
+        ["PythonUDF", "CartesianProduct", "Window"],
+    )
+
+    # Q22-shaped idle customers: 1-row scalar broadcast (BroadcastNestedLoop
+    # over a single aggregate row is the intended fan-out), LeftAnti against
+    # the date-pruned orders scan
+    p = formatted(qs["q_idle_customers"](spark, SF))
+    check(
+        "q_idle_customers",
+        p,
+        ["LeftAnti", "GreaterThanOrEqual(o_orderdate"],
+        ["PythonUDF", "Window", "SortMergeJoin"],
+    )
+
     for f in failures:
         print("FAIL:", f)
     print(
