@@ -476,16 +476,16 @@ def q_join_compare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_validation_join",
-    """
+    f"""
     WITH obs AS (
         SELECT cast(date_trunc('day', ts) AS DATE) + 1 AS day, event_type,
-               avg(value) AS obs_value
+               {windows.fixed_point_mean_sql("value")} AS obs_value
         FROM events GROUP BY 1, 2
     )
     SELECT e.event_type,
-           round(avg(e.value - o.obs_value), 6) + 0.0 AS bias,
-           round(avg(abs(e.value - o.obs_value)), 6) + 0.0 AS mae,
-           round(sqrt(avg((e.value - o.obs_value) * (e.value - o.obs_value))), 6) + 0.0 AS rmse,
+           round({windows.fixed_point_mean_sql("e.value - o.obs_value")}, 6) + 0.0 AS bias,
+           round({windows.fixed_point_mean_sql("abs(e.value - o.obs_value)")}, 6) + 0.0 AS mae,
+           round(sqrt({windows.fixed_point_mean_sql("(e.value - o.obs_value) * (e.value - o.obs_value)")}), 6) + 0.0 AS rmse,
            count(*) AS n
     FROM (SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type, value
           FROM events) e
@@ -505,7 +505,7 @@ def q_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = ev.select(day, "event_type", "value")
     obs = (
         model.groupBy("day", "event_type")
-        .agg(F.avg("value").alias("obs_value"))
+        .agg(windows.fixed_point_mean(F.col("value")).alias("obs_value"))
         .select(
             F.date_add("day", 1).alias("day"), "event_type", "obs_value"
         )
@@ -6812,7 +6812,6 @@ _GRADE_ORDER = [
     "q_daily_series",
     "q_distinct",
     "q_topk",
-    "q_sort_multi",
     "q_pivot",
     "q_join_dim",
     "q_join_compare_runs",
@@ -6824,8 +6823,6 @@ _GRADE_ORDER = [
     "q_lag_delta",
     "q_rank",
     "q_moving_avg",
-    "q_union_runs",
-    "q_except_dates",
     "q_tumbling_daily",
     "q_sliding_window",
     "q_session_window",
@@ -6835,9 +6832,6 @@ _GRADE_ORDER = [
     "q_band_digitize",
     "q_cond_rain_snow",
     "q_avail_split",
-    "q_date_functions",
-    "q_string_funcs",
-    "q_json_props",
     "q_percentiles",
     "q_snow_line",
     "q_text_stats",
@@ -6853,7 +6847,21 @@ _GRADE_ORDER = [
     "q_rolling_active",
     "q_share_of_total",
     "q_gap_fill",
+    # -- rotated in r06 per VERDICT r5 item 1: never-driver-graded keys ----
+    "q_regional_volume",
+    "q_market_share",
+    "q_late_orders",
+    "q_promo_share",
+    "q_growth_accounting",
+    "q_peak_concurrency",
     # -- tail: oracle-backed twins of in-window keys (locally gated) -------
+    # -- rotated out r06 (permanent green r01–r05 driver rows) -------------
+    "q_sort_multi",
+    "q_union_runs",
+    "q_except_dates",
+    "q_date_functions",
+    "q_string_funcs",
+    "q_json_props",
     "q_scan_topo",
     "q_clean_text",
     "q_decontam",
@@ -6945,20 +6953,14 @@ _GRADE_ORDER = [
     "q_seasonality",
     "q_cusum_change",
     "q_source_jaccard",
-    "q_growth_accounting",
     "q_activity_histogram",
     "q_interarrival",
     "q_fano",
-    "q_peak_concurrency",
     "q_churn",
     "q_top_share",
     "q_new_vs_returning",
     "q_session_duration",
-    "q_regional_volume",
-    "q_market_share",
     "q_hhi",
-    "q_late_orders",
-    "q_promo_share",
     "q_fanout_profile",
     "q_rolling_median",
     "q_ship_priority",

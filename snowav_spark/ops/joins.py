@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .windows import fixed_point_mean
+
 
 def enrich_dims(
     fact: DataFrame, dims: list[tuple[DataFrame, Column]], broadcast: bool = True
@@ -78,17 +80,26 @@ def validation_metrics(
     Equi-join on (station, date)-like keys then ONE aggregation computing
     all three metrics — a single shuffle; the reference loops stations in
     Python.
+
+    Every mean here is a fixed-point mean (exact micro-unit integer sum ÷
+    exact count, windows.fixed_micros): a plain double avg re-executes the
+    float additions in partition order, so at |x|≈1e13 two engines drift
+    past what round(,6) absorbs (SCALE.md float_mag residual, fixed r06).
+    Rows whose value falls outside the fixed-point domain (|x| ≥ 9.2e12 or
+    NaN) map to NULL identically in both engines and drop out of that
+    metric's sum AND count.
     """
     diff = F.col(model_val) - F.col(obs_val)
     joined = model.join(obs, on)
     # `+ 0.0` normalizes IEEE signed zero: when a metric is mathematically
-    # zero, summation-order noise rounds to ±0.0 with engine-dependent sign
-    # and -0.0 != 0.0 under a bitwise value hash.  -0.0 + 0.0 == +0.0.
+    # zero, rounding can yield ±0.0 with engine-dependent sign and
+    # -0.0 != 0.0 under a bitwise value hash.  -0.0 + 0.0 == +0.0.
     zn = lambda c: c + F.lit(0.0)  # noqa: E731
+    fpmean = lambda c: fixed_point_mean(c)  # noqa: E731
     return joined.groupBy(*groups).agg(
-        zn(F.round(F.avg(diff), 6)).alias("bias"),
-        zn(F.round(F.avg(F.abs(diff)), 6)).alias("mae"),
-        zn(F.round(F.sqrt(F.avg(diff * diff)), 6)).alias("rmse"),
+        zn(F.round(fpmean(diff), 6)).alias("bias"),
+        zn(F.round(fpmean(F.abs(diff)), 6)).alias("mae"),
+        zn(F.round(F.sqrt(fpmean(diff * diff)), 6)).alias("rmse"),
         F.count("*").alias("n"),
     )
 

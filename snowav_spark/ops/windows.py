@@ -65,6 +65,28 @@ def fixed_micros_sql(expr: str) -> str:
     )
 
 
+def fixed_point_mean(col: Column) -> Column:
+    """Bit-deterministic mean: exact micro-unit integer sum ÷ exact count
+    of in-domain rows, then exactly two IEEE double ops (÷scale, ÷n) that
+    every engine executes identically.  Out-of-domain rows (|x| ≥
+    FIXED_POINT_DOMAIN, NaN) are NULL under fixed_micros and fall out of
+    both the sum and the count, so the mean is over the same row set in
+    both engines.  All-out-of-domain groups yield NULL (NULL sum
+    propagates)."""
+    fx = fixed_micros(col)
+    return (F.sum(fx).cast("double") / float(FIXED_POINT_SCALE)) / F.count(fx)
+
+
+def fixed_point_mean_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fixed_point_mean` — identical op sequence:
+    exact HUGEINT sum → one correctly-rounded cast to double → ÷scale →
+    ÷count (left-associative, same two IEEE divisions as Spark)."""
+    fx = fixed_micros_sql(expr)
+    return (
+        f"cast(sum({fx}) AS DOUBLE) / {FIXED_POINT_SCALE}.0 / count({fx})"
+    )
+
+
 def cumulative(df: DataFrame, ts: str, groups: list[str], value: str) -> DataFrame:
     """Running total across days (ref:snowav/plotting/basin_total.py uses
     pandas cumsum on the collected frame).

@@ -17,8 +17,33 @@ STEPS = [
 ]
 
 
+def check_doc_totals() -> bool:
+    """COVERAGE.md's stated key totals must match the live registry —
+    VERDICT r5 caught them drifting (170 vs the actual 179); assert here
+    so they can never drift silently again."""
+    import re
+
+    sys.path.insert(0, "/root/repo")
+    from snowav_spark import contract
+
+    total = len(contract._GRADE_ORDER)
+    oracle = len(contract.ORACLE)
+    rows_only = total - oracle
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"(\d+)/\1 — (\d+) oracle \+ (\d+) rows-only", text)
+    stated = tuple(int(g) for g in m.groups()) if m else None
+    ok = stated == (total, oracle, rows_only)
+    if not ok:
+        print(
+            f"  COVERAGE.md states {stated}, registry has "
+            f"({total}, {oracle}, {rows_only})"
+        )
+    return ok
+
+
 def main() -> int:
-    results = {}
+    results = {"doc-totals": check_doc_totals()}
+    print(f"{'PASS' if results['doc-totals'] else 'FAIL'} doc-totals")
     for name, cmd in STEPS:
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
         ok = proc.returncode == 0
