@@ -1103,6 +1103,79 @@ def main() -> int:
         ["PythonUDF", "Window", "SortMergeJoin"],
     )
 
+    # ---- global unpartitioned-window sweep (VERDICT r5 item 7) ----------
+    # A Window with an empty partition spec is a single-reducer global sort
+    # — the canonical 100 TB scale-killer.  Every key where one is ALLOWED
+    # is listed here with the invariant that bounds its frame; anything new
+    # fails the audit so a genuinely unbounded global window can't hide
+    # among the known-safe ones.
+    BOUNDED_GLOBAL_WINDOWS = {
+        # frame is the day-collapsed series: |days| rows, calendar-bounded
+        "q_lag_delta": 1,
+        # frame is the |months|-row monthly rollup (3 spec reuses)
+        "q_period_over_period": 3,
+        # row_number over the 100 TakeOrdered survivors only
+        "q_shuffle_order": 1,
+        # prefix-min over a ≤64-row bucket frame (bucket-partitioned pass
+        # is separate; this is the final tiny frame)
+        "q_skyline": 1,
+        # running sum over the TakeOrdered top-max(k) vocabulary rows
+        "q_coverage": 2,
+        # rank over the ≤|brand-vocabulary|-row aggregate
+        "q_topn_other": 1,
+        # cut assignment over the value-DOMAIN-bounded frequency table
+        "q_global_decile": 1,
+    }
+
+    def unpartitioned_windows(plan: str) -> int:
+        """Count windowspecdefinition(...) specs with no partition columns:
+        a partitioned spec leads with bare partition attrs; an
+        unpartitioned one leads with an ordering expression (ASC/DESC
+        before the first top-level comma)."""
+        import re
+
+        n = 0
+        for mm in re.finditer(r"windowspecdefinition\(", plan):
+            i, depth, arg = mm.end(), 1, ""
+            while i < len(plan) and depth:
+                c = plan[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                if depth == 0 or (depth == 1 and c == ","):
+                    break
+                arg += c
+                i += 1
+            if " ASC" in arg or " DESC" in arg:
+                n += 1
+        return n
+
+    # self-test: the detector must flag a synthetic global window and
+    # accept a partitioned one, else the sweep below proves nothing
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    _bad = formatted(_li.withColumn("rn", _F.row_number().over(_W.orderBy("l_orderkey"))))
+    _good = formatted(
+        _li.withColumn(
+            "rn",
+            _F.row_number().over(_W.partitionBy("l_returnflag").orderBy("l_orderkey")),
+        )
+    )
+    if unpartitioned_windows(_bad) != 1 or unpartitioned_windows(_good) != 0:
+        failures.append("window-sweep: self-test failed (detector broken)")
+
+    for name, fn in qs.items():
+        n = unpartitioned_windows(formatted(fn(spark, SF)))
+        allowed = BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        if n > allowed:
+            failures.append(
+                f"{name}: {n} unpartitioned Window spec(s), "
+                f"{allowed} whitelisted — single-reducer global sort risk"
+            )
+
     for f in failures:
         print("FAIL:", f)
     print(
