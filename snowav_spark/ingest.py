@@ -71,7 +71,7 @@ def read_netcdf_outputs(
     and streams its grids out as Arrow batches; the driver only ships the
     path list.
 
-    Classic (CDF-1/CDF-2) files need no native library — the pure-NumPy
+    Classic (CDF-1/CDF-2/CDF-5) files need no native library — the pure-NumPy
     parser in sources/netcdf3.py reads them anywhere numpy exists; when
     netCDF4 is installed it is preferred (and required for HDF5-backed
     NetCDF-4 files)."""

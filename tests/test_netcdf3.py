@@ -162,3 +162,90 @@ def test_cdf2_unlimited_record_vars(tmp_path, numrecs_field):
     np.testing.assert_array_equal(ds.values("grid"), expect["grid"])
     np.testing.assert_array_equal(ds.values("t"), expect["t"])
     np.testing.assert_array_equal(ds.values("swe"), expect["swe"])
+
+
+@pytest.mark.parametrize("version", [2, 5])
+def test_cdf2_cdf5_roundtrip(tmp_path, version):
+    rng = np.random.RandomState(version)
+    swe = rng.rand(3, 4).astype(np.float64)
+    counts = np.arange(12, dtype=np.int32).reshape(3, 4)
+    p = str(tmp_path / f"v{version}.nc")
+    netcdf3.write(
+        p,
+        dims={"y": 3, "x": 4},
+        variables={
+            "swe": (["y", "x"], swe, {"units": "mm"}),
+            "counts": (["y", "x"], counts, {}),
+        },
+        attrs={"title": f"cdf{version}", "level": np.int32(7)},
+        version=version,
+    )
+    with open(p, "rb") as f:
+        assert f.read(4) == b"CDF" + bytes([version])
+    ds = netcdf3.read(p)
+    assert ds.dims == {"y": 3, "x": 4}
+    assert ds.attrs["title"] == f"cdf{version}"
+    assert int(ds.attrs["level"]) == 7
+    assert ds.variables["swe"].attrs["units"] == "mm"
+    np.testing.assert_array_equal(ds.values("swe"), swe)
+    np.testing.assert_array_equal(ds.values("counts"), counts)
+
+
+def test_cdf5_wide_types_roundtrip(tmp_path):
+    """The five CDF-5-only external types (ubyte/ushort/uint/int64/uint64)
+    survive a write→read cycle; CDF-1 refuses them with a clear error."""
+    vals = {
+        "u1": np.array([0, 255], dtype=np.uint8),
+        "u2": np.array([0, 65535], dtype=np.uint16),
+        "u4": np.array([0, 2**32 - 1], dtype=np.uint32),
+        "i8": np.array([-(2**62), 2**62], dtype=np.int64),
+        "u8": np.array([0, 2**63 + 7], dtype=np.uint64),
+    }
+    p = str(tmp_path / "wide.nc")
+    netcdf3.write(
+        p,
+        dims={"n": 2},
+        variables={k: (["n"], v, {}) for k, v in vals.items()},
+        version=5,
+    )
+    ds = netcdf3.read(p)
+    for k, v in vals.items():
+        got = ds.values(k)
+        assert got.dtype == v.dtype.newbyteorder("=")
+        np.testing.assert_array_equal(got, v)
+    with pytest.raises(ValueError, match="CDF-5"):
+        netcdf3.write(
+            str(tmp_path / "bad.nc"),
+            dims={"n": 2},
+            variables={"i8": (["n"], vals["i8"], {})},
+            version=1,
+        )
+
+
+def test_cdf5_begin_offset_past_4gib(tmp_path):
+    """A variable whose begin offset exceeds 2^32 parses and reads exactly
+    (the point of the 64-bit formats).  header_pad makes the file sparse,
+    so the test costs a few data pages, not 4 GiB, and the mmap'd reader
+    faults in only the header + the variable's pages."""
+    pad = 2**32 + 4096
+    swe = np.arange(6, dtype=np.float64).reshape(2, 3)
+    p = str(tmp_path / "big.nc")
+    netcdf3.write(
+        p,
+        dims={"y": 2, "x": 3},
+        variables={"swe": (["y", "x"], swe, {})},
+        version=5,
+        header_pad=pad,
+    )
+    ds = netcdf3.read(p)
+    assert ds.variables["swe"].begin > 2**32
+    np.testing.assert_array_equal(ds.values("swe"), swe)
+    # CDF-1 must refuse a begin it cannot represent
+    with pytest.raises(ValueError, match="CDF-1"):
+        netcdf3.write(
+            str(tmp_path / "bad1.nc"),
+            dims={"y": 2, "x": 3},
+            variables={"swe": (["y", "x"], swe, {})},
+            version=1,
+            header_pad=pad,
+        )
