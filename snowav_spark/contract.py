@@ -3741,15 +3741,53 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_pagerank")
+def _pagerank_oracle_sql(iters: int = 5, total: int = 10**12, dpct: int = 85) -> str:
+    """Unrolled fixed-iteration integer PageRank as chained CTEs — one
+    (contrib, dangling, rank) CTE triple per iteration, the exact integer
+    recurrence ops/graph.pagerank_exact computes.  DuckDB's ``//`` floors
+    and Spark's ``div`` truncates; every operand is non-negative so they
+    agree."""
+    parts = [
+        "WITH edges AS (SELECT DISTINCT 'u' || cast(user_id AS VARCHAR) AS s,"
+        " 'e' || event_type AS d FROM events"
+        " WHERE user_id IS NOT NULL AND event_type IS NOT NULL)",
+        "nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges)",
+        "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {total} // nn.n AS rank FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts += [
+            f"c{k} AS (SELECT e.d AS node, sum(r.rank // deg.deg) AS inflow"
+            f" FROM edges e JOIN {p} r ON e.s = r.node"
+            f" JOIN deg ON deg.s = e.s GROUP BY e.d)",
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0) AS dm"
+            f" FROM {p} r LEFT JOIN deg ON deg.s = r.node WHERE deg.s IS NULL)",
+            f"r{k} AS (SELECT nodes.node,"
+            f" (100 - {dpct}) * {total} // (100 * nn.n)"
+            f" + ({dpct} * (coalesce(c.inflow, 0) + dk.dm // nn.n)) // 100"
+            f" AS rank"
+            f" FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node, nn, d{k} dk)",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, cast(rank AS BIGINT) AS rank FROM r{iters}"
+    )
+
+
+@q("q_pagerank", _pagerank_oracle_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the user↔event-type bipartite graph (EXT,
-    rows-only: float rank sums are summation-order-specific, so no
-    value hash; row count = |nodes| is deterministic).  The second
-    iterative-graph primitive next to connected_components — fixed
-    5-iteration power method with per-round localCheckpoint (lineage
-    stays one round deep) and uniform dangling-mass redistribution
-    (Σ rank = 1 exactly; pinned by tests/test_analytics_ops.py)."""
+    """PageRank over the user↔event-type bipartite graph (EXT) — the
+    second iterative-graph primitive next to connected_components.
+    Oracle-gradable since r06: rank is exact integer micro-mass
+    (ops/graph.pagerank_exact — integer floor-division spread, pooled
+    dangling mass, 85/100 integer damping), so a fixed 5-iteration run
+    is bit-identical across engines and partitionings where the float
+    power method's summation-order-specific rank sums never were.  The
+    float variant (graph.pagerank, Σ rank = 1 exactly) remains for
+    callers that want true probability mass; its behavior stays pinned
+    by tests/test_round5_ops.py."""
     ev = load_table(spark, sf_dir, "events")
     edges = (
         ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
@@ -3759,8 +3797,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pr = graph.pagerank(edges, "src", "dst", iters=5)
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return graph.pagerank_exact(edges, "src", "dst", iters=5)
 
 
 @q(
@@ -6972,8 +7009,10 @@ _GRADE_ORDER = [
     "q_bracket_filter",
     "q_waiting_suppliers",
     "q_idle_customers",
-    # -- tail: rows-only by construction -----------------------------------
+    # -- round-6 oracle-backed additions -------------------------------
+    # promoted from rows-only: exact integer micro-mass ranks (r06)
     "q_pagerank",
+    # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",
     "q_pack_sequences",

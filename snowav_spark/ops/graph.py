@@ -208,3 +208,82 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 5,
+    total_mass: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in exact integer micro-mass — bit-identical on every
+    engine and partitioning, so a fixed-iteration run is oracle
+    (hash-match) gradable, unlike the float power method above whose
+    rank sums are summation-order-specific.
+
+    Rank is an integer share of ``total_mass``; every step is integer
+    arithmetic with explicit floor division (all operands non-negative,
+    so floor == trunc and engines cannot disagree):
+
+        init:     rank = total_mass div n
+        spread:   each out-neighbor of s receives rank_s div deg_s
+        dangling: nodes with no out-edges pool their mass; every node
+                  receives dm div n
+        update:   rank' = (15·total_mass) div (100·n)
+                        + (85 · (inflow + dm div n)) div 100
+
+    The floors shed a few micro-units of mass per round (bounded by
+    n + deg per iteration) — deterministic shrinkage, not drift.  The
+    integer sums are order-independent, which is the whole point.
+
+    Per-iteration plan shape is identical to :func:`pagerank`: one
+    equi-join + one map-side-combined integer sum, lineage cut per round
+    by eager localCheckpoint.  At 100 TB the join partitions by the edge
+    src key each round; ranks are |nodes|-sized, edges never rescanned
+    (checkpointed with out-degree attached).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+    ed = e.join(out_deg, "s").localCheckpoint(eager=True)
+    base = (100 - damping_pct) * total_mass // (100 * n_nodes)
+    ranks = nodes.withColumn(
+        "rank", F.lit(total_mass // n_nodes).cast("long")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        dangling = ranks.join(
+            out_deg.withColumnRenamed("s", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_dm"))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_in, 0L)"
+                        f" + _dm div {n_nodes})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1327,3 +1327,28 @@ def test_rolling_median_odd_even_frames(spark, tmp_path):
         for r in QUERIES["q_rolling_median"](spark, str(tmp_path)).collect()
     }
     assert out == {1: (3, 3.0), 2: (1, 2.0), 3: (2, 2.0)}
+
+
+def test_pagerank_exact_cycle_uniform_and_bounded(spark):
+    """Integer micro-mass PageRank: a symmetric cycle stays exactly
+    uniform (bit-identical integer ranks), and total mass never exceeds
+    the initial pool (floors only shed mass, deterministically)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["s", "d"]
+    )
+    total = 10**12
+    pr = graph.pagerank_exact(edges, "s", "d", iters=5, total_mass=total)
+    ranks = [r.rank for r in pr.collect()]
+    assert len(ranks) == 3
+    assert len(set(ranks)) == 1  # exact uniformity, not approximate
+    assert sum(ranks) <= total
+    assert sum(ranks) >= total - 3 * 5 * 10  # bounded floor leakage
+
+
+def test_pagerank_exact_dangling_mass_recycled(spark):
+    """A sink node's mass must flow back: with a->b only, b is dangling;
+    without recycling b's rank would grow unboundedly relative to a."""
+    edges = spark.createDataFrame([("a", "b")], ["s", "d"])
+    pr = {r.node: r.rank for r in graph.pagerank_exact(edges, "s", "d", iters=10).collect()}
+    assert pr["b"] > pr["a"] > 0
+    assert pr["a"] + pr["b"] <= 10**12
