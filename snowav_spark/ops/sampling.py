@@ -252,14 +252,21 @@ def global_quantile_cuts(
     reducer is the correct plan; the 100 TB input only ever sees the
     initial map-side-combined groupBy.  That plan is ONLY safe while the
     value domain stays small — the running-sum window is unpartitioned —
-    so a ``max_domain`` guard (in-plan ``assert_true``, zero extra
-    scans) fails the job loudly if the frequency table exceeds it; for
-    genuinely high-cardinality values (raw floats, ids) use
-    ``approx_percentile`` cuts instead of this exact path."""
+    so a ``max_domain`` guard (in-plan ``assert_true``) fails the job
+    loudly if the frequency table exceeds it; for genuinely
+    high-cardinality values (raw floats, ids) use ``approx_percentile``
+    cuts instead of this exact path.
+
+    The frequency table is lazily localCheckpoint'ed because THREE
+    consumers read it (running sum, total count, domain guard) —
+    Catalyst duplicates unshared subtrees, so without the checkpoint
+    each consumer would re-scan the full corpus (the q_coverage /
+    q_market_basket single-scan pattern)."""
     f = (
         df.filter(F.col(value).isNotNull())
         .groupBy(value)
         .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
     )
     n = f.agg(F.sum("_c").alias("_n"))
     guard = f.agg(

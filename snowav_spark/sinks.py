@@ -74,17 +74,32 @@ class ResultsStore:
         self.write(fresh)
 
     def merge_upsert(self, updates: DataFrame, keys: tuple[str, ...]) -> None:
-        """MERGE INTO semantics on the parquet store: rows matching
-        ``keys`` are replaced by the update, everything else in the
-        touched partitions survives.  The scale shape: partition pruning
-        first — only (run_id, date) partitions PRESENT IN THE UPDATE are
-        ever read (a semi-join of the store against the update's distinct
-        partition values, which the scan prunes on), then an anti-join on
-        the business keys drops the superseded rows, union with the
-        updates, and dynamic partition overwrite writes back just those
-        partitions.  Partitions the update doesn't touch are never read
-        or written — the cost is proportional to the update's partition
-        footprint, not the store size."""
+        """PARTITION-SCOPED merge on the parquet store: within the
+        (run_id, date) partitions present in the update, rows matching
+        ``keys`` are replaced and everything else survives; partitions
+        the update doesn't touch are never read or written.
+
+        This is deliberately NOT global MERGE INTO: key matching is
+        scoped to the update's partition footprint, which is what keeps
+        the cost proportional to the update, not the store.  Two
+        consequences callers must own (they are the price of pruning):
+
+        - a store row whose key matches an update survives if it lives
+          in a partition the update doesn't touch (a key that "moves"
+          to a new date leaves its old-date row behind);
+        - a matching key in a touched partition is dropped even when the
+          replacing row lands in a different touched partition.
+
+        Keys that can migrate across partitions therefore need the
+        partition columns included in ``keys`` (making the match
+        partition-local and unambiguous) or a full-store rewrite.
+
+        The scale shape: partition pruning first — only partitions
+        PRESENT IN THE UPDATE are ever read (a semi-join of the store
+        against the update's distinct partition values, which the scan
+        prunes on), then an anti-join on the business keys drops the
+        superseded rows, union with the updates, and dynamic partition
+        overwrite writes back just those partitions."""
         try:
             store = self.read()
         except Exception:
@@ -154,15 +169,20 @@ def write_columnar(
     fmt: str = "parquet",
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
+    max_records_per_file: int = 0,
 ) -> None:
     """Format-agnostic columnar write (parquet or ORC — both ship with
     Spark and both carry column stats + predicate pushdown).  ORC matters
     for interop with Hive-era lakes; everything downstream (partition
     pruning, filter pushdown, column pruning) works identically, which
-    test_columnar_sources asserts on the ORC plan."""
+    test_columnar_sources asserts on the ORC plan.
+    ``max_records_per_file`` > 0 caps file size task-locally (Spark's
+    maxRecordsPerFile) — the file-sizing backstop compaction relies on."""
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported columnar format: {fmt}")
     w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(path)
@@ -186,32 +206,74 @@ def compact_partitions(
     thousands of KB-sized files per partition, and scan cost becomes
     task-scheduling overhead instead of IO.
 
-    Rewrites the dataset with files re-sized to ``target_rows_per_file``
-    (repartitioned BY the partition columns so each output task writes
-    into exactly one partition — no shuffle-per-file explosion, no
-    cross-partition file mixing), staging into a sibling directory and
-    swapping atomically-enough for a single-writer lake (write staged →
-    move old → move staged → delete old).  Returns the number of files
-    after compaction.
+    Rewrites the dataset with files re-sized to ``target_rows_per_file``.
+    With ``partition_by``, shuffle keys are (partition cols, salt) where
+    each partition value's salt domain is ceil(rows/target) — computed
+    from one tiny per-partition count — so a 10M-row partition spreads
+    over ~10 write tasks while a 10-row partition stays on one; hashing
+    the partition columns alone would funnel every partition value
+    through a single task regardless of size.  maxRecordsPerFile backs
+    the salt up: even when two salt groups hash into the same task, no
+    output file exceeds the target row count.
 
-    On a real cluster this is the nightly OPTIMIZE job; the rewrite cost
-    is one scan + one write of the live partitions, independent of how
-    fragmented the input was.
+    The swap stages into a sibling directory (write staged → move old →
+    move staged → delete old).  LOCAL FILESYSTEM ONLY — the swap uses
+    os/shutil renames, validated up front, so an object-store URI fails
+    before any write happens.  Single-writer assumption; a crash between
+    the two moves leaves the data intact at ``path + '._compact_old'``,
+    which the next invocation detects and restores before proceeding.
+    Returns the number of files after compaction.
+
+    On a real cluster this is the nightly OPTIMIZE job (object-store
+    lakes want the table format's transactional variant); the rewrite
+    cost is one scan + one write of the live partitions, independent of
+    how fragmented the input was.
     """
-    df = read_columnar(spark, path, fmt)
-    n = df.count()
-    n_files = max(1, -(-n // target_rows_per_file))
-    if partition_by:
-        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
-    else:
-        out = df.repartition(n_files)
-
     import os
     import shutil
 
     staged = path.rstrip("/") + "._compact_staged"
     old = path.rstrip("/") + "._compact_old"
-    write_columnar(out, staged, fmt, partition_by)
+    if os.path.isdir(old) and not os.path.isdir(path):
+        shutil.move(old, path)  # crash recovery: prior swap died mid-move
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"compact_partitions requires an existing local directory, "
+            f"got {path!r} (object-store paths need a transactional "
+            f"table format, not a rename-based swap)"
+        )
+    shutil.rmtree(staged, ignore_errors=True)  # stale prior attempt
+
+    df = read_columnar(spark, path, fmt)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    if partition_by:
+        buckets = (
+            df.groupBy(*partition_by)
+            .agg(F.count("*").alias("_rows"))
+            .select(
+                *partition_by,
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("_rows") / F.lit(target_rows_per_file)),
+                ).cast("int").alias("_buckets"),
+            )
+        )
+        out = (
+            df.join(F.broadcast(buckets), list(partition_by))
+            .withColumn("_salt", (F.rand(17) * F.col("_buckets")).cast("int"))
+            .repartition(
+                n_files, *[F.col(c) for c in partition_by], F.col("_salt")
+            )
+            .drop("_buckets", "_salt")
+        )
+    else:
+        out = df.repartition(n_files)
+
+    write_columnar(
+        out, staged, fmt, partition_by,
+        max_records_per_file=target_rows_per_file,
+    )
     shutil.move(path, old)
     shutil.move(staged, path)
     shutil.rmtree(old)

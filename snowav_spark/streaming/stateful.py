@@ -165,8 +165,16 @@ def _classify_growth(
         if first_d is None:
             cls = "new"
             first_d = last_d = d
-        elif d <= last_d:
-            continue  # duplicate or late day — already classified
+        elif d == last_d:
+            continue  # same-day re-delivery — benign, already classified
+        elif d < last_d:
+            # cross-batch out-of-order arrival: history this operator
+            # cannot reclassify (state is only (first, last)).  Emit it
+            # as its own class instead of dropping silently, so batch
+            # parity drift is observable downstream (ADVICE r5).
+            out_day.append(_dt.date.fromordinal(d))
+            out_cls.append("late_dropped")
+            continue
         elif d == last_d + 1:
             cls = "retained"
             last_d = d
@@ -195,8 +203,12 @@ def growth_accounting_stream(events: DataFrame) -> DataFrame:
 
     Ordering contract (same as scd2_stream): each user's days must
     arrive non-decreasing across micro-batches (guaranteed when the
-    source respects event time); a day older than the user's last
-    classified day is dropped as already-classified.  Emits one row per
+    source respects event time); a same-day re-delivery is skipped as
+    already-classified, and a day STRICTLY older than the user's last
+    classified day — history this operator cannot reclassify from
+    (first, last) state — is emitted as cls='late_dropped' so batch
+    parity drift is observable (alert on its volume) rather than
+    silently absorbed.  Emits one row per
     newly observed (user, day) — append semantics, each classified
     exactly once.  Input columns: user_id, ts.
     """
@@ -212,6 +224,10 @@ def growth_accounting_stream(events: DataFrame) -> DataFrame:
 CHURN_OUTPUT = StructType(
     [
         StructField("day", DateType(), False),  # churn day = last_day + 1
+        # 'churn' | 'late_dropped' — the latter surfaces out-of-order
+        # days this operator cannot reclassify (ADVICE r5); filter
+        # kind == 'churn' for the counter, alert on late_dropped volume
+        StructField("kind", StringType(), False),
     ]
 )
 
@@ -230,7 +246,9 @@ def _detect_churn(
         # watermark with no new events: the user churned on that day
         (last_d,) = state.get
         state.remove()
-        yield pd.DataFrame({"day": [_dt.date.fromordinal(last_d + 1)]})
+        yield pd.DataFrame(
+            {"day": [_dt.date.fromordinal(last_d + 1)], "kind": ["churn"]}
+        )
         return
     last_d = state.get[0] if state.exists else None
     days: list[int] = []
@@ -240,13 +258,20 @@ def _detect_churn(
                 pd.Timestamp(t).date().toordinal() for t in pdf["ts"]
             )
     out: list = []
+    kinds: list = []
     for d in sorted(set(days)):
-        if last_d is not None and d <= last_d:
-            continue  # duplicate or late day
+        if last_d is not None and d == last_d:
+            continue  # same-day re-delivery — benign
+        if last_d is not None and d < last_d:
+            # out-of-order history: surface it instead of silent drop
+            out.append(_dt.date.fromordinal(d))
+            kinds.append("late_dropped")
+            continue
         if last_d is not None and d > last_d + 1:
             # resurrection witnesses the gap: churn known immediately,
             # no need to wait for the timeout
             out.append(_dt.date.fromordinal(last_d + 1))
+            kinds.append("churn")
         last_d = d
     if last_d is not None:
         state.update((last_d,))
@@ -256,7 +281,7 @@ def _detect_churn(
         deadline_ms = (last_d + 2 - _EPOCH_ORD) * 86_400_000
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
-    yield pd.DataFrame({"day": out})
+    yield pd.DataFrame({"day": out, "kind": kinds})
 
 
 def churn_stream(events: DataFrame, delay: str = "1 day") -> DataFrame:

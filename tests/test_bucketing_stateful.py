@@ -222,10 +222,16 @@ def test_churn_stream_matches_batch_behind_watermark(spark, sf_dir, tmp_path):
     got = {
         r.day: r.n
         for r in spark.read.parquet(out)
+        .filter(F.col("kind") == "churn")
         .groupBy("day")
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    # in-order replay: no out-of-order days may surface
+    assert (
+        spark.read.parquet(out).filter(F.col("kind") == "late_dropped").count()
+        == 0
+    )
     batch = {
         r.day: r.n_churned
         for r in QUERIES["q_churn"](spark, sf_dir).collect()
@@ -289,3 +295,55 @@ def test_scd2_stream_matches_batch_closed_segments(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expect
+
+
+def test_growth_stream_surfaces_out_of_order_days(spark, tmp_path):
+    """A day arriving BELOW the user's last classified day cannot be
+    reclassified from (first, last) state — it must surface as
+    cls='late_dropped', never vanish silently (ADVICE r5)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = incremental.stream_source(spark, src, schema)
+        cls = stateful.growth_accounting_stream(stream)
+        q = (
+            cls.writeStream.foreachBatch(
+                lambda b, _: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    d = lambda day: dt.datetime(2023, 1, day, 12, 0)  # noqa: E731
+    spark.createDataFrame([(1, d(5))], schema).write.parquet(src)
+    run_once()
+    spark.createDataFrame([(1, d(3)), (1, d(6))], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = {(r.day, r.cls) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (dt.date(2023, 1, 5), "new"),
+        (dt.date(2023, 1, 3), "late_dropped"),
+        (dt.date(2023, 1, 6), "retained"),
+    }

@@ -114,3 +114,48 @@ def test_compact_partitions_partitioned_layout_preserved(spark, tmp_path):
     p = _explain(after_df.filter(F.col("l_returnflag") == "A"))
     assert "PartitionFilters:" in p
     assert _rows(after_df.select("l_orderkey", "l_quantity", "l_returnflag")) == before
+
+
+def test_compact_partitions_splits_oversized_partition(spark, tmp_path):
+    """A partition bigger than target_rows_per_file must yield MULTIPLE
+    files (per-partition salt sized from per-partition counts), while a
+    tiny partition stays one file — hashing partition cols alone would
+    give every partition exactly one file regardless of size."""
+    big = spark.range(3000).select(
+        F.col("id").alias("v"), F.lit("big").alias("p")
+    )
+    small = spark.range(10).select(
+        F.col("id").alias("v"), F.lit("small").alias("p")
+    )
+    path = str(tmp_path / "skewed")
+    sinks.write_columnar(
+        big.unionByName(small).repartition(20), path,
+        fmt="parquet", partition_by=("p",),
+    )
+    before = _rows(spark.read.parquet(path))
+    sinks.compact_partitions(
+        spark, path, fmt="parquet", partition_by=("p",),
+        target_rows_per_file=1000,
+    )
+    assert _rows(spark.read.parquet(path)) == before
+    assert _file_count(os.path.join(path, "p=big"), ".parquet") >= 3
+    assert _file_count(os.path.join(path, "p=small"), ".parquet") == 1
+
+
+def test_compact_partitions_rejects_missing_and_recovers(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    with pytest.raises(ValueError, match="local directory"):
+        sinks.compact_partitions(spark, str(tmp_path / "nope"))
+    # simulate a crash between the two swap moves: data stranded at
+    # ._compact_old with path absent — next invocation must restore it
+    li = spark.range(100).select(F.col("id").alias("v"))
+    path = str(tmp_path / "crashy")
+    sinks.write_columnar(li.repartition(5), path, fmt="parquet")
+    shutil.move(path, path + "._compact_old")
+    n_after = sinks.compact_partitions(spark, path, target_rows_per_file=1000)
+    assert n_after == 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "._compact_old")
