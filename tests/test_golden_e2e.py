@@ -1,0 +1,102 @@
+"""Golden end-to-end: the flagship pipeline (CLI run → ResultsStore →
+markdown report) against a COMMITTED golden parquet + report.
+
+This is the reference's own test strategy (SURVEY §5.1: gold files for
+the full `snowav -f config.ini` run): any semantic drift in the raster
+source, topo join, banding, rollup, unit conversion, store layout, or
+report formatting fails here even if every unit test still passes.
+
+The input grid is synthesized deterministically by THIS test (values are
+exact multiples of 0.25, so every sum is an exact double and round(,6)
+is a no-op — the golden cannot rot from float noise), not read from
+/root/testdata, because the driver regenerates those fixtures between
+rounds while a golden must outlive them.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pandas as pd
+import pytest
+
+GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLD_STORE = os.path.join(GOLD_DIR, "flagship_store.parquet")
+GOLD_REPORT = os.path.join(GOLD_DIR, "flagship_report.md")
+
+N_DAYS = 15
+NY, NX = 40, 50
+VARS = ("swe_mm", "depth_m")
+
+
+def make_grids(root) -> str:
+    d = root / "golden_grids"
+    d.mkdir()
+    for day_idx in range(N_DAYS):
+        day = (datetime.date(2024, 2, 1) + datetime.timedelta(days=day_idx)).isoformat()
+        for vi, var in enumerate(VARS):
+            rows = []
+            for y in range(NY):
+                rows.append(
+                    ",".join(
+                        str(10.0 + ((y * 7 + x * 3 + day_idx * 5 + vi * 11) % 40) * 0.25)
+                        for x in range(NX)
+                    )
+                )
+            (d / f"{var}_{day}.csv").write_text("\n".join(rows) + "\n")
+    return str(d)
+
+
+def run_flagship(spark, tmp_path) -> tuple[pd.DataFrame, str]:
+    from snowav_spark import cli
+
+    grid_dir = make_grids(tmp_path)
+    ini = tmp_path / "run.ini"
+    store = tmp_path / "store"
+    report_md = tmp_path / "report.md"
+    ini.write_text(
+        "[snowav]\n"
+        "run_id = golden_run\n"
+        "edges = 0, 10, 20, 30\n"
+        "basins = basin_A, basin_B\n"
+        f"grid_dir = {grid_dir}\n"
+        f"store_path = {store}\n"
+        f"report_md = {report_md}\n"
+    )
+    rc = cli.main(["-f", str(ini)])
+    assert rc == 0
+    got = (
+        spark.read.parquet(str(store))
+        .toPandas()
+        .sort_values(["date", "basin_id", "variable", "band"])
+        .reset_index(drop=True)
+    )
+    # normalize partition-discovery column order/types for the compare
+    got = got[["run_id", "date", "basin_id", "variable", "band", "value"]]
+    got["date"] = pd.to_datetime(got["date"]).dt.date.astype(str)
+    got["run_id"] = got["run_id"].astype(str)
+    got["band"] = got["band"].astype("int64")
+    return got, report_md.read_text()
+
+
+@pytest.fixture(scope="module")
+def flagship(spark, tmp_path_factory):
+    return run_flagship(spark, tmp_path_factory.mktemp("golden_e2e"))
+
+
+def test_store_matches_golden_parquet(flagship):
+    got, _ = flagship
+    assert os.path.exists(GOLD_STORE), (
+        "golden missing — regenerate with tools/make_golden.py"
+    )
+    want = pd.read_parquet(GOLD_STORE)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_report_matches_golden_md(flagship):
+    _, md = flagship
+    want = open(GOLD_REPORT).read()
+    assert md == want
