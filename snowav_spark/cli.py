@@ -29,9 +29,100 @@ import configparser
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 from snowav_spark import pipeline, sources
 from snowav_spark.ingest import synthetic_topo
 from snowav_spark.session import get_spark
+
+
+def parse_query(path: str) -> dict | None:
+    """EP3 (SURVEY §3): a ``[query]`` INI section selects figures/query-only
+    mode — read the existing results store, no reprocessing.  Returns None
+    when the section is absent (EP1 batch run)."""
+    cp = configparser.ConfigParser()
+    if not cp.read(path):
+        raise FileNotFoundError(f"config not found: {path}")
+    if "query" not in cp:
+        return None
+    q = cp["query"]
+    return {
+        "store_path": q["store_path"],
+        "run_id": q["run_id"],
+        "variable": q["variable"],
+        "basins": [b.strip() for b in q["basins"].split(",")],
+        "start_date": q["start_date"],
+        "end_date": q["end_date"],
+        "method": q.get("method", "end"),
+        "output_csv": q.get("output_csv"),
+    }
+
+
+def query_main(spark, q: dict) -> int:
+    """The reference's database.collect() query path: filter the store by
+    (run, variable, date range) — all partition/filter-pruned at the scan
+    — reduce with the configured method, pivot basins into columns."""
+    import datetime
+
+    from snowav_spark.ops import methods
+    from snowav_spark.sinks import ResultsStore
+
+    start = datetime.date.fromisoformat(q["start_date"])
+    end = datetime.date.fromisoformat(q["end_date"])
+    store = ResultsStore(spark, q["store_path"])
+    df = store.read().filter(
+        (F.col("run_id") == q["run_id"])
+        & (F.col("variable") == q["variable"])
+        & (F.col("date") >= F.lit(start))
+        & (F.col("date") < F.lit(end))
+    )
+    method = q["method"]
+    if method == "daily":
+        # per-day basin totals (band = -1): rows = day, cols = basins
+        reduced = methods.daily_series(
+            df.filter(F.col("band") == -1),
+            ["basin_id"],
+            "date",
+            {"v": F.round(F.sum("value"), 6)},
+        )
+        frame = (
+            methods.pivot_frame(
+                reduced, "day", "basin_id", q["basins"], F.first("v")
+            )
+            .orderBy("day")
+            .toPandas()
+        )
+    else:
+        groups = ["band", "basin_id"]
+        if method == "end":
+            reduced = methods.end_value(df, groups, "value", "date").select(
+                *groups, F.col("end_value").alias("v")
+            )
+        elif method == "sum":
+            reduced = methods.range_sum(
+                df, groups, "value", "date", start, end,
+                aggs={"v": F.round(F.sum("value"), 6)},
+            )
+        elif method == "difference":
+            reduced = methods.difference(df, groups, "value", "date").select(
+                *groups, F.col("delta").alias("v")
+            )
+        else:
+            print(f"unknown query method: {method}", file=sys.stderr)
+            return 2
+        frame = (
+            methods.pivot_frame(
+                reduced, "band", "basin_id", q["basins"], F.first("v")
+            )
+            .orderBy("band")
+            .toPandas()
+        )
+    if q["output_csv"]:
+        frame.to_csv(q["output_csv"], index=False)
+        print(f"query result written: {q['output_csv']}")
+    else:
+        print(frame.to_string(index=False))
+    return 0
 
 
 def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
@@ -51,6 +142,7 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         "report_variable": s.get("report_variable"),
         "report_csv": s.get("report_csv"),
         "report_md": s.get("report_md"),
+        "report_figs_dir": s.get("report_figs_dir"),
         "incremental": s.getboolean("incremental", fallback=False),
     }
     return spec, extras
@@ -205,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)
 
+    q = parse_query(args.config)
+    if q is not None:  # EP3: query/figures-only — no reprocessing
+        spark = get_spark(app_name=f"snowav_spark:query:{q['run_id']}")
+        return query_main(spark, q)
+
     spec, extras = parse_spec(args.config)
     spark = get_spark(app_name=f"snowav_spark:{spec.run_id}")
     sources.register(spark)
@@ -242,7 +339,10 @@ def main(argv: list[str] | None = None) -> int:
         if extras["report_md"]:
             from snowav_spark.report import write_report
 
-            write_report(store, spec, start, end, extras["report_md"])
+            write_report(
+                store, spec, start, end, extras["report_md"],
+                figs_dir=extras.get("report_figs_dir"),
+            )
             print(f"markdown report written: {extras['report_md']}")
     return 0
 

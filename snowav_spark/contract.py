@@ -6087,31 +6087,45 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-EXISTS audit (EXT, TPC-H Q4 shape): orders in a
     half-year window with at least one line shipped more than 30 days
-    after ordering, counted per priority.  Unlike q_semi_anti's pure
-    key-existence probe, the EXISTS here carries a NON-equi residual
-    (l_shipdate > o_orderdate + 30d) — Spark plans it as a left-semi
-    hash join on orderkey with the residual evaluated inside the join,
-    so each order emits at most once no matter how many late lines.
-    Shape: the date filter prunes the orders scan first; the semi join
-    shuffles only (orderkey, shipdate) off the fact side; final agg is
-    5 rows."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    after ordering, counted per priority.  The EXISTS carries a
+    NON-equi residual (l_shipdate > o_orderdate + 30d).
+
+    NOT a left-semi join, deliberately: with orders on the left, Spark
+    can only build the semi hash on the FACT side, so it falls back to
+    sort-merge and sorts the whole lineitem table — the r06 1M→2M
+    isolation probe measured that sort as the growth term.  Instead:
+    inner-join the fact to the date-filtered orders (AQE broadcasts the
+    half-year slice when it fits — then the fact NEVER shuffles — and
+    degrades to a shuffled join with orders as the naturally-small side
+    at 100 TB), then collapse lines→orders with a (orderkey, priority)
+    aggregate whose map-side partial absorbs the per-order fan-out
+    before the tiny distinct-keys shuffle.  Same EXISTS semantics: the
+    aggregate emits each qualifying order exactly once."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate"
     )
-    late = orders.join(
-        li,
-        (F.col("o_orderkey") == F.col("l_orderkey"))
-        & (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
-        ),
-        "left_semi",
+    late_keys = (
+        li.join(
+            orders,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            ),
+            "inner",
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.lit(1).alias("_one"))
     )
-    return late.groupBy("o_orderpriority").agg(
+    return late_keys.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_late")
     )
 

@@ -70,8 +70,89 @@ def write_report(
     start: datetime.date,
     end: datetime.date,
     path: str,
+    figs_dir: str | None = None,
 ) -> str:
     md = build_report(store, spec, start, end)
+    if figs_dir:
+        import os
+
+        names = write_figures(store, spec, start, end, figs_dir)
+        rel = [os.path.relpath(os.path.join(figs_dir, n),
+                               os.path.dirname(path) or ".") for n in names]
+        md += "\n## Figures\n\n" + "\n".join(
+            f"![{n}]({r})" for n, r in zip(names, rel)
+        ) + "\n"
     with open(path, "w") as f:
         f.write(md)
     return path
+
+
+def write_figures(
+    store: ResultsStore,
+    spec: PipelineSpec,
+    start: datetime.date,
+    end: datetime.date,
+    figs_dir: str,
+    variables: list[str] | None = None,
+) -> list[str]:
+    """The reference's figure set (ref:snowav/plotting/swe_volume.py,
+    basin_total.py) as dependency-free SVG: per variable, a
+    volume-by-band grouped bar chart and a basin-totals time series.
+    Data comes from the same driver-sized store frames as the tables;
+    only filenames are returned so callers control linking."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowav_spark import figures
+
+    os.makedirs(figs_dir, exist_ok=True)
+    names: list[str] = []
+    for var in list(variables or spec.variables):
+        frame = store.collect_frame(spec.run_id, var, spec.basins, start, end)
+        unit = _UNIT.get(var, "")
+        if not frame.empty:
+            bands = sorted(int(b) for b in frame["band"] if b != -1)
+            cats = [band_label(b, spec.edges) for b in bands]
+            by_band = frame.set_index("band")
+            series = {
+                b: [float(by_band.loc[band, b]) for band in bands]
+                for b in spec.basins
+            }
+            name = f"swe_volume_{var}.svg"
+            with open(os.path.join(figs_dir, name), "w") as f:
+                f.write(
+                    figures.grouped_bar_chart(
+                        cats, series, title=f"{var} by band", y_label=unit
+                    )
+                )
+            names.append(name)
+        rows = (
+            store.read()
+            .filter(
+                (F.col("run_id") == spec.run_id)
+                & (F.col("variable") == var)
+                & (F.col("band") == -1)
+                & (F.col("date") >= F.lit(start))
+                & (F.col("date") < F.lit(end))
+            )
+            .groupBy("date", "basin_id")
+            .agg(F.round(F.sum("value"), 6).alias("v"))
+            .collect()
+        )
+        if rows:
+            series_t: dict[str, list[tuple[str, float]]] = {
+                b: [] for b in spec.basins
+            }
+            for r in rows:
+                if r.basin_id in series_t:
+                    series_t[r.basin_id].append((str(r.date), r.v))
+            name = f"basin_total_{var}.svg"
+            with open(os.path.join(figs_dir, name), "w") as f:
+                f.write(
+                    figures.line_chart(
+                        series_t, title=f"{var} basin total", y_label=unit
+                    )
+                )
+            names.append(name)
+    return names

@@ -187,3 +187,53 @@ def test_cli_compact(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == load_table(
         spark, sf_dir, "region"
     ).count()
+
+
+def test_cli_query_only_mode(spark, tmp_path):
+    """EP3 (SURVEY §3): a [query] INI section reads the existing store
+    without reprocessing — the reference's database.collect() path with
+    all four methods."""
+    import datetime
+
+    from snowav_spark import cli
+    from snowav_spark.sinks import ResultsStore
+
+    store_path = str(tmp_path / "store")
+    rows = []
+    for i, d in enumerate(
+        (datetime.date(2024, 1, 1), datetime.date(2024, 1, 2))
+    ):
+        for b in ("basin_A", "basin_B"):
+            for band, v in ((-1, 30.0 + i), (0, 10.0 + i), (1, 20.0)):
+                rows.append(("r1", d, b, "swe_mm", band, v))
+    df = spark.createDataFrame(
+        rows, ["run_id", "date", "basin_id", "variable", "band", "value"]
+    )
+    ResultsStore(spark, store_path).write(df)
+
+    def run(method):
+        out = tmp_path / f"q_{method}.csv"
+        ini = tmp_path / f"q_{method}.ini"
+        ini.write_text(
+            "[query]\n"
+            f"store_path = {store_path}\n"
+            "run_id = r1\n"
+            "variable = swe_mm\n"
+            "basins = basin_A, basin_B\n"
+            "start_date = 2024-01-01\n"
+            "end_date = 2024-01-03\n"
+            f"method = {method}\n"
+            f"output_csv = {out}\n"
+        )
+        assert cli.main(["-f", str(ini)]) == 0
+        return pd.read_csv(out)
+
+    end = run("end").set_index("band")
+    assert end.loc[-1, "basin_A"] == 31.0  # latest date's value
+    total = run("sum").set_index("band")
+    assert total.loc[0, "basin_B"] == 21.0  # 10 + 11
+    diff = run("difference").set_index("band")
+    assert diff.loc[-1, "basin_A"] == 1.0 and diff.loc[1, "basin_A"] == 0.0
+    daily = run("daily")
+    assert list(daily.columns) == ["day", "basin_A", "basin_B"]
+    assert len(daily) == 2 and daily["basin_A"].tolist() == [30.0, 31.0]

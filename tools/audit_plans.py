@@ -982,12 +982,17 @@ def main() -> int:
 
     # Q4-shaped late orders: LeftSemi with the non-equi residual INSIDE
     # the join (each order emits once); date filter pushed to orders scan
+    # Q4-shaped EXISTS: fact joins the date-filtered orders slice
+    # (broadcastable) with the residual inside the join — NO left-semi
+    # (that formulation can only build on the fact side and sorts the
+    # whole fact: the r06 1M→2M probe measured it); lines collapse to
+    # orders via partial agg before the final 5-row rollup
     p = formatted(qs["q_late_orders"](spark, SF))
     check(
         "q_late_orders",
         p,
-        ["LeftSemi", "GreaterThanOrEqual(o_orderdate"],
-        ["PythonUDF", "CartesianProduct", "Window"],
+        ["BroadcastHashJoin", "GreaterThanOrEqual(o_orderdate", "partial"],
+        ["PythonUDF", "CartesianProduct", "Window", "SortMergeJoin"],
     )
 
     # Q14-shaped promo share: part pruned to two columns at the scan;

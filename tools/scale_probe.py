@@ -98,13 +98,27 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     emb = gen_embeddings(spark, n_docs // 2).localCheckpoint(eager=True)
     out: dict[str, tuple[float, int]] = {}
 
-    out["exact_dedup"] = timed(
+    import os
+
+    _only = os.environ.get("PROBE_ONLY")
+    _only = set(_only.split(",")) if _only else None
+
+    def run_op(name, fn):
+        """PROBE_ONLY=a,b,c isolates ops: the round-5 postmortem showed
+        the sequential suite accumulates checkpoint blocks, so LATE ops
+        at the larger size pay GC the smaller size didn't — a >2 suite
+        ratio on a bounded op must be re-timed in isolation before
+        diagnosing the plan."""
+        if _only is None or name in _only:
+            out[name] = timed(fn)
+
+    run_op("exact_dedup", 
         lambda: dedup.drop_exact_dups(docs, "text", "doc_id").count()
     )
-    out["minhash_lsh"] = timed(
+    run_op("minhash_lsh", 
         lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
     )
-    out["clean_text"] = timed(
+    run_op("clean_text", 
         lambda: text.clean_docs(docs, "doc_id", "text").count()
     )
     # Constant-occupancy rule: bits ≈ log2(N / target_bucket_size), so the
@@ -114,7 +128,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     import math
 
     bits = max(int(math.log2(max(n_docs // 2, 2) / 6)), 4)
-    out["embed_lsh_dedup"] = timed(
+    run_op("embed_lsh_dedup", 
         lambda: similarity.dedup_pairs_lsh(
             emb, "vec_id", "embedding", 0.9, tables=4, bits=bits,
             max_bucket=2000,
@@ -123,30 +137,30 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    out["cc_resolve"] = timed(
+    run_op("cc_resolve", 
         lambda: graph.resolve_duplicates(pairs, "doc_id").count()
     )
     lens = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    out["pack"] = timed(
+    run_op("pack", 
         lambda: packing.pack_sequences(
             lens, "doc_id", "n_tokens", 512, n_shards=64
         ).count()
     )
-    out["chunk"] = timed(
+    run_op("chunk", 
         lambda: text.chunk_docs(docs, "doc_id", "text", 20, 10).count()
     )
-    out["simhash"] = timed(
+    run_op("simhash", 
         lambda: dedup.simhash(docs, "doc_id", "text").count()
     )
-    out["span_dedup"] = timed(
+    run_op("span_dedup", 
         lambda: dedup.span_dup_stats(docs, "doc_id", "text", n=5).count()
     )
 
     from snowav_spark.ops import sampling, windows
 
-    out["global_decile"] = timed(
+    run_op("global_decile", 
         lambda: sampling.global_decile_assign(
             docs.select(
                 "doc_id", F.length("text").alias("n_chars")
@@ -177,10 +191,10 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
         .localCheckpoint(eager=True)
     )
-    out["rolling_active"] = timed(
+    run_op("rolling_active", 
         lambda: windows.rolling_active(ev, "ts", "user_id", days=7).count()
     )
-    out["transitions"] = timed(
+    run_op("transitions", 
         lambda: windows.transition_counts(
             ev, "user_id", "ts", "event_type", "event_id"
         ).count()
@@ -216,7 +230,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         (F.col("key") + 100_000_000).alias("key"),
         F.expr("substr(name, 2)").alias("name"),
     )
-    out["fuzzy_join"] = timed(
+    run_op("fuzzy_join", 
         lambda: joins.fuzzy_join(
             typos, names, "key", "key", "name", "name",
             max_dist=1, max_df=200,
@@ -231,10 +245,10 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         F.pmod(F.hash("doc_id"), F.lit(2000)).cast("double").alias("x"),
         F.pmod(F.hash("doc_id", F.lit(3)), F.lit(2000)).alias("y"),
     )
-    out["skyline"] = timed(
+    run_op("skyline", 
         lambda: skyline.skyline_points(sky_in, "x", "y", "doc_id").count()
     )
-    out["scd2"] = timed(
+    run_op("scd2", 
         lambda: w_ops.scd2_segments(
             ev, "user_id", "ts", "event_type", "event_id"
         ).count()
@@ -254,15 +268,15 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
         .localCheckpoint(eager=True)
     )
-    out["interval_join"] = timed(
+    run_op("interval_join", 
         lambda: joins.interval_join(
             ev, ivl, "ts", "wid", "ws", "we", 3 * 86_400
         ).groupBy("wid").count().count()
     )
-    out["bigram_lm"] = timed(
+    run_op("bigram_lm", 
         lambda: text_ops.bigram_counts(docs, "text").count()
     )
-    out["reservoir"] = timed(
+    run_op("reservoir", 
         lambda: sampling.reservoir_per_group(
             docs.select(
                 F.pmod(F.col("doc_id"), F.lit(100)).alias("grp"), "doc_id"
@@ -298,7 +312,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             "event_type", F.sum("new_users").over(w).alias("cum")
         ).count()
 
-    out["running_distinct"] = timed(_running_distinct)
+    run_op("running_distinct", _running_distinct)
 
     def _top_paths():
         sess = (
@@ -326,7 +340,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["top_paths"] = timed(_top_paths)
+    run_op("top_paths", _top_paths)
 
     def _weighted_median():
         vals = ev.select(
@@ -354,7 +368,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["weighted_median"] = timed(_weighted_median)
+    run_op("weighted_median", _weighted_median)
 
     def _market_basket():
         ob = ev.select(
@@ -372,7 +386,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["market_basket"] = timed(_market_basket)
+    run_op("market_basket", _market_basket)
 
     # round-5c compositions: attribution band join, gaps-and-islands
     # streaks, 16-lag EWMA window, keyword lambda-filter, frequency-table
@@ -393,7 +407,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["attribution"] = timed(_attribution)
+    run_op("attribution", _attribution)
 
     def _streaks():
         d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
@@ -415,7 +429,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["streaks"] = timed(_streaks)
+    run_op("streaks", _streaks)
 
     def _ewma16():
         d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
@@ -430,7 +444,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             num = t if num is None else num + t
         return d.select("event_type", "day", num.alias("s")).count()
 
-    out["ewma16"] = timed(_ewma16)
+    run_op("ewma16", _ewma16)
 
     def _keyword_tags():
         t = docs.select(
@@ -443,7 +457,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
         return t.groupBy("kw").count().count()
 
-    out["keyword_tags"] = timed(_keyword_tags)
+    run_op("keyword_tags", _keyword_tags)
 
     def _gini_freq():
         lens = docs.select(
@@ -471,7 +485,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["gini_freq"] = timed(_gini_freq)
+    run_op("gini_freq", _gini_freq)
 
     # q_ttr shape: explode -> (source, token) hash agg.  The shuffle is
     # vocabulary-sized (src × 5000-token vocab here), so cost is the
@@ -492,7 +506,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["ttr"] = timed(_ttr)
+    run_op("ttr", _ttr)
 
     # q_source_jaccard shape: distinct (src, token) vocab frame, then a
     # token-keyed self equi-join.  Per-token fan-out is ≤ |sources|² (20²
@@ -517,7 +531,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["source_jaccard"] = timed(_source_jaccard)
+    run_op("source_jaccard", _source_jaccard)
 
     # q_growth_accounting shape: distinct (user, day) collapse, then a
     # running-min + lag window pair on ONE per-user partition (bounded by
@@ -545,7 +559,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             .count()
         )
 
-    out["growth_accounting"] = timed(_growth)
+    run_op("growth_accounting", _growth)
 
     # the remaining event-analytics contract keys run AS-IS against the
     # synthetic frame written out as a fixture dir: interarrival (distinct
@@ -569,8 +583,9 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             "q_session_duration",
             "q_hhi",
         ):
-            out[key.removeprefix("q_")] = timed(
-                lambda k=key: QUERIES[k](spark, evdir).count()
+            run_op(
+                key.removeprefix("q_"),
+                lambda k=key: QUERIES[k](spark, evdir).count(),
             )
     finally:
         shutil.rmtree(evdir, ignore_errors=True)
@@ -681,8 +696,9 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             "q_promo_share",
             "q_fanout_profile",
         ):
-            out[key.removeprefix("q_")] = timed(
-                lambda k=key: QUERIES[k](spark, stardir).count()
+            run_op(
+                key.removeprefix("q_"),
+                lambda k=key: QUERIES[k](spark, stardir).count(),
             )
     finally:
         shutil.rmtree(stardir, ignore_errors=True)
