@@ -6790,6 +6790,267 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_drawdown",
+    f"""
+    WITH d AS (
+        SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum({windows.fixed_micros_sql("value")}) AS m
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT day, event_type,
+               sum(m) OVER (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    ),
+    p AS (
+        SELECT day, event_type, cum,
+               max(cum) OVER (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c
+    )
+    SELECT event_type, day,
+           cast(cum AS DOUBLE) / 1000000.0 AS cum_v,
+           cast(peak AS DOUBLE) / 1000000.0 AS peak_v,
+           cast(peak - cum AS DOUBLE) / 1000000.0 AS drawdown
+    FROM p
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown per series (EXT): cumulative daily net value, its
+    running peak, and peak − current — the risk statistic every
+    monitoring dashboard computes over a cumulative series.  The whole
+    chain is exact integer micro-units (fixed_micros daily sums →
+    integer prefix sum → integer prefix max → one final int→double
+    conversion per column), so it hash-matches at any magnitude — the
+    same fixed-point discipline that cleared the float_mag fuzz.  Scale:
+    the fact collapses to the |days|×|types| daily frame in one
+    map-side-combined shuffle; both windows share one (event_type, day)
+    sort over that bounded frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    daily = ev.groupBy(day, "event_type").agg(
+        F.sum(windows.fixed_micros(F.col("value"))).alias("m")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("m").over(w)
+    c = daily.select("day", "event_type", cum.alias("cum"))
+    peak = F.max("cum").over(w)
+    scale = float(windows.FIXED_POINT_SCALE)
+    return c.select(
+        "event_type",
+        "day",
+        (F.col("cum").cast("double") / scale).alias("cum_v"),
+        (peak.cast("double") / scale).alias("peak_v"),
+        ((peak - F.col("cum")).cast("double") / scale).alias("drawdown"),
+    )
+
+
+@q(
+    "q_abc_class",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag AS zone, {_BAND_SQL} AS band,
+               sum({windows.fixed_micros_sql("l_extendedprice * (1 - l_discount)")}) AS m
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT zone, band, m,
+               sum(m) OVER (ORDER BY m DESC, zone ASC, band ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(m) OVER () AS tot
+        FROM v
+    )
+    SELECT CASE WHEN cum * 10 <= tot * 5 THEN 'A'
+                WHEN cum * 10 <= tot * 8 THEN 'B'
+                ELSE 'C' END AS cls,
+           cast(count(*) AS BIGINT) AS n_groups,
+           cast(sum(m) AS DOUBLE) / 1000000.0 AS revenue
+    FROM r GROUP BY 1
+    """,
+)
+def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC contribution classes (EXT): zone×band revenue cells ranked by
+    revenue, classed A (first 50% of cumulative revenue), B (to 80%), C
+    (tail) — the Pareto inventory report.  Thresholds compare exact
+    integers (cum·10 vs tot·5/8 in micro-units: no percentage division,
+    no float boundary to flip on a ulp), and the rank tie-break is
+    pinned (m DESC, zone, band).  Scale: the fact collapses to the
+    zones×bands domain-bounded frame first; the unpartitioned cumulative
+    window runs over ≤30 rows (whitelisted in the plan audit with that
+    bound), never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(F.col("l_returnflag").alias("zone"), _band()).agg(
+        F.sum(
+            windows.fixed_micros(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            )
+        ).alias("m")
+    )
+    wcum = Window.orderBy(
+        F.col("m").desc(), F.col("zone").asc(), F.col("band").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    r = v.select(
+        "m",
+        F.sum("m").over(wcum).alias("cum"),
+        F.sum("m").over(wtot).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 5, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 8, "B")
+        .otherwise("C")
+    )
+    scale = float(windows.FIXED_POINT_SCALE)
+    return r.groupBy(cls.alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        (F.sum("m").cast("double") / scale).alias("revenue"),
+    )
+
+
+@q(
+    "q_median_gap",
+    """
+    WITH t AS (SELECT DISTINCT event_type, ts FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    g AS (SELECT event_type,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY event_type ORDER BY ts ASC)))
+                 / 1000000.0 AS gap_s
+          FROM t)
+    SELECT event_type,
+           cast(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS median_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    """,
+)
+def q_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 inter-arrival gap per series (EXT) — the latency /
+    cadence summary next to q_interarrival's histogram.  Gaps are exact
+    µs integers divided once by 1e6 (identical doubles in both engines),
+    so the percentile inputs are bit-identical and r6 absorbs the
+    interpolation-formula ulp (the q_top_share precedent).  Duplicate
+    timestamps collapse BEFORE the lag, so tie order can never reach the
+    output.  Scale: per-type windows bounded by events-per-type after
+    the distinct; exact percentile is per-group (grouped sort), never a
+    global one."""
+    t = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "ts")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc())
+    g = t.select(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            )
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        r6(F.expr("percentile(gap_s, 0.5)")).alias("median_s"),
+        r6(F.expr("percentile(gap_s, 0.9)")).alias("p90_s"),
+    )
+
+
+@q(
+    "q_histogram2d",
+    f"""
+    SELECT cast(least(floor(l_quantity / 5), 9) AS BIGINT) AS qty_band,
+           cast(least(floor(l_extendedprice / 10000), 9) AS BIGINT)
+               AS price_band,
+           cast(count(*) AS BIGINT) AS n,
+           {msum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (EXT): quantity band × price bracket cell counts +
+    revenue — the joint-distribution profile (length × quality for a
+    corpus, qty × price here).  Pure integer binning in whole-stage
+    codegen feeding ONE map-side-combined aggregate over a ≤100-cell
+    domain; the 2-D grid costs exactly what the 1-D q_band_digitize
+    does — one shuffle of the bounded cell keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_band = F.least(F.floor(F.col("l_quantity") / 5), F.lit(9)).cast(
+        "bigint"
+    )
+    price_band = F.least(
+        F.floor(F.col("l_extendedprice") / 10000), F.lit(9)
+    ).cast("bigint")
+    return li.groupBy(
+        qty_band.alias("qty_band"), price_band.alias("price_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@q(
+    "q_embed_norms",
+    """
+    WITH n AS (
+        SELECT list_sum(list_transform(embedding,
+                   x -> cast(floor(cast(x AS DOUBLE) * cast(x AS DOUBLE)
+                                   * 100000000.0) AS BIGINT))) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT cast(q // 50000000 AS BIGINT) AS norm2_bucket,
+           cast(count(*) AS BIGINT) AS n_vecs,
+           cast(min(q) AS BIGINT) AS min_q,
+           cast(max(q) AS BIGINT) AS max_q
+    FROM n GROUP BY 1
+    """,
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution (EXT): squared-L2-norm histogram over
+    the corpus — the sanity profile run before any cosine / quantization
+    stage (un-normalized embeddings break both).  Float dot products are
+    NOT portable (measured: DuckDB's list fold is not a plain
+    left-to-right IEEE fold), so each element is quantized FIRST —
+    floor(x²·1e8) is two IEEE ops + an exact floor, identical per
+    element everywhere — and the integer sum is order-free.  Scale: pure
+    codegen array math in one projection, one map-side-combined agg over
+    a bounded bucket domain; no explode, the vectors never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    quant = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e8)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = emb.select(quant.alias("q"))
+    return n.groupBy(
+        F.expr("q div 50000000").cast("bigint").alias("norm2_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("q").cast("bigint").alias("min_q"),
+        F.max("q").cast("bigint").alias("max_q"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end slice the driver smoke-checks (SURVEY §7 phase 0):
     scan → filter → band digitize → ROLLUP zonal stats → broadcast dim join
@@ -7026,6 +7287,11 @@ _GRADE_ORDER = [
     # -- round-6 oracle-backed additions -------------------------------
     # promoted from rows-only: exact integer micro-mass ranks (r06)
     "q_pagerank",
+    "q_drawdown",
+    "q_abc_class",
+    "q_median_gap",
+    "q_histogram2d",
+    "q_embed_norms",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

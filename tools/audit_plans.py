@@ -1130,6 +1130,8 @@ def main() -> int:
         "q_topn_other": 1,
         # cut assignment over the value-DOMAIN-bounded frequency table
         "q_global_decile": 1,
+        # cumulative + total over the ≤30-row zone×band aggregate
+        "q_abc_class": 2,
     }
 
     def unpartitioned_windows(plan: str) -> int:
