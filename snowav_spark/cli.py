@@ -19,7 +19,25 @@ INI shape (all keys under [snowav])::
     store_path = /data/results
     report_variable = swe_mm        ; optional: write a report frame CSV
     report_csv = /data/report.csv
+    report_md = /data/report.md     ; optional: markdown report
+    report_figs_dir = /data/figs    ; optional: SVG figures, linked in md
     incremental = false
+
+Reference CoreConfig.ini spellings are accepted as aliases: run_name
+(run_id), plotorder (basins), run_dirs (grid_dir).
+
+A ``[query]`` section instead selects EP3 query-only mode (no
+reprocessing — the reference's database.collect() path)::
+
+    [query]
+    store_path = /data/results
+    run_id = wy2024
+    variable = swe_mm
+    basins = basin_A, basin_B
+    start_date = 2024-01-01
+    end_date = 2024-04-01
+    method = end                    ; end | sum | difference | daily
+    output_csv = /data/q.csv        ; optional: else printed
 """
 
 from __future__ import annotations
@@ -130,14 +148,24 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
     if not cp.read(path):
         raise FileNotFoundError(f"config not found: {path}")
     s = cp["snowav"]
+
+    def req(key: str, *aliases: str) -> str:
+        """Fetch a key, accepting the reference CoreConfig.ini spellings
+        (ref:snowav/config/CoreConfig.ini: run_name, plotorder, run_dirs)
+        as aliases so a reference-style config ports by renaming nothing."""
+        for k in (key, *aliases):
+            if k in s:
+                return s[k]
+        raise KeyError(f"[snowav] needs one of: {key}, {', '.join(aliases)}")
+
     spec = pipeline.PipelineSpec(
-        run_id=s["run_id"],
-        edges=[float(e) for e in s["edges"].split(",")],
-        basins=[b.strip() for b in s["basins"].split(",")],
+        run_id=req("run_id", "run_name"),
+        edges=[float(e) for e in req("edges").split(",")],
+        basins=[b.strip() for b in req("basins", "plotorder").split(",")],
         store_path=s["store_path"],
     )
     extras = {
-        "grid_dir": s["grid_dir"],
+        "grid_dir": req("grid_dir", "run_dirs"),
         "topo_parquet": s.get("topo_parquet"),
         "report_variable": s.get("report_variable"),
         "report_csv": s.get("report_csv"),

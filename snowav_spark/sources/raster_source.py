@@ -29,7 +29,12 @@ import os
 from dataclasses import dataclass
 from datetime import date
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DateType,
     DoubleType,
@@ -64,32 +69,94 @@ class RasterGridReader(DataSourceReader):
             raise ValueError("snowav_raster requires a load(path) directory")
 
     def partitions(self):
-        parts = []
-        for name in sorted(os.listdir(self.dir)):
-            if not name.endswith(".csv"):
-                continue
-            stem = name[: -len(".csv")]
-            try:
-                variable, day = stem.rsplit("_", 1)
-                date.fromisoformat(day)
-            except ValueError:
-                continue  # not a grid file; ignore
-            parts.append(
-                _FilePartition(os.path.join(self.dir, name), variable, day)
-            )
+        parts = [
+            _FilePartition(os.path.join(self.dir, name), variable, day)
+            for name, variable, day in _grid_files(self.dir)
+        ]
         if not parts:
             raise ValueError(f"no <variable>_<date>.csv grids under {self.dir}")
         return parts
 
     def read(self, partition: _FilePartition):
-        d = date.fromisoformat(partition.day)
-        with open(partition.path) as f:
-            for y, line in enumerate(f):
-                line = line.strip()
-                if not line:
-                    continue
-                for x, cell in enumerate(line.split(",")):
-                    yield (d, y, x, partition.variable, float(cell))
+        yield from _grid_rows(partition.path, partition.variable, partition.day)
+
+
+def _grid_rows(path: str, variable: str, day: str):
+    d = date.fromisoformat(day)
+    with open(path) as f:
+        for y, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            for x, cell in enumerate(line.split(",")):
+                yield (d, y, x, variable, float(cell))
+
+
+def _grid_files(dirpath: str) -> list[tuple[str, str, str]]:
+    """Sorted (filename, variable, iso-day) grid files under dirpath."""
+    out = []
+    for name in sorted(os.listdir(dirpath)):
+        if not name.endswith(".csv"):
+            continue
+        stem = name[: -len(".csv")]
+        try:
+            variable, day = stem.rsplit("_", 1)
+            date.fromisoformat(day)
+        except ValueError:
+            continue
+        out.append((name, variable, day))
+    return out
+
+
+class RasterGridStreamReader(SimpleDataSourceStreamReader):
+    """EP2 as a true stream (ref:snowav/framework/framework.py's
+    snowav(awsm=...) daily coupling, SURVEY §3 EP2 option b): the model
+    drops one grid file per (variable, day) into the directory; each
+    micro-batch reads exactly the files that appeared since the last
+    offset.
+
+    Offset = the lexicographically-last processed filename.  Grid names
+    embed the ISO date, so arrival order IS name order for a daily
+    model run — the same monotonicity EP2's batch variant relies on
+    (date-partition append).  ``readBetweenOffsets`` replays any
+    (start, end] slice exactly, which is what makes the source
+    fault-tolerant: a failed batch re-reads the same file set."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("snowav_raster requires a load(path) directory")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _between(self, lo: str, hi: str | None) -> list[tuple]:
+        # materialized list (callers hand out iter(list) — a picklable
+        # list_iterator): the simple-reader protocol reads on the DRIVER,
+        # caches the iterator, and pickles it out to the plan; a plain
+        # generator can't pickle and a bare list fails its next() calls.
+        # Driver-side reads are fine by design — this reader targets the
+        # one-file-per-day cadence; bulk backfills use the batch source,
+        # whose partitions are files read ON executors.
+        rows: list[tuple] = []
+        for name, variable, day in _grid_files(self.dir):
+            if name > lo and (hi is None or name <= hi):
+                rows.extend(
+                    _grid_rows(os.path.join(self.dir, name), variable, day)
+                )
+        return rows
+
+    def read(self, start: dict):
+        files = _grid_files(self.dir)
+        new = [n for n, _, _ in files if n > start["last"]]
+        end = {"last": new[-1]} if new else dict(start)
+        return iter(self._between(start["last"], end["last"] or None)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._between(start["last"], end["last"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing to clean up
 
 
 class RasterGridDataSource(DataSource):
@@ -102,6 +169,9 @@ class RasterGridDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RasterGridReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return RasterGridStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -237,3 +237,25 @@ def test_cli_query_only_mode(spark, tmp_path):
     daily = run("daily")
     assert list(daily.columns) == ["day", "basin_A", "basin_B"]
     assert len(daily) == 2 and daily["basin_A"].tolist() == [30.0, 31.0]
+
+
+def test_cli_reference_ini_aliases(spark, grid_dir, tmp_path):
+    """A reference-style CoreConfig.ini (run_name / plotorder / run_dirs)
+    ports with zero key renames."""
+    from snowav_spark import cli
+
+    ini = tmp_path / "ref_style.ini"
+    report = tmp_path / "r.csv"
+    ini.write_text(
+        "[snowav]\n"
+        "run_name = ref_run\n"
+        "edges = 0, 10, 20, 30\n"
+        "plotorder = basin_A, basin_B\n"
+        f"run_dirs = {grid_dir}\n"
+        f"store_path = {tmp_path / 'store'}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report}\n"
+    )
+    assert cli.main(["-f", str(ini)]) == 0
+    frame = pd.read_csv(report)
+    assert list(frame.columns) == ["band", "basin_A", "basin_B"]

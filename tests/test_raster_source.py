@@ -72,3 +72,54 @@ def test_missing_dir_errors(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(Exception, match="no <variable>_<date>.csv"):
         spark.read.format("snowav_raster").load(str(empty)).count()
+
+
+def test_streaming_reads_only_new_grids(spark, tmp_path):
+    """EP2 as a stream: each availableNow run picks up exactly the grid
+    files that appeared since the checkpointed offset — the streaming
+    twin of ResultsStore.append_missing."""
+    import shutil
+
+    gdir = tmp_path / "grids"
+    gdir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_grid(day, base):
+        rows = [
+            ",".join(str(base + y * 10 + x) for x in range(3))
+            for y in range(2)
+        ]
+        (gdir / f"swe_mm_{day}.csv").write_text("\n".join(rows) + "\n")
+
+    sources.register(spark)
+
+    def run_once():
+        stream = spark.readStream.format("snowav_raster").load(str(gdir))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_grid("2024-01-01", 100.0)
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 6
+    assert {r.date.isoformat() for r in got1.select("date").distinct().collect()} == {
+        "2024-01-01"
+    }
+    # day 2 arrives; ONLY its rows are appended
+    write_grid("2024-01-02", 200.0)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 12
+    day2 = got2.filter(F.col("date") == "2024-01-02")
+    assert day2.count() == 6
+    assert day2.agg(F.min("value")).collect()[0][0] == 200.0
+    # no new files -> a third run appends nothing
+    run_once()
+    assert spark.read.parquet(out).count() == 12
