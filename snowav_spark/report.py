@@ -87,6 +87,86 @@ def write_report(
     return path
 
 
+def build_latex(
+    store: ResultsStore,
+    spec: PipelineSpec,
+    start: datetime.date,
+    end: datetime.date,
+    variables: list[str] | None = None,
+    fig_names: list[str] | None = None,
+) -> str:
+    """The reference's LaTeX template fill (ref:snowav/report/report.py
+    renders snowav_report.tex via jinja and shells out to pdflatex).
+    This emits the same artifact — a compilable .tex with one booktabs
+    table per variable and \\includegraphics hooks for the SVG figures —
+    minus the pdflatex subprocess (no TeX toolchain in this container;
+    the table content, the parity point, is identical to the markdown
+    report's)."""
+    variables = list(variables or spec.variables)
+
+    def esc(s: str) -> str:
+        for a, b in (
+            ("\\", r"\textbackslash{}"), ("&", r"\&"), ("%", r"\%"),
+            ("#", r"\#"), ("_", r"\_"), ("$", r"\$"),
+        ):
+            s = s.replace(a, b)
+        return s
+
+    lines = [
+        r"\documentclass{article}",
+        r"\usepackage{booktabs}",
+        r"\usepackage{graphicx}",
+        r"\begin{document}",
+        r"\section*{snowav\_spark report --- run \texttt{%s}}"
+        % esc(spec.run_id),
+        r"Period: %s -- %s.  Basins: %s."
+        % (start, end, esc(", ".join(spec.basins))),
+        "",
+    ]
+    for var in variables:
+        frame = store.collect_frame(spec.run_id, var, spec.basins, start, end)
+        if frame.empty:
+            continue
+        unit = _UNIT.get(var, "")
+        cols = "l" + "r" * len(spec.basins)
+        lines += [
+            r"\subsection*{%s%s}"
+            % (esc(var), f" ({esc(unit)})" if unit else ""),
+            r"\begin{tabular}{%s}" % cols,
+            r"\toprule",
+            "band & " + " & ".join(esc(b) for b in spec.basins) + r" \\",
+            r"\midrule",
+        ]
+        for _, row in frame.sort_values("band").iterrows():
+            cells = [esc(band_label(int(row["band"]), spec.edges))] + [
+                f"{row[b]:g}" if row[b] == row[b] else "---"
+                for b in spec.basins
+            ]
+            lines.append(" & ".join(cells) + r" \\")
+        lines += [r"\bottomrule", r"\end{tabular}", ""]
+    for name in fig_names or []:
+        lines.append(r"\includegraphics[width=\textwidth]{%s}" % name)
+    lines.append(r"\end{document}")
+    return "\n".join(lines)
+
+
+def write_latex(
+    store: ResultsStore,
+    spec: PipelineSpec,
+    start: datetime.date,
+    end: datetime.date,
+    path: str,
+    figs_dir: str | None = None,
+) -> str:
+    fig_names = None
+    if figs_dir:
+        fig_names = write_figures(store, spec, start, end, figs_dir)
+    tex = build_latex(store, spec, start, end, fig_names=fig_names)
+    with open(path, "w") as f:
+        f.write(tex)
+    return path
+
+
 def write_figures(
     store: ResultsStore,
     spec: PipelineSpec,

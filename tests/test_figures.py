@@ -133,3 +133,49 @@ def test_write_figures_and_report_links(spark, tmp_path):
     md = md_path.read_text()
     assert "## Figures" in md
     assert "figs/swe_volume_swe_mm.svg" in md
+
+
+def test_latex_report_structure(spark, tmp_path):
+    """build_latex fills the reference's report template shape: preamble,
+    one booktabs table per variable with escaped cells, figure hooks,
+    balanced environments."""
+    import datetime
+
+    from snowav_spark import pipeline, report, sinks
+
+    spec = pipeline.PipelineSpec(
+        run_id="tex_run",
+        edges=[0, 10, 20],
+        basins=["basin_A", "basin_B"],
+        store_path=str(tmp_path / "store"),
+        variables=("swe_mm",),
+    )
+    rows = [
+        ("tex_run", datetime.date(2024, 1, 1), b, "swe_mm", band, v)
+        for b in spec.basins
+        for band, v in ((-1, 30.0), (0, 10.0), (1, 20.0))
+    ]
+    store = sinks.ResultsStore(spark, spec.store_path)
+    store.write(
+        spark.createDataFrame(
+            rows,
+            ["run_id", "date", "basin_id", "variable", "band", "value"],
+        )
+    )
+    out = tmp_path / "report.tex"
+    report.write_latex(
+        store,
+        spec,
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 1, 2),
+        str(out),
+        figs_dir=str(tmp_path / "figs"),
+    )
+    tex = out.read_text()
+    assert tex.startswith(r"\documentclass")
+    assert tex.count(r"\begin{tabular}") == tex.count(r"\end{tabular}") == 1
+    assert r"\toprule" in tex and r"\bottomrule" in tex
+    assert r"swe\_mm" in tex  # underscore escaped
+    assert "band & basin\\_A & basin\\_B" in tex
+    assert tex.count(r"\includegraphics") == 2  # bar + line figure
+    assert tex.rstrip().endswith(r"\end{document}")
