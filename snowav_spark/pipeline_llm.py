@@ -46,6 +46,10 @@ class CurationConfig:
     # LONGEST member of each normalized-digest cluster (dedup.keep_best;
     # numeric ids required for its deterministic tie-break)
     exact_survivor: str = "min_id"
+    # input expectations (ops/expectations.Rule list): enforced in one
+    # validation scan BEFORE any curation work starts — fail fast on a
+    # malformed corpus rather than after the expensive dedup stages
+    input_expectations: tuple = ()
     # mixture balancing after dedup: None | "uniform" (downsample every
     # group to the smallest) | "temperature" (sqrt(min/n) keep-rates)
     balance: str | None = None
@@ -91,6 +95,10 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     if cfg.balance not in (None, "uniform", "temperature"):
         raise ValueError(f"unknown balance mode {cfg.balance!r}")
     id_c, txt = cfg.id_col, cfg.text_col
+    if cfg.input_expectations:
+        from snowav_spark.ops import expectations as _ex
+
+        _ex.enforce(df, list(cfg.input_expectations))
     counts: dict[str, int] = {}
 
     def note(name: str, frame: DataFrame) -> DataFrame:
