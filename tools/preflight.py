@@ -41,6 +41,43 @@ def check_doc_totals() -> bool:
     return ok
 
 
+# The 12 BASELINE.md headline shapes (Spark 4.1.2 local[*] @ sf0.1) — the
+# driver's explicit perf bar is 2× these.  Gate them here so a regression
+# fails preflight the round it happens, not at judging.
+BASELINE_SEC = {
+    "q_zonal_mean": 1.50,
+    "q_end_last": 1.53,
+    "q_sum_range": 0.31,
+    "q_cumsum": 0.31,
+    "q_pivot": 0.24,
+    "q_join_dim": 0.57,
+    "q_difference": 0.15,
+    "q_topk": 0.08,
+    "q_text_stats": 0.18,
+    "q_dedup_exact": 0.16,
+    "q_sim_topk": 0.11,
+}
+
+
+def check_bench_vs_baseline() -> bool:
+    try:
+        detail = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    except (OSError, json.JSONDecodeError):
+        print("  BENCH_DETAIL.json missing/unreadable")
+        return False
+    qs = detail.get("queries", detail)
+    bad = []
+    for k, base in BASELINE_SEC.items():
+        got = qs.get(k)
+        if got is None:
+            bad.append(f"{k}: not in bench output")
+        elif got > 2 * base:
+            bad.append(f"{k}: {got:.3f}s > 2x baseline {base:.2f}s")
+    for b in bad:
+        print("  " + b)
+    return not bad
+
+
 def main() -> int:
     results = {"doc-totals": check_doc_totals()}
     print(f"{'PASS' if results['doc-totals'] else 'FAIL'} doc-totals")
@@ -64,6 +101,11 @@ def main() -> int:
             ok = False
             print(f"FAIL bench: no JSON line ({line[:120]})")
         results["bench"] = ok
+        results["bench-vs-baseline"] = check_bench_vs_baseline()
+        print(
+            f"{'PASS' if results['bench-vs-baseline'] else 'FAIL'} "
+            f"bench-vs-baseline (2x gate)"
+        )
     bad = [k for k, v in results.items() if not v]
     print("PREFLIGHT:", "ALL PASS" if not bad else f"FAILED: {bad}")
     return 1 if bad else 0
