@@ -106,3 +106,47 @@ def report_frame(store: ResultsStore, spec: PipelineSpec, variable: str, start, 
     """EP3 (figures/query-only mode): pivoted bands × basins pandas frame
     (ref:snowav/database/database.py::collect output shape)."""
     return store.collect_frame(spec.run_id, variable, spec.basins, start, end)
+
+
+def stream_run(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    grid_dir: str,
+    topo: DataFrame,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """EP2 option (b), SURVEY §3: the daily AWSM coupling as a
+    Structured Streaming job over the grid directory instead of a
+    re-invoked batch.  The streaming raster source (sources/
+    raster_source.py) emits only the grid files that appeared since the
+    checkpointed offset; each micro-batch runs the SAME lazy plan as the
+    batch pipeline (broadcast topo join → banded ROLLUP agg) and lands
+    via dynamic partition overwrite, so replays of a failed batch
+    rewrite — not duplicate — their (run_id, date) partitions.
+    Day-grain exactly-once therefore comes from idempotent partition
+    writes + exact offset replay, with no dedup state to carry.
+
+    Returns the started StreamingQuery; with ``available_now`` the
+    caller awaits termination, without it the query runs continuously as
+    the model writes grids.
+    """
+    from snowav_spark import sources as _sources
+
+    _sources.register(spark)
+    store = ResultsStore(spark, spec.store_path)
+    stream = spark.readStream.format("snowav_raster").load(grid_dir)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write(process(spec, batch_df, topo))
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -123,3 +123,70 @@ def test_streaming_reads_only_new_grids(spark, tmp_path):
     # no new files -> a third run appends nothing
     run_once()
     assert spark.read.parquet(out).count() == 12
+
+
+def test_stream_run_matches_batch_pipeline(spark, tmp_path):
+    """EP2 option (b): the streaming pipeline over an arriving grid
+    directory must land EXACTLY what the batch pipeline produces from
+    the same files — day-grain exactly-once from offset replay +
+    dynamic partition overwrite."""
+    gdir = tmp_path / "grids"
+    gdir.mkdir()
+
+    def write_grid(day, base):
+        rows = [
+            ",".join(str(base + y * 10 + x) for x in range(4))
+            for y in range(3)
+        ]
+        (gdir / f"swe_mm_{day}.csv").write_text("\n".join(rows) + "\n")
+
+    spec_s = pipeline.PipelineSpec(
+        run_id="ep2s",
+        edges=[0, 10, 20, 30],
+        basins=["basin_A", "basin_B"],
+        store_path=str(tmp_path / "stream_store"),
+        variables=("swe_mm",),
+    )
+    topo = synthetic_topo(spark, 3, 4, spec_s.edges)
+
+    def stream_once():
+        q = pipeline.stream_run(
+            spark, spec_s, str(gdir), topo, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    write_grid("2024-03-01", 5.0)
+    stream_once()
+    write_grid("2024-03-02", 15.0)
+    stream_once()
+
+    # batch reference over the same directory
+    sources.register(spark)
+    spec_b = pipeline.PipelineSpec(
+        run_id="ep2s",  # same run id → same rows modulo store
+        edges=spec_s.edges,
+        basins=spec_s.basins,
+        store_path=str(tmp_path / "batch_store"),
+        variables=("swe_mm",),
+    )
+    raster = spark.read.format("snowav_raster").load(str(gdir))
+    batch_store = pipeline.run(
+        spark, spec_b, raster, topo, record_metadata=False
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(spec_s.store_path)
+            .select("run_id", "date", "basin_id", "variable", "band", "value")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            batch_store.read()
+            .select("run_id", "date", "basin_id", "variable", "band", "value")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
