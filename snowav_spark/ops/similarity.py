@@ -601,3 +601,68 @@ def random_projection(
     return wide.selectExpr(
         *keep, f"array({', '.join(outs)}) AS {out_col}"
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    path: str,
+    n_cells: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+) -> list:
+    """Persist the IVF index AS A PARQUET LAYOUT: rows partitioned by
+    their cell id, centroids in an underscore-prefixed JSON sidecar
+    (ignored by Spark's file listing).  This is the 100 TB serving form
+    the in-memory :func:`ivf_topk` docstring promises: a probe reads
+    ONLY the nprobe cell directories — partition pruning does the
+    inverted-file part, no search service required.  Returns the
+    centroids (also written to the sidecar)."""
+    import json
+    import os
+
+    cents = ivf_centroids(df, id_col, vec, n_cells, iters, dim)
+    ivf_assign(df, id_col, vec, cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump({"dim": dim, "centroids": [list(map(float, c)) for c in cents]}, f)
+    return cents
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    query_vec,
+    id_col: str,
+    vec: str,
+    k: int = 10,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Top-k cosine search against a :func:`build_ivf_index` layout.
+    Cell selection is driver-side numpy over the sidecar centroids; the
+    scan then carries ``cell IN (probed)`` as a PARTITION filter, so at
+    any corpus size the job reads nprobe directories, not the index.
+    ``nprobe >= n_cells`` degrades gracefully to exact brute force."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        side = json.load(f)
+    c = np.asarray(side["centroids"], dtype=np.float64)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    d = (c * c).sum(axis=1) - 2.0 * (c @ qv)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            dot(F.col(vec), qlit) / (norm(F.col(vec)) * norm(qlit)), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

@@ -935,3 +935,43 @@ def test_oov_vocab_boundary_tiebreak(spark):
         for r in T.oov_rate(df, "doc_id", "text", vocab_size=1).collect()
     }
     assert rows[1].n_oov == 1 and rows[2].n_oov == 1
+
+
+def test_build_and_search_ivf_index(spark, sf_dir, tmp_path):
+    """Persisted IVF layout e2e: build writes cell-partitioned parquet +
+    a centroid sidecar; full-probe search equals brute-force exact; a
+    partial probe carries the cell predicate as a PartitionFilter."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", path, n_cells=8, iters=1
+    )
+    assert len(cents) >= 1
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").collect()
+    qv = list(qrow[0][0])
+
+    # full probe == exact brute force (self excluded on the exact side)
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.search_ivf_index(
+            spark, path, qv, "vec_id", "embedding", k=6, nprobe=len(cents)
+        ).collect()
+    ]
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.cosine_topk(
+            emb, "vec_id", "embedding", query_id=7, k=6
+        ).collect()
+    ]
+    exact_no_self = [(i, c) for i, c in exact if i != 7][:5]
+    got_no_self = [(i, c) for i, c in got if i != 7][:5]
+    assert got_no_self == exact_no_self
+
+    # partial probe prunes at the file level
+    probed = similarity.search_ivf_index(
+        spark, path, qv, "vec_id", "embedding", k=5, nprobe=2
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert probed.count() == 5
