@@ -71,10 +71,10 @@ def read_netcdf_outputs(
     and streams its grids out as Arrow batches; the driver only ships the
     path list.
 
-    Classic (CDF-1/CDF-2/CDF-5) files need no native library — the pure-NumPy
-    parser in sources/netcdf3.py reads them anywhere numpy exists; when
-    netCDF4 is installed it is preferred (and required for HDF5-backed
-    NetCDF-4 files)."""
+    No native library needed: classic (CDF-1/2/5) files parse via
+    sources/netcdf3.py and HDF5-backed NetCDF-4 files via sources/hdf5.py
+    (both pure NumPy, dispatched by magic bytes); when netCDF4 is
+    installed it is preferred."""
     paths_df = spark.createDataFrame([(p,) for p in paths], ["path"])
 
     def read_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,7 +84,7 @@ def read_netcdf_outputs(
             import netCDF4 as nc
         except ImportError:
             nc = None
-        from snowav_spark.sources import netcdf3
+        from snowav_spark.sources import open_dataset
 
         for pdf in batches:
             for path in pdf["path"]:
@@ -94,7 +94,7 @@ def read_netcdf_outputs(
                     grids = {v: np.asarray(ds[v][:], dtype=float)
                              for v in variables}
                 else:
-                    ds = netcdf3.read(path)
+                    ds = open_dataset(path)
                     tv = ds.variables[time_var]
                     dates = _num2date(
                         ds.values(time_var).astype(float),

@@ -13,7 +13,8 @@ Supported: CDF-1 (magic ``CDF\\x01``), CDF-2 (64-bit offset,
 header integer widens to 8 bytes and five unsigned/64-bit external types
 join the original six, per the public PnetCDF CDF-5 specification);
 fixed and record (unlimited-dim) variables, global + per-variable
-attributes.  Not supported (raises): HDF5-backed NetCDF-4 files.
+attributes.  HDF5-backed NetCDF-4 files live in the sibling
+sources/hdf5.py; sources.open_dataset dispatches on magic bytes.
 
 Files are read via ``mmap`` — only the header and the pages a
 ``Dataset.values`` call touches are ever faulted in, so a multi-GiB
@@ -188,7 +189,8 @@ def read(path_or_bytes) -> Dataset:
                 buf = f.read()
     if buf[:3] != b"CDF":
         raise ValueError(
-            "not a classic NetCDF file (NetCDF-4/HDF5 is unsupported here)"
+            "not a classic NetCDF file (for HDF5-backed NetCDF-4 use "
+            "sources.hdf5.read or the sniffing sources.open_dataset)"
         )
     version = buf[3]
     if version not in (1, 2, 5):
