@@ -91,8 +91,7 @@ def read_netcdf_outputs(
                 if nc is not None:
                     ds = nc.Dataset(path)
                     dates = nc.num2date(ds["time"][:], ds["time"].units)
-                    grids = {v: np.asarray(ds[v][:], dtype=float)
-                             for v in variables}
+                    read_step = lambda v, ti: np.asarray(ds[v][ti], dtype=float)  # noqa: E731
                 else:
                     ds = open_dataset(path)
                     tv = ds.variables[time_var]
@@ -100,12 +99,15 @@ def read_netcdf_outputs(
                         ds.values(time_var).astype(float),
                         str(tv.attrs.get("units", "days since 1970-01-01")),
                     )
-                    grids = {v: ds.values(v).astype(float)
-                             for v in variables}
+                    # slab read: one timestep faulted in at a time, so a
+                    # multi-GiB (time, y, x) cube never needs cube-sized
+                    # executor memory — mmap pages + one grid per step
+                    read_step = lambda v, ti: ds.values(  # noqa: E731
+                        v, first=slice(ti, ti + 1)
+                    )[0].astype(float)
                 for var in variables:
-                    arr = grids[var]  # (t, y, x)
                     for ti, d in enumerate(dates):
-                        grid = np.asarray(arr[ti], dtype=float)
+                        grid = read_step(var, ti)
                         ys, xs = np.indices(grid.shape)
                         yield pd.DataFrame(
                             {

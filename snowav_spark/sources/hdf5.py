@@ -488,36 +488,56 @@ class H5File:
 
     # -- dataset data ----------------------------------------------------------
 
-    def read_dataset(self, obj: _Obj) -> np.ndarray:
+    def read_dataset(self, obj: _Obj, first: slice | None = None) -> np.ndarray:
+        """Materialize a dataset, optionally only rows ``first`` of the
+        leading axis.  Slab reads touch only the pages (contiguous) or
+        chunks (chunked — pruned by the chunk's leading offset) that
+        overlap, so streaming a (time, y, x) variable one timestep at a
+        time costs one grid of executor memory, not the whole cube."""
         dt = obj.dtype.numpy()
         shape = tuple(int(s) for s in obj.shape)
         if obj.layout is None:
             raise ValueError("dataset has no data layout message")
+        lo, hi = 0, shape[0] if shape else 1
+        if first is not None:
+            if not shape:
+                raise ValueError("cannot slab-read a scalar dataset")
+            lo, hi, step = first.indices(shape[0])
+            if step != 1:
+                raise ValueError("only unit-stride slabs supported")
+            shape = (max(hi - lo, 0), *shape[1:])
         kind = obj.layout[0]
         if kind == "compact":
-            arr = np.frombuffer(obj.layout[1], dt, int(np.prod(shape, dtype=np.int64)) if shape else 1)
-            return arr.reshape(shape).astype(dt.newbyteorder("="))
+            n = int(np.prod(obj.shape, dtype=np.int64)) if obj.shape else 1
+            arr = np.frombuffer(obj.layout[1], dt, n)
+            arr = arr.reshape(tuple(int(s) for s in obj.shape))
+            return arr[lo:hi].astype(dt.newbyteorder("=")) if first is not None else arr.astype(dt.newbyteorder("="))
         if kind == "contiguous":
             _, addr, size = obj.layout
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1
             if addr == _UNDEF:  # never written: all fill (zeros)
                 return np.zeros(shape, dt.newbyteorder("="))
-            arr = np.frombuffer(self.buf, dt, n, addr)
+            row = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+            arr = np.frombuffer(self.buf, dt, n, addr + lo * row * dt.itemsize)
             return arr.reshape(shape).astype(dt.newbyteorder("="))
         # chunked
         _, btree, cdims = obj.layout
         chunk_shape = tuple(int(c) for c in cdims[:-1])
         out = np.zeros(shape, dt.newbyteorder("="))
         for offsets, size, mask, addr in self._chunks(btree, len(cdims)):
+            if offsets[0] + chunk_shape[0] <= lo or offsets[0] >= hi:
+                continue  # chunk entirely outside the requested slab
             raw = bytes(self.buf[addr : addr + size])
             raw = self._defilter(raw, obj.filters, mask, dt.itemsize)
             chunk = np.frombuffer(raw, dt, int(np.prod(chunk_shape, dtype=np.int64)))
             chunk = chunk.reshape(chunk_shape)
             sel_out, sel_in = [], []
-            for o, c, s in zip(offsets[:-1], chunk_shape, shape):
-                hi = min(o + c, s)
-                sel_out.append(slice(o, hi))
-                sel_in.append(slice(0, hi - o))
+            for ax, (o, c, s) in enumerate(zip(offsets[:-1], chunk_shape, obj.shape)):
+                base = lo if ax == 0 else 0
+                top = hi if ax == 0 else int(s)
+                a, b = max(int(o), base), min(int(o) + c, top)
+                sel_out.append(slice(a - base, b - base))
+                sel_in.append(slice(a - int(o), b - int(o)))
             out[tuple(sel_out)] = chunk[tuple(sel_in)]
         return out
 
@@ -594,8 +614,8 @@ class NC4Dataset:
     _h5: H5File = field(repr=False, default=None)
     _objs: dict = field(repr=False, default_factory=dict)
 
-    def values(self, name: str) -> np.ndarray:
-        return self._h5.read_dataset(self._objs[name])
+    def values(self, name: str, first: slice | None = None) -> np.ndarray:
+        return self._h5.read_dataset(self._objs[name], first=first)
 
 
 def read(path_or_bytes) -> NC4Dataset:

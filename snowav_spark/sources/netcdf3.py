@@ -91,20 +91,31 @@ class Dataset:
     _buf: object = field(default=b"", repr=False)  # bytes or read-only mmap
     _recsize: int = 0
 
-    def values(self, name: str) -> np.ndarray:
-        """Materialize one variable as a native-endian ndarray."""
+    def values(self, name: str, first: slice | None = None) -> np.ndarray:
+        """Materialize one variable as a native-endian ndarray.  ``first``
+        reads only that slice of the leading axis (unit stride), faulting
+        in just the overlapping mmap pages — so streaming a (time, y, x)
+        variable per-timestep costs one grid of memory, not the cube."""
         v = self.variables[name]
         dt, width = _TYPES[v.nc_type]
-        if not v.is_record:
-            n = int(np.prod(v.shape, dtype=np.int64)) if v.shape else 1
-            arr = np.frombuffer(self._buf, dt, n, v.begin)
-            return arr.reshape(v.shape).astype(dt.newbyteorder("="))
-        # Record variable: one slab per record, strided by recsize.
+        lo, hi = 0, v.shape[0] if v.shape else 1
+        if first is not None:
+            if not v.shape:
+                raise ValueError("cannot slab-read a scalar variable")
+            lo, hi, step = first.indices(v.shape[0])
+            if step != 1:
+                raise ValueError("only unit-stride slabs supported")
         slab = v.shape[1:] if v.shape else ()
         per = int(np.prod(slab, dtype=np.int64)) if slab else 1
-        out = np.empty((self.numrecs, *slab), dt.newbyteorder("="))
-        for r in range(self.numrecs):
-            out[r] = np.frombuffer(
+        if not v.is_record:
+            n = max(hi - lo, 0) * per if v.shape else 1
+            arr = np.frombuffer(self._buf, dt, n, v.begin + lo * per * width)
+            shape = (max(hi - lo, 0), *slab) if v.shape else v.shape
+            return arr.reshape(shape).astype(dt.newbyteorder("="))
+        # Record variable: one slab per record, strided by recsize.
+        out = np.empty((max(hi - lo, 0), *slab), dt.newbyteorder("="))
+        for r in range(lo, hi):
+            out[r - lo] = np.frombuffer(
                 self._buf, dt, per, v.begin + r * self._recsize
             ).reshape(slab)
         return out

@@ -252,6 +252,19 @@ def test_superblock_v2_link_messages_compact_vlen_string():
     assert ds.dims == {"phony_dim_0": 2, "phony_dim_1": 3}
 
 
+def test_slab_reads_match_full_reads(nc4_files):
+    """first=slice(...) slab reads equal full-read slices for both
+    layouts — chunked (chunks pruned by leading offset, incl. a slab
+    that splits a chunk) and contiguous (page-offset arithmetic)."""
+    path, swe, depth = nc4_files[0]
+    ds = hdf5.read(path)
+    for name, ref in (("specific_mass", swe), ("thickness", depth)):
+        for sl in (slice(0, 1), slice(1, 2), slice(0, 2), slice(1, 1)):
+            np.testing.assert_array_equal(ds.values(name, first=sl), ref[sl])
+    with pytest.raises(ValueError, match="stride"):
+        ds.values("specific_mass", first=slice(0, 2, 2))
+
+
 def test_fletcher32_defilter():
     raw = np.arange(8, dtype="<f4").tobytes()
     assert (

@@ -162,6 +162,12 @@ def test_cdf2_unlimited_record_vars(tmp_path, numrecs_field):
     np.testing.assert_array_equal(ds.values("grid"), expect["grid"])
     np.testing.assert_array_equal(ds.values("t"), expect["t"])
     np.testing.assert_array_equal(ds.values("swe"), expect["swe"])
+    # slab reads (record AND fixed variables) equal full-read slices
+    for name in ("grid", "t", "swe"):
+        for sl in (slice(0, 1), slice(1, 3), slice(2, 2)):
+            np.testing.assert_array_equal(
+                ds.values(name, first=sl), expect[name][sl]
+            )
 
 
 @pytest.mark.parametrize("version", [2, 5])
