@@ -1,3 +1,4 @@
+from snowav_spark.sources.netcdf_source import NetCDFDataSource
 from snowav_spark.sources.raster_source import RasterGridDataSource, register
 
 
@@ -21,4 +22,9 @@ def open_dataset(path_or_bytes):
     raise ValueError("not a NetCDF file (neither classic CDF nor HDF5 magic)")
 
 
-__all__ = ["RasterGridDataSource", "register", "open_dataset"]
+__all__ = [
+    "NetCDFDataSource",
+    "RasterGridDataSource",
+    "register",
+    "open_dataset",
+]

@@ -1,0 +1,164 @@
+"""Spark 4 Python Data Source for NetCDF model output → tall rows.
+
+Reference parity: ref:snowav/framework/outputs.py opens ``snow.nc`` /
+``em.nc`` with netCDF4 on the driver and keeps every timestep in RAM.
+This is the fully-Spark-native slot: ``spark.read.format("snowav_netcdf")``
+over a directory of NetCDF files (classic CDF-1/2/5 *or* HDF5-backed
+NetCDF-4 — sources.open_dataset sniffs per file, no native library).
+
+Scale design — better than file-per-task:
+
+- **Partitions are (file, variable, timestep-range)**, planned from
+  header-only opens on the driver (mmap faults in just the header
+  pages).  A 10-year daily cube splits into many tasks instead of one
+  giant one, so executor memory per task is ``steps_per_task`` grids
+  and stragglers shrink with the split, not the file.
+- **Executors read slabs**: ``Dataset.values(var, first=slice(lo, hi))``
+  prunes chunks by the B-tree's leading offset (HDF5) or strides records
+  (classic), faulting in only the requested timesteps.
+- **Rows leave Python as Arrow RecordBatches** (one per timestep), the
+  Python-DataSource fast path — no per-cell Python tuples.
+
+Usage::
+
+    from snowav_spark.sources import netcdf_source
+    netcdf_source.register(spark)
+    df = (spark.read.format("snowav_netcdf")
+          .option("variables", "specific_mass,thickness")
+          .load("/path/to/run_dir"))
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RASTER_SCHEMA = StructType(
+    [
+        StructField("date", DateType(), False),
+        StructField("y", IntegerType(), False),
+        StructField("x", IntegerType(), False),
+        StructField("variable", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+@dataclass
+class _SlabPartition(InputPartition):
+    path: str
+    variable: str
+    lo: int  # first timestep (inclusive)
+    hi: int  # last timestep (exclusive)
+    time_var: str
+
+
+def _list_netcdf(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith((".nc", ".nc4", ".cdf"))
+    )
+
+
+class NetCDFReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snowav_netcdf requires a load(path) file or dir")
+        self.variables = [
+            v for v in (options.get("variables") or "").split(",") if v
+        ]
+        self.time_var = options.get("time_var", "time")
+        self.steps_per_task = int(options.get("steps_per_task", "8"))
+
+    def partitions(self):
+        from snowav_spark.sources import open_dataset
+
+        parts: list[_SlabPartition] = []
+        for p in _list_netcdf(self.path):
+            ds = open_dataset(p)  # header-only cost: data reads are lazy
+            if self.time_var not in ds.variables:
+                raise ValueError(f"{p}: no time variable {self.time_var!r}")
+            steps = int(ds.dims.get(self.time_var, 0))
+            names = self.variables or [
+                n
+                for n, v in sorted(ds.variables.items())
+                if n != self.time_var and v.dims and v.dims[0] == self.time_var
+                and len(v.dims) == 3
+            ]
+            for var in names:
+                if var not in ds.variables:
+                    raise ValueError(f"{p}: no variable {var!r}")
+                for lo in range(0, steps, self.steps_per_task):
+                    parts.append(
+                        _SlabPartition(
+                            p, var, lo, min(lo + self.steps_per_task, steps),
+                            self.time_var,
+                        )
+                    )
+        if not parts:
+            raise ValueError(f"no NetCDF files with timesteps under {self.path}")
+        return parts
+
+    def read(self, part: _SlabPartition):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from snowav_spark.ingest import _num2date
+        from snowav_spark.sources import open_dataset
+
+        ds = open_dataset(part.path)
+        tv = ds.variables[part.time_var]
+        tvals = ds.values(
+            part.time_var, first=slice(part.lo, part.hi)
+        ).astype(float)
+        dates = _num2date(
+            tvals, str(tv.attrs.get("units", "days since 1970-01-01"))
+        )
+        for i, d in enumerate(dates):
+            step = part.lo + i
+            grid = ds.values(part.variable, first=slice(step, step + 1))[0]
+            grid = np.asarray(grid, dtype=np.float64)
+            ys, xs = np.indices(grid.shape)
+            n = grid.size
+            yield pa.record_batch(
+                [
+                    pa.array([pd.Timestamp(d).date()] * n, pa.date32()),
+                    pa.array(ys.ravel().astype("int32"), pa.int32()),
+                    pa.array(xs.ravel().astype("int32"), pa.int32()),
+                    pa.array([part.variable] * n, pa.string()),
+                    pa.array(grid.ravel(), pa.float64()),
+                ],
+                names=["date", "y", "x", "variable", "value"],
+            )
+
+
+class NetCDFDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snowav_netcdf"
+
+    def schema(self) -> StructType:
+        return RASTER_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return NetCDFReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(NetCDFDataSource)

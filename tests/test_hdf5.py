@@ -12,6 +12,7 @@ produces, and the magic-sniffing ingest dispatch next to classic CDF
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -263,6 +264,61 @@ def test_slab_reads_match_full_reads(nc4_files):
             np.testing.assert_array_equal(ds.values(name, first=sl), ref[sl])
     with pytest.raises(ValueError, match="stride"):
         ds.values("specific_mass", first=slice(0, 2, 2))
+
+
+def test_netcdf_datasource(spark, nc4_files, tmp_path):
+    """spark.read.format('snowav_netcdf'): partitions are (file,
+    variable, timestep-range) slabs; executors emit Arrow batches; a
+    classic CDF file in the same directory reads through the same
+    source (per-file magic sniffing)."""
+    import shutil
+
+    from snowav_spark.sources import netcdf_source
+
+    root = tmp_path / "run"
+    root.mkdir()
+    for p, _, _ in nc4_files:
+        shutil.copy(p, root / os.path.basename(p))
+    swe3 = np.full((1, 3, 4), 7.25)
+    netcdf3.write(
+        str(root / "z_classic.nc"),
+        dims={"time": 1, "y": 3, "x": 4},
+        variables={
+            "time": (["time"], np.array([4], dtype=np.int32),
+                     {"units": "days since 2020-10-01"}),
+            "specific_mass": (["time", "y", "x"], swe3, {}),
+        },
+    )
+    netcdf_source.register(spark)
+    df = (
+        spark.read.format("snowav_netcdf")
+        .option("variables", "specific_mass")
+        .option("steps_per_task", "1")
+        .load(str(root))
+    )
+    # 3 files x (2+2+1 steps) x 1 variable, one slab partition per step
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 5 * 12
+    got = {
+        (str(r.date), r.variable): r.m
+        for r in df.groupBy("date", "variable")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    _, swe0, _ = nc4_files[0]
+    assert got[("2020-10-01", "specific_mass")] == pytest.approx(
+        float(swe0[0].mean()), abs=1e-9
+    )
+    assert got[("2020-10-05", "specific_mass")] == pytest.approx(7.25)
+    # default variable discovery: every 3-D time-led var, not the coord
+    auto = (
+        spark.read.format("snowav_netcdf")
+        .load(str(root / os.path.basename(nc4_files[0][0])))
+    )
+    assert {r.variable for r in auto.select("variable").distinct().collect()} == {
+        "specific_mass",
+        "thickness",
+    }
 
 
 def test_fletcher32_defilter():
