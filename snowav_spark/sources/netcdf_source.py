@@ -33,7 +33,12 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DateType,
     DoubleType,
@@ -147,6 +152,81 @@ class NetCDFReader(DataSourceReader):
             )
 
 
+class NetCDFStreamReader(SimpleDataSourceStreamReader):
+    """EP2 as a stream over REAL model output: the coupled model drops
+    one NetCDF file per run into the directory; each micro-batch reads
+    exactly the files that appeared since the checkpointed offset
+    (offset = lexicographically-last processed filename — daily run
+    names are date-ordered, same monotonicity as the grid-CSV stream).
+    ``readBetweenOffsets`` replays any (start, end] slice exactly, so a
+    failed batch re-reads the same file set.  Reads happen driver-side
+    per the simple-reader protocol — right for the one-file-per-day
+    cadence; bulk backfills use the batch source, whose slab partitions
+    read on executors."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snowav_netcdf requires a load(path) directory")
+        self.variables = [
+            v for v in (options.get("variables") or "").split(",") if v
+        ]
+        self.time_var = options.get("time_var", "time")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _rows(self, lo: str, hi: str | None) -> list[tuple]:
+        import numpy as np
+        import pandas as pd
+
+        from snowav_spark.ingest import _num2date
+        from snowav_spark.sources import open_dataset
+
+        rows: list[tuple] = []
+        for p in _list_netcdf(self.path):
+            name = os.path.basename(p)
+            if not (name > lo and (hi is None or name <= hi)):
+                continue
+            ds = open_dataset(p)
+            tv = ds.variables[self.time_var]
+            dates = _num2date(
+                ds.values(self.time_var).astype(float),
+                str(tv.attrs.get("units", "days since 1970-01-01")),
+            )
+            names = self.variables or [
+                n
+                for n, v in sorted(ds.variables.items())
+                if n != self.time_var and v.dims
+                and v.dims[0] == self.time_var and len(v.dims) == 3
+            ]
+            for var in names:
+                for ti, d in enumerate(dates):
+                    grid = np.asarray(
+                        ds.values(var, first=slice(ti, ti + 1))[0], dtype=float
+                    )
+                    day = pd.Timestamp(d).date()
+                    for y in range(grid.shape[0]):
+                        row = grid[y]
+                        rows.extend(
+                            (day, y, x, var, float(row[x]))
+                            for x in range(grid.shape[1])
+                        )
+        return rows
+
+    def read(self, start: dict):
+        names = [os.path.basename(p) for p in _list_netcdf(self.path)]
+        new = [n for n in names if n > start["last"]]
+        end = {"last": new[-1]} if new else dict(start)
+        return iter(self._rows(start["last"], end["last"] or None)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["last"], end["last"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing to clean up
+
+
 class NetCDFDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -157,6 +237,11 @@ class NetCDFDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return NetCDFReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return NetCDFStreamReader(self.options)
 
 
 def register(spark) -> None:

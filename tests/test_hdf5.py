@@ -321,6 +321,59 @@ def test_netcdf_datasource(spark, nc4_files, tmp_path):
     }
 
 
+def test_netcdf_stream_reads_only_new_files(spark, tmp_path):
+    """Streaming over NetCDF drops: run 1 sees file A; file B (a
+    NetCDF-4 container this time) arrives; run 2 emits ONLY B's rows —
+    offsets checkpoint across restarts, formats mix freely."""
+    from snowav_spark.sources import netcdf_source
+
+    gdir = tmp_path / "drops"
+    gdir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, day_num, fill, fmt):
+        grid = np.full((1, 2, 2), fill)
+        variables = {
+            "time": (["time"], np.array([day_num], dtype=np.float64),
+                     {"units": "days since 2020-10-01"}),
+            "specific_mass": (["time", "y", "x"], grid, {}),
+        }
+        dims = {"time": 1, "y": 2, "x": 2}
+        if fmt == "classic":
+            netcdf3.write(str(gdir / name), dims=dims, variables=variables)
+        else:
+            hdf5.write(str(gdir / name), dims=dims, variables=variables)
+
+    netcdf_source.register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("snowav_netcdf")
+            .option("variables", "specific_mass")
+            .load(str(gdir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop("a_20201001.nc", 0, 1.5, "classic")
+    run_once()
+    assert spark.read.parquet(out).count() == 4
+    drop("b_20201002.nc", 1, 2.5, "nc4")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    by_day = {
+        str(r.date): r.m
+        for r in got.groupBy("date").agg(F.avg("value").alias("m")).collect()
+    }
+    assert by_day == {"2020-10-01": 1.5, "2020-10-02": 2.5}
+
+
 def test_fletcher32_defilter():
     raw = np.arange(8, dtype="<f4").tobytes()
     assert (
