@@ -165,7 +165,16 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         store_path=s["store_path"],
     )
     extras = {
-        "grid_dir": req("grid_dir", "run_dirs"),
+        # grid_dir: <variable>_<date>.csv grids; nc_dir: NetCDF model
+        # output (classic or NetCDF-4) — the reference's run_dirs point
+        # at the latter (ref:snowav/framework/outputs.py)
+        "grid_dir": (
+            req("grid_dir", "nc_dir", "run_dirs")
+            if "nc_dir" not in s
+            else None
+        ),
+        "nc_dir": s.get("nc_dir"),
+        "nc_variables": s.get("nc_variables"),
         "topo_parquet": s.get("topo_parquet"),
         "report_variable": s.get("report_variable"),
         "report_csv": s.get("report_csv"),
@@ -334,7 +343,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"snowav_spark:{spec.run_id}")
     sources.register(spark)
 
-    raster = spark.read.format("snowav_raster").load(extras["grid_dir"])
+    if extras["nc_dir"]:
+        rd = spark.read.format("snowav_netcdf")
+        if extras["nc_variables"]:
+            rd = rd.option("variables", extras["nc_variables"])
+        raster = rd.load(extras["nc_dir"])
+    else:
+        raster = spark.read.format("snowav_raster").load(extras["grid_dir"])
     if extras["topo_parquet"]:
         topo = spark.read.parquet(extras["topo_parquet"])
     else:

@@ -1,5 +1,13 @@
 from snowav_spark.sources.netcdf_source import NetCDFDataSource
-from snowav_spark.sources.raster_source import RasterGridDataSource, register
+from snowav_spark.sources.raster_source import RasterGridDataSource
+
+
+def register(spark) -> None:
+    """Register every custom Python DataSource on a session (idempotent):
+    ``snowav_raster`` (CSV grid files) and ``snowav_netcdf`` (classic or
+    HDF5-backed NetCDF model output)."""
+    spark.dataSource.register(RasterGridDataSource)
+    spark.dataSource.register(NetCDFDataSource)
 
 
 def open_dataset(path_or_bytes):

@@ -44,6 +44,54 @@ def test_cli_end_to_end(spark, grid_dir, tmp_path):
     assert len(frame) > 0
 
 
+def test_cli_netcdf_run_dir(spark, tmp_path):
+    """`nc_dir` in the INI drives the whole pipeline from REAL NetCDF
+    model output (one classic file + one NetCDF-4 file) through the
+    snowav_netcdf DataSource — the reference's run_dirs workflow
+    (ref:snowav/framework/outputs.py) with zero native deps."""
+    import numpy as np
+
+    from snowav_spark import cli
+    from snowav_spark.sources import hdf5, netcdf3
+
+    ncdir = tmp_path / "run_dir"
+    ncdir.mkdir()
+    for f, writer in ((0, netcdf3.write), (1, hdf5.write)):
+        grid = np.full((1, 3, 4), 12.0 + f)
+        writer(
+            str(ncdir / f"snow_{f}.nc"),
+            dims={"time": 1, "y": 3, "x": 4},
+            variables={
+                "time": (["time"], np.array([f], dtype=np.float64),
+                         {"units": "days since 2024-03-01"}),
+                "swe_mm": (["time", "y", "x"], grid, {}),
+            },
+        )
+    ini = tmp_path / "nc_run.ini"
+    report = tmp_path / "nc_report.csv"
+    ini.write_text(
+        "[snowav]\n"
+        "run_id = nc_run\n"
+        "edges = 0, 10, 20, 30\n"
+        "basins = basin_A, basin_B\n"
+        f"nc_dir = {ncdir}\n"
+        "nc_variables = swe_mm\n"
+        f"store_path = {tmp_path / 'nc_store'}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report}\n"
+    )
+    rc = cli.main(["-f", str(ini)])
+    assert rc == 0
+    frame = pd.read_csv(report).set_index("band")
+    assert list(frame.columns) == ["basin_A", "basin_B"]
+    # the -1 'total' rollup row equals the sum of the elevation bands,
+    # and totals carry both files' grids (uniform 12 + 13 over 2 dates)
+    for basin in ("basin_A", "basin_B"):
+        bands = frame.loc[frame.index >= 0, basin]
+        assert frame.loc[-1, basin] == pytest.approx(bands.sum())
+        assert frame.loc[-1, basin] > 0
+
+
 def test_cli_missing_config():
     from snowav_spark import cli
 
