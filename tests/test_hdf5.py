@@ -381,3 +381,53 @@ def test_fletcher32_defilter():
     )
     # masked-out filter is skipped
     assert hdf5.H5File._defilter(raw, [(3, ())], 1, 4) == raw
+
+
+# -- property test: random shapes/dtypes/chunkings survive a round trip ------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DTYPES = ["i1", "i2", "i4", "i8", "u1", "u2", "u4", "u8", "f4", "f8"]
+
+
+@given(
+    shape=st.lists(st.integers(1, 9), min_size=1, max_size=3),
+    dtype=st.sampled_from(_DTYPES),
+    chunked=st.booleans(),
+    chunk_seed=st.integers(1, 5),
+    compress=st.booleans(),
+    data=st.randoms(use_true_random=False),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_roundtrip_property(tmp_path_factory, shape, dtype, chunked,
+                            chunk_seed, compress, data):
+    """Any dims×dtype×layout combination round-trips bit-exactly,
+    including chunk shapes that don't divide the dims (edge chunks) and
+    chunks larger than the data."""
+    rng = np.random.RandomState(data.randint(0, 2**31 - 1))
+    arr = (rng.rand(*shape) * 200 - 100).astype(dtype)
+    dims = {f"d{i}": s for i, s in enumerate(shape)}
+    kw = {}
+    if chunked:
+        kw["chunks"] = {"v": tuple(
+            max(1, min(s + chunk_seed - 3, 9)) for s in shape
+        )}
+        if compress:
+            kw["deflate"] = 1
+            kw["shuffle"] = True
+    p = str(tmp_path_factory.mktemp("prop") / "p.nc")
+    hdf5.write(p, dims=dims, variables={"v": (list(dims), arr, {})}, **kw)
+    ds = hdf5.read(p)
+    got = ds.values("v")
+    np.testing.assert_array_equal(got, arr)
+    assert got.dtype == np.dtype(dtype)
+    # slab of the leading axis agrees too
+    lo = min(1, shape[0] - 1)
+    np.testing.assert_array_equal(
+        ds.values("v", first=slice(lo, shape[0])), arr[lo:]
+    )
