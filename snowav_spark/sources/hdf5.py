@@ -222,11 +222,16 @@ class H5File:
             end = pos + size
             while pos + 8 <= end:
                 mtype, msize = struct.unpack_from("<HH", buf, pos)
+                flags = buf[pos + 4]
                 body = pos + 8
                 if mtype == _M_CONTINUATION:
                     off, length = struct.unpack_from("<QQ", buf, body)
                     blocks.append((off, length))
                 elif mtype != _M_NIL:
+                    if flags & 0x02:  # body is a shared-message pointer
+                        raise ValueError(
+                            f"shared header message (type {mtype:#x}) unsupported"
+                        )
                     yield mtype, bytes(buf[body : body + msize])
                 pos = body + msize
 
@@ -249,6 +254,7 @@ class H5File:
             while p + 4 <= end:
                 mtype = buf[p]
                 (msize,) = struct.unpack_from("<H", buf, p + 1)
+                mflags = buf[p + 3]
                 p += 4
                 if creation_tracked:
                     p += 2
@@ -258,6 +264,10 @@ class H5File:
                     # OCHK signature (4) leads, checksum (4) trails
                     blocks.append((off + 4, length - 8))
                 elif mtype != _M_NIL:
+                    if mflags & 0x02:  # body is a shared-message pointer
+                        raise ValueError(
+                            f"shared header message (type {mtype:#x}) unsupported"
+                        )
                     yield mtype, bytes(buf[body : body + msize])
                 p = body + msize
 
@@ -324,10 +334,16 @@ class H5File:
         out = []
         for _ in range(n):
             (fid,) = struct.unpack_from("<H", m, pos)
-            (namelen,) = struct.unpack_from("<H", m, pos + 2)
-            (ncv,) = struct.unpack_from("<H", m, pos + 6)
-            pos += 8
+            pos += 2
+            namelen = 0
             if version == 1 or fid >= 256:
+                # v2 omits the name-length field entirely for ids < 256
+                (namelen,) = struct.unpack_from("<H", m, pos)
+                pos += 2
+            pos += 2  # flags
+            (ncv,) = struct.unpack_from("<H", m, pos)
+            pos += 2
+            if namelen:
                 pos += (namelen + 7) // 8 * 8 if version == 1 else namelen
             cvs = struct.unpack_from(f"<{ncv}I", m, pos)
             pos += 4 * ncv

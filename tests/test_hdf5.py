@@ -383,6 +383,15 @@ def test_fletcher32_defilter():
     assert hdf5.H5File._defilter(raw, [(3, ())], 1, 4) == raw
 
 
+def test_filter_pipeline_v2_parsing():
+    """Pipeline message v2 omits the name-length field for filter ids
+    < 256 (unlike v1) — deflate(6) then shuffle(8) parse positionally."""
+    m = bytes([2, 2]) + struct.pack("<HHHI", 1, 0, 1, 6) + struct.pack(
+        "<HHHI", 2, 0, 1, 8
+    )
+    assert hdf5.H5File._parse_filters(m) == [(1, (6,)), (2, (8,))]
+
+
 # -- property test: random shapes/dtypes/chunkings survive a round trip ------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
