@@ -819,6 +819,13 @@ def write(
     # object creation order: dim scales first (coordinate vars count)
     dim_names = list(dims)
     coord_vars = {d for d in dim_names if d in norm and norm[d][0] == [d]}
+    for nm in norm:
+        if nm in dims and nm not in coord_vars:
+            raise ValueError(
+                f"variable {nm!r} shares a dimension's name but is not its"
+                " 1-D coordinate — the group would hold two objects named"
+                f" {nm!r}"
+            )
     hidden_scales = [d for d in dim_names if d not in coord_vars]
     objects = (
         [("scale", d) for d in dim_names]

@@ -383,6 +383,15 @@ def test_fletcher32_defilter():
     assert hdf5.H5File._defilter(raw, [(3, ())], 1, 4) == raw
 
 
+def test_writer_rejects_dim_name_collision(tmp_path):
+    with pytest.raises(ValueError, match="coordinate"):
+        hdf5.write(
+            str(tmp_path / "bad.nc"),
+            dims={"time": 2, "y": 3},
+            variables={"time": (["y"], np.zeros(3), {})},
+        )
+
+
 def test_filter_pipeline_v2_parsing():
     """Pipeline message v2 omits the name-length field for filter ids
     < 256 (unlike v1) — deflate(6) then shuffle(8) parse positionally."""
