@@ -6455,7 +6455,7 @@ def q_returned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT l.l_partkey AS partkey, p_brand,
-           round(m.mp, 6) AS unit_price,
+           m.mp AS unit_price,
            cast(min(l.l_suppkey) AS BIGINT) AS suppkey
     FROM lineitem l
     JOIN m ON l.l_partkey = m.l_partkey
@@ -6474,8 +6474,12 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppkey.  Shape: both sides of the join-back shuffle on l_partkey —
     the aggregate side is one row per part, so the join is dim-sized on
     the right and co-partitioned with the left; part is broadcast for
-    the brand decoration; round(,6) is applied only at output, never in
-    the join key."""
+    the brand decoration.  unit_price is emitted as the RAW double: the
+    min of identical IEEE divisions is bit-identical across engines,
+    whereas round(,6) at an exact half-point (x.xxxxxx5, which
+    2-decimal prices / integer quantities produce) splits half-even vs
+    half-away — a real sf0.1 mismatch the ci.sh cross-scale gate
+    caught."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -6495,7 +6499,7 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             "p_brand",
-            r6(F.col("mp")).alias("unit_price"),
+            F.col("mp").alias("unit_price"),
         )
         .agg(F.min("l_suppkey").cast("bigint").alias("suppkey"))
     )

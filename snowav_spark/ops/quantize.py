@@ -150,38 +150,37 @@ def pq_encode(
     no shuffle, no UDF — a linear scan at any corpus size.
     Output: (id, codes array<int>)."""
     m = len(codebook)
-    k = len(codebook[0])
     sub = len(codebook[0][0])
     dim = m * sub
-    wide = _wide(
-        df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)),
-        id_col,
-        vec,
-        dim,
-    )
-    dist_exprs = []
-    code_exprs = []
+    base = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+    # Higher-order array functions, NOT flattened scalars: an unrolled
+    # m·k·sub expression tree (512 multiply-adds + 64 CASE arms at
+    # m=k=8, sub=8) exceeded janino's method limit, so Spark silently
+    # fell back to interpreted projection (caught by the ci.sh sf0.1
+    # run: 6.1 s vs sub-second).  transform/aggregate lambdas compile
+    # to LOOPS inside whole-stage codegen, keeping the method small at
+    # any (m, k, sub).  Arithmetic order matches the unrolled form
+    # term-for-term (fold seeds 0.0; squares are never -0.0), so codes
+    # are bit-identical; array_position(min) keeps the first-match
+    # (lowest centroid id) tie-break of the old CASE chain.
+    dist_cols = []
     for j, cents in enumerate(codebook):
-        for ci, c in enumerate(cents):
-            d = " + ".join(
-                f"(x{j * sub + i} - {float(c[i])!r})"
-                f" * (x{j * sub + i} - {float(c[i])!r})"
-                for i in range(sub)
-            )
-            dist_exprs.append(f"{d} AS d{j}_{ci}")
-        best = f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
-        case = (
-            "CASE "
-            + " ".join(f"WHEN d{j}_{ci} = _b{j} THEN {ci}" for ci in range(k))
-            + " END"
+        cb = "array(" + ", ".join(
+            "array(" + ", ".join(repr(float(v)) for v in c) + ")"
+            for c in cents
+        ) + ")"
+        sv = f"CAST(slice({vec}, {j * sub + 1}, {sub}) AS array<double>)"
+        dist_cols.append(
+            f"transform({cb}, c -> aggregate(zip_with({sv}, c, "
+            f"(a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)) AS _d{j}"
         )
-        dist_exprs_tail = f"{best} AS _b{j}"
-        dist_exprs.append(dist_exprs_tail)
-        code_exprs.append(f"CAST({case} AS INT)")
-    scored = wide.selectExpr("*", *dist_exprs)
-    return scored.selectExpr(
-        id_col, f"array({', '.join(code_exprs)}) AS codes"
+    scored = base.selectExpr(id_col, *dist_cols)
+    codes = ", ".join(
+        f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT)"
+        for j in range(m)
     )
+    return scored.selectExpr(id_col, f"array({codes}) AS codes")
 
 
 def pq_topk(
