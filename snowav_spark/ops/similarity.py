@@ -568,13 +568,11 @@ def random_projection(
 
     import numpy as np
 
-    # helper columns _rp0.._rp{dim-1} and out_col are injected into the
-    # plan — a pre-existing column with either name would silently give
-    # wrong projections or an ambiguous-column error deep in codegen,
-    # so refuse loudly up front (same precondition style as keep_best).
-    clashes = sorted(
-        set(df.columns) & ({out_col} | {f"_rp{i}" for i in range(dim)})
-    )
+    # helper column _rpv and out_col are injected into the plan — a
+    # pre-existing column with either name would silently give wrong
+    # projections or an ambiguous-column error deep in codegen, so
+    # refuse loudly up front (same precondition style as keep_best).
+    clashes = sorted(set(df.columns) & {out_col, "_rpv"})
     if clashes:
         raise ValueError(
             "random_projection: input columns collide with helper/"
@@ -584,19 +582,22 @@ def random_projection(
     rng = np.random.RandomState(seed)
     scale = 1.0 / math.sqrt(out_dim)
     signs = rng.choice([-scale, scale], size=(out_dim, dim))
+    # dot products as array-lambda folds, not out_dim×dim unrolled
+    # scalar chains: past a few hundred terms the unrolled form blows
+    # janino's method limit and codegen silently degrades to interpreted
+    # rows (measured on quantize.pq_encode); the fold is bit-identical
+    # (0.0 seed — only the sign of zero can differ, and ±scale signs
+    # never produce a sign-of-zero that downstream >= 0 tests can see).
     wide = df.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
-    ).selectExpr(
-        "*",
-        *[
-            f"CAST(element_at({vec}, {i + 1}) AS DOUBLE) AS _rp{i}"
-            for i in range(dim)
-        ],
-    )
-    outs = [
-        " + ".join(f"_rp{i} * {float(signs[j][i])!r}" for i in range(dim))
-        for j in range(out_dim)
-    ]
+    ).selectExpr("*", f"CAST({vec} AS array<double>) AS _rpv")
+    outs = []
+    for j in range(out_dim):
+        row = "array(" + ", ".join(repr(float(s)) for s in signs[j]) + ")"
+        outs.append(
+            f"aggregate(zip_with(_rpv, {row}, (a, b) -> a * b), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
     keep = [c for c in df.columns]
     return wide.selectExpr(
         *keep, f"array({', '.join(outs)}) AS {out_col}"
