@@ -432,8 +432,9 @@ def test_random_projection_preserves_distances(spark, sf_dir):
 
 
 def test_random_projection_collision_guard(spark):
-    """ADVICE r4: inputs already containing _rp{i} or out_col must be
-    rejected loudly instead of producing ambiguous/wrong projections."""
+    """ADVICE r4: inputs already containing the _rpv helper or out_col
+    must be rejected loudly instead of producing ambiguous/wrong
+    projections."""
     import pytest
 
     from snowav_spark.ops import similarity
@@ -441,9 +442,9 @@ def test_random_projection_collision_guard(spark):
     base = spark.createDataFrame(
         [(1, [0.0] * 4)], ["vec_id", "embedding"]
     )
-    with pytest.raises(ValueError, match="_rp2"):
+    with pytest.raises(ValueError, match="_rpv"):
         similarity.random_projection(
-            base.withColumn("_rp2", F.lit(1)), "vec_id", "embedding", 4, 2
+            base.withColumn("_rpv", F.lit(1)), "vec_id", "embedding", 4, 2
         )
     with pytest.raises(ValueError, match="proj"):
         similarity.random_projection(
