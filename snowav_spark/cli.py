@@ -180,6 +180,7 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         "report_csv": s.get("report_csv"),
         "report_md": s.get("report_md"),
         "report_figs_dir": s.get("report_figs_dir"),
+        "results_db": s.get("results_db"),
         "incremental": s.getboolean("incremental", fallback=False),
     }
     return spec, extras
@@ -364,6 +365,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     n = store.read().count()
     print(f"results rows in store: {n}")
+
+    if extras["results_db"]:
+        # the reference's summary-database artifact
+        # (ref:snowav/database/tables.py) — plain-SQL handoff for users
+        from snowav_spark import sinks as _sinks
+
+        n_db = _sinks.export_sqlite(
+            store.read(), extras["results_db"], "results"
+        )
+        print(f"sqlite export: {n_db} rows -> {extras['results_db']}")
 
     if extras["report_variable"] or extras["report_md"]:
         import datetime

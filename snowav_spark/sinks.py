@@ -375,3 +375,102 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQLite export — the reference's queryable summary-database artifact
+# ---------------------------------------------------------------------------
+
+_SQLITE_TYPES = {
+    "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
+    "bigint": "INTEGER", "boolean": "INTEGER",
+    "float": "REAL", "double": "REAL",
+    "date": "TEXT", "timestamp": "TEXT", "timestamp_ntz": "TEXT",
+    "string": "TEXT",
+}
+
+
+def export_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    mode: str = "replace",
+    max_rows: int = 5_000_000,
+    batch: int = 10_000,
+) -> int:
+    """Export a SUMMARY-sized frame to a SQLite table; returns row count.
+
+    Reference parity: ref:snowav/database/tables.py stores results in
+    SQLite/MySQL via SQLAlchemy so downstream users can query them with
+    plain SQL.  Here the distributed store is parquet (SURVEY §2.1); this
+    is the handoff artifact for those users — stdlib sqlite3, no JDBC
+    driver or SQLAlchemy needed.
+
+    Scale framing: the results store is (run, date, basin, band,
+    variable) — thousands of rows by construction — so a DRIVER-side
+    export is the right tool.  Rows stream via toLocalIterator (one
+    partition in driver memory at a time, executemany per ``batch``);
+    ``max_rows`` refuses accidental exports of fact-sized frames, which
+    belong in parquet.  ``mode``: replace | append.
+    """
+    import datetime
+    import sqlite3
+
+    if mode not in ("replace", "append"):
+        raise ValueError(f"mode must be replace|append, got {mode!r}")
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"export_sqlite: {n} rows exceeds max_rows={max_rows} — "
+            "SQLite is the summary handoff, keep fact tables in parquet"
+        )
+    cols = [
+        (f.name, _SQLITE_TYPES.get(f.dataType.simpleString(), "TEXT"))
+        for f in df.schema.fields
+    ]
+
+    def cell(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if isinstance(v, (list, tuple, dict)):
+            return repr(v)
+        return v
+
+    con = sqlite3.connect(db_path)
+    try:
+        q = '"' + table.replace('"', '""') + '"'
+        if mode == "replace":
+            con.execute(f"DROP TABLE IF EXISTS {q}")
+        con.execute(
+            f"CREATE TABLE IF NOT EXISTS {q} ("
+            + ", ".join(f'"{c}" {t}' for c, t in cols)
+            + ")"
+        )
+        ins = f"INSERT INTO {q} VALUES ({', '.join('?' * len(cols))})"
+        buf = []
+        for row in df.toLocalIterator():
+            buf.append(tuple(cell(v) for v in row))
+            if len(buf) >= batch:
+                con.executemany(ins, buf)
+                buf.clear()
+        if buf:
+            con.executemany(ins, buf)
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def read_sqlite(spark: SparkSession, db_path: str, query: str) -> DataFrame:
+    """Read a SQLite query result back as a DataFrame (driver-side —
+    summary tables only, same bound as export_sqlite's purpose)."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        cur = con.execute(query)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    return spark.createDataFrame(rows, names)

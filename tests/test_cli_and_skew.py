@@ -44,6 +44,49 @@ def test_cli_end_to_end(spark, grid_dir, tmp_path):
     assert len(frame) > 0
 
 
+def test_sqlite_export_roundtrip(spark, tmp_path):
+    """export_sqlite → plain sqlite3 SQL → read_sqlite: values, dates,
+    NULLs, and append mode survive; fact-sized frames are refused."""
+    import datetime
+    import sqlite3
+
+    from snowav_spark import sinks
+
+    df = spark.createDataFrame(
+        [
+            ("r1", datetime.date(2024, 3, 1), "basin_A", 0, 12.5),
+            ("r1", datetime.date(2024, 3, 2), "basin_B", 1, None),
+        ],
+        ["run_id", "date", "basin_id", "band", "value"],
+    )
+    db = str(tmp_path / "results.db")
+    assert sinks.export_sqlite(df, db, "results") == 2
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        "SELECT run_id, date, basin_id, band, value FROM results ORDER BY date"
+    ).fetchall()
+    con.close()
+    assert rows == [
+        ("r1", "2024-03-01", "basin_A", 0, 12.5),
+        ("r1", "2024-03-02", "basin_B", 1, None),
+    ]
+    # append doubles, replace resets
+    assert sinks.export_sqlite(df, db, "results", mode="append") == 2
+    back = sinks.read_sqlite(
+        spark, db, "SELECT count(*) AS n FROM results"
+    ).collect()
+    assert back[0].n == 4
+    sinks.export_sqlite(df, db, "results", mode="replace")
+    assert (
+        sinks.read_sqlite(spark, db, "SELECT count(*) AS n FROM results")
+        .collect()[0]
+        .n
+        == 2
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        sinks.export_sqlite(df, db, "results", max_rows=1)
+
+
 def test_cli_netcdf_run_dir(spark, tmp_path):
     """`nc_dir` in the INI drives the whole pipeline from REAL NetCDF
     model output (one classic file + one NetCDF-4 file) through the
@@ -79,9 +122,17 @@ def test_cli_netcdf_run_dir(spark, tmp_path):
         f"store_path = {tmp_path / 'nc_store'}\n"
         "report_variable = swe_mm\n"
         f"report_csv = {report}\n"
+        f"results_db = {tmp_path / 'results.db'}\n"
     )
     rc = cli.main(["-f", str(ini)])
     assert rc == 0
+    # summary-database artifact written alongside the parquet store
+    import sqlite3
+
+    con = sqlite3.connect(str(tmp_path / "results.db"))
+    (n_db,) = con.execute("SELECT count(*) FROM results").fetchone()
+    con.close()
+    assert n_db > 0
     frame = pd.read_csv(report).set_index("band")
     assert list(frame.columns) == ["basin_A", "basin_B"]
     # the -1 'total' rollup row equals the sum of the elevation bands,
