@@ -45,6 +45,7 @@ from __future__ import annotations
 import argparse
 import configparser
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -344,11 +345,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"snowav_spark:{spec.run_id}")
     sources.register(spark)
 
-    if extras["nc_dir"]:
+    nc_dir = extras["nc_dir"]
+    if not nc_dir and extras["grid_dir"]:
+        # a reference-style `run_dirs` points at NetCDF model output,
+        # not CSV grids — sniff the directory and route accordingly
+        import glob as _glob
+
+        if os.path.isdir(extras["grid_dir"]) and _glob.glob(
+            os.path.join(extras["grid_dir"], "*.nc")
+        ):
+            nc_dir = extras["grid_dir"]
+    if nc_dir:
         rd = spark.read.format("snowav_netcdf")
         if extras["nc_variables"]:
             rd = rd.option("variables", extras["nc_variables"])
-        raster = rd.load(extras["nc_dir"])
+        raster = rd.load(nc_dir)
     else:
         raster = spark.read.format("snowav_raster").load(extras["grid_dir"])
     if extras["topo_parquet"]:

@@ -414,24 +414,23 @@ def export_sqlite(
     belong in parquet.  ``mode``: replace | append.
     """
     import datetime
+    import decimal
     import sqlite3
 
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be replace|append, got {mode!r}")
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(
-            f"export_sqlite: {n} rows exceeds max_rows={max_rows} — "
-            "SQLite is the summary handoff, keep fact tables in parquet"
-        )
     cols = [
         (f.name, _SQLITE_TYPES.get(f.dataType.simpleString(), "TEXT"))
         for f in df.schema.fields
     ]
 
     def cell(v):
-        if isinstance(v, (datetime.date, datetime.datetime)):
-            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
         if isinstance(v, (list, tuple, dict)):
             return repr(v)
         return v
@@ -447,8 +446,21 @@ def export_sqlite(
             + ")"
         )
         ins = f"INSERT INTO {q} VALUES ({', '.join('?' * len(cols))})"
+        # single pass: count while streaming (one Spark job, and the
+        # returned count is the rows actually inserted); max_rows aborts
+        # mid-stream and rolls back rather than pre-counting with a
+        # second job over the whole lineage
+        n = 0
         buf = []
         for row in df.toLocalIterator():
+            n += 1
+            if n > max_rows:
+                con.rollback()
+                raise ValueError(
+                    f"export_sqlite: more than max_rows={max_rows} rows — "
+                    "SQLite is the summary handoff, keep fact tables in "
+                    "parquet"
+                )
             buf.append(tuple(cell(v) for v in row))
             if len(buf) >= batch:
                 con.executemany(ins, buf)
@@ -463,8 +475,12 @@ def export_sqlite(
 
 def read_sqlite(spark: SparkSession, db_path: str, query: str) -> DataFrame:
     """Read a SQLite query result back as a DataFrame (driver-side —
-    summary tables only, same bound as export_sqlite's purpose)."""
+    summary tables only, same bound as export_sqlite's purpose).  An
+    empty result returns an empty all-string frame (SQLite result sets
+    carry no column types to infer from)."""
     import sqlite3
+
+    from pyspark.sql.types import StringType, StructField, StructType
 
     con = sqlite3.connect(db_path)
     try:
@@ -473,4 +489,8 @@ def read_sqlite(spark: SparkSession, db_path: str, query: str) -> DataFrame:
         rows = cur.fetchall()
     finally:
         con.close()
+    if not rows:
+        return spark.createDataFrame(
+            [], StructType([StructField(n, StringType()) for n in names])
+        )
     return spark.createDataFrame(rows, names)

@@ -409,9 +409,14 @@ class H5File:
 
     def _decode_values(self, dt: _DType, n: int, data: bytes, scalar: bool):
         """Attribute / vlen payload bytes → python values."""
-        if dt.cls == 3:  # fixed string
-            s = data[: dt.size * n].split(b"\x00")[0].decode("utf-8", "replace")
-            return s
+        if dt.cls == 3:  # fixed string(s): n elements of dt.size bytes
+            vals = [
+                data[i * dt.size : (i + 1) * dt.size]
+                .split(b"\x00")[0]
+                .decode("utf-8", "replace")
+                for i in range(n)
+            ]
+            return vals[0] if n == 1 else vals
         if dt.cls == 9:  # vlen: elements are (len, gheap addr, index)
             out = []
             for i in range(n):
@@ -759,6 +764,17 @@ def _attr_value_msg(name: str, value) -> bytes:
         raw = value.encode("utf-8")
         dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", max(len(raw), 1))
         return _attr_msg(name, dt, (), raw or b"\x00")
+    if (
+        isinstance(value, (list, tuple))
+        and value
+        and all(isinstance(v, str) for v in value)
+    ):
+        # fixed-string array: every element padded to the longest
+        raws = [v.encode("utf-8") for v in value]
+        width = max(max(len(r) for r in raws), 1)
+        dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", width)
+        data = b"".join(r.ljust(width, b"\x00") for r in raws)
+        return _attr_msg(name, dt, (len(raws),), data)
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
@@ -845,7 +861,7 @@ def write(
         heap_payload += raw + b"\x00" * (-len(raw) % 8)
     heap_hdr_addr = alloc.reserve(32)
     heap_data_addr = alloc.reserve(len(heap_payload))
-    btree_addr = alloc.reserve(24 + 16)  # one key0 + one child + key1
+    btree_addr = alloc.reserve(24 + 24)  # key0(8) + child(8) + key1(8)
     snod_addr = alloc.reserve(8 + 40 * len(names))
     root_msgs = [
         _msg(_M_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_hdr_addr))

@@ -85,6 +85,11 @@ def test_sqlite_export_roundtrip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="max_rows"):
         sinks.export_sqlite(df, db, "results", max_rows=1)
+    # empty result sets come back as an empty frame, not a crash
+    empty = sinks.read_sqlite(
+        spark, db, "SELECT * FROM results WHERE band = 999"
+    )
+    assert empty.count() == 0 and empty.columns[0] == "run_id"
 
 
 def test_cli_netcdf_run_dir(spark, tmp_path):
@@ -141,6 +146,25 @@ def test_cli_netcdf_run_dir(spark, tmp_path):
         bands = frame.loc[frame.index >= 0, basin]
         assert frame.loc[-1, basin] == pytest.approx(bands.sum())
         assert frame.loc[-1, basin] > 0
+
+    # reference-style `run_dirs =` pointing at the SAME NetCDF directory
+    # must sniff and route to the snowav_netcdf source, not CSV parsing
+    ini2 = tmp_path / "nc_run2.ini"
+    report2 = tmp_path / "nc_report2.csv"
+    ini2.write_text(
+        "[snowav]\n"
+        "run_name = nc_run2\n"
+        "edges = 0, 10, 20, 30\n"
+        "plotorder = basin_A, basin_B\n"
+        f"run_dirs = {ncdir}\n"
+        "nc_variables = swe_mm\n"
+        f"store_path = {tmp_path / 'nc_store2'}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report2}\n"
+    )
+    assert cli.main(["-f", str(ini2)]) == 0
+    frame2 = pd.read_csv(report2).set_index("band")
+    assert frame2.loc[-1, "basin_A"] == pytest.approx(frame.loc[-1, "basin_A"])
 
 
 def test_cli_missing_config():

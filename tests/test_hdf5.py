@@ -95,6 +95,23 @@ def test_hidden_dim_scales_and_attr_types(tmp_path):
     )
 
 
+def test_string_array_attrs_roundtrip(tmp_path):
+    """A fixed-string ARRAY attribute keeps every element (a collapse
+    to the first element was a review finding) and pads to the longest."""
+    p = str(tmp_path / "sa.nc")
+    hdf5.write(
+        p,
+        dims={"n": 2},
+        variables={
+            "v": (["n"], np.zeros(2), {"flags": ["dry", "wet", "unknown"]})
+        },
+        attrs={"sources": ["gauge", "model"]},
+    )
+    ds = hdf5.read(p)
+    assert ds.variables["v"].attrs["flags"] == ["dry", "wet", "unknown"]
+    assert ds.attrs["sources"] == ["gauge", "model"]
+
+
 def test_int_dtypes_and_big_endian_inputs(tmp_path):
     p = str(tmp_path / "i.nc")
     cases = {
@@ -381,6 +398,23 @@ def test_fletcher32_defilter():
     )
     # masked-out filter is skipped
     assert hdf5.H5File._defilter(raw, [(3, ())], 1, 4) == raw
+
+
+def test_writer_btree_node_layout(tmp_path):
+    """The group B-tree node must reserve room for BOTH boundary keys:
+    an 8-byte under-reservation let the SNOD block overwrite key1 (the
+    greatest-name heap offset) — invisible to our key-skipping reader
+    but corrupt to any validating HDF5 library."""
+    p = str(tmp_path / "bt.nc")
+    hdf5.write(p, dims={"n": 3}, variables={"v": (["n"], np.arange(3.0), {})})
+    buf = open(p, "rb").read()
+    i = buf.find(b"TREE")
+    key0, child, key1 = struct.unpack_from("<QQQ", buf, i + 24)
+    assert key0 == 0 and buf[child : child + 4] == b"SNOD"
+    # key1 is a small heap offset, not bytes of the following block
+    heap_i = buf.find(b"HEAP")
+    (heap_size,) = struct.unpack_from("<Q", buf, heap_i + 8)
+    assert 0 < key1 < heap_size
 
 
 def test_writer_rejects_dim_name_collision(tmp_path):

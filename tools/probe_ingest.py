@@ -88,9 +88,10 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as td:
             root = Path(td)
             small = make_files(root, fmt, args.files, args.steps, args.ny, args.nx)
+            (root / "big").mkdir()
             big = make_files(
                 root / "big", fmt, args.files * 2, args.steps, args.ny, args.nx
-            ) if (root / "big").mkdir() is None else []
+            )
             print(f"{fmt}: {args.files} files x {cells:,} cells "
                   f"({cells * 4 / 1e6:.0f} MB raw each)")
             t_small = time_ingest(spark, small, f"{fmt} 1x")
