@@ -185,12 +185,16 @@ def test_distributed_ingest_mixed_formats(spark, nc4_files, tmp_path):
     )
 
 
-def _v2_file() -> bytes:
+def _v2_file(creation_order: bool = False) -> bytes:
     """Hand-assembled HDF5 file with the 'latest-format' structures the
     writer never emits: superblock v2, an OHDR root group carrying Link
     Info + a hard Link message, a dataset with COMPACT layout, and a
     version-3 attribute whose value is a VLEN STRING in a global heap —
-    the shapes netCDF-4's new-style groups produce."""
+    the shapes netCDF-4's new-style groups produce.  With
+    ``creation_order`` the root OHDR sets flag 0x04 (attribute/link
+    creation order tracked — netCDF-4 new-style groups ALWAYS do this),
+    which inserts a 2-byte creation-order field in every message
+    header."""
     UNDEF = 0xFFFFFFFFFFFFFFFF
     data = np.arange(6, dtype="<i2").reshape(2, 3)
 
@@ -236,11 +240,15 @@ def _v2_file() -> bytes:
     m_link = struct.pack("<BBB", 1, 0, len(lname)) + lname
     m_link += struct.pack("<Q", ds_addr)
 
-    def v2msg(t: int, body: bytes) -> bytes:
-        return struct.pack("<BHB", t, len(body), 0) + body
+    def v2msg(t: int, body: bytes, order: int = 0) -> bytes:
+        head = struct.pack("<BHB", t, len(body), 0)
+        if creation_order:
+            head += struct.pack("<H", order)
+        return head + body
 
-    root_msgs = v2msg(0x0002, m_linfo) + v2msg(0x0006, m_link)
-    root_oh = b"OHDR" + struct.pack("<BBB", 2, 0, len(root_msgs))
+    root_msgs = v2msg(0x0002, m_linfo, 0) + v2msg(0x0006, m_link, 1)
+    oh_flags = 0x04 if creation_order else 0
+    root_oh = b"OHDR" + struct.pack("<BBB", 2, oh_flags, len(root_msgs))
     root_oh += root_msgs + b"\x00" * 4  # checksum (unvalidated)
 
     eof = root_addr + len(root_oh)
@@ -255,8 +263,10 @@ def _v2_file() -> bytes:
     return bytes(out)
 
 
-def test_superblock_v2_link_messages_compact_vlen_string():
-    h5 = hdf5.H5File(_v2_file())
+@pytest.mark.parametrize("creation_order", [False, True])
+def test_superblock_v2_link_messages_compact_vlen_string(creation_order):
+    raw = _v2_file(creation_order)
+    h5 = hdf5.H5File(raw)
     tree = h5.walk()
     assert list(tree) == ["v"]
     obj = tree["v"]
@@ -265,7 +275,7 @@ def test_superblock_v2_link_messages_compact_vlen_string():
         h5.read_dataset(obj), np.arange(6, dtype=np.int16).reshape(2, 3)
     )
     # plain HDF5 (no dimension scales) → phony dims via the nc4 layer
-    ds = hdf5.read(_v2_file())
+    ds = hdf5.read(raw)
     assert ds.variables["v"].dims == ["phony_dim_0", "phony_dim_1"]
     assert ds.dims == {"phony_dim_0": 2, "phony_dim_1": 3}
 
