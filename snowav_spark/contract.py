@@ -6868,7 +6868,8 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT zone, band, m,
-               sum(m) OVER (ORDER BY m DESC, zone ASC, band ASC
+               sum(m) OVER (ORDER BY m DESC NULLS LAST,
+                   zone ASC NULLS LAST, band ASC NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                sum(m) OVER () AS tot
         FROM v
@@ -6900,7 +6901,9 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     wcum = Window.orderBy(
-        F.col("m").desc(), F.col("zone").asc(), F.col("band").asc()
+        F.col("m").desc_nulls_last(),
+        F.col("zone").asc_nulls_last(),
+        F.col("band").asc_nulls_last(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wtot = Window.partitionBy()
     r = v.select(

@@ -146,7 +146,9 @@ def line_chart(
         return _MT + plot_h * (1 - (v - lo) / span)
 
     # x labels: first / middle / last to stay readable at any density
-    for i in {0, len(xs) // 2, len(xs) - 1}:
+    # (an all-empty series set yields xs == [] — emit an axis-less
+    # empty chart rather than indexing into nothing)
+    for i in {0, len(xs) // 2, len(xs) - 1} if xs else ():
         svg.append(
             f'<text x="{px(i):.1f}" y="{_H - _MB + 14}" '
             f'text-anchor="middle">{_esc(xs[i])}</text>'

@@ -53,17 +53,23 @@ def not_null(col: str) -> Rule:
     )
 
 
-def unique(col: str, approx: bool = False) -> Rule:
+def unique(col: str, approx: bool = False, rsd: float = 0.05) -> Rule:
     """Exact by default; ``approx=True`` swaps in HLL distinct counting
-    for the 100 TB pre-check where ±2% is fine and the exact distinct
-    shuffle is not."""
-    distinct = (
-        F.approx_count_distinct(col) if approx else F.count_distinct(F.col(col))
-    )
-    n = F.count(F.col(col))
-    # HLL can over-estimate distinct past the true count; clamp at zero so
-    # approximation error never reports as negative "violations"
-    dupes = F.greatest(n - distinct, F.lit(0))
+    for the 100 TB pre-check where ±rsd is fine and the exact distinct
+    shuffle is not.  Approx mode counts only duplicates BEYOND the
+    estimator's error band (``rsd·n``): the HLL estimate wobbles both
+    ways, so without the tolerance a perfectly-unique column fails the
+    gate with phantom violations whenever the estimate lands low —
+    exactly the false alarm a pre-check must not raise."""
+    if approx:
+        distinct = F.approx_count_distinct(col, rsd)
+        n = F.count(F.col(col))
+        dupes = F.greatest(
+            n - distinct - F.ceil(F.lit(rsd) * n).cast("long"), F.lit(0)
+        )
+    else:
+        n = F.count(F.col(col))
+        dupes = F.greatest(n - F.count_distinct(F.col(col)), F.lit(0))
     return Rule(
         f"unique({col})",
         dupes,

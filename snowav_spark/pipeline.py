@@ -122,10 +122,13 @@ def stream_run(
     raster_source.py) emits only the grid files that appeared since the
     checkpointed offset; each micro-batch runs the SAME lazy plan as the
     batch pipeline (broadcast topo join → banded ROLLUP agg) and lands
-    via dynamic partition overwrite, so replays of a failed batch
-    rewrite — not duplicate — their (run_id, date) partitions.
-    Day-grain exactly-once therefore comes from idempotent partition
-    writes + exact offset replay, with no dedup state to carry.
+    via the store's partition-scoped MERGE (key = the full results
+    grain), NOT a bare partition overwrite: when one day's variables
+    split across micro-batches (swe arrives, the trigger fires, depth
+    arrives), the second batch must not clobber the first batch's rows
+    for that (run_id, date) partition.  Replays of a failed batch upsert
+    the same keys — idempotent — so exactly-once comes from keyed merge
+    + exact offset replay, with no dedup state to carry.
 
     Returns the started StreamingQuery; with ``available_now`` the
     caller awaits termination, without it the query runs continuously as
@@ -140,7 +143,10 @@ def stream_run(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.write(process(spec, batch_df, topo))
+        store.merge_upsert(
+            process(spec, batch_df, topo),
+            keys=("run_id", "date", "basin_id", "variable", "band"),
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

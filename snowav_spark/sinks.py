@@ -236,6 +236,12 @@ def compact_partitions(
     old = path.rstrip("/") + "._compact_old"
     if os.path.isdir(old) and not os.path.isdir(path):
         shutil.move(old, path)  # crash recovery: prior swap died mid-move
+    elif os.path.isdir(old):
+        # prior run crashed AFTER the staged→path move (the compacted
+        # data is live) but before deleting the backup: drop the stale
+        # backup now — otherwise the shutil.move(path, old) below would
+        # nest the live tree INSIDE the stale directory
+        shutil.rmtree(old)
     if not os.path.isdir(path):
         raise ValueError(
             f"compact_partitions requires an existing local directory, "

@@ -168,14 +168,18 @@ class NetCDFReader(DataSourceReader):
 class NetCDFStreamReader(SimpleDataSourceStreamReader):
     """EP2 as a stream over REAL model output: the coupled model drops
     one NetCDF file per run into the directory; each micro-batch reads
-    exactly the files that appeared since the checkpointed offset
-    (offset = lexicographically-last processed filename — daily run
-    names are date-ordered, same monotonicity as the grid-CSV stream).
-    ``readBetweenOffsets`` replays any (start, end] slice exactly, so a
-    failed batch re-reads the same file set.  Reads happen driver-side
-    per the simple-reader protocol — right for the one-file-per-day
-    cadence; bulk backfills use the batch source, whose slab partitions
-    read on executors."""
+    exactly the files that appeared since the checkpointed offset.
+
+    Offset = the SET of processed filenames (sorted list in the
+    checkpoint JSON) — exact under ANY arrival order; a
+    high-water-mark name silently skips files that sort below the mark
+    (see raster_source.RasterGridStreamReader, where per-variable
+    grid names made that a real bug).  ``readBetweenOffsets`` replays
+    exactly the files in ``end − start``, so a failed batch's retry
+    reads the same rows.  Reads happen driver-side per the
+    simple-reader protocol — right for the one-file-per-day cadence;
+    bulk backfills use the batch source, whose slab partitions read on
+    executors."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -187,9 +191,13 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
         self.time_var = options.get("time_var", "time")
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"seen": []}
 
-    def _rows(self, lo: str, hi: str | None) -> list[tuple]:
+    @staticmethod
+    def _seen(offset: dict) -> set:
+        return set(offset.get("seen", []))
+
+    def _rows(self, names: set) -> list[tuple]:
         import numpy as np
         import pandas as pd
 
@@ -199,7 +207,7 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for p in _list_netcdf(self.path):
             name = os.path.basename(p)
-            if not (name > lo and (hi is None or name <= hi)):
+            if name not in names:
                 continue
             ds = open_dataset(p)
             tv = ds.variables[self.time_var]
@@ -231,13 +239,19 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict):
-        names = [os.path.basename(p) for p in _list_netcdf(self.path)]
-        new = [n for n in names if n > start["last"]]
-        end = {"last": new[-1]} if new else dict(start)
-        return iter(self._rows(start["last"], end["last"] or None)), end
+        seen = self._seen(start)
+        new = {
+            os.path.basename(p)
+            for p in _list_netcdf(self.path)
+            if os.path.basename(p) not in seen
+        }
+        if not new:
+            return iter([]), dict(start)
+        end = {"seen": sorted(seen | new)}
+        return iter(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows(start["last"], end["last"]))
+        return iter(self._rows(self._seen(end) - self._seen(start)))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; nothing to clean up

@@ -115,12 +115,17 @@ class RasterGridStreamReader(SimpleDataSourceStreamReader):
     micro-batch reads exactly the files that appeared since the last
     offset.
 
-    Offset = the lexicographically-last processed filename.  Grid names
-    embed the ISO date, so arrival order IS name order for a daily
-    model run — the same monotonicity EP2's batch variant relies on
-    (date-partition append).  ``readBetweenOffsets`` replays any
-    (start, end] slice exactly, which is what makes the source
-    fault-tolerant: a failed batch re-reads the same file set."""
+    Offset = the SET of processed filenames (sorted list in the
+    checkpoint JSON).  A high-water-mark name is NOT sound here: grid
+    names sort by variable before date (``depth_m_…`` < ``swe_mm_…``),
+    so a day's second variable arriving after the first's batch would
+    sort below the mark and be silently skipped — a real bug this
+    scheme replaced.  The set is exact under any arrival order, and its
+    size is bounded by the run's file count (a daily model coupling —
+    bulk backfills use the batch source, whose partitions are files
+    read ON executors).  ``readBetweenOffsets`` replays exactly the
+    files in ``end − start``, which is what makes a failed batch's
+    retry read the same rows."""
 
     def __init__(self, options: dict):
         self.dir = options.get("path")
@@ -128,32 +133,35 @@ class RasterGridStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("snowav_raster requires a load(path) directory")
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"seen": []}
 
-    def _between(self, lo: str, hi: str | None) -> list[tuple]:
+    @staticmethod
+    def _seen(offset: dict) -> set:
+        return set(offset.get("seen", []))
+
+    def _rows_for(self, names: set) -> list[tuple]:
         # materialized list (callers hand out iter(list) — a picklable
         # list_iterator): the simple-reader protocol reads on the DRIVER,
         # caches the iterator, and pickles it out to the plan; a plain
         # generator can't pickle and a bare list fails its next() calls.
-        # Driver-side reads are fine by design — this reader targets the
-        # one-file-per-day cadence; bulk backfills use the batch source,
-        # whose partitions are files read ON executors.
         rows: list[tuple] = []
         for name, variable, day in _grid_files(self.dir):
-            if name > lo and (hi is None or name <= hi):
+            if name in names:
                 rows.extend(
                     _grid_rows(os.path.join(self.dir, name), variable, day)
                 )
         return rows
 
     def read(self, start: dict):
-        files = _grid_files(self.dir)
-        new = [n for n, _, _ in files if n > start["last"]]
-        end = {"last": new[-1]} if new else dict(start)
-        return iter(self._between(start["last"], end["last"] or None)), end
+        seen = self._seen(start)
+        new = {n for n, _, _ in _grid_files(self.dir) if n not in seen}
+        if not new:
+            return iter([]), dict(start)
+        end = {"seen": sorted(seen | new)}
+        return iter(self._rows_for(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._between(start["last"], end["last"]))
+        return iter(self._rows_for(self._seen(end) - self._seen(start)))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; nothing to clean up

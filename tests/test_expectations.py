@@ -77,9 +77,10 @@ def test_enforce_raises_with_detail(df):
 def test_unique_approx_mode(spark):
     big = spark.range(1000).select(F.col("id").alias("k"))
     r = ex.check(big, [ex.unique("k", approx=True)]).collect()[0]
-    # HLL error is clamped: a truly-unique column may still report a few
-    # phantom dupes when HLL under-estimates, never negative violations
-    assert r.violations >= 0 and r.violations <= 25
+    # approx mode tolerates the estimator's own error band (rsd·n), so
+    # a truly-unique column reports ZERO violations — no phantom dupes
+    # from HLL under-estimates, and never negative
+    assert r.violations == 0
 
 
 def test_curate_input_expectations_gate(spark):

@@ -190,3 +190,53 @@ def test_stream_run_matches_batch_pipeline(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_run_same_day_variables_across_batches(spark, tmp_path):
+    """One day's variables split across micro-batches: swe arrives, the
+    trigger fires, THEN depth arrives for the same day.  The second
+    batch's write must MERGE into the (run_id, date) partition, not
+    dynamic-overwrite it — a bare overwrite silently deleted the first
+    batch's swe rows (review finding)."""
+    gdir = tmp_path / "grids2"
+    gdir.mkdir()
+
+    def write_grid(var, day, base):
+        rows = [
+            ",".join(str(base + y + x) for x in range(4)) for y in range(3)
+        ]
+        (gdir / f"{var}_{day}.csv").write_text("\n".join(rows) + "\n")
+
+    spec = pipeline.PipelineSpec(
+        run_id="ep2split",
+        edges=[0, 10, 20, 30],
+        basins=["basin_A", "basin_B"],
+        store_path=str(tmp_path / "split_store"),
+        variables=("swe_mm", "depth_m"),
+    )
+    topo = synthetic_topo(spark, 3, 4, spec.edges)
+
+    def stream_once():
+        q = pipeline.stream_run(
+            spark, spec, str(gdir), topo, str(tmp_path / "ckpt2")
+        )
+        q.awaitTermination(120)
+
+    write_grid("swe_mm", "2024-03-01", 5.0)
+    stream_once()
+    write_grid("depth_m", "2024-03-01", 2.0)  # SAME day, later batch
+    stream_once()
+
+    stored = spark.read.parquet(spec.store_path)
+    by_var = {
+        r.variable: r.n
+        for r in stored.groupBy("variable").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # both variables' rows survive for the shared date
+    assert set(by_var) == {"swe_mm", "depth_m"}
+    assert by_var["swe_mm"] == by_var["depth_m"] > 0
+    # and a replayed batch does not duplicate (keyed upsert idempotence)
+    stream_once()
+    assert stored.count() == sum(by_var.values())

@@ -1137,8 +1137,11 @@ def main() -> int:
     def unpartitioned_windows(plan: str) -> int:
         """Count windowspecdefinition(...) specs with no partition columns:
         a partitioned spec leads with bare partition attrs; an
-        unpartitioned one leads with an ordering expression (ASC/DESC
-        before the first top-level comma)."""
+        unpartitioned one leads either with an ordering expression
+        (ASC/DESC before the first top-level comma) or — for orderless
+        global specs like sum(x) OVER () — directly with the
+        specifiedwindowframe.  Both forms are single-reducer exchanges
+        and both must face the whitelist."""
         import re
 
         n = 0
@@ -1154,7 +1157,11 @@ def main() -> int:
                     break
                 arg += c
                 i += 1
-            if " ASC" in arg or " DESC" in arg:
+            if (
+                " ASC" in arg
+                or " DESC" in arg
+                or arg.startswith("specifiedwindowframe")
+            ):
                 n += 1
         return n
 
@@ -1165,13 +1172,26 @@ def main() -> int:
 
     _li = spark.read.parquet(f"{SF}/lineitem.parquet")
     _bad = formatted(_li.withColumn("rn", _F.row_number().over(_W.orderBy("l_orderkey"))))
+    _bad2 = formatted(  # orderless global: sum(x) OVER ()
+        _li.withColumn("t", _F.sum("l_quantity").over(_W.partitionBy()))
+    )
     _good = formatted(
         _li.withColumn(
             "rn",
             _F.row_number().over(_W.partitionBy("l_returnflag").orderBy("l_orderkey")),
         )
     )
-    if unpartitioned_windows(_bad) != 1 or unpartitioned_windows(_good) != 0:
+    _good2 = formatted(  # partitioned orderless: sum OVER (PARTITION BY x)
+        _li.withColumn(
+            "t", _F.sum("l_quantity").over(_W.partitionBy("l_returnflag"))
+        )
+    )
+    if (
+        unpartitioned_windows(_bad) != 1
+        or unpartitioned_windows(_bad2) != 1
+        or unpartitioned_windows(_good) != 0
+        or unpartitioned_windows(_good2) != 0
+    ):
         failures.append("window-sweep: self-test failed (detector broken)")
 
     for name, fn in qs.items():
