@@ -154,6 +154,34 @@ def curation_stream(
     )
 
 
+def _parquet_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists as a readable dataset root.  Deliberately
+    NOT a bare try/except around the read: a transient storage fault or
+    corrupt footer must FAIL the batch (so the trigger retries), not
+    silently masquerade as 'first batch, no data yet'."""
+    import os
+
+    return os.path.isdir(path) and any(
+        "=" in n  # partition directory (e.g. _batch=0) — data
+        or not n.startswith((".", "_"))
+        for n in os.listdir(path)
+    )
+
+
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent foreachBatch append: write under a ``_batch=<id>``
+    partition with dynamic partition overwrite, so an at-least-once
+    REPLAY of the batch rewrites its own partition instead of appending
+    a second copy of the rows.  Readers drop the bookkeeping column."""
+    (
+        df.withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(path)
+    )
+
+
 def incremental_ingest_stream(
     docs: DataFrame,
     index_path: str,
@@ -176,27 +204,49 @@ def incremental_ingest_stream(
     standard shape for stream-vs-growing-table joins.  State lives
     entirely in the index files (no in-memory streaming state), so a
     restart resumes from the checkpoint with nothing lost.
+
+    foreachBatch is AT-LEAST-ONCE, so both appends are made idempotent
+    by writing under a ``_batch=<id>`` partition with dynamic partition
+    overwrite: a replayed batch REWRITES its own partition instead of
+    appending duplicates next to the first attempt's rows.  Readers of
+    the sink/index drop the bookkeeping column.
+
+    Within a batch, survivors are additionally near-deduped against
+    EACH OTHER (incremental_dedup's gates are within-batch-exact and
+    vs-index only — two near-twins arriving in the same trigger would
+    otherwise both be admitted forever).
     """
     from snowav_spark.ops import dedup as dedup_ops
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            index = spark.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
-            index = None
-        if index is None:  # first batch: dedup only within itself
+        if _parquet_exists(spark, index_path):
+            index = spark.read.parquet(index_path).drop("_batch")
+        else:  # first batch: dedup only within itself
             index = dedup_ops.dedup_index(batch.limit(0), id_col, text_col)
         fresh = dedup_ops.incremental_dedup(
             batch, index, id_col, text_col, est_threshold=est_threshold
         )
+        # near-dedup WITHIN the surviving batch (vs-index gates above
+        # cannot see same-batch pairs) — the documented batch path:
+        # LSH pairs + min-id cluster survivors
+        from snowav_spark.ops import graph as graph_ops
+
+        pairs = dedup_ops.minhash_lsh_pairs(
+            fresh, id_col, text_col, est_threshold=est_threshold
+        )
+        fresh = graph_ops.drop_near_dups(
+            fresh, pairs, id_col, src="doc_a", dst="doc_b"
+        )
         fresh = fresh.localCheckpoint(eager=True)  # survivors computed ONCE:
         # corpus append and index append must agree exactly, and the index
         # must not observe its own batch's rows mid-computation
-        fresh.write.mode("append").parquet(sink_path)
-        dedup_ops.dedup_index(fresh, id_col, text_col).write.mode(
-            "append"
-        ).parquet(index_path)
+        _write_batch_partition(fresh, sink_path, batch_id)
+        _write_batch_partition(
+            dedup_ops.dedup_index(fresh, id_col, text_col),
+            index_path,
+            batch_id,
+        )
 
     writer = (
         docs.writeStream.foreachBatch(_process)
@@ -297,14 +347,18 @@ def frequency_sketch_stream(
     store stays append-only — the same lambda split as
     incremental_ingest_stream's dedup index.  All batches share
     (eps, confidence, seed) via the shared default, which CMS merge
-    requires."""
+    requires.  Writes go under a ``_batch=<id>`` partition with dynamic
+    overwrite (_write_batch_partition): foreachBatch is at-least-once,
+    and a replayed batch appended next to its first attempt would
+    double-count every event in it — silently, since CMS only promises
+    overestimates."""
     from snowav_spark.ops import sketches
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         sk = sketches.daily_frequency_sketches(
             batch, ts, key, eps=eps, confidence=confidence
         )
-        sk.write.mode("append").parquet(sketch_path)
+        _write_batch_partition(sk, sketch_path, batch_id)
 
     writer = (
         events.writeStream.foreachBatch(_process)

@@ -15,6 +15,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DateType,
@@ -210,8 +211,14 @@ def growth_accounting_stream(events: DataFrame) -> DataFrame:
     parity drift is observable (alert on its volume) rather than
     silently absorbed.  Emits one row per
     newly observed (user, day) — append semantics, each classified
-    exactly once.  Input columns: user_id, ts.
+    exactly once.  Input columns: user_id, ts.  NULL user_id/ts rows
+    are dropped up front — the batch twin filters them identically,
+    and a NaT reaching pd.Timestamp(...).date() would kill the query
+    (a poison-pill replay loop, since restarts re-read the batch).
     """
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _classify_growth,
         outputStructType=GROWTH_OUTPUT,
@@ -306,7 +313,12 @@ def churn_stream(events: DataFrame, delay: str = "1 day") -> DataFrame:
     completeness/latency tradeoff, asserted in the parity test.
     A user reappearing after their timeout fired starts fresh state;
     the churn already emitted for them stays correct.  Input columns:
-    user_id, ts (watermark applied here with ``delay``)."""
+    user_id, ts (watermark applied here with ``delay``).  NULL
+    user_id/ts rows are dropped up front (same rationale as
+    growth_accounting_stream)."""
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return (
         events.withWatermark("ts", delay)
         .groupBy("user_id")
@@ -333,8 +345,14 @@ def scd2_stream(events: DataFrame) -> DataFrame:
     each micro-batch; cross-batch order is the arrival order, so feed
     this from a source that respects event time (or accept
     arrival-order semantics, the standard CDC-stream tradeoff).
-    Input columns: user_id, ts, event_type, event_id.
+    Input columns: user_id, ts, event_type, event_id.  NULL
+    user_id/ts rows are dropped up front — a NULL-keyed group would
+    crash int(key[0]) and poison the query (same rationale as
+    growth_accounting_stream).
     """
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _scd2_track,
         outputStructType=SCD2_OUTPUT,

@@ -46,8 +46,13 @@ TOPK_OUTPUT = (
     "event_type STRING, rank INT, user_id BIGINT, total_v DOUBLE"
 )
 
-_SCALE = 1_000_000
-_DOMAIN = 9.2e12
+# the contract's fixed-point discipline — IMPORT the constants, never
+# re-declare them, so a tuning in ops/windows.py cannot silently
+# diverge this stream from every batch key using fixed_micros
+from snowav_spark.ops.windows import (  # noqa: E402
+    FIXED_POINT_DOMAIN as _DOMAIN,
+    FIXED_POINT_SCALE as _SCALE,
+)
 
 
 class TopSpendersProcessor(StatefulProcessor):
@@ -71,8 +76,8 @@ class TopSpendersProcessor(StatefulProcessor):
                 if pd.isna(uid) or pd.isna(val):
                     continue
                 v = float(val)
-                if not (abs(v) < _DOMAIN) or v != v:
-                    continue  # fixed-point domain clamp, NaN-safe
+                if not (abs(v) < _DOMAIN):
+                    continue  # fixed-point domain clamp (NaN fails the <)
                 delta[int(uid)] = delta.get(int(uid), 0) + int(
                     math.floor(v * _SCALE)
                 )
@@ -82,7 +87,18 @@ class TopSpendersProcessor(StatefulProcessor):
                 if self.totals.containsKey((uid,))
                 else 0
             )
-            self.totals.updateValue((uid,), (prev + d,))
+            total = prev + d  # exact Python int
+            if not (-(2**63) <= total < 2**63):
+                # the RUNNING total (unlike each clamped row) can pass
+                # Long.MAX on a hot enough key — same threshold
+                # contract.py's fixed-point note warns about.  Refuse
+                # loudly: a LongType state write would wrap silently.
+                raise OverflowError(
+                    f"top_spenders running total for user {uid} exceeds "
+                    "int64 micro-units; rescale FIXED_POINT_SCALE or "
+                    "shard the key"
+                )
+            self.totals.updateValue((uid,), (total,))
         # refreshed top-k for this group: exact ints, pinned tie-break
         board = sorted(
             ((v[0], k_[0]) for k_, v in self.totals.iterator()),

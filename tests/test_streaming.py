@@ -197,6 +197,67 @@ def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     assert indexed_ids == {0, 1, 12}
 
 
+def test_incremental_ingest_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the last commit marker
+    makes Spark REPLAY the batch on restart.  The replay must rewrite
+    its _batch partition, not append a second copy of the corpus rows
+    (review finding: plain mode=append duplicated every doc)."""
+    import os
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(src)
+
+    def run_once():
+        q = incremental.incremental_ingest_stream(
+            spark.readStream.schema(docs.schema).parquet(src),
+            index, sink, ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+    # simulate the crash-before-commit: drop the last commit marker
+    commits = os.path.join(ckpt, "commits")
+    last = sorted(n for n in os.listdir(commits) if not n.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()  # Spark replays the uncommitted batch
+    assert spark.read.parquet(sink).count() == 2  # no duplicates
+    assert spark.read.parquet(index).select("doc_id").distinct().count() == 2
+
+
+def test_incremental_ingest_stream_same_batch_near_dups(spark, tmp_path):
+    """Two near-twins arriving in the SAME micro-batch: only the lower
+    id survives (review finding: the vs-index gates can't see
+    same-batch pairs, so both were admitted forever)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(5, base), (6, base + " today"), (7, "totally unrelated fresh words")],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(src)
+    q = incremental.incremental_ingest_stream(
+        spark.readStream.schema(docs.schema).parquet(src),
+        str(tmp_path / "index"), str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"), est_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert ids == [5, 7]
+
+
 def test_enrich_stream_static_join_matches_batch(spark, tmp_path, staged_events):
     """Stream-static broadcast enrichment must produce exactly the batch
     join's rows (stateless — no watermark required)."""
