@@ -47,32 +47,28 @@ def _assign(wide: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
     (hundreds of py4j Column calls per iteration measured ~10× slower to
     *plan*).  dist² uses the expanded form ‖x‖² − 2·x·c + ‖c‖²: the ‖x‖²
     term is one shared column, so per extra centroid only the dot product
-    is new.  The per-dim sums are HIGHER-ORDER lambdas over a rebuilt
-    array (loops inside whole-stage codegen), not dim-unrolled scalar
-    chains: at k·dim past a few hundred terms the unrolled form exceeds
-    janino's method limit and Spark silently drops to interpreted rows
-    (measured on the PQ twin at m=k=8 — 8.5× slower), and real 768-dim
-    embedding columns would hit it immediately.  A lambda fold seeds 0.0,
-    which is IEEE-identical to the unrolled left-assoc sum except for the
-    sign of zero, and -0.0 cannot change least()/CASE/canon results —
-    assignments and dist2 are bit-identical to the unrolled form.
+    is new.  The per-dim sums are array-lambda folds (ops/arrmath.py:
+    codegen loops, never dim-unrolled chains that blow janino's method
+    limit; bit-identity to unrolled sums derived there once).
     Ties break toward the lowest cluster id (CASE evaluates in order).
     """
+    from snowav_spark.ops import arrmath
+
     k = len(cents)
     xv = f"array({', '.join(f'x{i}' for i in range(dim))})"
-    xsq = f"aggregate({xv}, CAST(0 AS DOUBLE), (acc, a) -> acc + a * a)"
     dists = []
     for ci, c in enumerate(cents):
-        cb = "array(" + ", ".join(repr(float(v)) for v in c) + ")"
-        dot = (
-            f"aggregate(zip_with(_xv, {cb}, (a, b) -> a * b), "
-            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
         csq = sum(float(v) * float(v) for v in c)
-        dists.append(f"xsq - 2.0 * ({dot}) + {csq!r} AS d{ci}")
-    scored = wide.selectExpr(
-        "*", f"{xv} AS _xv", f"{xsq} AS xsq"
-    ).selectExpr("*", *dists)
+        dists.append(
+            f"xsq - 2.0 * ({arrmath.dot_sql('_xv', c)}) + {csq!r} AS d{ci}"
+        )
+    # chained projections so _xv materializes ONCE (aliases within one
+    # selectExpr can't reference each other)
+    scored = (
+        wide.selectExpr("*", f"{xv} AS _xv")
+        .selectExpr("*", f"{arrmath.sqnorm_sql('_xv')} AS xsq")
+        .selectExpr("*", *dists)
+    )
     best = f"least({', '.join(f'd{ci}' for ci in range(k))})"
     case = (
         "CASE "

@@ -55,17 +55,21 @@ def not_null(col: str) -> Rule:
 
 def unique(col: str, approx: bool = False, rsd: float = 0.05) -> Rule:
     """Exact by default; ``approx=True`` swaps in HLL distinct counting
-    for the 100 TB pre-check where ±rsd is fine and the exact distinct
-    shuffle is not.  Approx mode counts only duplicates BEYOND the
-    estimator's error band (``rsd·n``): the HLL estimate wobbles both
-    ways, so without the tolerance a perfectly-unique column fails the
-    gate with phantom violations whenever the estimate lands low —
-    exactly the false alarm a pre-check must not raise."""
+    for the 100 TB pre-check where estimator error is fine and the
+    exact distinct shuffle is not.  Approx mode counts only duplicates
+    BEYOND the estimator's error band: the HLL estimate wobbles BOTH
+    ways with relative std ≈ rsd, so the band is ``3·rsd·n`` (≈3σ —
+    a truly-unique column false-alarms with probability ~0.1%, not the
+    ~16% a 1σ band leaves).  The honest flip side: up to 3·rsd·n real
+    duplicate rows pass undetected — approx mode is a smoke alarm for
+    GROSS duplication, never an exactness gate; anything needing the
+    exact answer uses approx=False."""
     if approx:
         distinct = F.approx_count_distinct(col, rsd)
         n = F.count(F.col(col))
         dupes = F.greatest(
-            n - distinct - F.ceil(F.lit(rsd) * n).cast("long"), F.lit(0)
+            n - distinct - F.ceil(F.lit(3.0 * rsd) * n).cast("long"),
+            F.lit(0),
         )
     else:
         n = F.count(F.col(col))

@@ -153,29 +153,30 @@ def pq_encode(
     sub = len(codebook[0][0])
     dim = m * sub
     base = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
-    # Higher-order array functions, NOT flattened scalars: an unrolled
-    # m·k·sub expression tree (512 multiply-adds + 64 CASE arms at
-    # m=k=8, sub=8) exceeded janino's method limit, so Spark silently
-    # fell back to interpreted projection (caught by the ci.sh sf0.1
-    # run: 6.1 s vs sub-second).  transform/aggregate lambdas compile
-    # to LOOPS inside whole-stage codegen, keeping the method small at
-    # any (m, k, sub).  Arithmetic order matches the unrolled form
-    # term-for-term (fold seeds 0.0; squares are never -0.0), so codes
-    # are bit-identical; array_position(min) keeps the first-match
-    # (lowest centroid id) tie-break of the old CASE chain.
+    # Array-lambda folds (ops/arrmath.py), NOT flattened scalars: the
+    # unrolled m·k·sub expression tree (512 multiply-adds + 64 CASE
+    # arms at m=k=8, sub=8) exceeded janino's method limit, so Spark
+    # silently fell back to interpreted projection (caught by the
+    # ci.sh sf0.1 run: 6.1 s vs sub-second).  Bit-identity of fold vs
+    # unrolled sums is derived once in arrmath; array_position(min)
+    # keeps the first-match (lowest centroid id) tie-break of the old
+    # CASE chain.  Subspace slices bind as _s{j} columns FIRST so each
+    # slice+cast materializes once per row, not once per centroid.
+    from snowav_spark.ops import arrmath
+
+    slices = [
+        f"CAST(slice({vec}, {j * sub + 1}, {sub}) AS array<double>) AS _s{j}"
+        for j in range(m)
+    ]
     dist_cols = []
     for j, cents in enumerate(codebook):
-        cb = "array(" + ", ".join(
-            "array(" + ", ".join(repr(float(v)) for v in c) + ")"
-            for c in cents
-        ) + ")"
-        sv = f"CAST(slice({vec}, {j * sub + 1}, {sub}) AS array<double>)"
-        dist_cols.append(
-            f"transform({cb}, c -> aggregate(zip_with({sv}, c, "
-            f"(a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), "
-            f"(acc, v) -> acc + v)) AS _d{j}"
+        per_cent = ", ".join(
+            arrmath.sqdist_sql(f"_s{j}", c) for c in cents
         )
-    scored = base.selectExpr(id_col, *dist_cols)
+        dist_cols.append(f"array({per_cent}) AS _d{j}")
+    scored = base.selectExpr(id_col, *slices).selectExpr(
+        id_col, *dist_cols
+    )
     codes = ", ".join(
         f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT)"
         for j in range(m)

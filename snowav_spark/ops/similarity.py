@@ -525,15 +525,36 @@ def ivf_topk(
 
     cents = ivf_centroids(df, id_col, vec, n_cells, iters, dim)
     qrow = df.filter(F.col(id_col) == query_id).select(vec).collect()
-    qv = np.asarray(list(qrow[0][0]), dtype=np.float64)
-    c = np.asarray(cents, dtype=np.float64)
-    d = (c * c).sum(axis=1) - 2.0 * (c @ qv)
-    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
-
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qv = list(qrow[0][0])
+    probe = _probe_cells(cents, qv, nprobe)
     cand = ivf_assign(df, id_col, vec, cents).filter(
         F.col("cell").isin(probe) & (F.col(id_col) != query_id)
     )
+    return _cosine_score_topk(cand, qv, id_col, vec, k)
+
+
+def _probe_cells(cents, query_vec, nprobe: int) -> list[int]:
+    """The nprobe cell ids nearest the query (driver-side numpy over the
+    KB-sized centroid table; stable argsort pins ties)."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    if c.shape[1] != qv.shape[0]:
+        raise ValueError(
+            f"query vector dim {qv.shape[0]} != index dim {c.shape[1]}"
+        )
+    d = (c * c).sum(axis=1) - 2.0 * (c @ qv)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def _cosine_score_topk(
+    cand: DataFrame, query_vec, id_col: str, vec: str, k: int
+) -> DataFrame:
+    """Exact cosine vs an inlined query literal over candidate rows,
+    rounded before ranking, ties on id — the scoring half shared by the
+    in-memory and persisted IVF search paths."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col),
         F.round(
@@ -582,22 +603,17 @@ def random_projection(
     rng = np.random.RandomState(seed)
     scale = 1.0 / math.sqrt(out_dim)
     signs = rng.choice([-scale, scale], size=(out_dim, dim))
-    # dot products as array-lambda folds, not out_dim×dim unrolled
-    # scalar chains: past a few hundred terms the unrolled form blows
-    # janino's method limit and codegen silently degrades to interpreted
-    # rows (measured on quantize.pq_encode); the fold is bit-identical
-    # (0.0 seed — only the sign of zero can differ, and ±scale signs
-    # never produce a sign-of-zero that downstream >= 0 tests can see).
+    # dot products as array-lambda folds (ops/arrmath.py), not
+    # out_dim×dim unrolled scalar chains: past a few hundred terms the
+    # unrolled form blows janino's method limit and codegen silently
+    # degrades to interpreted rows (measured on quantize.pq_encode);
+    # bit-identity of the fold is derived once in arrmath.
+    from snowav_spark.ops import arrmath
+
     wide = df.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
     ).selectExpr("*", f"CAST({vec} AS array<double>) AS _rpv")
-    outs = []
-    for j in range(out_dim):
-        row = "array(" + ", ".join(repr(float(s)) for s in signs[j]) + ")"
-        outs.append(
-            f"aggregate(zip_with(_rpv, {row}, (a, b) -> a * b), "
-            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+    outs = [arrmath.dot_sql("_rpv", signs[j]) for j in range(out_dim)]
     keep = [c for c in df.columns]
     return wide.selectExpr(
         *keep, f"array({', '.join(outs)}) AS {out_col}"
@@ -614,21 +630,26 @@ def build_ivf_index(
     dim: int = 64,
 ) -> list:
     """Persist the IVF index AS A PARQUET LAYOUT: rows partitioned by
-    their cell id, centroids in an underscore-prefixed JSON sidecar
-    (ignored by Spark's file listing).  This is the 100 TB serving form
-    the in-memory :func:`ivf_topk` docstring promises: a probe reads
-    ONLY the nprobe cell directories — partition pruning does the
+    their cell id, centroids in an underscore-prefixed parquet sidecar
+    (``_ivf_centroids`` — underscore paths are invisible to Spark's
+    file listing of the parent, and writing it THROUGH Spark keeps the
+    whole index portable to any filesystem Spark can write: local,
+    HDFS, object stores).  This is the 100 TB serving form the
+    in-memory :func:`ivf_topk` docstring promises: a probe reads ONLY
+    the nprobe cell directories — partition pruning does the
     inverted-file part, no search service required.  Returns the
     centroids (also written to the sidecar)."""
-    import json
-    import os
-
     cents = ivf_centroids(df, id_col, vec, n_cells, iters, dim)
     ivf_assign(df, id_col, vec, cents).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump({"dim": dim, "centroids": [list(map(float, c)) for c in cents]}, f)
+    side = df.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        ["cell", "centroid"],
+    )
+    side.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_ivf_centroids"
+    )
     return cents
 
 
@@ -642,28 +663,18 @@ def search_ivf_index(
     nprobe: int = 8,
 ) -> DataFrame:
     """Top-k cosine search against a :func:`build_ivf_index` layout.
-    Cell selection is driver-side numpy over the sidecar centroids; the
-    scan then carries ``cell IN (probed)`` as a PARTITION filter, so at
-    any corpus size the job reads nprobe directories, not the index.
-    ``nprobe >= n_cells`` degrades gracefully to exact brute force."""
-    import json
-    import os
-
-    import numpy as np
-
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        side = json.load(f)
-    c = np.asarray(side["centroids"], dtype=np.float64)
-    qv = np.asarray(list(query_vec), dtype=np.float64)
-    d = (c * c).sum(axis=1) - 2.0 * (c @ qv)
-    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
-
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    scored = cand.select(
-        F.col(id_col),
-        F.round(
-            dot(F.col(vec), qlit) / (norm(F.col(vec)) * norm(qlit)), 6
-        ).alias("cos_sim"),
+    Cell selection is driver-side numpy over the sidecar centroids
+    (KB-sized; a wrong-length query fails fast with a dim-mismatch
+    error); the scan then carries ``cell IN (probed)`` as a PARTITION
+    filter, so at any corpus size the job reads nprobe directories,
+    not the index.  ``nprobe >= n_cells`` degrades gracefully to exact
+    brute force."""
+    side = (
+        spark.read.parquet(path.rstrip("/") + "/_ivf_centroids")
+        .orderBy("cell")
+        .collect()
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    cents = [list(r.centroid) for r in side]
+    probe = _probe_cells(cents, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return _cosine_score_topk(cand, query_vec, id_col, vec, k)
