@@ -90,8 +90,20 @@ def read_netcdf_outputs(
             for path in pdf["path"]:
                 if nc is not None:
                     ds = nc.Dataset(path)
-                    dates = nc.num2date(ds["time"][:], ds["time"].units)
-                    read_step = lambda v, ti: np.asarray(ds[v][ti], dtype=float)  # noqa: E731
+                    # python datetimes (not cftime objects — pd.Timestamp
+                    # can't convert those); honor time_var like the
+                    # pure-python branch; fill MASKED cells (out-of-basin
+                    # in real model output) with NaN — np.asarray would
+                    # silently emit the raw _FillValue as data
+                    dates = nc.num2date(
+                        ds[time_var][:],
+                        ds[time_var].units,
+                        only_use_cftime_datetimes=False,
+                        only_use_python_datetimes=True,
+                    )
+                    read_step = lambda v, ti: np.ma.filled(  # noqa: E731
+                        np.ma.masked_invalid(ds[v][ti]).astype(float), np.nan
+                    )
                 else:
                     ds = open_dataset(path)
                     tv = ds.variables[time_var]

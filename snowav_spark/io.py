@@ -44,7 +44,11 @@ TABLES = (
 # at first load, so this is only for immutable inputs (the read-only
 # fixture dirs).  Mutable stores (ResultsStore) bypass this loader; call
 # clear_cache() after rewriting a directory you loaded through here.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# plan cache: value carries a weakref to the owning session so a hit is
+# honored only when the ENTRY'S session is the caller's live session —
+# id() alone can be recycled by CPython onto a NEW session after the old
+# one is collected, resurrecting plans bound to a dead SparkContext
+_CACHE: dict[tuple[int, str, str], tuple[object, DataFrame]] = {}
 
 
 def clear_cache() -> None:
@@ -71,12 +75,20 @@ def _nanos_ts_cols(path: str) -> set[str]:
     try:
         p = path
         if os.path.isdir(p):
-            parts = sorted(
-                f for f in os.listdir(p) if f.endswith(".parquet")
-            )
-            if not parts:
+            # recurse: a PARTITIONED table nests part files under
+            # key=value dirs — a top-level-only listing would silently
+            # return the empty set and leave ns columns as bigint,
+            # exactly the silent failure the warning below exists for
+            part = None
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                hits = sorted(f for f in files if f.endswith(".parquet"))
+                if hits:
+                    part = os.path.join(root, hits[0])
+                    break
+            if part is None:
                 return set()
-            p = os.path.join(p, parts[0])
+            p = part
         schema = pq.read_schema(p)
         import pyarrow as pa
 
@@ -104,10 +116,15 @@ def _nanos_ts_cols(path: str) -> set[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying per-table schema fixes."""
+    import weakref as _weakref
+
     key = (id(spark), sf_dir.rstrip("/"), name)
     hit = _CACHE.get(key)
     if hit is not None:
-        return hit
+        ref, cached = hit
+        if ref() is spark:  # same LIVE session object, not a reused id
+            return cached
+        del _CACHE[key]  # stale entry from a collected session
     ensure_engine_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -132,7 +149,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp":
             # Session tz is pinned to UTC, so LTZ→NTZ preserves wall time.
             df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
-    _CACHE[key] = df
+    _CACHE[key] = (_weakref.ref(spark), df)
     return df
 
 

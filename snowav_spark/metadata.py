@@ -61,8 +61,19 @@ class RunMetadataStore:
         )
         df.write.mode("append").parquet(self.path)
 
+    _SCHEMA = (
+        "run_id string, run_name string, created_ts timestamp_ntz, "
+        "config string"
+    )
+
     def runs(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        """All recorded runs; EMPTY (not PATH_NOT_FOUND) before the first
+        record() — the same first-use guard ResultsStore.append_missing
+        applies, so the two stores behave alike."""
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], self._SCHEMA)
 
     def latest(self, run_name: str):
         """Most recent run row for a name (max_by on created_ts)."""

@@ -28,16 +28,44 @@ def band_label(band: int, edges: list[float]) -> str:
     return f"{lo:g}–{hi:g}" if hi is not None else f"≥{lo:g}"
 
 
+def _frames(
+    store: ResultsStore,
+    spec: PipelineSpec,
+    start: datetime.date,
+    end: datetime.date,
+    variables: list[str] | None = None,
+) -> dict:
+    """One collect_frame per variable, computed ONCE — write_report /
+    write_latex pass the same dict to the table renderer AND the figure
+    writer, so the store is scanned once per variable, not twice."""
+    return {
+        var: store.collect_frame(spec.run_id, var, spec.basins, start, end)
+        for var in list(variables or spec.variables)
+    }
+
+
+def _table_rows(frame, spec: PipelineSpec):
+    """Shared row extraction for the markdown and LaTeX renderers:
+    (band label, per-basin value-or-None) in band order — ONE place for
+    the sort / NaN / band-label conventions."""
+    for _, row in frame.sort_values("band").iterrows():
+        label = band_label(int(row["band"]), spec.edges)
+        yield label, [
+            float(row[b]) if row[b] == row[b] else None for b in spec.basins
+        ]
+
+
 def build_report(
     store: ResultsStore,
     spec: PipelineSpec,
     start: datetime.date,
     end: datetime.date,
     variables: list[str] | None = None,
+    frames: dict | None = None,
 ) -> str:
     """Render the run report: one markdown table per variable, rows =
     elevation bands (+ total), columns = basins."""
-    variables = list(variables or spec.variables)
+    frames = frames or _frames(store, spec, start, end, variables)
     lines = [
         f"# snowav_spark report — run `{spec.run_id}`",
         "",
@@ -45,8 +73,7 @@ def build_report(
         f"Elevation band edges: {', '.join(f'{e:g}' for e in spec.edges)}.",
         "",
     ]
-    for var in variables:
-        frame = store.collect_frame(spec.run_id, var, spec.basins, start, end)
+    for var, frame in frames.items():
         if frame.empty:
             continue
         unit = _UNIT.get(var, "")
@@ -55,9 +82,9 @@ def build_report(
         header = ["band"] + spec.basins
         lines.append("| " + " | ".join(header) + " |")
         lines.append("|" + "---|" * len(header))
-        for _, row in frame.sort_values("band").iterrows():
-            cells = [band_label(int(row["band"]), spec.edges)] + [
-                f"{row[b]:g}" if row[b] == row[b] else "—" for b in spec.basins
+        for label, vals in _table_rows(frame, spec):
+            cells = [label] + [
+                f"{v:g}" if v is not None else "—" for v in vals
             ]
             lines.append("| " + " | ".join(cells) + " |")
         lines.append("")
@@ -72,11 +99,12 @@ def write_report(
     path: str,
     figs_dir: str | None = None,
 ) -> str:
-    md = build_report(store, spec, start, end)
+    frames = _frames(store, spec, start, end)
+    md = build_report(store, spec, start, end, frames=frames)
     if figs_dir:
         import os
 
-        names = write_figures(store, spec, start, end, figs_dir)
+        names = write_figures(store, spec, start, end, figs_dir, frames=frames)
         rel = [os.path.relpath(os.path.join(figs_dir, n),
                                os.path.dirname(path) or ".") for n in names]
         md += "\n## Figures\n\n" + "\n".join(
@@ -94,6 +122,7 @@ def build_latex(
     end: datetime.date,
     variables: list[str] | None = None,
     fig_names: list[str] | None = None,
+    frames: dict | None = None,
 ) -> str:
     """The reference's LaTeX template fill (ref:snowav/report/report.py
     renders snowav_report.tex via jinja and shells out to pdflatex).
@@ -101,16 +130,21 @@ def build_latex(
     table per variable and \\includegraphics hooks for the SVG figures —
     minus the pdflatex subprocess (no TeX toolchain in this container;
     the table content, the parity point, is identical to the markdown
-    report's)."""
-    variables = list(variables or spec.variables)
+    report's — both renderers consume the SAME _table_rows extraction)."""
+    frames = frames or _frames(store, spec, start, end, variables)
+
+    tex = {
+        "\\": r"\textbackslash{}", "{": r"\{", "}": r"\}",
+        "&": r"\&", "%": r"\%", "#": r"\#", "_": r"\_",
+        "$": r"\$", "^": r"\^{}", "~": r"\~{}",
+    }
 
     def esc(s: str) -> str:
-        for a, b in (
-            ("\\", r"\textbackslash{}"), ("&", r"\&"), ("%", r"\%"),
-            ("#", r"\#"), ("_", r"\_"), ("$", r"\$"),
-        ):
-            s = s.replace(a, b)
-        return s
+        # single-pass character map (sequential .replace would re-escape
+        # the braces that \textbackslash{} itself introduces); ^ matters
+        # in practice — DEFAULT_UNITS has kg/m^3, which unescaped breaks
+        # compilation with 'Missing $ inserted'
+        return "".join(tex.get(ch, ch) for ch in s)
 
     lines = [
         r"\documentclass{article}",
@@ -123,8 +157,7 @@ def build_latex(
         % (start, end, esc(", ".join(spec.basins))),
         "",
     ]
-    for var in variables:
-        frame = store.collect_frame(spec.run_id, var, spec.basins, start, end)
+    for var, frame in frames.items():
         if frame.empty:
             continue
         unit = _UNIT.get(var, "")
@@ -137,10 +170,9 @@ def build_latex(
             "band & " + " & ".join(esc(b) for b in spec.basins) + r" \\",
             r"\midrule",
         ]
-        for _, row in frame.sort_values("band").iterrows():
-            cells = [esc(band_label(int(row["band"]), spec.edges))] + [
-                f"{row[b]:g}" if row[b] == row[b] else "---"
-                for b in spec.basins
+        for label, vals in _table_rows(frame, spec):
+            cells = [esc(label)] + [
+                f"{v:g}" if v is not None else "---" for v in vals
             ]
             lines.append(" & ".join(cells) + r" \\")
         lines += [r"\bottomrule", r"\end{tabular}", ""]
@@ -158,10 +190,13 @@ def write_latex(
     path: str,
     figs_dir: str | None = None,
 ) -> str:
+    frames = _frames(store, spec, start, end)
     fig_names = None
     if figs_dir:
-        fig_names = write_figures(store, spec, start, end, figs_dir)
-    tex = build_latex(store, spec, start, end, fig_names=fig_names)
+        fig_names = write_figures(
+            store, spec, start, end, figs_dir, frames=frames
+        )
+    tex = build_latex(store, spec, start, end, fig_names=fig_names, frames=frames)
     with open(path, "w") as f:
         f.write(tex)
     return path
@@ -174,6 +209,7 @@ def write_figures(
     end: datetime.date,
     figs_dir: str,
     variables: list[str] | None = None,
+    frames: dict | None = None,
 ) -> list[str]:
     """The reference's figure set (ref:snowav/plotting/swe_volume.py,
     basin_total.py) as dependency-free SVG: per variable, a
@@ -187,9 +223,9 @@ def write_figures(
     from snowav_spark import figures
 
     os.makedirs(figs_dir, exist_ok=True)
+    frames = frames or _frames(store, spec, start, end, variables)
     names: list[str] = []
-    for var in list(variables or spec.variables):
-        frame = store.collect_frame(spec.run_id, var, spec.basins, start, end)
+    for var, frame in frames.items():
         unit = _UNIT.get(var, "")
         if not frame.empty:
             bands = sorted(int(b) for b in frame["band"] if b != -1)
