@@ -6911,9 +6911,15 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").over(wcum).alias("cum"),
         F.sum("m").over(wtot).alias("tot"),
     )
+    # decimal(38,0) before the ×10/×5 products: total micro-unit revenue
+    # is ~2.2e17 at sf1, so a bigint product overflows around sf5+ in
+    # Spark (sum(long) stays long) while DuckDB's sum already promotes to
+    # HUGEINT — the class boundary would silently flip at scale.
+    cum128 = F.col("cum").cast("decimal(38,0)")
+    tot128 = F.col("tot").cast("decimal(38,0)")
     cls = (
-        F.when(F.col("cum") * 10 <= F.col("tot") * 5, "A")
-        .when(F.col("cum") * 10 <= F.col("tot") * 8, "B")
+        F.when(cum128 * 10 <= tot128 * 5, "A")
+        .when(cum128 * 10 <= tot128 * 8, "B")
         .otherwise("C")
     )
     scale = float(windows.FIXED_POINT_SCALE)
@@ -7119,6 +7125,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_clean_text, q_decontam, q_chunk_docs, q_minhash_lsh_md5,
 # q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
 # prescribed (§2.1's scan row keeps q_scan_project in-window).
+#
+# Round-7 rotation (VERDICT r6 item 1): the rotation-queue head —
+# q_scan_stats, q_dedup_resolve, q_decontam_bloom, q_ngram_freq,
+# q_token_budget, q_unigram_logprob — moves INTO the window; the six
+# keys that earned first-time green rows in r06 (q_regional_volume,
+# q_market_share, q_late_orders, q_promo_share, q_growth_accounting,
+# q_peak_concurrency) rotate out to the tail.
 
 _GRADE_ORDER = [
     # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row -------
@@ -7166,14 +7179,21 @@ _GRADE_ORDER = [
     "q_rolling_active",
     "q_share_of_total",
     "q_gap_fill",
-    # -- rotated in r06 per VERDICT r5 item 1: never-driver-graded keys ----
+    # -- rotated in r07 per VERDICT r6 item 1: never-driver-graded keys ----
+    "q_scan_stats",
+    "q_dedup_resolve",
+    "q_decontam_bloom",
+    "q_ngram_freq",
+    "q_token_budget",
+    "q_unigram_logprob",
+    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
+    # -- rotated out r07 (earned permanent green r06 driver rows) ----------
     "q_regional_volume",
     "q_market_share",
     "q_late_orders",
     "q_promo_share",
     "q_growth_accounting",
     "q_peak_concurrency",
-    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
     # -- rotated out r06 (permanent green r01–r05 driver rows) -------------
     "q_sort_multi",
     "q_union_runs",
@@ -7193,7 +7213,6 @@ _GRADE_ORDER = [
     "q_dedup_embed",
     "q_sample_hash",
     "q_data_quality",
-    "q_scan_stats",
     "q_corr_stats",
     "q_range_frame",
     "q_cube",
@@ -7203,11 +7222,6 @@ _GRADE_ORDER = [
     "q_array_ops",
     "q_token_count",
     # -- tail: oracle-backed keys added after the window was pinned --------
-    "q_dedup_resolve",
-    "q_decontam_bloom",
-    "q_ngram_freq",
-    "q_token_budget",
-    "q_unigram_logprob",
     "q_oov_rate",
     "q_bm25",
     "q_lookback_join",

@@ -35,7 +35,9 @@ RASTER_SCHEMA = StructType(
         StructField("y", IntegerType(), False),
         StructField("x", IntegerType(), False),
         StructField("variable", StringType(), False),
-        StructField("value", DoubleType(), False),
+        # nullable: masked (out-of-basin) cells arrive as NULL so Spark
+        # aggregates skip them — the reference's masked-mean semantics
+        StructField("value", DoubleType(), True),
     ]
 )
 
@@ -84,7 +86,7 @@ def read_netcdf_outputs(
             import netCDF4 as nc
         except ImportError:
             nc = None
-        from snowav_spark.sources import open_dataset
+        from snowav_spark.sources import masked_to_nan, open_dataset
 
         for pdf in batches:
             for path in pdf["path"]:
@@ -113,10 +115,13 @@ def read_netcdf_outputs(
                     )
                     # slab read: one timestep faulted in at a time, so a
                     # multi-GiB (time, y, x) cube never needs cube-sized
-                    # executor memory — mmap pages + one grid per step
-                    read_step = lambda v, ti: ds.values(  # noqa: E731
-                        v, first=slice(ti, ti + 1)
-                    )[0].astype(float)
+                    # executor memory — mmap pages + one grid per step;
+                    # masked_to_nan fills _FillValue/missing_value
+                    # sentinels with NaN, matching the netCDF4 branch
+                    read_step = lambda v, ti: masked_to_nan(  # noqa: E731
+                        ds.values(v, first=slice(ti, ti + 1))[0],
+                        ds.variables[v].attrs,
+                    )
                 for var in variables:
                     for ti, d in enumerate(dates):
                         grid = read_step(var, ti)

@@ -30,9 +30,41 @@ def open_dataset(path_or_bytes):
     raise ValueError("not a NetCDF file (neither classic CDF nor HDF5 magic)")
 
 
+def masked_to_nan(grid, attrs):
+    """Shared fill-sentinel masking for the pure-Python read paths.
+
+    Real model output (ref:snowav/framework/outputs.py writes via netCDF4)
+    marks out-of-basin cells with the variable's ``_FillValue`` /
+    ``missing_value`` attribute (e.g. 9.96921e36); the netCDF4 library
+    auto-masks those on read and ingest fills them with NaN.  The pure
+    NumPy readers (sources.netcdf3 / sources.hdf5) return raw stored
+    values, so every call site that feeds grids into aggregates must map
+    sentinel and non-finite cells to NaN through THIS helper — otherwise
+    the same file yields different results depending on whether netCDF4
+    is installed.
+
+    ``attrs`` is the variable's attribute dict.  ``missing_value`` may be
+    an array per CF convention; every listed sentinel is masked.  Returns
+    a float64 copy (never mutates the mmap-backed source array).
+    """
+    import numpy as np
+
+    arr = np.array(grid, dtype=np.float64, copy=True)
+    for key in ("_FillValue", "missing_value"):
+        fv = attrs.get(key)
+        if fv is None:
+            continue
+        for f in np.atleast_1d(np.asarray(fv, dtype=np.float64)).tolist():
+            if np.isfinite(f):
+                arr[arr == f] = np.nan
+    arr[~np.isfinite(arr)] = np.nan
+    return arr
+
+
 __all__ = [
     "NetCDFDataSource",
     "RasterGridDataSource",
     "register",
     "open_dataset",
+    "masked_to_nan",
 ]

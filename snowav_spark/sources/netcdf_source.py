@@ -54,7 +54,9 @@ RASTER_SCHEMA = StructType(
         StructField("y", IntegerType(), False),
         StructField("x", IntegerType(), False),
         StructField("variable", StringType(), False),
-        StructField("value", DoubleType(), False),
+        # nullable: masked (out-of-basin) cells arrive as NULL so Spark
+        # aggregates skip them — the reference's masked-mean semantics
+        StructField("value", DoubleType(), True),
     ]
 )
 
@@ -131,7 +133,7 @@ class NetCDFReader(DataSourceReader):
         import pyarrow as pa
 
         from snowav_spark.ingest import _num2date
-        from snowav_spark.sources import open_dataset
+        from snowav_spark.sources import masked_to_nan, open_dataset
 
         ds = open_dataset(part.path)
         tv = ds.variables[part.time_var]
@@ -144,22 +146,25 @@ class NetCDFReader(DataSourceReader):
         # ONE slab read per partition: a chunk whose time extent spans
         # several steps (netCDF4-c defaults are not always time=1) is
         # located and decompressed once, not once per step; memory is
-        # bounded at steps_per_task grids either way.
-        slab = np.asarray(
+        # bounded at steps_per_task grids either way.  masked_to_nan maps
+        # _FillValue/missing_value sentinels to NaN (netCDF4 parity).
+        slab = masked_to_nan(
             ds.values(part.variable, first=slice(part.lo, part.hi)),
-            dtype=np.float64,
+            ds.variables[part.variable].attrs,
         )
         for i, d in enumerate(dates):
             grid = slab[i]
             ys, xs = np.indices(grid.shape)
             n = grid.size
+            vals = grid.ravel()
             yield pa.record_batch(
                 [
                     pa.array([pd.Timestamp(d).date()] * n, pa.date32()),
                     pa.array(ys.ravel().astype("int32"), pa.int32()),
                     pa.array(xs.ravel().astype("int32"), pa.int32()),
                     pa.array([part.variable] * n, pa.string()),
-                    pa.array(grid.ravel(), pa.float64()),
+                    # masked cells → Arrow nulls (mask=True marks null)
+                    pa.array(vals, pa.float64(), mask=np.isnan(vals)),
                 ],
                 names=["date", "y", "x", "variable", "value"],
             )
@@ -202,7 +207,7 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
         import pandas as pd
 
         from snowav_spark.ingest import _num2date
-        from snowav_spark.sources import open_dataset
+        from snowav_spark.sources import masked_to_nan, open_dataset
 
         rows: list[tuple] = []
         for p in _list_netcdf(self.path):
@@ -215,11 +220,15 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
                 ds.values(self.time_var).astype(float),
                 str(tv.attrs.get("units", "days since 1970-01-01")),
             )
-            names = self.variables or _data_variables(ds, self.time_var)
-            for var in names:
+            # NOTE: a distinct binding from the `names` PARAMETER (the set
+            # of new filenames) — rebinding it here once skipped every
+            # later file in a multi-file micro-batch.
+            var_names = self.variables or _data_variables(ds, self.time_var)
+            for var in var_names:
                 for ti, d in enumerate(dates):
-                    grid = np.asarray(
-                        ds.values(var, first=slice(ti, ti + 1))[0], dtype=float
+                    grid = masked_to_nan(
+                        ds.values(var, first=slice(ti, ti + 1))[0],
+                        ds.variables[var].attrs,
                     )
                     day = pd.Timestamp(d).date()
                     # vectorized row construction (ravel + zip), not a
@@ -227,13 +236,17 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
                     # 2.25M cells — numpy builds the index/value columns,
                     # Python only zips them into the protocol's tuples
                     ys, xs = np.indices(grid.shape)
+                    # masked cells → None (SQL NULL), matching the batch
+                    # reader's Arrow null mask
+                    vals = grid.ravel().astype(object)
+                    vals[~np.isfinite(grid.ravel())] = None
                     rows.extend(
                         zip(
                             [day] * grid.size,
                             ys.ravel().tolist(),
                             xs.ravel().tolist(),
                             [var] * grid.size,
-                            grid.ravel().tolist(),
+                            vals.tolist(),
                         )
                     )
         return rows

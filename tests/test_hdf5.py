@@ -401,6 +401,93 @@ def test_netcdf_stream_reads_only_new_files(spark, tmp_path):
     assert by_day == {"2020-10-01": 1.5, "2020-10-02": 2.5}
 
 
+def test_netcdf_stream_two_files_one_batch(spark, tmp_path):
+    """TWO files arriving in ONE micro-batch both emit rows.  Regression:
+    _rows rebound its `names` parameter (the new-FILENAME set) to the
+    variable list inside the loop, so every file after the first failed
+    the `name not in names` check and was silently skipped while the end
+    offset still recorded it — permanent data loss on backfills."""
+    from snowav_spark.sources import netcdf_source
+
+    gdir = tmp_path / "drops2"
+    gdir.mkdir()
+    for i, fill in enumerate([1.0, 3.0]):
+        netcdf3.write(
+            str(gdir / f"day{i}.nc"),
+            dims={"time": 1, "y": 2, "x": 2},
+            variables={
+                "time": (["time"], np.array([i], dtype=np.float64),
+                         {"units": "days since 2020-10-01"}),
+                "specific_mass": (["time", "y", "x"],
+                                  np.full((1, 2, 2), fill), {}),
+            },
+        )
+    netcdf_source.register(spark)
+    q = (
+        spark.readStream.format("snowav_netcdf")
+        .option("variables", "specific_mass")
+        .load(str(gdir))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    assert got.count() == 8
+    by_day = {
+        str(r.date): r.m
+        for r in got.groupBy("date").agg(F.avg("value").alias("m")).collect()
+    }
+    assert by_day == {"2020-10-01": 1.0, "2020-10-02": 3.0}
+
+
+def test_fill_value_masked_to_nan(spark, tmp_path):
+    """_FillValue/missing_value sentinels become NaN on every pure-Python
+    read path (netCDF4-branch parity): real model output masks
+    out-of-basin cells with ~9.97e36, which must never enter aggregates."""
+    from snowav_spark.sources import masked_to_nan, netcdf_source
+
+    fill = 9.96921e36
+    grid = np.array([[[1.0, 2.0], [fill, 4.0]]])
+    # unit check incl. an array-valued missing_value and an inf cell
+    arr = masked_to_nan(
+        np.array([1.0, fill, -5.0, np.inf]),
+        {"_FillValue": np.float64(fill), "missing_value": np.array([-5.0])},
+    )
+    assert np.isnan(arr[[1, 2, 3]]).all() and arr[0] == 1.0
+
+    for fmt, writer in (("classic", netcdf3.write), ("nc4", hdf5.write)):
+        p = str(tmp_path / f"fv_{fmt}.nc")
+        writer(
+            p,
+            dims={"time": 1, "y": 2, "x": 2},
+            variables={
+                "time": (["time"], np.array([0], dtype=np.float64),
+                         {"units": "days since 2020-10-01"}),
+                "specific_mass": (["time", "y", "x"], grid,
+                                  {"_FillValue": np.float64(fill)}),
+            },
+        )
+        tall = ingest.read_netcdf_outputs(spark, [p], ["specific_mass"])
+        vals = [r.value for r in tall.collect()]
+        assert sorted(v for v in vals if v is not None) == [1.0, 2.0, 4.0]
+        assert vals.count(None) == 1  # masked cell is SQL NULL
+        # aggregates skip the masked cell (reference's masked-mean parity)
+        assert tall.agg(F.avg("value")).first()[0] == pytest.approx(7.0 / 3)
+
+    # batch DataSource path masks too (Arrow null mask)
+    netcdf_source.register(spark)
+    df = (
+        spark.read.format("snowav_netcdf")
+        .option("variables", "specific_mass")
+        .load(str(tmp_path / "fv_nc4.nc"))
+    )
+    got = [r.value for r in df.collect()]
+    assert got.count(None) == 1
+
+
 def test_fletcher32_defilter():
     raw = np.arange(8, dtype="<f4").tobytes()
     assert (
