@@ -1409,14 +1409,19 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90
-    FROM events GROUP BY event_type
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type
     """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forcing-input percentile summaries (ref:snowav/plotting/inputs.py
     via the tablizer dep).  Exact interpolated percentile hash-matches
     DuckDB quantile_cont; approx_percentile is the 100 TB path
-    (q_approx_percentile, rows-only)."""
+    (q_approx_percentile, rows-only).  NULL and NaN are filtered
+    identically in both dialects (inside exact_percentiles) — engines
+    disagree on NaN's position in a percentile sort, the last float_nan
+    fuzz residual."""
     ev = load_table(spark, sf_dir, "events")
     return scalars.exact_percentiles(ev, ["event_type"], "value", [0.5, 0.9])
 
@@ -3697,11 +3702,13 @@ def q_mode_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_mad_outlier",
     """
-    WITH med AS (SELECT event_type,
-                        round(quantile_cont(value, 0.5), 6) AS p50
-                 FROM events GROUP BY event_type),
+    WITH src AS (SELECT event_type, value FROM events
+                 WHERE value IS NOT NULL AND NOT isnan(value)),
+    med AS (SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50
+            FROM src GROUP BY event_type),
     d AS (SELECT e.event_type, abs(e.value - m.p50) AS dev
-          FROM events e JOIN med m USING (event_type)),
+          FROM src e JOIN med m USING (event_type)),
     mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
             FROM d GROUP BY event_type)
     SELECT d.event_type,
@@ -3719,8 +3726,13 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, each a tiny per-type aggregate broadcast back onto one
     corpus scan; medians rounded to the shared r6 grid BEFORE the
     deviation math so both engines branch identically at the 3·MAD
-    boundary."""
-    ev = load_table(spark, sf_dir, "events")
+    boundary.  NULL/NaN values are filtered at the SOURCE in both
+    dialects (the round-5 rule): a NaN deviation would count as an
+    outlier in both engines' NaN-is-greatest comparison but poison the
+    MAD median differently."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     med = scalars.exact_percentiles(ev, ["event_type"], "value", [0.5])
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("p50")).alias("dev")
@@ -6953,26 +6965,40 @@ def q_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the percentile inputs are bit-identical and r6 absorbs the
     interpolation-formula ulp (the q_top_share precedent).  Duplicate
     timestamps collapse BEFORE the lag, so tie order can never reach the
-    output.  Scale: per-type windows bounded by events-per-type after
-    the distinct; exact percentile is per-group (grouped sort), never a
-    global one."""
+    output.  Scale: the lag window partitions by (event_type, DAY) — a
+    per-type-only partition sorts ~N/|types| rows on one task, and with
+    ~5 types that is a linear-in-corpus straggler (VERDICT r6) — so each
+    sort is one type-day; day-boundary gaps (last ts of the previous
+    PRESENT day → first ts of this day, empty days skipped by
+    construction) are stitched from a |days|×|types| first/last frame
+    whose window is domain-bounded.  The union is exactly the
+    consecutive-pair gap multiset: consecutive distinct timestamps
+    either share a day (within-day lag) or straddle present days
+    (boundary lag).  Exact percentile stays per-group, never global."""
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     t = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .select("event_type", "ts")
+        .select("event_type", "ts", F.to_date("ts").alias("day"))
         .distinct()
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc())
-    g = t.select(
+    wday = Window.partitionBy("event_type", "day").orderBy(F.col("ts").asc())
+    within = t.select(
         "event_type",
-        (
-            (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-            )
-            / 1000000.0
-        ).alias("gap_s"),
-    ).filter(F.col("gap_s").isNotNull())
+        ((us("ts") - F.unix_micros(F.lag("ts").over(wday).cast("timestamp")))
+         / 1000000.0).alias("gap_s"),
+    )
+    bounds = t.groupBy("event_type", "day").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    wtype = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    boundary = bounds.select(
+        "event_type",
+        ((us("first_ts")
+          - F.unix_micros(F.lag("last_ts").over(wtype).cast("timestamp")))
+         / 1000000.0).alias("gap_s"),
+    )
+    g = within.unionByName(boundary).filter(F.col("gap_s").isNotNull())
     return g.groupBy("event_type").agg(
         F.count("gap_s").cast("bigint").alias("n_gaps"),
         r6(F.expr("percentile(gap_s, 0.5)")).alias("median_s"),

