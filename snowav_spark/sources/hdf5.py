@@ -64,6 +64,46 @@ _M_CONTINUATION = 0x0010
 _M_SYMBOL_TABLE = 0x0011
 _M_ATTR_INFO = 0x0015
 
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins lookup3 (hashlittle) — HDF5's metadata checksum AND the
+    B-tree v2 name-index hash (H5_checksum_lookup3).  Pure-python port of
+    the public-domain reference; pinned by known test vectors in
+    tests/test_hdf5.py."""
+    M = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & M
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & M
+    i, ln = 0, len(data)
+    while ln > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M  # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M  # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M  # noqa: E702
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M  # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M  # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M  # noqa: E702
+        i += 12
+        ln -= 12
+    tail = data[i:]
+    if tail:  # final mix only when bytes remain (hashlittle semantics)
+        pad = tail + b"\x00" * (12 - len(tail))
+        a = (a + int.from_bytes(pad[0:4], "little")) & M
+        b = (b + int.from_bytes(pad[4:8], "little")) & M
+        c = (c + int.from_bytes(pad[8:12], "little")) & M
+        c ^= b; c = (c - rot(b, 14)) & M  # noqa: E702
+        a ^= c; a = (a - rot(c, 11)) & M  # noqa: E702
+        b ^= a; b = (b - rot(a, 25)) & M  # noqa: E702
+        c ^= b; c = (c - rot(b, 16)) & M  # noqa: E702
+        a ^= c; a = (a - rot(c, 4)) & M  # noqa: E702
+        b ^= a; b = (b - rot(a, 14)) & M  # noqa: E702
+        c ^= b; c = (c - rot(b, 24)) & M  # noqa: E702
+    return c
+
+
 _NC_HIDDEN_ATTRS = {
     "CLASS",
     "NAME",
@@ -303,9 +343,15 @@ class H5File:
         elif mtype == _M_ATTR_INFO:
             flags = m[1]
             pos = 2 + (2 if flags & 1 else 0)
-            (fheap,) = struct.unpack_from("<Q", m, pos)
+            fheap, name_bt = struct.unpack_from("<QQ", m, pos)
             if fheap != _UNDEF:
-                raise ValueError("dense attribute storage unsupported")
+                # dense storage: attribute messages live in a fractal
+                # heap, indexed by a name B-tree v2 (real netCDF-4 files
+                # cross the compact→dense threshold easily — units,
+                # long_name, _FillValue, valid_range, grid_mapping, …)
+                for body in self._dense_messages(fheap, name_bt):
+                    name, value = self._parse_attribute(body)
+                    obj.attrs[name] = value
         # fill values, group info, mod times: no-ops for reading data
 
     def _parse_layout(self, m: bytes):
@@ -457,6 +503,128 @@ class H5File:
                 break
             pos += 16 + (osize + 7) // 8 * 8
         raise KeyError(f"global heap object {index} not found at {addr:#x}")
+
+    # -- dense (fractal-heap) attribute storage --------------------------------
+
+    def _fractal_heap(self, addr: int) -> dict:
+        """Parse a fractal heap header (FRHP) into the fields object
+        lookup needs.  Read-only: sizes are DERIVED from the header
+        (offset width from the max-heap-size bits, length width from the
+        max-managed-object field), never assumed."""
+        buf = self.buf
+        if bytes(buf[addr : addr + 4]) != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        if buf[addr + 4] != 0:
+            raise ValueError(f"unsupported fractal heap version {buf[addr+4]}")
+        (id_len,) = struct.unpack_from("<H", buf, addr + 5)
+        (filter_len,) = struct.unpack_from("<H", buf, addr + 7)
+        if filter_len:
+            raise ValueError("filtered fractal heap blocks unsupported")
+        flags = buf[addr + 9]
+        (max_managed,) = struct.unpack_from("<I", buf, addr + 10)
+        pos = addr + 14 + 12 * 8  # skip huge/tiny/free-space statistics
+        width, start_size, max_direct = struct.unpack_from("<HQQ", buf, pos)
+        (max_heap_bits,) = struct.unpack_from("<H", buf, pos + 18)
+        root_addr, nrows = struct.unpack_from("<QH", buf, pos + 22)
+        offset_size = (max_heap_bits + 7) // 8
+        length_size = max((max_managed.bit_length() + 7) // 8, 1)
+        if 1 + offset_size + length_size > id_len:
+            raise ValueError(
+                f"fractal heap id length {id_len} shorter than derived"
+                f" offset/length widths {offset_size}/{length_size}"
+            )
+        return {
+            "flags": flags,
+            "width": width,
+            "start": start_size,
+            "max_direct": max_direct,
+            "offset_size": offset_size,
+            "length_size": length_size,
+            "root": root_addr,
+            "nrows": nrows,
+        }
+
+    def _heap_object(self, heap: dict, heap_id: bytes) -> bytes:
+        """Fetch one MANAGED object by heap id.  Heap offsets address the
+        heap's linear space, which includes each direct block's header —
+        so file position is child_addr + (offset − block_start) with no
+        header arithmetic.  Single-direct-block roots and one level of
+        indirect root (direct children) cover every attribute heap the
+        netCDF-4 library produces; deeper nesting raises loudly."""
+        buf = self.buf
+        idflags = heap_id[0]
+        if (idflags >> 6) & 0x03:
+            raise ValueError("unsupported fractal heap id version")
+        if (idflags >> 4) & 0x03:
+            raise ValueError(
+                "huge/tiny fractal heap objects unsupported (attribute"
+                " messages are always managed)"
+            )
+        osz, lsz = heap["offset_size"], heap["length_size"]
+        offset = int.from_bytes(heap_id[1 : 1 + osz], "little")
+        length = int.from_bytes(heap_id[1 + osz : 1 + osz + lsz], "little")
+        if heap["nrows"] == 0:
+            # root IS a single direct block at heap offset 0
+            pos = heap["root"] + offset
+            return bytes(buf[pos : pos + length])
+        # root indirect block: walk the doubling table to the direct child
+        W, S = heap["width"], heap["start"]
+        max_direct_rows = (
+            int(heap["max_direct"]).bit_length() - int(S).bit_length() + 2
+        )
+        row, base = 0, 0
+        while True:
+            bs = S if row < 2 else S << (row - 1)
+            if offset < base + W * bs:
+                break
+            base += W * bs
+            row += 1
+        if row >= max_direct_rows:
+            raise ValueError(
+                "nested indirect fractal heap blocks unsupported"
+            )
+        col = (offset - base) // bs
+        block_start = base + col * bs
+        if bytes(buf[heap["root"] : heap["root"] + 4]) != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        entries = heap["root"] + 4 + 1 + 8 + heap["offset_size"]
+        (child,) = struct.unpack_from("<Q", buf, entries + 8 * (row * W + col))
+        if child == _UNDEF:
+            raise ValueError("fractal heap object in unallocated block")
+        pos = child + (offset - block_start)
+        return bytes(buf[pos : pos + length])
+
+    def _btree_v2_records(self, addr: int):
+        """Yield raw records from a version-2 B-tree.  Depth-0 (single
+        leaf) covers the attribute counts real model output carries
+        (~120 records at the library's default node size); deeper trees
+        raise with the bound stated."""
+        buf = self.buf
+        if bytes(buf[addr : addr + 4]) != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        (rec_size,) = struct.unpack_from("<H", buf, addr + 10)
+        (depth,) = struct.unpack_from("<H", buf, addr + 12)
+        root, nrec = struct.unpack_from("<QH", buf, addr + 16)
+        if depth != 0:
+            raise ValueError(
+                "v2 B-tree depth > 0 unsupported (single leaf holds ~120"
+                " attributes at the default node size)"
+            )
+        if bytes(buf[root : root + 4]) != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        pos = root + 6
+        for _ in range(nrec):
+            yield bytes(buf[pos : pos + rec_size])
+            pos += rec_size
+
+    def _dense_messages(self, fheap_addr: int, btree_addr: int):
+        """Iterate dense-storage attribute message bodies: each name-index
+        record (type 8: heap id(8) + flags(1) + creation order(4) +
+        name hash(4)) points at a version-3 attribute message stored as a
+        managed fractal-heap object."""
+        heap = self._fractal_heap(fheap_addr)
+        for rec in self._btree_v2_records(btree_addr):
+            yield self._heap_object(heap, rec[:8])
 
     # -- groups ---------------------------------------------------------------
 
@@ -707,6 +875,13 @@ def read(path_or_bytes) -> NC4Dataset:
 # ---------------------------------------------------------------------------
 
 
+# netCDF4-c's default compact-attribute limit: past 8 attribute messages
+# an object's attributes move to dense (fractal-heap) storage
+_DENSE_ATTR_THRESHOLD = 8
+# dense objects above this would be "huge" (stored via their own btree)
+_DENSE_MAX_MANAGED = 4096
+
+
 def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
 
@@ -759,11 +934,14 @@ def _attr_msg(name: str, dt_raw: bytes, shape: tuple, data: bytes) -> bytes:
     return _msg(_M_ATTRIBUTE, body)
 
 
-def _attr_value_msg(name: str, value) -> bytes:
+def _attr_parts(value) -> tuple[bytes, tuple, bytes]:
+    """(datatype bytes, shape, payload bytes) for a python attr value —
+    shared by the compact (v1 header message) and dense (v3 fractal-heap
+    object) attribute encoders."""
     if isinstance(value, str):
         raw = value.encode("utf-8")
         dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", max(len(raw), 1))
-        return _attr_msg(name, dt, (), raw or b"\x00")
+        return dt, (), raw or b"\x00"
     if (
         isinstance(value, (list, tuple))
         and value
@@ -774,12 +952,28 @@ def _attr_value_msg(name: str, value) -> bytes:
         width = max(max(len(r) for r in raws), 1)
         dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", width)
         data = b"".join(r.ljust(width, b"\x00") for r in raws)
-        return _attr_msg(name, dt, (len(raws),), data)
+        return dt, (len(raws),), data
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     shape = () if np.isscalar(value) or np.asarray(value).ndim == 0 else arr.shape
-    return _attr_msg(name, _dt_bytes(arr), shape, arr.tobytes())
+    return _dt_bytes(arr), shape, arr.tobytes()
+
+
+def _attr_value_msg(name: str, value) -> bytes:
+    return _attr_msg(name, *_attr_parts(value))
+
+
+def _attr_body_v3(name: str, dt_raw: bytes, shape: tuple, data: bytes) -> bytes:
+    """Version-3 attribute message body — the form dense storage keeps as
+    fractal-heap objects (unpadded name/datatype/dataspace, a charset
+    byte after the sizes)."""
+    nm = name.encode("utf-8") + b"\x00"
+    ds_raw = _ds_bytes(shape)
+    body = struct.pack(
+        "<BBHHHB", 3, 0, len(nm), len(dt_raw), len(ds_raw), 0
+    )
+    return body + nm + dt_raw + ds_raw + data
 
 
 class _Alloc:
@@ -904,6 +1098,7 @@ def write(
     oh_addr: dict[str, int] = {}
     oh_msgs: dict[str, list] = {}
     gheap_slots: list[tuple[str, int, str]] = []  # (var, axis, dim name)
+    dense_attrs: dict[str, list] = {}  # name -> attr_items past threshold
 
     for kind, nm in objects:
         if kind == "scale" and nm in coord_vars:
@@ -945,29 +1140,68 @@ def write(
             msgs.append(
                 _msg(_M_LAYOUT, struct.pack("<BBQQ", 3, 1, 0, arr.nbytes))
             )
+        attr_items: list[tuple[str, bytes, tuple, bytes]] = []
         if kind == "scale":
-            msgs.append(_attr_value_msg("CLASS", "DIMENSION_SCALE"))
+            attr_items.append(("CLASS", *_attr_parts("DIMENSION_SCALE")))
             label = (
                 nm
                 if nm in coord_vars
                 else f"{_NC_DIM_SCALE_HINT}.{dims[nm]:10d}"
             )
-            msgs.append(_attr_value_msg("NAME", label))
-            msgs.append(
-                _attr_value_msg("_Netcdf4Dimid", np.int32(dim_names.index(nm)))
+            attr_items.append(("NAME", *_attr_parts(label)))
+            attr_items.append(
+                ("_Netcdf4Dimid", *_attr_parts(np.int32(dim_names.index(nm))))
             )
         else:
             # DIMENSION_LIST: vlen-of-ref per axis, data lives in gheap
             for ax, d in enumerate(vdims):
                 gheap_slots.append((nm, ax, d))
-            data = b"\x00" * (16 * len(vdims))  # patched after gheap layout
-            msgs.append(
-                _attr_msg("DIMENSION_LIST", _DT_VLEN_REF, (len(vdims),), data)
+            attr_items.append(
+                (
+                    "DIMENSION_LIST",
+                    _DT_VLEN_REF,
+                    (len(vdims),),
+                    b"\x00" * (16 * len(vdims)),  # patched at render
+                )
             )
         for k, v in vattrs.items():
-            msgs.append(_attr_value_msg(k, v))
+            attr_items.append((k, *_attr_parts(v)))
+        if len(attr_items) > _DENSE_ATTR_THRESHOLD:
+            # dense storage, exactly what the netCDF-4 library does past
+            # its compact limit: attribute messages move to a fractal
+            # heap + name B-tree v2; the header carries one ATTR_INFO
+            # message (heap/btree addresses patched at render)
+            dense_attrs[nm] = attr_items
+            msgs.append(
+                _msg(_M_ATTR_INFO, struct.pack("<BBQQ", 0, 0, 0, 0))
+            )
+        else:
+            msgs += [_attr_msg(*item) for item in attr_items]
         oh_msgs[nm] = msgs
         oh_addr[nm] = alloc.reserve(len(_object_header(msgs)))
+
+    # --- dense attribute storage blocks ----------------------------------
+    dense_plan: dict[str, dict] = {}
+    for nm, items in dense_attrs.items():
+        bodies = [_attr_body_v3(*item) for item in items]
+        if max(len(b) for b in bodies) > _DENSE_MAX_MANAGED:
+            raise ValueError(
+                f"attribute message over {_DENSE_MAX_MANAGED} bytes on"
+                f" {nm!r} — would be a huge fractal-heap object"
+            )
+        total = sum(len(b) for b in bodies)
+        block = 512  # heap space includes the 18-byte direct-block header
+        while block < 18 + total:
+            block *= 2
+        node = max(2048, 10 + 17 * len(bodies))
+        dense_plan[nm] = {
+            "frhp": alloc.reserve(146),
+            "fhdb": alloc.reserve(block),
+            "bthd": alloc.reserve(38),
+            "btlf": alloc.reserve(node),
+            "block": block,
+            "node": node,
+        }
 
     # --- global heap for DIMENSION_LIST refs ----------------------------
     gheap_addr = None
@@ -1057,6 +1291,11 @@ def write(
                             gheap_addr,
                             gheap_index[(nm, ax)],
                         )
+            elif mtype == _M_ATTR_INFO:
+                struct.pack_into(
+                    "<QQ", body, 2,
+                    dense_plan[nm]["frhp"], dense_plan[nm]["bthd"],
+                )
             patched.append(m[:8] + bytes(body))
         hdr = _object_header(patched)
         out[oh_addr[nm] : oh_addr[nm] + len(hdr)] = hdr
@@ -1079,6 +1318,89 @@ def write(
             out[chunk_btree[nm] : chunk_btree[nm] + len(bt)] = bt
             for (offs, raw), caddr in zip(pieces, chunk_addrs[nm]):
                 out[caddr : caddr + len(raw)] = raw
+
+    # --- dense attribute blocks: fractal heap + name B-tree v2 ----------
+    for nm, items in dense_attrs.items():
+        d = dense_plan[nm]
+        bodies: list[bytes] = []
+        for aname, dt_raw, shape, data in items:
+            if aname == "DIMENSION_LIST":
+                vdims = norm[nm][0]
+                data = b"".join(
+                    struct.pack("<IQI", 1, gheap_addr, gheap_index[(nm, ax)])
+                    for ax in range(len(vdims))
+                )
+            bodies.append(_attr_body_v3(aname, dt_raw, shape, data))
+        # managed heap ids: offsets address the heap's LINEAR space, which
+        # includes the direct block's own 18-byte header
+        off, ids = 18, []
+        for b in bodies:
+            ids.append(
+                bytes([0])
+                + off.to_bytes(5, "little")
+                + len(b).to_bytes(2, "little")
+            )
+            off += len(b)
+        fhdb = (
+            b"FHDB"
+            + bytes([0])
+            + struct.pack("<Q", d["frhp"])
+            + (0).to_bytes(5, "little")  # block offset (40-bit heap space)
+            + b"".join(bodies)
+        )
+        out[d["fhdb"] : d["fhdb"] + len(fhdb)] = fhdb
+        # FRHP header: id len 8 = 1 flag + 5 offset (40-bit space) +
+        # 2 length (max managed 4096); flags 0 → unchecksummed direct
+        # blocks (spec-legal; the trailing-checksum blocks below get real
+        # lookup3 checksums)
+        hdr = b"FRHP" + bytes([0]) + struct.pack(
+            "<HHBI", 8, 0, 0, _DENSE_MAX_MANAGED
+        )
+        hdr += struct.pack(
+            "<QQQQQQQQQQQQ",
+            0, _UNDEF,              # next huge id, huge-object btree
+            d["block"] - off,       # free space in managed blocks
+            _UNDEF,                 # free-space manager
+            d["block"], d["block"],  # managed space, allocated space
+            off,                    # direct-block iterator offset
+            len(bodies),            # managed object count
+            0, 0, 0, 0,             # huge/tiny sizes+counts
+        )
+        hdr += struct.pack(
+            "<HQQHHQH",
+            4,                       # table width
+            d["block"],              # starting block size
+            max(_DENSE_MAX_MANAGED, d["block"]),  # max direct block size
+            40,                      # max heap size (bits)
+            1,                       # starting rows in root indirect
+            d["fhdb"],               # root block address
+            0,                       # current rows: 0 = root IS direct
+        )
+        hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+        assert len(hdr) == 146
+        out[d["frhp"] : d["frhp"] + 146] = hdr
+        bt = b"BTHD" + bytes([0, 8]) + struct.pack(
+            "<IHHBB", d["node"], 17, 0, 100, 40
+        )
+        bt += struct.pack("<QHQ", d["btlf"], len(bodies), len(bodies))
+        bt += struct.pack("<I", _lookup3(bytes(bt)))
+        assert len(bt) == 38
+        out[d["bthd"] : d["bthd"] + 38] = bt
+        # leaf records sorted by name hash (the tree's key); record =
+        # heap id(8) + message flags(1) + creation order(4) + hash(4)
+        recs = sorted(
+            (
+                _lookup3(item[0].encode("utf-8")),
+                i,
+                ids[i] + bytes([0]) + struct.pack("<I", i),
+            )
+            for i, item in enumerate(items)
+        )
+        leaf = b"BTLF" + bytes([0, 8]) + b"".join(
+            r + struct.pack("<I", h) for h, _, r in recs
+        )
+        leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+        out[d["btlf"] : d["btlf"] + len(leaf)] = leaf
 
     with open(path, "wb") as f:
         f.write(out)

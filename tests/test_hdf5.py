@@ -488,6 +488,239 @@ def test_fill_value_masked_to_nan(spark, tmp_path):
     assert got.count(None) == 1
 
 
+def test_lookup3_known_vectors():
+    """Jenkins lookup3 (HDF5's metadata checksum + btree-v2 name hash)
+    against the public-domain reference's self-test values."""
+    assert hdf5._lookup3(b"") == 0xDEADBEEF
+    assert hdf5._lookup3(b"", 0xDEADBEEF) == 0xBD5B7DDE
+    assert hdf5._lookup3(b"Four score and seven years ago") == 0x17770551
+    assert hdf5._lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_dense_attrs_roundtrip(tmp_path):
+    """>8 attributes on one object crosses the netCDF4-c compact
+    threshold: the writer moves them to a fractal heap + name B-tree v2
+    (ATTR_INFO message) and the reader loads them back — the first
+    real-world netCDF-4 family the pure-NumPy path refused (VERDICT r6
+    missing #2)."""
+    many = {f"a{i:02d}": np.float64(i) for i in range(9)}
+    many.update(
+        units="kg/m^2",
+        long_name="snow water equivalent",
+        _FillValue=np.float64(9.96921e36),
+        valid_range=np.array([0.0, 5000.0]),
+        flag_values=["dry", "wet"],
+    )
+    arr = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    p = str(tmp_path / "dense.nc")
+    hdf5.write(
+        p,
+        dims={"time": 2, "y": 3, "x": 4},
+        variables={
+            "time": (["time"], np.array([0.0, 1.0]),
+                     {"units": "days since 2020-10-01"}),
+            "swe": (["time", "y", "x"], arr, many),
+        },
+    )
+    ds = hdf5.read(p)
+    v = ds.variables["swe"]
+    assert v.dims == ["time", "y", "x"]  # DIMENSION_LIST survived densely
+    assert len(v.attrs) == 14
+    assert v.attrs["units"] == "kg/m^2"
+    assert v.attrs["a05"] == 5.0
+    assert float(v.attrs["_FillValue"]) == 9.96921e36
+    np.testing.assert_array_equal(v.attrs["valid_range"], [0.0, 5000.0])
+    assert v.attrs["flag_values"] == ["dry", "wet"]
+    np.testing.assert_array_equal(ds.values("swe"), arr)
+    np.testing.assert_array_equal(ds.values("swe", first=slice(1, 2)), arr[1:])
+    # compact stays compact: the time coordinate has few attrs
+    raw = open(p, "rb").read()
+    assert raw.count(b"FRHP") == 1 and raw.count(b"BTHD") == 1
+
+
+def test_dense_attrs_structural_layout(tmp_path):
+    """Byte-assert the on-disk dense structures (the SNOD lesson: a
+    round-trip through our own reader can hide a layout bug a validating
+    library would reject): FRHP geometry fields, trailing lookup3
+    checksums on FRHP/BTHD/BTLF, and leaf records sorted by name hash."""
+    p = str(tmp_path / "layout.nc")
+    hdf5.write(
+        p,
+        dims={"n": 2},
+        variables={
+            "v": (["n"], np.arange(2.0),
+                  {f"k{i}": np.int32(i) for i in range(9)}),
+        },
+    )
+    buf = open(p, "rb").read()
+    i = buf.find(b"FRHP")
+    assert buf[i + 4] == 0  # version
+    id_len, flt_len = struct.unpack_from("<HH", buf, i + 5)
+    assert (id_len, flt_len) == (8, 0)
+    (max_managed,) = struct.unpack_from("<I", buf, i + 10)
+    assert max_managed == 4096
+    width, start, maxdir = struct.unpack_from("<HQQ", buf, i + 110)
+    (max_heap_bits,) = struct.unpack_from("<H", buf, i + 128)
+    root, nrows = struct.unpack_from("<QH", buf, i + 132)
+    assert (width, max_heap_bits, nrows) == (4, 40, 0)
+    assert start <= maxdir and buf[root : root + 4] == b"FHDB"
+    (chks,) = struct.unpack_from("<I", buf, i + 142)
+    assert chks == hdf5._lookup3(buf[i : i + 142])  # trailing checksum
+    b = buf.find(b"BTHD")
+    assert buf[b + 5] == 8  # tree type: attribute name index
+    (rec_size,) = struct.unpack_from("<H", buf, b + 10)
+    assert rec_size == 17
+    leaf_addr, nrec = struct.unpack_from("<QH", buf, b + 16)
+    (bchk,) = struct.unpack_from("<I", buf, b + 34)
+    assert bchk == hdf5._lookup3(buf[b : b + 34])
+    assert buf[leaf_addr : leaf_addr + 4] == b"BTLF" and nrec == 10
+    hashes = [
+        struct.unpack_from("<I", buf, leaf_addr + 6 + 17 * k + 13)[0]
+        for k in range(nrec)
+    ]
+    assert hashes == sorted(hashes)  # name-hash ordered (the tree key)
+    used = 6 + 17 * nrec
+    (lchk,) = struct.unpack_from("<I", buf, leaf_addr + used)
+    assert lchk == hdf5._lookup3(buf[leaf_addr : leaf_addr + used])
+    # FHDB header: version, back-pointer to the heap header, offset 0
+    assert buf[root + 4] == 0
+    (hdr_back,) = struct.unpack_from("<Q", buf, root + 5)
+    assert hdr_back == i
+    assert buf[root + 13 : root + 18] == b"\x00" * 5
+
+
+def _dense_indirect_file() -> bytes:
+    """Hand-assembled (writer-independent) dense-attribute file exercising
+    the paths our writer never emits: an ATTR_INFO message with creation
+    order tracked AND indexed (flags 0x03 → extra fields), and a fractal
+    heap whose root is an INDIRECT block — the attribute lives in the
+    doubling table's SECOND direct block, so the reader must walk
+    row/column geometry, not just add offsets."""
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    W, S, BITS = 4, 512, 40  # width, start block size, heap-address bits
+    osz = BITS // 8
+
+    # attribute message v3 for note="hi" (scalar vlen-free fixed string)
+    aname = b"note\x00"
+    dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 2)
+    sp = struct.pack("<BBBB", 2, 0, 0, 0)  # v2 scalar dataspace
+    attr = struct.pack("<BBHHHB", 3, 0, len(aname), len(dt), len(sp), 0)
+    attr += aname + dt + sp + b"hi"
+
+    # second direct block (row 0, col 1): heap offsets [S, 2S)
+    heap_off = S + 18  # past the direct-block header
+    layout = {}
+    pos = 48
+    for key, size in (
+        ("fhdb0", S), ("fhdb1", S), ("fhib", 4 + 1 + 8 + osz + 8 * W + 4),
+        ("frhp", 146), ("btlf", 10 + 17), ("bthd", 38), ("oh", 200),
+    ):
+        layout[key] = pos
+        pos += size
+    eof = pos
+
+    out = bytearray(eof)
+    sb = hdf5.MAGIC + struct.pack("<BBBB", 2, 8, 8, 0)
+    sb += struct.pack("<QQQQI", 0, UNDEF, eof, layout["oh"], 0)
+    out[: len(sb)] = sb
+
+    for idx in (0, 1):
+        a = layout[f"fhdb{idx}"]
+        blk = b"FHDB" + bytes([0]) + struct.pack("<Q", layout["frhp"])
+        blk += (idx * S).to_bytes(osz, "little")
+        out[a : a + len(blk)] = blk
+    out[layout["fhdb1"] + 18 : layout["fhdb1"] + 18 + len(attr)] = attr
+
+    a = layout["fhib"]
+    ib = b"FHIB" + bytes([0]) + struct.pack("<Q", layout["frhp"])
+    ib += (0).to_bytes(osz, "little")
+    ib += struct.pack("<QQQQ", layout["fhdb0"], layout["fhdb1"], UNDEF, UNDEF)
+    ib += b"\x00" * 4  # checksum (reader skips)
+    out[a : a + len(ib)] = ib
+
+    a = layout["frhp"]
+    hdr = b"FRHP" + bytes([0]) + struct.pack("<HHBI", 8, 0, 0, 4096)
+    hdr += struct.pack(
+        "<QQQQQQQQQQQQ",
+        0, UNDEF, 2 * S - 36 - len(attr), UNDEF, 2 * S, 2 * S,
+        heap_off + len(attr), 1, 0, 0, 0, 0,
+    )
+    hdr += struct.pack(
+        "<HQQHHQH", W, S, 4096, BITS, 1, layout["fhib"], 1  # nrows=1
+    )
+    hdr += struct.pack("<I", hdf5._lookup3(bytes(hdr)))
+    out[a : a + 146] = hdr
+
+    heap_id = bytes([0]) + heap_off.to_bytes(osz, "little") + len(attr).to_bytes(2, "little")
+    rec = heap_id + bytes([0]) + struct.pack("<II", 0, hdf5._lookup3(b"note"))
+    a = layout["btlf"]
+    leaf = b"BTLF" + bytes([0, 8]) + rec
+    leaf += struct.pack("<I", hdf5._lookup3(bytes(leaf)))
+    out[a : a + len(leaf)] = leaf
+
+    a = layout["bthd"]
+    bt = b"BTHD" + bytes([0, 8]) + struct.pack("<IHHBB", 2048, 17, 0, 100, 40)
+    bt += struct.pack("<QHQ", layout["btlf"], 1, 1)
+    bt += struct.pack("<I", hdf5._lookup3(bytes(bt)))
+    out[a : a + 38] = bt
+
+    # root OHDR: dataset with compact data + ATTR_INFO flags=0x03
+    data = np.arange(3, dtype="<i2")
+    m_space = struct.pack("<BBB5xQ", 1, 1, 0, 3)
+    m_dtype = bytes([0x10, 0x08, 0, 0]) + struct.pack("<IHH", 2, 0, 16)
+    m_layout = struct.pack("<BBH", 3, 0, data.nbytes) + data.tobytes()
+    m_ainfo = struct.pack(
+        "<BBHQQQ", 0, 0x03, 1,  # tracked+indexed: max creation index
+        layout["frhp"], layout["bthd"], UNDEF,  # order btree absent
+    )
+
+    def v2msg(t: int, body: bytes) -> bytes:
+        return struct.pack("<BHB", t, len(body), 0) + body
+
+    msgs = (
+        v2msg(0x0001, m_space) + v2msg(0x0003, m_dtype)
+        + v2msg(0x0008, m_layout) + v2msg(0x0015, m_ainfo)
+    )
+    oh = b"OHDR" + struct.pack("<BBB", 2, 0, len(msgs)) + msgs + b"\x00" * 4
+    a = layout["oh"]
+    out[a : a + len(oh)] = oh
+    return bytes(out)
+
+
+def test_dense_attrs_indirect_heap_and_creation_order_flags():
+    raw = _dense_indirect_file()
+    h5 = hdf5.H5File(raw)
+    obj = h5.objects[h5.root]
+    assert obj.attrs == {"note": "hi"}
+    np.testing.assert_array_equal(
+        h5.read_dataset(obj), np.arange(3, dtype=np.int16)
+    )
+
+
+def test_dense_attrs_through_distributed_ingest(spark, tmp_path):
+    """e2e: a dense-attribute netCDF-4 file (units/long_name/_FillValue/…
+    like real AWSM output) loads through read_netcdf_outputs, and its
+    _FillValue — itself stored DENSELY — still masks cells to NULL."""
+    fill = 9.96921e36
+    grid = np.array([[[1.0, 2.0], [fill, 4.0]]])
+    many = {f"a{i}": np.float64(i) for i in range(8)}
+    many.update(units="kg/m^2", _FillValue=np.float64(fill))
+    p = str(tmp_path / "dense_e2e.nc")
+    hdf5.write(
+        p,
+        dims={"time": 1, "y": 2, "x": 2},
+        variables={
+            "time": (["time"], np.array([0.0]),
+                     {"units": "days since 2020-10-01"}),
+            "specific_mass": (["time", "y", "x"], grid, many),
+        },
+    )
+    tall = ingest.read_netcdf_outputs(spark, [p], ["specific_mass"])
+    vals = [r.value for r in tall.collect()]
+    assert sorted(v for v in vals if v is not None) == [1.0, 2.0, 4.0]
+    assert vals.count(None) == 1
+
+
 def test_fletcher32_defilter():
     raw = np.arange(8, dtype="<f4").tobytes()
     assert (
