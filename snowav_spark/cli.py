@@ -20,7 +20,10 @@ INI shape (all keys under [snowav])::
     report_variable = swe_mm        ; optional: write a report frame CSV
     report_csv = /data/report.csv
     report_md = /data/report.md     ; optional: markdown report
+    report_tex = /data/report.tex   ; optional: LaTeX report (+ PDF when
+                                    ;   pdflatex is on PATH)
     report_figs_dir = /data/figs    ; optional: SVG figures, linked in md
+                                    ;   and \includesvg'd in tex
     incremental = false
 
 Reference CoreConfig.ini spellings are accepted as aliases: run_name
@@ -180,6 +183,7 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         "report_variable": s.get("report_variable"),
         "report_csv": s.get("report_csv"),
         "report_md": s.get("report_md"),
+        "report_tex": s.get("report_tex"),
         "report_figs_dir": s.get("report_figs_dir"),
         "results_db": s.get("results_db"),
         "incremental": s.getboolean("incremental", fallback=False),
@@ -387,7 +391,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"sqlite export: {n_db} rows -> {extras['results_db']}")
 
-    if extras["report_variable"] or extras["report_md"]:
+    if (
+        extras["report_variable"]
+        or extras["report_md"]
+        or extras["report_tex"]
+    ):
         import datetime
 
         dates = [
@@ -409,6 +417,22 @@ def main(argv: list[str] | None = None) -> int:
                 figs_dir=extras.get("report_figs_dir"),
             )
             print(f"markdown report written: {extras['report_md']}")
+        if extras["report_tex"]:
+            from snowav_spark.report import compile_pdf, write_latex
+
+            write_latex(
+                store, spec, start, end, extras["report_tex"],
+                figs_dir=extras.get("report_figs_dir"),
+            )
+            print(f"latex report written: {extras['report_tex']}")
+            pdf = compile_pdf(extras["report_tex"])
+            if pdf:
+                print(f"pdf compiled: {pdf}")
+            else:
+                print(
+                    "pdflatex not found — finish with: pdflatex"
+                    f" -interaction=nonstopmode {extras['report_tex']}"
+                )
     return 0
 
 

@@ -149,7 +149,10 @@ def build_latex(
     lines = [
         r"\documentclass{article}",
         r"\usepackage{booktabs}",
-        r"\usepackage{graphicx}",
+        # figures are SVG (dependency-free on OUR side); pdflatex includes
+        # them through the svg package (inkscape-backed, needs
+        # -shell-escape) — \includegraphics cannot take .svg directly
+        *([r"\usepackage{svg}"] if fig_names else []),
         r"\begin{document}",
         r"\section*{snowav\_spark report --- run \texttt{%s}}"
         % esc(spec.run_id),
@@ -177,7 +180,8 @@ def build_latex(
             lines.append(" & ".join(cells) + r" \\")
         lines += [r"\bottomrule", r"\end{tabular}", ""]
     for name in fig_names or []:
-        lines.append(r"\includegraphics[width=\textwidth]{%s}" % name)
+        stem = name[:-4] if name.endswith(".svg") else name
+        lines.append(r"\includesvg[width=\textwidth]{%s}" % stem)
     lines.append(r"\end{document}")
     return "\n".join(lines)
 
@@ -200,6 +204,35 @@ def write_latex(
     with open(path, "w") as f:
         f.write(tex)
     return path
+
+
+def compile_pdf(tex_path: str) -> str | None:
+    """Finish the reference's chain (ref:snowav/report/report.py shells
+    out to pdflatex) when a TeX toolchain exists on this host: run
+    ``pdflatex -interaction=nonstopmode -shell-escape`` (shell-escape for
+    the svg package's inkscape conversion) in the .tex's directory.
+    Returns the PDF path, or None when pdflatex is absent — this
+    container ships none, so the CLI prints the one-command finish step
+    instead."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("pdflatex") is None:
+        return None
+    d = os.path.dirname(os.path.abspath(tex_path)) or "."
+    subprocess.run(
+        [
+            "pdflatex",
+            "-interaction=nonstopmode",
+            "-shell-escape",
+            os.path.basename(tex_path),
+        ],
+        cwd=d,
+        check=True,
+        capture_output=True,
+    )
+    return os.path.splitext(tex_path)[0] + ".pdf"
 
 
 def write_figures(

@@ -24,6 +24,8 @@ import pytest
 GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
 GOLD_STORE = os.path.join(GOLD_DIR, "flagship_store.parquet")
 GOLD_REPORT = os.path.join(GOLD_DIR, "flagship_report.md")
+GOLD_TEX = os.path.join(GOLD_DIR, "flagship_report.tex")
+GOLD_SVG = os.path.join(GOLD_DIR, "flagship_swe_volume.svg")
 
 N_DAYS = 15
 NY, NX = 40, 50
@@ -48,13 +50,17 @@ def make_grids(root) -> str:
     return str(d)
 
 
-def run_flagship(spark, tmp_path) -> tuple[pd.DataFrame, str]:
+def run_flagship(spark, tmp_path) -> tuple[pd.DataFrame, str, str, dict]:
+    """ONE CLI run yields store + .md (figures linked) + .tex + .svg —
+    the reference's full report chain from a single config."""
     from snowav_spark import cli
 
     grid_dir = make_grids(tmp_path)
     ini = tmp_path / "run.ini"
     store = tmp_path / "store"
     report_md = tmp_path / "report.md"
+    report_tex = tmp_path / "report.tex"
+    figs = tmp_path / "figs"
     ini.write_text(
         "[snowav]\n"
         "run_id = golden_run\n"
@@ -63,6 +69,8 @@ def run_flagship(spark, tmp_path) -> tuple[pd.DataFrame, str]:
         f"grid_dir = {grid_dir}\n"
         f"store_path = {store}\n"
         f"report_md = {report_md}\n"
+        f"report_tex = {report_tex}\n"
+        f"report_figs_dir = {figs}\n"
     )
     rc = cli.main(["-f", str(ini)])
     assert rc == 0
@@ -77,7 +85,10 @@ def run_flagship(spark, tmp_path) -> tuple[pd.DataFrame, str]:
     got["date"] = pd.to_datetime(got["date"]).dt.date.astype(str)
     got["run_id"] = got["run_id"].astype(str)
     got["band"] = got["band"].astype("int64")
-    return got, report_md.read_text()
+    svgs = {
+        n: (figs / n).read_text() for n in sorted(os.listdir(figs))
+    }
+    return got, report_md.read_text(), report_tex.read_text(), svgs
 
 
 @pytest.fixture(scope="module")
@@ -86,7 +97,7 @@ def flagship(spark, tmp_path_factory):
 
 
 def test_store_matches_golden_parquet(flagship):
-    got, _ = flagship
+    got = flagship[0]
     assert os.path.exists(GOLD_STORE), (
         "golden missing — regenerate with tools/make_golden.py"
     )
@@ -97,6 +108,28 @@ def test_store_matches_golden_parquet(flagship):
 
 
 def test_report_matches_golden_md(flagship):
-    _, md = flagship
+    md = flagship[1]
     want = open(GOLD_REPORT).read()
     assert md == want
+
+
+def test_report_matches_golden_tex(flagship):
+    """The .tex tables are the reference's actual artifact
+    (ref:snowav/report/report.py) — pin them bit-for-bit like the md."""
+    tex = flagship[2]
+    want = open(GOLD_TEX).read()
+    assert tex == want
+
+
+def test_figures_match_golden_svg(flagship):
+    svgs = flagship[3]
+    assert set(svgs) == {
+        "swe_volume_swe_mm.svg",
+        "swe_volume_depth_m.svg",
+        "basin_total_swe_mm.svg",
+        "basin_total_depth_m.svg",
+    }
+    for body in svgs.values():
+        assert body.lstrip().startswith("<svg")
+    want = open(GOLD_SVG).read()
+    assert svgs["swe_volume_swe_mm.svg"] == want

@@ -23,14 +23,20 @@ def main() -> int:
 
     spark = get_spark(shuffle_partitions=8, extra_conf={"spark.ui.enabled": "false"})
     with tempfile.TemporaryDirectory() as td:
-        got, md = g.run_flagship(spark, pathlib.Path(td))
+        got, md, tex, svgs = g.run_flagship(spark, pathlib.Path(td))
     gold = pathlib.Path(g.GOLD_DIR)
     gold.mkdir(exist_ok=True)
     got.to_parquet(g.GOLD_STORE, index=False)
     with open(g.GOLD_REPORT, "w") as f:
         f.write(md)
+    with open(g.GOLD_TEX, "w") as f:
+        f.write(tex)
+    with open(g.GOLD_SVG, "w") as f:
+        f.write(svgs["swe_volume_swe_mm.svg"])
     print(f"golden store rows: {len(got)} -> {g.GOLD_STORE}")
     print(f"golden report: {len(md)} chars -> {g.GOLD_REPORT}")
+    print(f"golden tex: {len(tex)} chars -> {g.GOLD_TEX}")
+    print(f"golden svg: {len(svgs['swe_volume_swe_mm.svg'])} chars -> {g.GOLD_SVG}")
     spark.stop()
     return 0
 
