@@ -494,3 +494,55 @@ def test_topk_processor_logic_unit():
     (out2,) = list(p.handleInputRows(("a",), iter([batch2]), None))
     assert out2["user_id"].tolist() == [2, 1]
     assert out2["total_v"].tolist() == [105.0, 12.5]
+
+
+def test_topk_processor_incremental_board_matches_rescan():
+    """The cached-board fast path must equal a cold full rescan in every
+    regime: monotone growth, a NEGATIVE delta on a board member (forces
+    the rescan path — its replacement can be any map entry), and a cold
+    cache after 'restart' (new processor instance over the same state)."""
+    import pandas as pd
+
+    from snowav_spark.streaming import tws
+
+    class FakeMap:
+        def __init__(self, d=None):
+            self.d = dict(d or {})
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    def board_of(out):
+        return list(zip(out["user_id"], out["total_v"]))
+
+    def cold_board(state, k=2):
+        p = tws.TopSpendersProcessor(k=k)
+        p.totals = FakeMap(state.d)
+        (out,) = list(
+            p.handleInputRows(("a",), iter([pd.DataFrame(
+                {"user_id": [], "value": []})]), None)
+        )
+        return board_of(out)
+
+    p = tws.TopSpendersProcessor(k=2)
+    p.totals = FakeMap()
+    batches = [
+        {"user_id": [1, 2, 3], "value": [10.0, 8.0, 6.0]},   # build
+        {"user_id": [3, 4], "value": [1.0, 7.5]},            # monotone merge
+        {"user_id": [1], "value": [-9.0]},                   # board member drops
+        {"user_id": [5], "value": [7.9]},                    # newcomer enters
+    ]
+    for b in batches:
+        (out,) = list(p.handleInputRows(("a",), iter([pd.DataFrame(b)]), None))
+        assert board_of(out) == cold_board(p.totals), b
+    # after the negative batch, user 1 (10-9=1) must have been replaced
+    assert 1 not in {u for u, _ in board_of(out)}
