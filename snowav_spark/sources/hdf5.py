@@ -22,13 +22,22 @@ Reader supports
   - the netCDF-4 convention: dimension scales (``CLASS`` /
     ``_Netcdf4Dimid``), ``DIMENSION_LIST`` refs resolved to dim names,
     hidden bookkeeping attrs stripped, nested groups flattened with
-    ``/``-joined names.
+    ``/``-joined names,
+  - DENSE storage for attributes AND links (fractal heap + name B-tree
+    v2) — what real model output hits past HDF5's compact thresholds
+    (a variable with units/long_name/_FillValue/valid_range/… crosses
+    it easily); single-direct-block and one-level-indirect heaps,
+    creation-order-tracked/indexed flag variants; huge/tiny heap
+    objects and deeper trees raise loudly with their bounds stated.
 
 Writer (fixture-grade, like netcdf3.write) emits superblock v0 +
 old-style root group + v1 object headers, contiguous or chunked
 (+deflate/shuffle) data, dimension-scale datasets and ``DIMENSION_LIST``
-attributes — a netCDF-4-shaped file the reader (and any HDF5 library)
-can load, so round-trip tests need no native dependency.
+attributes — and past 8 attributes per object, DENSE attribute storage
+(fractal heap + hash-sorted name B-tree v2 with real Jenkins-lookup3
+checksums, the netCDF4-c threshold behavior) — a netCDF-4-shaped file
+the reader (and any HDF5 library) can load, so round-trip tests need no
+native dependency.
 
 Like netcdf3.py, files are read via ``mmap``: header/B-tree pages fault
 in on open, variable data only when ``Dataset.values`` touches it —
@@ -337,9 +346,18 @@ class H5File:
         elif mtype == _M_LINK_INFO:
             flags = m[1]
             pos = 2 + (8 if flags & 1 else 0)
-            (fheap,) = struct.unpack_from("<Q", m, pos)
+            fheap, name_bt = struct.unpack_from("<QQ", m, pos)
             if fheap != _UNDEF:
-                raise ValueError("dense (fractal-heap) link storage unsupported")
+                # dense link storage (new-style groups past the compact
+                # threshold): link messages live in a fractal heap,
+                # indexed by a name B-tree v2 whose type-5 records put
+                # the 7-byte heap id AFTER the 4-byte name hash
+                for body in self._dense_messages(
+                    fheap, name_bt, id_slice=(4, 11)
+                ):
+                    name, target = self._parse_link(body)
+                    if target is not None:
+                        obj.links[name] = target
         elif mtype == _M_ATTR_INFO:
             flags = m[1]
             pos = 2 + (2 if flags & 1 else 0)
@@ -617,14 +635,22 @@ class H5File:
             yield bytes(buf[pos : pos + rec_size])
             pos += rec_size
 
-    def _dense_messages(self, fheap_addr: int, btree_addr: int):
-        """Iterate dense-storage attribute message bodies: each name-index
-        record (type 8: heap id(8) + flags(1) + creation order(4) +
-        name hash(4)) points at a version-3 attribute message stored as a
-        managed fractal-heap object."""
+    def _dense_messages(
+        self,
+        fheap_addr: int,
+        btree_addr: int,
+        id_slice: tuple[int, int] = (0, 8),
+    ):
+        """Iterate dense-storage message bodies: each name-index record
+        points at a message stored as a managed fractal-heap object.
+        ``id_slice`` is the heap id's position within the record —
+        attributes (type 8: heap id(8) + flags(1) + creation order(4) +
+        hash(4)) lead with it; links (type 5: hash(4) + heap id(7))
+        trail it."""
         heap = self._fractal_heap(fheap_addr)
+        lo, hi = id_slice
         for rec in self._btree_v2_records(btree_addr):
-            yield self._heap_object(heap, rec[:8])
+            yield self._heap_object(heap, rec[lo:hi])
 
     # -- groups ---------------------------------------------------------------
 

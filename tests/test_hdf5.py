@@ -697,6 +697,93 @@ def test_dense_attrs_indirect_heap_and_creation_order_flags():
     )
 
 
+def test_dense_links_hand_built():
+    """Dense (fractal-heap) LINK storage: a hand-built new-style root
+    group whose only link to its dataset lives in a fractal heap indexed
+    by a type-5 name B-tree (hash(4) + 7-byte heap id — the id TRAILS
+    the hash, unlike attribute records)."""
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    BITS, osz, lsz = 32, 4, 2  # link heaps use 7-byte ids: 1+4+2
+
+    # link message: hard link "v" -> dataset header address (patched)
+    def link_msg(target: int) -> bytes:
+        return struct.pack("<BBB", 1, 0, 1) + b"v" + struct.pack("<Q", target)
+
+    layout, pos = {}, 48
+    for key, size in (
+        ("ds", 104), ("fhdb", 512), ("frhp", 146), ("btlf", 10 + 11),
+        ("bthd", 38), ("oh", 120),
+    ):
+        layout[key] = pos
+        pos += size
+    eof = pos
+    out = bytearray(eof)
+
+    sb = hdf5.MAGIC + struct.pack("<BBBB", 2, 8, 8, 0)
+    sb += struct.pack("<QQQQI", 0, UNDEF, eof, layout["oh"], 0)
+    out[: len(sb)] = sb
+
+    # dataset: v1 object header, compact layout
+    data = np.arange(4, dtype="<i4")
+    m_space = struct.pack("<BBB5xQ", 1, 1, 0, 4)
+    m_dtype = bytes([0x10, 0x08, 0, 0]) + struct.pack("<IHH", 4, 0, 32)
+    m_layout = struct.pack("<BBH", 3, 0, data.nbytes) + data.tobytes()
+
+    def v1msg(t, body):
+        body = body + b"\x00" * (-len(body) % 8)
+        return struct.pack("<HHB3x", t, len(body), 0) + body
+
+    ds_msgs = v1msg(0x0001, m_space) + v1msg(0x0003, m_dtype) + v1msg(
+        0x0008, m_layout
+    )
+    ds_oh = struct.pack("<BxHII4x", 1, 3, 1, len(ds_msgs)) + ds_msgs
+    out[layout["ds"] : layout["ds"] + len(ds_oh)] = ds_oh
+
+    lm = link_msg(layout["ds"])
+    hdr_size = 4 + 1 + 8 + osz
+    fhdb = (
+        b"FHDB" + bytes([0]) + struct.pack("<Q", layout["frhp"])
+        + (0).to_bytes(osz, "little") + lm
+    )
+    out[layout["fhdb"] : layout["fhdb"] + len(fhdb)] = fhdb
+
+    hdr = b"FRHP" + bytes([0]) + struct.pack("<HHBI", 7, 0, 0, 4096)
+    hdr += struct.pack(
+        "<QQQQQQQQQQQQ",
+        0, UNDEF, 512 - hdr_size - len(lm), UNDEF, 512, 512,
+        hdr_size + len(lm), 1, 0, 0, 0, 0,
+    )
+    hdr += struct.pack("<HQQHHQH", 4, 512, 4096, BITS, 1, layout["fhdb"], 0)
+    hdr += struct.pack("<I", hdf5._lookup3(bytes(hdr)))
+    out[layout["frhp"] : layout["frhp"] + 146] = hdr
+
+    hid = bytes([0]) + hdr_size.to_bytes(osz, "little") + len(lm).to_bytes(
+        lsz, "little"
+    )
+    rec = struct.pack("<I", hdf5._lookup3(b"v")) + hid  # hash FIRST
+    leaf = b"BTLF" + bytes([0, 5]) + rec
+    leaf += struct.pack("<I", hdf5._lookup3(bytes(leaf)))
+    out[layout["btlf"] : layout["btlf"] + len(leaf)] = leaf
+
+    bt = b"BTHD" + bytes([0, 5]) + struct.pack("<IHHBB", 2048, 11, 0, 100, 40)
+    bt += struct.pack("<QHQ", layout["btlf"], 1, 1)
+    bt += struct.pack("<I", hdf5._lookup3(bytes(bt)))
+    out[layout["bthd"] : layout["bthd"] + 38] = bt
+
+    # root: OHDR with a dense Link Info message (flags=0)
+    m_linfo = struct.pack("<BBQQ", 0, 0, layout["frhp"], layout["bthd"])
+    msgs = struct.pack("<BHB", 0x0002, len(m_linfo), 0) + m_linfo
+    oh = b"OHDR" + struct.pack("<BBB", 2, 0, len(msgs)) + msgs + b"\x00" * 4
+    out[layout["oh"] : layout["oh"] + len(oh)] = oh
+
+    h5 = hdf5.H5File(bytes(out))
+    tree = h5.walk()
+    assert list(tree) == ["v"]
+    np.testing.assert_array_equal(
+        h5.read_dataset(tree["v"]), np.arange(4, dtype=np.int32)
+    )
+
+
 def test_dense_attrs_through_distributed_ingest(spark, tmp_path):
     """e2e: a dense-attribute netCDF-4 file (units/long_name/_FillValue/…
     like real AWSM output) loads through read_netcdf_outputs, and its
