@@ -177,5 +177,6 @@ def test_latex_report_structure(spark, tmp_path):
     assert r"\toprule" in tex and r"\bottomrule" in tex
     assert r"swe\_mm" in tex  # underscore escaped
     assert "band & basin\\_A & basin\\_B" in tex
-    assert tex.count(r"\includegraphics") == 2  # bar + line figure
+    assert tex.count(r"\includesvg") == 2  # bar + line figure (svg pkg)
+    assert r"\usepackage{svg}" in tex  # pdflatex cannot take .svg raw
     assert tex.rstrip().endswith(r"\end{document}")
