@@ -409,12 +409,23 @@ def main(argv: list[str] | None = None) -> int:
             )
             frame.to_csv(extras["report_csv"], index=False)
             print(f"report written: {extras['report_csv']}")
+        figs_dir = extras.get("report_figs_dir")
+        frames = fig_names = None
+        if figs_dir and extras["report_md"] and extras["report_tex"]:
+            # both formats: collect the store and render the SVGs ONCE,
+            # then hand the shared frames/names to each renderer
+            from snowav_spark.report import _frames, write_figures
+
+            frames = _frames(store, spec, start, end)
+            fig_names = write_figures(
+                store, spec, start, end, figs_dir, frames=frames
+            )
         if extras["report_md"]:
             from snowav_spark.report import write_report
 
             write_report(
                 store, spec, start, end, extras["report_md"],
-                figs_dir=extras.get("report_figs_dir"),
+                figs_dir=figs_dir, frames=frames, fig_names=fig_names,
             )
             print(f"markdown report written: {extras['report_md']}")
         if extras["report_tex"]:
@@ -422,7 +433,7 @@ def main(argv: list[str] | None = None) -> int:
 
             write_latex(
                 store, spec, start, end, extras["report_tex"],
-                figs_dir=extras.get("report_figs_dir"),
+                figs_dir=figs_dir, frames=frames, fig_names=fig_names,
             )
             print(f"latex report written: {extras['report_tex']}")
             pdf = compile_pdf(extras["report_tex"])

@@ -6918,20 +6918,20 @@ def q_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").asc_nulls_last(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wtot = Window.partitionBy()
+    # decimal(38,0) THROUGH the window sums, not just the ×10/×5
+    # products: total micro-unit revenue is ~2.2e17·sf, so Spark's
+    # sum(long) itself wraps around sf40+ (and the products around sf5+)
+    # while DuckDB's sum already promotes to HUGEINT — the class boundary
+    # would silently flip at scale.
+    m128 = F.col("m").cast("decimal(38,0)")
     r = v.select(
         "m",
-        F.sum("m").over(wcum).alias("cum"),
-        F.sum("m").over(wtot).alias("tot"),
+        F.sum(m128).over(wcum).alias("cum"),
+        F.sum(m128).over(wtot).alias("tot"),
     )
-    # decimal(38,0) before the ×10/×5 products: total micro-unit revenue
-    # is ~2.2e17 at sf1, so a bigint product overflows around sf5+ in
-    # Spark (sum(long) stays long) while DuckDB's sum already promotes to
-    # HUGEINT — the class boundary would silently flip at scale.
-    cum128 = F.col("cum").cast("decimal(38,0)")
-    tot128 = F.col("tot").cast("decimal(38,0)")
     cls = (
-        F.when(cum128 * 10 <= tot128 * 5, "A")
-        .when(cum128 * 10 <= tot128 * 8, "B")
+        F.when(F.col("cum") * 10 <= F.col("tot") * 5, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 8, "B")
         .otherwise("C")
     )
     scale = float(windows.FIXED_POINT_SCALE)

@@ -152,7 +152,16 @@ def pq_encode(
     m = len(codebook)
     sub = len(codebook[0][0])
     dim = m * sub
-    base = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+    # domain filter: NULL vectors, wrong dims, and vectors with NULL/NaN
+    # ELEMENTS are excluded — a poisoned element makes every distance in
+    # its subspace NaN/NULL, where the flat and fold kernels disagree on
+    # the argmin (CASE-on-NaN yields NULL, array_position treats NaN as
+    # equal) — so the bit-identity contract holds on the encodable set
+    base = df.filter(
+        F.col(vec).isNotNull()
+        & (F.size(F.col(vec)) == dim)
+        & ~F.expr(f"exists({vec}, v -> v IS NULL OR isnan(CAST(v AS DOUBLE)))")
+    )
     # HYBRID distance kernel (VERDICT r6 item 4).  Two codegen shapes,
     # bit-identical codes either way:
     #
@@ -186,7 +195,13 @@ def pq_encode(
                     for i in range(sub)
                 )
                 dist_exprs.append(f"{d} AS d{j}_{ci}")
-            best = f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
+            # least() needs ≥2 args; a degenerate k=1 codebook's only
+            # centroid is trivially the minimum
+            best = (
+                f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
+                if k > 1
+                else f"d{j}_0"
+            )
             case = (
                 "CASE "
                 + " ".join(

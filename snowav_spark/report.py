@@ -91,6 +91,21 @@ def build_report(
     return "\n".join(lines)
 
 
+def _rel_figs(names: list[str], figs_dir: str, doc_path: str) -> list[str]:
+    """Figure paths RELATIVE to the document that references them — a
+    bare basename only resolves when figs_dir == the document's own
+    directory (the round-7 review caught the .tex emitting bare stems
+    that pdflatex could never find under the documented INI layout)."""
+    import os
+
+    return [
+        os.path.relpath(
+            os.path.join(figs_dir, n), os.path.dirname(doc_path) or "."
+        )
+        for n in names
+    ]
+
+
 def write_report(
     store: ResultsStore,
     spec: PipelineSpec,
@@ -98,15 +113,21 @@ def write_report(
     end: datetime.date,
     path: str,
     figs_dir: str | None = None,
+    frames: dict | None = None,
+    fig_names: list[str] | None = None,
 ) -> str:
-    frames = _frames(store, spec, start, end)
+    """``frames`` / ``fig_names`` let a caller that renders BOTH report
+    formats (cli.py) collect the store and render the SVGs once instead
+    of once per format."""
+    frames = frames or _frames(store, spec, start, end)
     md = build_report(store, spec, start, end, frames=frames)
     if figs_dir:
-        import os
-
-        names = write_figures(store, spec, start, end, figs_dir, frames=frames)
-        rel = [os.path.relpath(os.path.join(figs_dir, n),
-                               os.path.dirname(path) or ".") for n in names]
+        names = (
+            fig_names
+            if fig_names is not None
+            else write_figures(store, spec, start, end, figs_dir, frames=frames)
+        )
+        rel = _rel_figs(names, figs_dir, path)
         md += "\n## Figures\n\n" + "\n".join(
             f"![{n}]({r})" for n, r in zip(names, rel)
         ) + "\n"
@@ -193,14 +214,19 @@ def write_latex(
     end: datetime.date,
     path: str,
     figs_dir: str | None = None,
+    frames: dict | None = None,
+    fig_names: list[str] | None = None,
 ) -> str:
-    frames = _frames(store, spec, start, end)
-    fig_names = None
+    frames = frames or _frames(store, spec, start, end)
+    rel = None
     if figs_dir:
-        fig_names = write_figures(
-            store, spec, start, end, figs_dir, frames=frames
+        names = (
+            fig_names
+            if fig_names is not None
+            else write_figures(store, spec, start, end, figs_dir, frames=frames)
         )
-    tex = build_latex(store, spec, start, end, fig_names=fig_names, frames=frames)
+        rel = _rel_figs(names, figs_dir, path)
+    tex = build_latex(store, spec, start, end, fig_names=rel, frames=frames)
     with open(path, "w") as f:
         f.write(tex)
     return path
@@ -221,7 +247,7 @@ def compile_pdf(tex_path: str) -> str | None:
     if shutil.which("pdflatex") is None:
         return None
     d = os.path.dirname(os.path.abspath(tex_path)) or "."
-    subprocess.run(
+    proc = subprocess.run(
         [
             "pdflatex",
             "-interaction=nonstopmode",
@@ -229,9 +255,16 @@ def compile_pdf(tex_path: str) -> str | None:
             os.path.basename(tex_path),
         ],
         cwd=d,
-        check=True,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:
+        # a partial TeX install (no svg.sty / no inkscape) must not crash
+        # the CLI after every report was already written — surface the
+        # log tail and fall back to the manual-finish message
+        tail = "\n".join((proc.stdout or proc.stderr or "").splitlines()[-15:])
+        print(f"pdflatex failed (exit {proc.returncode}); log tail:\n{tail}")
+        return None
     return os.path.splitext(tex_path)[0] + ".pdf"
 
 

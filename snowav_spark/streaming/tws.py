@@ -60,20 +60,32 @@ class TopSpendersProcessor(StatefulProcessor):
 
     def __init__(self, k: int = 3):
         self.k = k
-        # per-group cached board — a pure ACCELERATOR, never authority:
-        # the board is always derivable from MapState by a full scan, so
-        # a cold cache (fresh processor after a restart) just rebuilds.
-        # Without it, every batch re-sorted the ENTIRE map per group, so
-        # per-batch latency grew linearly with lifetime distinct users
-        # (tools/probe_tws.py measured 0.22 s → 0.72 s per batch as state
-        # grew 90k → 432k rows at 1M events).
-        self._boards: dict = {}
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.totals = handle.getMapState(
             "totals",
             StructType([StructField("user_id", LongType(), True)]),
             StructType([StructField("micros", LongType(), True)]),
+        )
+        # the current board as ENGINE-MANAGED keyed state (k tiny rows),
+        # not a processor attribute: processor instances are pickled into
+        # the plan and deserialized fresh per task, so an in-object cache
+        # is cold every batch in production (inert), and under any
+        # instance reuse it could serve STALE totals after a partition
+        # migrates between executors.  ListState is transactional with
+        # the MapState it accelerates.  Without the board, every batch
+        # re-sorted the ENTIRE map per group, so per-batch latency grew
+        # linearly with lifetime distinct users (tools/probe_tws.py:
+        # 0.22 s → 0.72 s per batch as state grew 90k → 432k rows at 1M
+        # events; flat 0.26–0.33 s with the board).
+        self.board = handle.getListState(
+            "board",
+            StructType(
+                [
+                    StructField("micros", LongType(), True),
+                    StructField("user_id", LongType(), True),
+                ]
+            ),
         )
 
     def handleInputRows(self, key, rows, timerValues):
@@ -89,10 +101,12 @@ class TopSpendersProcessor(StatefulProcessor):
                 delta[int(uid)] = delta.get(int(uid), 0) + int(
                     math.floor(v * _SCALE)
                 )
-        board = self._boards.get(key)
-        board_users = {u for _, u in board} if board is not None else set()
+        # empty board state means COLD (never computed / cleared), which
+        # safely degrades to a full rescan — rescan is always correct
+        board = [tuple(r) for r in self.board.get()] if self.board.exists() else []
+        board_users = {u for _, u in board}
         updated: dict[int, int] = {}
-        rescan = board is None
+        rescan = not board
         for uid, d in delta.items():
             prev = (
                 self.totals.getValue((uid,))[0]
@@ -133,7 +147,7 @@ class TopSpendersProcessor(StatefulProcessor):
                 ((t, u) for u, t in cand.items()),
                 key=lambda t: (-t[0], t[1]),
             )[: self.k]
-        self._boards[key] = board
+        self.board.put(board)
         yield pd.DataFrame(
             {
                 "event_type": [key[0]] * len(board),

@@ -480,8 +480,22 @@ def test_topk_processor_logic_unit():
         def iterator(self):
             return iter(self.d.items())
 
+    class FakeList:
+        def __init__(self):
+            self.rows = []
+
+        def exists(self):
+            return bool(self.rows)
+
+        def get(self):
+            return iter(self.rows)
+
+        def put(self, rows):
+            self.rows = [tuple(r) for r in rows]
+
     p = tws.TopSpendersProcessor(k=2)
     p.totals = FakeMap()
+    p.board = FakeList()
     batch = pd.DataFrame(
         {"user_id": [1, 2, 1, 3], "value": [10.0, 5.0, 2.5, float("nan")]}
     )
@@ -521,12 +535,26 @@ def test_topk_processor_incremental_board_matches_rescan():
         def iterator(self):
             return iter(self.d.items())
 
+    class FakeList:
+        def __init__(self):
+            self.rows = []
+
+        def exists(self):
+            return bool(self.rows)
+
+        def get(self):
+            return iter(self.rows)
+
+        def put(self, rows):
+            self.rows = [tuple(r) for r in rows]
+
     def board_of(out):
         return list(zip(out["user_id"], out["total_v"]))
 
     def cold_board(state, k=2):
         p = tws.TopSpendersProcessor(k=k)
         p.totals = FakeMap(state.d)
+        p.board = FakeList()
         (out,) = list(
             p.handleInputRows(("a",), iter([pd.DataFrame(
                 {"user_id": [], "value": []})]), None)
@@ -535,6 +563,7 @@ def test_topk_processor_incremental_board_matches_rescan():
 
     p = tws.TopSpendersProcessor(k=2)
     p.totals = FakeMap()
+    p.board = FakeList()
     batches = [
         {"user_id": [1, 2, 3], "value": [10.0, 8.0, 6.0]},   # build
         {"user_id": [3, 4], "value": [1.0, 7.5]},            # monotone merge

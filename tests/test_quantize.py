@@ -153,3 +153,30 @@ def test_pq_encode_flat_and_fold_bit_identical(spark, sf_dir):
     finally:
         arrmath.FLAT_TERM_LIMIT = orig
     assert flat == fold and len(flat) == 300
+
+
+def test_pq_encode_excludes_poisoned_vectors(spark):
+    """Vectors with NULL/NaN ELEMENTS are outside the encodable domain
+    (the flat and fold kernels disagree on NaN argmin — CASE-on-NaN vs
+    array_position's NaN-equality), so pq_encode drops them up front in
+    BOTH branches rather than encoding them divergently."""
+    from snowav_spark.ops import arrmath, quantize
+
+    good = [float(i % 7) for i in range(8)]
+    rows = [
+        (1, good),
+        (2, [float("nan")] + good[1:]),
+        (3, [None] + good[1:]),
+        (4, good[:4]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = [[[0.0] * 4, [5.0] * 4], [[1.0] * 4, [6.0] * 4]]  # m=2,k=2,sub=4
+    for limit in (arrmath.FLAT_TERM_LIMIT, 0):
+        orig = arrmath.FLAT_TERM_LIMIT
+        try:
+            arrmath.FLAT_TERM_LIMIT = limit
+            got = quantize.pq_encode(df, "vec_id", "embedding", cb).collect()
+        finally:
+            arrmath.FLAT_TERM_LIMIT = orig
+        assert [r.vec_id for r in got] == [1]
+        assert all(c is not None for c in got[0].codes)

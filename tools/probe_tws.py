@@ -53,6 +53,20 @@ class _FakeMap:
         return iter(self.d.items())
 
 
+class _FakeList:
+    def __init__(self):
+        self.rows = []
+
+    def exists(self):
+        return bool(self.rows)
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows = [tuple(r) for r in rows]
+
+
 def probe_processor(n_events: int, n_batches: int, n_users: int) -> None:
     from snowav_spark.streaming import tws
 
@@ -62,6 +76,7 @@ def probe_processor(n_events: int, n_batches: int, n_users: int) -> None:
     for t in types:
         p = tws.TopSpendersProcessor(k=3)
         p.totals = _FakeMap()
+        p.board = _FakeList()
         per_group[t] = p
 
     per_batch = n_events // n_batches
