@@ -479,6 +479,39 @@ def export_sqlite(
     return n
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+) -> None:
+    """Distributed JDBC export — the reference's OTHER results backend
+    (ref:snowav/database/database.py connects to MySQL via SQLAlchemy;
+    here Spark's JDBC writer ships rows executor-parallel, no driver
+    bottleneck).  Pass the driver's coordinates in ``properties``
+    (e.g. {"driver": "com.mysql.cj.jdbc.Driver", "user": ..,
+    "password": ..}) and have the jar on spark.jars.
+
+    Scale framing: unlike export_sqlite (driver-side handoff artifact),
+    this writes from EXECUTORS — ``partition_column`` +
+    ``num_partitions`` bound concurrent connections via a repartition,
+    so a wide results frame does not open a connection per shuffle
+    partition.  No JDBC driver ships in this container, so the test is
+    gated on driver availability; the call shape is Spark-standard.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    out = (
+        df.repartition(num_partitions, partition_column)
+        if partition_column
+        else df.coalesce(num_partitions)
+    )
+    out.write.mode(mode).jdbc(url, table, properties=properties or {})
+
+
 def read_sqlite(spark: SparkSession, db_path: str, query: str) -> DataFrame:
     """Read a SQLite query result back as a DataFrame (driver-side —
     summary tables only, same bound as export_sqlite's purpose).  An
