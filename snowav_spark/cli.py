@@ -1,4 +1,4 @@
-"""CLI entry point — the reference's ``snowav -f config.ini`` (EP1).
+r"""CLI entry point — the reference's ``snowav -f config.ini`` (EP1).
 
 Reference parity: ref:snowav/cli.py parses ``-f`` with argparse, builds a
 UserConfig (INI via inicheck, ref:snowav/config/config.py), then runs the

@@ -1,124 +1,141 @@
-"""Z-order clustered writes: correctness (round trip) and the actual
-pruning property — per-file parquet footer min/max ranges must be narrow
-in BOTH keyed dimensions, where a lexicographic sort is narrow only in
-its leading column.  Measured from the real file footers via pyarrow, not
-asserted from folklore."""
+"""Z-order clustered writes: Morton-value correctness, multi-column
+row-group skipping vs a single-column sort, and round-trip equality."""
 
 from __future__ import annotations
 
-import glob
-import os
-
-import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
-from snowav_spark import sinks
 from snowav_spark.io import load_table
+from snowav_spark.sinks import morton_key, rowgroup_overlap, write_zordered
 
 
-def _file_spans(path: str, cols: list[str]) -> list[dict[str, float]]:
-    """Per-file normalized (max-min)/span for each col, from footer stats."""
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    assert files
-    # global spans for normalization
-    glo: dict[str, float] = {}
-    ghi: dict[str, float] = {}
-    spans = []
-    per_file = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        lo: dict[str, float] = {}
-        hi: dict[str, float] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                col = g.column(ci)
-                name = col.path_in_schema
-                if name not in cols or col.statistics is None:
-                    continue
-                s = col.statistics
-                lo[name] = min(lo.get(name, s.min), s.min)
-                hi[name] = max(hi.get(name, s.max), s.max)
-        per_file.append((lo, hi))
-        for c in cols:
-            glo[c] = min(glo.get(c, lo[c]), lo[c])
-            ghi[c] = max(ghi.get(c, hi[c]), hi[c])
-    for lo, hi in per_file:
-        spans.append(
-            {
-                c: (hi[c] - lo[c]) / ((ghi[c] - glo[c]) or 1.0)
-                for c in cols
-            }
-        )
-    return spans
+def _morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
 
 
-def test_zorder_roundtrip_and_prunes_both_dims(spark, sf_dir, tmp_path):
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.dayofmonth("ts").alias("day"),
-        "value",
+def test_zorder_value_matches_python_morton(spark):
+    # ints 0..15 on two axes, bits=4, bounds = exact value range: with
+    # width_bucket over [lo, hi) edges the bucket is a monotone relabel
+    # of the value; we only assert the INTERLEAVING is a true Morton
+    # code: bucket pairs -> z via the same bit positions as _morton
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    bits = 4
+    zdf = df.withColumn(
+        "z", morton_key(df, ["a", "b"], bits, clamp=(0.0, 1.0))
     )
+    got = {(r["a"], r["b"]): r["z"] for r in zdf.collect()}
+    # recover each axis's bucket from the z-value and check the z-value
+    # is exactly the Morton interleave of those buckets
+    for (a, b), z in got.items():
+        ba = 0
+        bb = 0
+        for i in range(bits):
+            ba |= ((z >> (2 * i)) & 1) << i
+            bb |= ((z >> (2 * i + 1)) & 1) << i
+        assert z == _morton([ba, bb], bits)
+    # and each axis's bucket is monotone in the raw value
+    for other in range(16):
+        bas = []
+        for a in range(16):
+            z = got[(a, other)]
+            ba = sum(((z >> (2 * i)) & 1) << i for i in range(4))
+            bas.append(ba)
+        assert bas == sorted(bas)
+
+
+def test_zorder_nulls_and_constant_columns(spark):
+    df = spark.createDataFrame(
+        [(None, 7.0), (1, 7.0), (100, 7.0)], "a int, b double"
+    )
+    zdf = df.withColumn(
+        "z", morton_key(df, ["a", "b"], 4, clamp=(0.0, 1.0))
+    )
+    out = {r["a"]: r["z"] for r in zdf.collect()}
+    # constant column contributes zero bits; NULL sorts first
+    assert out[None] == 0
+    assert out[None] <= out[1] <= out[100]
+
+
+def test_zorder_rejects_strings_and_too_many_bits(spark):
+    df = spark.createDataFrame([("x", 1)], "s string, a int")
+    with pytest.raises(ValueError, match="unsupported type"):
+        morton_key(df, ["s"])
+    with pytest.raises(ValueError, match="63-bit"):
+        morton_key(df, ["a"], 64)
+
+
+def test_zorder_date_and_timestamp_columns(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, d), dt.datetime(2024, 1, 1, h), d * h)
+        for d in range(1, 9)
+        for h in range(8)
+    ]
+    df = spark.createDataFrame(rows, "d date, t timestamp, v int")
+    zdf = df.withColumn("z", morton_key(df, ["d", "t"], 3, clamp=(0.0, 1.0)))
+    got = zdf.collect()
+    assert all(r["z"] is not None for r in got)
+    # the key is monotone along each axis when the other is fixed
+    by_t = {}
+    for r in got:
+        by_t.setdefault(r["t"], []).append((r["d"], r["z"]))
+    for pairs in by_t.values():
+        zs = [z for _, z in sorted(pairs)]
+        assert zs == sorted(zs)
+
+
+def test_zorder_write_skips_rowgroups_both_dims(spark, sf_dir, tmp_path):
+    """The layout claim itself: a box predicate on (l_partkey, l_suppkey)
+    must skip most row groups under z-order, and a predicate on the
+    SECOND column alone — useless under a partkey-only sort — must still
+    prune."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_files = 32
     zpath = str(tmp_path / "z")
-    lpath = str(tmp_path / "lex")
-    sinks.write_zordered(ev, zpath, ["user_id", "day"], n_files=8)
-    # lexicographic straw man: same file count, sorted (user_id, day)
+    spath = str(tmp_path / "s")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
+    # single-column comparison layout: range-sorted by l_partkey only
     (
-        ev.repartitionByRange(8, "user_id", "day")
-        .sortWithinPartitions("user_id", "day")
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
         .write.mode("overwrite")
-        .parquet(lpath)
+        .parquet(spath)
     )
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    sk_max = li.agg(F.max("l_suppkey")).first()[0]
+    # a ~10% box in each dimension, mid-range
+    pk_box = (int(pk_max * 0.45), int(pk_max * 0.55))
+    sk_box = (int(sk_max * 0.45), int(sk_max * 0.55))
 
-    # correctness: layout changes nothing about the rows
+    both = {"l_partkey": pk_box, "l_suppkey": sk_box}
+    z_hit, z_tot = rowgroup_overlap(zpath, both)
+    s_hit, s_tot = rowgroup_overlap(spath, both)
+    assert z_tot >= n_files // 2 and s_tot >= n_files // 2
+    # z-order skips at least half the row groups on the 2-D box
+    assert z_hit <= z_tot // 2, (z_hit, z_tot)
+
+    # second-dimension-only predicate: the partkey sort cannot prune
+    # (suppkey is uncorrelated with file order there), z-order can
+    sk_only = {"l_suppkey": sk_box}
+    z2_hit, _ = rowgroup_overlap(zpath, sk_only)
+    s2_hit, _ = rowgroup_overlap(spath, sk_only)
+    assert s2_hit == s_tot  # every row group overlaps under the sort
+    assert z2_hit < z_tot, (z2_hit, z_tot)
+
+    # round trip: clustering reorders rows, never changes them
     back = spark.read.parquet(zpath)
-    assert back.count() == ev.count()
-    assert (
-        back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    assert back.count() == li.count()
+    a = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
     )
-    assert "_zkey" not in back.columns
-
-    zs = _file_spans(zpath, ["user_id", "day"])
-    ls = _file_spans(lpath, ["user_id", "day"])
-    z_user = sum(s["user_id"] for s in zs) / len(zs)
-    z_day = sum(s["day"] for s in zs) / len(zs)
-    l_user = sum(s["user_id"] for s in ls) / len(ls)
-    l_day = sum(s["day"] for s in ls) / len(ls)
-    # lexicographic: leading column razor-sharp, second column useless
-    # (every file spans ~the full day range).  Z-order: BOTH dimensions
-    # materially narrower than the full span — that is what lets footer
-    # stats prune a filter on either column.
-    assert l_user < 0.35          # sanity: straw man behaves as expected
-    assert l_day > 0.9
-    assert z_user < 0.75
-    assert z_day < 0.75
-    # the operational claim: a predicate on the NON-leading column can
-    # skip files under z-order, never under the lexicographic layout
-    # (every lex file spans ~all days).  Count files whose day range is
-    # disjoint from `day <= 7`.
-    def prunable(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        n = 0
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            lo = min(
-                md.row_group(rg).column(ci).statistics.min
-                for rg in range(md.num_row_groups)
-                for ci in range(md.row_group(rg).num_columns)
-                if md.row_group(rg).column(ci).path_in_schema == "day"
-            )
-            if lo > 7:
-                n += 1
-        return n
-
-    assert prunable(lpath) == 0
-    assert prunable(zpath) >= 1
-
-
-def test_morton_key_bit_budget_guard(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    import pytest
-
-    with pytest.raises(ValueError):
-        sinks.morton_key(ev, ["user_id", "value", "event_id", "ts"], 16)
+    b = back.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
