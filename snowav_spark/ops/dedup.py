@@ -163,11 +163,18 @@ def minhash_signature(toks: Column, num_hashes: int = 32, n: int = 3) -> Column:
     explode (the explode+agg twin used by minhash_lsh_pairs is faster on
     wide corpora; this form suits signature-per-row outputs)."""
     sh = shingles_of_tokens(toks, n)
+
+    # The seed must be captured in an OUTER closure: a two-parameter
+    # lambda (s, i=i) looks like transform's (element, index) form to
+    # PySpark, which binds the second parameter to the ARRAY INDEX and
+    # silently shadows the seed — every element of the signature then
+    # collapses to the same seed-less min.
+    def seeded(i: int):
+        return lambda s: F.hash(s, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i)))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -19,7 +19,11 @@ from pyspark.sql.types import StructType
 
 
 def stream_source(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a model-output drop directory — the AWSM
     daily coupling as a stream (new files appear per model day).
@@ -28,8 +32,16 @@ def stream_source(
     Structured Streaming watermarks reject NTZ
     ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), and with the session pinned
     to UTC the cast preserves wall time, so batch (NTZ) and streaming
-    (LTZ) views of the same data agree."""
-    df = spark.readStream.format(fmt).schema(schema).load(path)
+    (LTZ) views of the same data agree.
+
+    ``max_files_per_trigger`` bounds each micro-batch (respected by
+    availableNow backlog drains too) — the knob that keeps a huge
+    backlog from becoming one giant first batch, and that makes
+    file-arrival order an explicit batch order in tests."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
     for name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(name, F.col(name).cast("timestamp"))
@@ -151,6 +163,90 @@ def curation_stream(
         _ltz(gated, ts)
         .withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["_digest"])
+    )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    ts: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch NEAR-duplicate detection as a continuous query:
+    MinHash-LSH band-bucket ownership with watermark-bounded state.
+
+    The batch near-dup path (ops/dedup.minhash_lsh_pairs) mines candidate
+    PAIRS — a self-join no stream can run unbounded.  The streaming form
+    inverts it into first-wins bucket OWNERSHIP, which needs only keyed
+    state: each doc's signature explodes into ``bands`` (band, bucket)
+    keys (stateless projection — same murmur3/min values as the batch
+    banding, bit-identical buckets), and
+    ``dropDuplicatesWithinWatermark`` retains the FIRST doc to claim
+    each bucket within the horizon.  A windowed count then emits
+    ``owned_bands`` per doc: a novel doc owns all ``bands`` of its
+    buckets; an exact/near duplicate of any in-horizon doc loses the
+    shared buckets to the earlier owner (per-band collision probability
+    = Jaccard^(num_hashes/bands), the LSH S-curve), so low
+    ``owned_bands/bands`` flags it for downstream quarantine or the
+    periodic batch resolve.  Docs with fewer than ``n`` tokens carry no
+    shingles and are not banded (their dedup is curation_stream's exact
+    digest stage).
+
+    Two stateful operators chained in append mode (Spark 3.5+ multi-
+    stateful support): both keyed by (band, bucket) / window — state is
+    bounded by the watermark horizon on both.  At 100 TB-scale ingest,
+    state is ≤ bands × distinct-docs-per-horizon tiny rows, and every
+    stage before the dedup is a codegen projection."""
+    from snowav_spark.ops.dedup import minhash_signature
+
+    rows = num_hashes // bands
+    sig = (
+        _ltz(docs, ts)
+        .select(
+            F.col(ts),
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .withColumn("_sig", minhash_signature(F.col("_toks"), num_hashes, n))
+    )
+    banded = sig.select(
+        F.col(ts),
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("_sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(ts), F.col(id_col), "bb.band", "bb.bucket")
+    owned = banded.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bucket"]
+    )
+    return (
+        owned.groupBy(F.window(F.col(ts), window_len), F.col(id_col))
+        .agg(F.count("*").alias("owned_bands"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col(id_col),
+            "owned_bands",
+            F.lit(bands).alias("bands"),
+        )
     )
 
 

@@ -975,3 +975,44 @@ def test_build_and_search_ivf_index(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert probed.count() == 5
+
+
+def test_minhash_signature_matches_banding_aggregate(spark):
+    """The no-explode projection form and the explode+min aggregate form
+    derive the SAME signature (identical murmur3+min values).  Regression
+    for a two-parameter transform lambda: PySpark binds a second lambda
+    parameter to the ARRAY INDEX, silently shadowing the captured seed —
+    every signature element then collapses to one seed-less min."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(40))),
+        (1, " ".join(f"x{i}" for i in range(25))),
+        (2, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    proj = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", F.split("text", " ").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            dedup.minhash_signature(F.col("_toks"), 32, 3).alias("sig"),
+        )
+        .collect()
+    }
+    agg = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_bands(df, "doc_id", "text", 32, 8, 3)
+        .select("doc_id", "sig")
+        .distinct()
+        .collect()
+    }
+    for doc_id, sig in agg.items():
+        assert proj[doc_id] == sig, doc_id
+    # a real signature varies across seeds
+    assert len(set(proj[0])) > 16
+    # sub-shingle-length doc: empty shingle set → all-NULL signature in
+    # the projection form, no row at all in the explode form
+    assert 2 not in agg and all(v is None for v in proj[2])

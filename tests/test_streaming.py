@@ -358,3 +358,67 @@ def test_frequency_sketch_stream_matches_oneshot(spark, tmp_path, staged_events)
     }
     for k, n in exact.items():
         assert got[k] >= n  # overestimate-only
+
+
+def test_near_dedup_stream_bucket_ownership(spark, tmp_path):
+    """Streaming MinHash-LSH ownership across MICRO-BATCHES: batch 1's
+    docs claim their buckets; a later batch's exact twin owns zero, a
+    near-dup owns only its unshared bands, a novel doc owns all 8 — the
+    cross-batch state the batch pair-miner cannot provide."""
+    import datetime
+
+    from snowav_spark.ops import dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " CHANGED"
+    novel = " ".join(f"x{i}" for i in range(40))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    flush = datetime.datetime(2024, 1, 1, 18, 0, 0)  # closes t0's window
+    cols = ["doc_id", "text", "ts"]
+    src = str(tmp_path / "nd_in")
+    # one file per drop (coalesce(1)) + maxFilesPerTrigger=1 → arrival
+    # order IS batch order, so cross-batch ownership is deterministic
+    drops = [
+        [(0, base, t0)],
+        [(1, base, t1), (2, near, t1), (3, novel, t1)],
+        [(9, "flush doc only closes windows", flush)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = incremental.stream_source(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    q = incremental.run_to_sink(
+        incremental.near_dedup_stream(stream, "ts", watermark="1 hour"),
+        out,
+        ckpt,
+        once=True,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.owned_bands for r in spark.read.parquet(out).collect()}
+    # flush doc's window is still open — only t0's window emits
+    assert 9 not in got
+    # batch-1 doc owns all its buckets; its later exact twin owns none
+    assert got[0] == 8
+    assert 1 not in got
+    # novel doc owns all 8 (no overlap with anything in-horizon)
+    assert got[3] == 8
+    # near-dup owns exactly its bands that differ from doc 0's — derived
+    # from the deterministic batch banding, not hardcoded
+    df01 = spark.createDataFrame(
+        [(0, base, t0), (2, near, t1)], cols
+    )
+    banded = dedup.minhash_bands(df01, "doc_id", "text")
+    shared = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert 0 < shared < 8  # the fixture really is a PARTIAL overlap
+    assert got.get(2, 0) == 8 - shared
