@@ -24,9 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _wide(df: DataFrame, id_col: str, vec: str, dim: int) -> DataFrame:
+def _wide(
+    df: DataFrame, id_col: str, vec: str, dim: int, keep: tuple = ()
+) -> DataFrame:
     return df.selectExpr(
         id_col,
+        *keep,
         *[
             f"CAST(element_at({vec}, {i + 1}) AS DOUBLE) AS x{i}"
             for i in range(dim)
@@ -141,6 +144,7 @@ def pq_encode(
     id_col: str,
     vec: str,
     codebook: list[list[list[float]]],
+    keep: tuple = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` small centroid ids (array<int> —
     m bytes of information per vector vs 4·dim for float32) in ONE
@@ -148,7 +152,8 @@ def pq_encode(
     expressions (same trick as cluster._assign), each subspace computes
     k squared distances over its slice and takes the argmin.  No join,
     no shuffle, no UDF — a linear scan at any corpus size.
-    Output: (id, codes array<int>)."""
+    Output: (id, *keep, codes array<int>) — ``keep`` columns (e.g. an
+    IVF cell id) ride along the projection unchanged."""
     m = len(codebook)
     sub = len(codebook[0][0])
     dim = m * sub
@@ -184,7 +189,7 @@ def pq_encode(
 
     k = len(codebook[0])
     if m * k * sub <= arrmath.FLAT_TERM_LIMIT:
-        wide = _wide(base, id_col, vec, dim)
+        wide = _wide(base, id_col, vec, dim, keep)
         dist_exprs = []
         code_exprs = []
         for j, cents in enumerate(codebook):
@@ -213,7 +218,7 @@ def pq_encode(
             code_exprs.append(f"CAST({case} AS INT)")
         scored = wide.selectExpr("*", *dist_exprs)
         return scored.selectExpr(
-            id_col, f"array({', '.join(code_exprs)}) AS codes"
+            id_col, *keep, f"array({', '.join(code_exprs)}) AS codes"
         )
 
     slices = [
@@ -226,14 +231,14 @@ def pq_encode(
             arrmath.sqdist_sql(f"_s{j}", c) for c in cents
         )
         dist_cols.append(f"array({per_cent}) AS _d{j}")
-    scored = base.selectExpr(id_col, *slices).selectExpr(
-        id_col, *dist_cols
+    scored = base.selectExpr(id_col, *keep, *slices).selectExpr(
+        id_col, *keep, *dist_cols
     )
     codes = ", ".join(
         f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT)"
         for j in range(m)
     )
-    return scored.selectExpr(id_col, f"array({codes}) AS codes")
+    return scored.selectExpr(id_col, *keep, f"array({codes}) AS codes")
 
 
 def pq_topk(
@@ -258,10 +263,189 @@ def pq_topk(
             sum((qv - cv) ** 2 for qv, cv in zip(q, c)) for c in cents
         ]
         lits = ", ".join(repr(float(t)) for t in table)
+        # CAST: bare decimal literals parse as DECIMAL — keep the ADC
+        # sum in IEEE doubles (same fix as search_ivfpq_index)
         terms.append(
-            f"element_at(array({lits}), element_at(codes, {j + 1}) + 1)"
+            f"element_at(CAST(array({lits}) AS array<double>), "
+            f"element_at(codes, {j + 1}) + 1)"
         )
     scored = codes.selectExpr(
         codes.columns[0], f"{' + '.join(terms)} AS adc_dist2"
     )
     return scored.orderBy("adc_dist2", codes.columns[0]).limit(k_out)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    train_fraction: float = 1.0,
+) -> tuple[list, list]:
+    """Persist an IVF-PQ index: the FAISS ``IVFx,PQm`` layout re-expressed
+    as a parquet directory tree (ref path: SURVEY §2.6 ANN scale path —
+    no reference analog; the public design is Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search").
+
+    Combines the two existing ANN halves into the shape that actually
+    serves 100 TB:
+
+    - **IVF** (similarity.ivf_centroids): rows are Voronoi-assigned to
+      ``n_cells`` cells and written ``partitionBy("cell")`` — a probe
+      reads only ``nprobe`` directories via partition pruning, exactly
+      like :func:`snowav_spark.ops.similarity.build_ivf_index`.
+    - **PQ on RESIDUALS** (v − centroid(cell)): the per-cell residual has
+      far lower variance than the raw vector, so the same m×k codebook
+      quantizes it much more accurately (the standard IVFADC refinement).
+      The stored rows are (id, codes array<int>) ONLY — m small ints per
+      vector; the float vectors need not be stored at all.  At 4-byte
+      dims and m=8 that is a ~32× at-rest compression of a 64-d corpus.
+
+    Residual computation is one broadcast join against the KB-sized
+    centroid table + a ``zip_with`` subtraction — no shuffle of the
+    corpus; encode is the :func:`pq_encode` single-projection scan with
+    the cell id riding along (``keep``).  Sidecars (underscore-prefixed
+    so Spark's listing of the parent ignores them, written THROUGH Spark
+    so the index is portable to any Spark filesystem):
+
+    - ``_ivf_centroids``: (cell, centroid array<double>)
+    - ``_pq_codebook``:   (subspace, centroid_id, centroid array<double>)
+
+    Returns ``(centroids, codebook)``.
+    """
+    from snowav_spark.ops import sampling, similarity
+
+    spark = df.sparkSession
+    cents = similarity.ivf_centroids(df, id_col, vec, n_cells, iters, dim)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, _cent array<double>",
+    )
+    assigned = similarity.ivf_assign(df, id_col, vec, cents)
+    res = assigned.join(F.broadcast(cent_df), "cell").selectExpr(
+        id_col,
+        "cell",
+        f"zip_with(CAST({vec} AS array<double>), _cent, "
+        "(a, b) -> a - b) AS _res",
+    )
+    train = res
+    if train_fraction < 1.0:
+        train = sampling.hash_sample(res, id_col, train_fraction)
+    codebook = train_pq_codebook(
+        train, id_col, "_res", dim=dim, m=m, k=k, iters=iters
+    )
+    pq_encode(res, id_col, "_res", codebook, keep=("cell",)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_ivf_centroids"
+    )
+    cb_rows = [
+        (j, ci, [float(x) for x in c])
+        for j, cents_j in enumerate(codebook)
+        for ci, c in enumerate(cents_j)
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_pq_codebook"
+    )
+    return cents, codebook
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    query_vec,
+    id_col: str = "vec_id",
+    k_out: int = 10,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    rerank_vec: str = "embedding",
+    rerank_depth: int = 0,
+) -> DataFrame:
+    """Top-k search against a :func:`build_ivfpq_index` layout.
+
+    The query is compared against CENTROIDS only (asymmetric distance):
+    per probed cell ``c`` the residual query ``q − centroid(c)`` yields
+    an m×k table of subspace distances, precomputed driver-side and
+    inlined as literals — nprobe·m·k doubles, KBs.  The scan carries
+    ``cell IN (probed)`` as a PARTITION filter (reads nprobe directories
+    at any corpus size) and scores each row as m lookups + a sum in one
+    codegen projection over the codes column; top-k is TakeOrdered.
+    ``adc_dist2`` approximates the true L2²(q, v).
+
+    Optional exact re-rank (the standard two-stage serving shape): pass
+    the float-vector corpus as ``rerank`` and the top ``rerank_depth``
+    ADC candidates (default 4·k_out) are re-scored by exact cosine —
+    the candidate id set is broadcast, so the corpus side is a pruned
+    semi-join scan, never shuffled.  Output is then (id, cos_sim)
+    descending, directly comparable to cosine_topk's exact answer.
+    """
+    import numpy as np
+
+    side = (
+        spark.read.parquet(path.rstrip("/") + "/_ivf_centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    cents = [list(r._cent) for r in side]
+    dim = len(cents[0])
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {dim}"
+        )
+    cb_rows = (
+        spark.read.parquet(path.rstrip("/") + "/_pq_codebook")
+        .orderBy("subspace", "centroid_id")
+        .collect()
+    )
+    m = 1 + max(r.subspace for r in cb_rows)
+    k = 1 + max(r.centroid_id for r in cb_rows)
+    codebook = [[None] * k for _ in range(m)]
+    for r in cb_rows:
+        codebook[r.subspace][r.centroid_id] = list(r.centroid)
+    sub = dim // m
+
+    from snowav_spark.ops import similarity
+
+    probe = similarity._probe_cells(cents, query_vec, nprobe)
+    q = np.asarray(query_vec, dtype=np.float64)
+    # per-(cell, subspace) ADC tables on the RESIDUAL query
+    terms = []
+    for j in range(m):
+        branches = []
+        for c in probe:
+            qr = q - np.asarray(cents[c], dtype=np.float64)
+            qj = qr[j * sub : (j + 1) * sub]
+            table = [
+                float(((qj - np.asarray(cent)) ** 2).sum())
+                for cent in codebook[j]
+            ]
+            lits = ", ".join(repr(t) for t in table)
+            # CAST: a bare decimal literal parses as DECIMAL in Spark
+            # SQL — summing m of them per row would run (and round) in
+            # decimal arithmetic instead of the IEEE doubles the tables
+            # were computed in
+            branches.append(
+                f"WHEN {c} THEN CAST(array({lits}) AS array<double>)"
+            )
+        terms.append(
+            f"element_at(CASE cell {' '.join(branches)} END, "
+            f"element_at(codes, {j + 1}) + 1)"
+        )
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    scored = cand.selectExpr(id_col, f"{' + '.join(terms)} AS adc_dist2")
+    depth = rerank_depth or 4 * k_out
+    if rerank is None:
+        return scored.orderBy("adc_dist2", id_col).limit(k_out)
+    short = scored.orderBy("adc_dist2", id_col).limit(depth).select(id_col)
+    hit = rerank.join(F.broadcast(short), id_col)
+    return similarity._cosine_score_topk(
+        hit, [float(x) for x in query_vec], id_col, rerank_vec, k_out
+    )

@@ -180,3 +180,103 @@ def test_pq_encode_excludes_poisoned_vectors(spark):
             arrmath.FLAT_TERM_LIMIT = orig
         assert [r.vec_id for r in got] == [1]
         assert all(c is not None for c in got[0].codes)
+
+
+def test_ivfpq_index_build_and_search(spark, sf_dir, tmp_path):
+    """IVF-PQ e2e: build persists cell-partitioned PQ codes (no float
+    vectors at rest) + two sidecars; ADC search self-hits at rank 0; the
+    probe carries the cell predicate as a PartitionFilter; full-probe +
+    full-depth cosine re-rank reproduces the exact brute-force top-k."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    cents, cb = quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path, n_cells=4, m=8, k=4, iters=1
+    )
+    assert len(cents) == 4 and len(cb) == 8 and len(cb[0]) == 4
+
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["cell", "codes", "vec_id"]
+    n = emb.count()
+    assert stored.count() == n
+
+    vecs = {
+        r.vec_id: np.asarray([float(x) for x in r.embedding])
+        for r in emb.collect()
+    }
+    qid = sorted(vecs)[0]
+    q = [float(x) for x in vecs[qid]]
+
+    # ADC-only: the query's own row has minimal ADC distance
+    adc = quantize.search_ivfpq_index(
+        spark, path, q, "vec_id", k_out=10, nprobe=2
+    )
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    rows = adc.collect()
+    assert rows[0].vec_id == qid
+    assert [r.adc_dist2 for r in rows] == sorted(
+        float(r.adc_dist2) for r in rows
+    )
+
+    # full probe + full-depth re-rank == exact cosine top-k (same
+    # round(,6) + id tie-break as _cosine_score_topk)
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=5, nprobe=4,
+            rerank=emb, rerank_depth=n,
+        ).collect()
+    ]
+    qn = np.linalg.norm(vecs[qid])
+    exact = sorted(
+        (
+            -round(float(v @ vecs[qid]) / (np.linalg.norm(v) * qn), 6),
+            vid,
+        )
+        for vid, v in vecs.items()
+    )[:5]
+    assert got == [(vid, -c) for c, vid in exact]
+
+
+def test_ivfpq_search_rejects_bad_query_dim(spark, sf_dir, tmp_path):
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_dim")
+    quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path, n_cells=2, m=8, k=2, iters=1
+    )
+    with pytest.raises(ValueError, match="dim"):
+        quantize.search_ivfpq_index(spark, path, [1.0, 2.0], "vec_id")
+
+
+def test_pq_encode_keep_columns_ride_along(spark):
+    """keep columns survive both kernel shapes unchanged."""
+    rows = [(i, i % 3, [float(i), float(i + 1), 0.5, -0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "grp", "embedding"])
+    cb = quantize.train_pq_codebook(
+        df, "vec_id", "embedding", dim=4, m=2, k=2, iters=1
+    )
+    out = quantize.pq_encode(df, "vec_id", "embedding", cb, keep=("grp",))
+    assert out.columns == ["vec_id", "grp", "codes"]
+    got = {r.vec_id: r.grp for r in out.collect()}
+    assert got == {i: i % 3 for i in range(12)}
+
+    # fold kernel (beyond the flat term limit) carries keep identically
+    from snowav_spark.ops import arrmath
+
+    orig = arrmath.FLAT_TERM_LIMIT
+    try:
+        arrmath.FLAT_TERM_LIMIT = 0
+        fold = quantize.pq_encode(
+            df, "vec_id", "embedding", cb, keep=("grp",)
+        )
+        assert fold.columns == ["vec_id", "grp", "codes"]
+        assert {(r.vec_id, r.grp, tuple(r.codes)) for r in fold.collect()} == {
+            (r.vec_id, r.grp, tuple(r.codes)) for r in out.collect()
+        }
+    finally:
+        arrmath.FLAT_TERM_LIMIT = orig
