@@ -275,6 +275,46 @@ def pq_topk(
     return scored.orderBy("adc_dist2", codes.columns[0]).limit(k_out)
 
 
+def _residuals(df: DataFrame, id_col: str, vec: str, cents) -> DataFrame:
+    """(id, cell, _res): Voronoi cell + residual v − centroid(cell), via
+    one broadcast join against the KB centroid table + a zip_with
+    subtraction — the corpus is never shuffled."""
+    from snowav_spark.ops import similarity
+
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, _cent array<double>",
+    )
+    assigned = similarity.ivf_assign(df, id_col, vec, cents)
+    return assigned.join(F.broadcast(cent_df), "cell").selectExpr(
+        id_col,
+        "cell",
+        f"zip_with(CAST({vec} AS array<double>), _cent, "
+        "(a, b) -> a - b) AS _res",
+    )
+
+
+def _read_ivfpq_sidecars(spark, path: str) -> tuple[list, list]:
+    """(centroids, codebook) from a build_ivfpq_index layout's sidecars."""
+    side = (
+        spark.read.parquet(path.rstrip("/") + "/_ivf_centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    cents = [list(r._cent) for r in side]
+    cb_rows = (
+        spark.read.parquet(path.rstrip("/") + "/_pq_codebook")
+        .orderBy("subspace", "centroid_id")
+        .collect()
+    )
+    m = 1 + max(r.subspace for r in cb_rows)
+    k = 1 + max(r.centroid_id for r in cb_rows)
+    codebook: list = [[None] * k for _ in range(m)]
+    for r in cb_rows:
+        codebook[r.subspace][r.centroid_id] = list(r.centroid)
+    return cents, codebook
+
+
 def build_ivfpq_index(
     df: DataFrame,
     id_col: str,
@@ -326,13 +366,7 @@ def build_ivfpq_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, _cent array<double>",
     )
-    assigned = similarity.ivf_assign(df, id_col, vec, cents)
-    res = assigned.join(F.broadcast(cent_df), "cell").selectExpr(
-        id_col,
-        "cell",
-        f"zip_with(CAST({vec} AS array<double>), _cent, "
-        "(a, b) -> a - b) AS _res",
-    )
+    res = _residuals(df, id_col, vec, cents)
     train = res
     if train_fraction < 1.0:
         train = sampling.hash_sample(res, id_col, train_fraction)
@@ -389,27 +423,13 @@ def search_ivfpq_index(
     """
     import numpy as np
 
-    side = (
-        spark.read.parquet(path.rstrip("/") + "/_ivf_centroids")
-        .orderBy("cell")
-        .collect()
-    )
-    cents = [list(r._cent) for r in side]
+    cents, codebook = _read_ivfpq_sidecars(spark, path)
     dim = len(cents[0])
     if len(query_vec) != dim:
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {dim}"
         )
-    cb_rows = (
-        spark.read.parquet(path.rstrip("/") + "/_pq_codebook")
-        .orderBy("subspace", "centroid_id")
-        .collect()
-    )
-    m = 1 + max(r.subspace for r in cb_rows)
-    k = 1 + max(r.centroid_id for r in cb_rows)
-    codebook = [[None] * k for _ in range(m)]
-    for r in cb_rows:
-        codebook[r.subspace][r.centroid_id] = list(r.centroid)
+    m = len(codebook)
     sub = dim // m
 
     from snowav_spark.ops import similarity
@@ -444,8 +464,49 @@ def search_ivfpq_index(
     depth = rerank_depth or 4 * k_out
     if rerank is None:
         return scored.orderBy("adc_dist2", id_col).limit(k_out)
-    short = scored.orderBy("adc_dist2", id_col).limit(depth).select(id_col)
-    hit = rerank.join(F.broadcast(short), id_col)
+    # The ADC shortlist is driver-sized by construction (depth ids), so
+    # collect it and push an id IN-filter into the float-store scan:
+    # against a parquet corpus laid out by id (sorted / z-ordered —
+    # sinks.write_zordered), the filter prunes at row-group level and
+    # the re-rank touches a handful of pages at any corpus size.  The
+    # earlier broadcast-join form rescanned the ENTIRE float corpus per
+    # query (measured 2.9× growth at a 2× corpus in the scale probe) —
+    # an In-filter of ~4·k literals is the shape that stays flat.
+    ids = [
+        r[0]
+        for r in scored.orderBy("adc_dist2", id_col)
+        .limit(depth)
+        .select(id_col)
+        .collect()
+    ]
+    hit = rerank.filter(F.col(id_col).isin(ids))
     return similarity._cosine_score_topk(
         hit, [float(x) for x in query_vec], id_col, rerank_vec, k_out
     )
+
+
+def append_to_ivfpq_index(
+    df: DataFrame, id_col: str, vec: str, path: str
+) -> int:
+    """Incrementally add vectors to a :func:`build_ivfpq_index` layout
+    WITHOUT retraining: new rows are Voronoi-assigned and PQ-encoded
+    against the index's FROZEN centroids/codebook (read from the
+    sidecars) and appended to their cell directories — one broadcast
+    join + one codegen projection + a partitioned append, so ingest
+    cost is linear in the batch, independent of the index size.
+
+    This is the standard serving trade-off (FAISS ``add`` after
+    ``train``): quantization error on appended vectors reflects the
+    training-time distribution, so a large distribution drift warrants
+    a rebuild — the index layout makes that a full-overwrite of the
+    same path.  Duplicate ids are NOT checked (appends are blind, like
+    parquet appends everywhere else); dedup upstream.  Returns the
+    number of rows appended (vectors failing the dim/NULL domain filter
+    are dropped, same rule as pq_encode)."""
+    spark = df.sparkSession
+    cents, codebook = _read_ivfpq_sidecars(spark, path)
+    res = _residuals(df, id_col, vec, cents)
+    codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
+    n = codes.count()
+    codes.write.mode("append").partitionBy("cell").parquet(path)
+    return n

@@ -280,3 +280,52 @@ def test_pq_encode_keep_columns_ride_along(spark):
         }
     finally:
         arrmath.FLAT_TERM_LIMIT = orig
+
+
+def test_ivfpq_append_extends_index_without_retrain(spark, sf_dir, tmp_path):
+    """append_to_ivfpq_index encodes new vectors against the frozen
+    sidecar centroids/codebook and appends to the cell layout: counts
+    add up, and full-probe + full-depth re-rank over the grown index
+    equals exact brute force over the UNION corpus."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    first = emb.filter(F.col("vec_id") < cut)
+    rest = emb.filter(F.col("vec_id") >= cut)
+
+    path = str(tmp_path / "ivfpq_grow")
+    quantize.build_ivfpq_index(
+        first, "vec_id", "embedding", path, n_cells=4, m=8, k=4, iters=1
+    )
+    n_first = spark.read.parquet(path).count()
+    appended = quantize.append_to_ivfpq_index(
+        rest, "vec_id", "embedding", path
+    )
+    assert appended == rest.count()
+    assert spark.read.parquet(path).count() == n_first + appended
+
+    vecs = {
+        r.vec_id: np.asarray([float(x) for x in r.embedding])
+        for r in emb.collect()
+    }
+    qid = ids[-1]  # query from the APPENDED half
+    q = [float(x) for x in vecs[qid]]
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=5, nprobe=4,
+            rerank=emb, rerank_depth=len(ids),
+        ).collect()
+    ]
+    qn = np.linalg.norm(vecs[qid])
+    exact = sorted(
+        (
+            -round(float(v @ vecs[qid]) / (np.linalg.norm(v) * qn), 6),
+            vid,
+        )
+        for vid, v in vecs.items()
+    )[:5]
+    assert got == [(vid, -c) for c, vid in exact]
+    assert got[0][0] == qid  # the appended vector is findable, self-hit

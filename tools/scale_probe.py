@@ -137,9 +137,58 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    run_op("cc_resolve", 
+    run_op("cc_resolve",
         lambda: graph.resolve_duplicates(pairs, "doc_id").count()
     )
+
+    # IVF-PQ: build cost must stay ~linear (one pass + sampled training);
+    # SERVE cost must stay ~flat when n_cells grows with the corpus
+    # (constant per-cell occupancy — the partition-pruned probe then
+    # reads a constant number of rows at any corpus size).
+    if _only is None or {"ivfpq_build", "ivfpq_search"} & _only:
+        import shutil
+        import tempfile
+
+        from snowav_spark.ops import quantize
+
+        n_vec = n_docs // 2
+        root = tempfile.mkdtemp(prefix="probe_ivfpq_")
+        idx = root + "/idx"
+        # constant per-cell occupancy (the IVF analog of the LSH bits
+        # rule): cells grow with the corpus, so nprobe directories hold
+        # a fixed row count and serve cost stays flat
+        n_cells = max(8, n_vec // 6_250)
+        frac = min(1.0, 50_000 / max(n_vec, 1))
+        # the float store a real deployment re-ranks against: parquet
+        # laid out by id, so the shortlist IN-filter prunes row groups
+        store = root + "/floats"
+        emb.orderBy("vec_id").write.parquet(store)
+        emb_store = spark.read.parquet(store)
+        run_op("ivfpq_build",
+            lambda: (
+                quantize.build_ivfpq_index(
+                    emb, "vec_id", "embedding", idx, n_cells=n_cells,
+                    m=8, k=16, iters=1, dim=64, train_fraction=frac,
+                ),
+                spark.read.parquet(idx).count(),
+            )[1]
+        )
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").limit(5).collect()
+        ]
+        run_op("ivfpq_search",
+            lambda: sum(
+                len(
+                    quantize.search_ivfpq_index(
+                        spark, idx, qv, "vec_id", k_out=10, nprobe=4,
+                        rerank=emb_store,
+                    ).collect()
+                )
+                for qv in qvs
+            )
+        )
+        shutil.rmtree(root, ignore_errors=True)
     lens = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
