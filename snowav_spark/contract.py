@@ -2281,6 +2281,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_media_phash",
+    """
+    WITH m AS (
+        SELECT doc_id AS id, md5(text) AS p FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text)
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+    FROM m a JOIN m b ON a.p = b.p AND a.id < b.id
+    """,
+)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup (EXT).  Every 5th document's
+    media payload is re-ingested under a shifted id — the re-encoded /
+    re-uploaded copy every media corpus accumulates — and the 63-bit
+    aHash (mapInPandas decode kernel, deterministic fake payload path)
+    must pair each copy with its original.  Identical payloads hash
+    identically, so copies — and the fixture's organic same-text docs
+    (9 pairs at sf0.1) — sit at Hamming 0, and the ORACLE is the exact
+    payload-equality pair set; unrelated payloads are sha256-random in
+    63 bits, so a stray pair needs ≤3 differing bits — P ≈ 5e-15 per
+    pair, and absence is verified on the fixtures.  Scale: payload
+    bytes never shuffle (hash extraction is narrow per-executor work);
+    the pair join is the banded-linear SimHash shape, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    media = multimodal.attach_fake_media(docs.union(copies), "doc_id", "text")
+    hashes = multimodal.perceptual_hash(media, fake=True)
+    return multimodal.media_dup_pairs(hashes, max_hamming=3)
+
+
+@q(
     "q_dedup_resolve",
     """
     WITH RECURSIVE sh AS (
@@ -7382,6 +7418,10 @@ _GRADE_ORDER = [
     "q_median_gap",
     "q_histogram2d",
     "q_embed_norms",
+    # -- round-7 oracle-backed additions -------------------------------
+    # perceptual-hash media dedup: Hamming-0 pair set == exact
+    # payload-equality oracle (see q_media_phash docstring)
+    "q_media_phash",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

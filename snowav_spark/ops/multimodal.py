@@ -356,3 +356,142 @@ def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
             rows = {k: [] for k in rows}
 
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def perceptual_hash(
+    df: DataFrame, fake: bool = False, grid: int = 8
+) -> DataFrame:
+    """63-bit perceptual fingerprint (aHash family) per media payload:
+    decode → reduce to a grid²-cell average plane → threshold each cell
+    at the plane mean → one bit per cell.  Near-identical media (small
+    crops, brightness shifts, re-encodes) land within a few Hamming
+    bits, so :func:`media_dup_pairs` turns media dedup into the same
+    banded equi-join as SimHash text dedup.
+
+    Runs as ``mapInPandas`` (narrow — payload bytes never shuffle; only
+    (media_id, 8-byte hash) leaves the executor).  Decoded shapes:
+
+    - 2-D / 3-D pixel arrays → grayscale (channel mean) then grid×grid
+      nearest-index block sampling — the classic image aHash;
+    - 1-D PCM samples (the container-testable WAV path) → grid² equal
+      bins of |amplitude| means — an amplitude-profile audio hash,
+      invariant to volume scaling by construction (mean threshold).
+
+    ``fake=True`` derives deterministic pseudo-pixels from the payload
+    bytes (sha256-tiled), exercising identical Spark plumbing with no
+    codec — the extract_features convention.  Bit 63 stays 0 so the
+    hash is a non-negative BIGINT in every engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        cells = grid * grid
+
+        def plane_of(payload, fmt):
+            if fake:
+                raw = hashlib.sha256(bytes(payload)).digest()
+                buf = (raw * (cells // len(raw) + 1))[:cells]
+                return np.frombuffer(buf, dtype=np.uint8).astype(
+                    np.float64
+                )
+            arr = np.asarray(decode_media(bytes(payload), fmt))
+            if fmt == "wav" and arr.ndim == 2:  # stereo PCM → mono
+                arr = arr.mean(axis=1)
+            if arr.ndim == 3:  # H×W×C → luma via channel mean
+                arr = arr.mean(axis=2)
+            if arr.ndim == 2:
+                yi = np.linspace(0, arr.shape[0] - 1, grid).astype(int)
+                xi = np.linspace(0, arr.shape[1] - 1, grid).astype(int)
+                return arr[np.ix_(yi, xi)].astype(np.float64).ravel()
+            a = np.abs(arr.astype(np.float64))
+            edges = np.linspace(0, a.size, cells + 1).astype(int)
+            return np.asarray(
+                [
+                    a[s:e].mean() if e > s else 0.0
+                    for s, e in zip(edges[:-1], edges[1:])
+                ]
+            )
+
+        for pdf in batches:
+            fmts = (
+                pdf["format"]
+                if "format" in pdf.columns
+                else pd.Series(["unknown"] * len(pdf))
+            )
+            out = []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], fmts, pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                plane = plane_of(payload, fmt)
+                bits = plane > plane.mean()
+                h = 0
+                for i in range(min(plane.size, 63)):
+                    if bits[i]:
+                        h |= 1 << i
+                out.append((int(mid), h))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.mapInPandas(run, "media_id long, phash long")
+
+
+def media_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs from perceptual hashes: band the
+    63-bit fingerprint into ``bands`` bit-slices and equi-join on
+    (band, slice value) — the SimHash banding argument: two hashes
+    within ``bands − 1`` Hamming bits MUST agree on at least one slice
+    (pigeonhole), so recall is exact for ``max_hamming < bands`` and
+    probabilistic beyond.  Candidates are verified with the exact
+    ``hamming64`` and deduped (a < b).  Linear in the corpus — the
+    all-pairs comparison never materializes — and the payload bytes
+    were already left behind by perceptual_hash."""
+    from snowav_spark.ops import dedup
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(slices).alias("bb")
+    ).select(id_col, hash_col, "bb.band", "bb.slice")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "band",
+        "slice",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        "band",
+        "slice",
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dedup.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -294,6 +294,25 @@ def _residuals(df: DataFrame, id_col: str, vec: str, cents) -> DataFrame:
     )
 
 
+def _write_codes(
+    codes: DataFrame, path: str, batch_id: int | None, overwrite_all: bool
+) -> None:
+    """One code-write shape for both index layouts: plain ``cell``
+    partitions for batch builds/appends, ``(cell, _batch)`` for
+    streaming ingest (replays rewrite their own _batch partitions via
+    dynamic overwrite instead of appending a second copy)."""
+    if batch_id is None:
+        mode = "overwrite" if overwrite_all else "append"
+        codes.write.mode(mode).partitionBy("cell").parquet(path)
+        return
+    w = codes.withColumn("_batch", F.lit(int(batch_id))).write
+    if overwrite_all:
+        w = w.mode("overwrite")
+    else:
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("cell", "_batch").parquet(path)
+
+
 def _read_ivfpq_sidecars(spark, path: str) -> tuple[list, list]:
     """(centroids, codebook) from a build_ivfpq_index layout's sidecars."""
     side = (
@@ -326,6 +345,7 @@ def build_ivfpq_index(
     iters: int = 2,
     dim: int = 64,
     train_fraction: float = 1.0,
+    batch_id: int | None = None,
 ) -> tuple[list, list]:
     """Persist an IVF-PQ index: the FAISS ``IVFx,PQm`` layout re-expressed
     as a parquet directory tree (ref path: SURVEY §2.6 ANN scale path —
@@ -373,9 +393,15 @@ def build_ivfpq_index(
     codebook = train_pq_codebook(
         train, id_col, "_res", dim=dim, m=m, k=k, iters=iters
     )
-    pq_encode(res, id_col, "_res", codebook, keep=("cell",)).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
+    # batch_id: streaming indexes partition by (cell, _batch) so an
+    # at-least-once replay REWRITES its own partitions (see
+    # streaming.incremental.ann_index_stream); a given index must use
+    # one layout consistently.  Codes are written BEFORE the sidecars:
+    # the centroid sidecar acts as the build's commit marker (a crash
+    # mid-build leaves no sidecar, and the static overwrite here wipes
+    # the partial codes on rebuild).
+    _write_codes(codes, path, batch_id, overwrite_all=True)
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "/_ivf_centroids"
     )
@@ -486,7 +512,11 @@ def search_ivfpq_index(
 
 
 def append_to_ivfpq_index(
-    df: DataFrame, id_col: str, vec: str, path: str
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    path: str,
+    batch_id: int | None = None,
 ) -> int:
     """Incrementally add vectors to a :func:`build_ivfpq_index` layout
     WITHOUT retraining: new rows are Voronoi-assigned and PQ-encoded
@@ -502,11 +532,17 @@ def append_to_ivfpq_index(
     same path.  Duplicate ids are NOT checked (appends are blind, like
     parquet appends everywhere else); dedup upstream.  Returns the
     number of rows appended (vectors failing the dim/NULL domain filter
-    are dropped, same rule as pq_encode)."""
+    are dropped, same rule as pq_encode).
+
+    ``batch_id`` (streaming ingest): rows land under a
+    ``(cell, _batch=<id>)`` partition with dynamic overwrite, so an
+    at-least-once REPLAY of the batch rewrites its own partitions —
+    requires the index to have been built with a ``batch_id`` too (the
+    two layouts cannot mix under one path)."""
     spark = df.sparkSession
     cents, codebook = _read_ivfpq_sidecars(spark, path)
     res = _residuals(df, id_col, vec, cents)
     codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
     n = codes.count()
-    codes.write.mode("append").partitionBy("cell").parquet(path)
+    _write_codes(codes, path, batch_id, overwrite_all=False)
     return n

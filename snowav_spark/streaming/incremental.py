@@ -463,3 +463,71 @@ def frequency_sketch_stream(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_index_stream(
+    emb: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    train_fraction: float = 1.0,
+    once: bool = True,
+):
+    """Continuous ANN index maintenance: an embedding stream keeps a
+    :func:`snowav_spark.ops.quantize.build_ivfpq_index` layout current —
+    the FIRST non-empty batch trains centroids + codebook and builds the
+    index; every later batch is encoded against the FROZEN sidecars and
+    appended to its cell partitions (linear in the batch, independent of
+    index size).  Searches (`search_ivfpq_index`) work at any point and
+    see everything ingested so far.
+
+    The static-side build/append per batch needs ``foreachBatch`` (the
+    same shape as incremental_ingest_stream); state lives entirely in
+    the index files, so a restart resumes from the checkpoint.
+    Idempotency under at-least-once replay: code rows land in
+    ``(cell, _batch=<id>)`` partitions with dynamic overwrite — a
+    replayed batch REWRITES its own partitions (codes are deterministic
+    given the sidecars, so the rewrite is bit-identical).  The centroid
+    sidecar doubles as the build's commit marker: a crash mid-build
+    leaves no sidecar, and the replay rebuilds from scratch (static
+    overwrite wipes partial codes).
+
+    The standard serving trade-off documented on append_to_ivfpq_index
+    applies: later batches are quantized by the first batch's training —
+    a large distribution drift warrants a batch rebuild at the same
+    path (which this stream then keeps appending to).
+    """
+    from snowav_spark.ops import quantize
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        import os
+
+        built = os.path.isdir(
+            index_path.rstrip("/") + "/_ivf_centroids"
+        )
+        if not built:
+            quantize.build_ivfpq_index(
+                batch, id_col, vec, index_path,
+                n_cells=n_cells, m=m, k=k, iters=iters, dim=dim,
+                train_fraction=train_fraction, batch_id=batch_id,
+            )
+        else:
+            quantize.append_to_ivfpq_index(
+                batch, id_col, vec, index_path, batch_id=batch_id
+            )
+
+    writer = (
+        emb.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -422,3 +422,107 @@ def test_near_dedup_stream_bucket_ownership(spark, tmp_path):
     )
     assert 0 < shared < 8  # the fixture really is a PARTIAL overlap
     assert got.get(2, 0) == 8 - shared
+
+
+def test_ann_index_stream_builds_then_appends(spark, tmp_path):
+    """Two availableNow passes over an embedding drop directory: the
+    first batch trains + builds the IVF-PQ layout, the second appends
+    against the frozen sidecars; a search over the grown index finds a
+    second-batch vector as its own nearest neighbor, and full-probe +
+    full-depth re-rank equals exact brute force over the union."""
+    import numpy as np
+
+    from snowav_spark.ops import quantize
+
+    rng = np.random.RandomState(7)
+    dim = 8
+
+    def batch_df(ids):
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in rng.randn(dim)])
+                for i in ids
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    src = str(tmp_path / "in")
+    index = str(tmp_path / "annidx")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = batch_df(range(40)), batch_df(range(100, 130))
+    first.write.parquet(src)
+
+    def run_once():
+        q = incremental.ann_index_stream(
+            spark.readStream.schema(first.schema).parquet(src),
+            index, ckpt, n_cells=4, m=4, k=4, iters=1, dim=dim,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(index).count() == 40
+    second.write.mode("append").parquet(src)
+    run_once()
+    stored = spark.read.parquet(index)
+    assert stored.count() == 70
+    assert sorted(stored.columns) == ["_batch", "cell", "codes", "vec_id"]
+
+    allv = {
+        r.vec_id: np.asarray(r.embedding)
+        for r in first.union(second).collect()
+    }
+    qid = 105  # from the appended batch
+    qv = [float(x) for x in allv[qid]]
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in quantize.search_ivfpq_index(
+            spark, index, qv, "vec_id", k_out=5, nprobe=4,
+            rerank=first.union(second), rerank_depth=70,
+        ).collect()
+    ]
+    qn = np.linalg.norm(allv[qid])
+    exact = sorted(
+        (-round(float(v @ allv[qid]) / (np.linalg.norm(v) * qn), 6), vid)
+        for vid, v in allv.items()
+    )[:5]
+    assert got == [(vid, -c) for c, vid in exact]
+    assert got[0][0] == qid
+
+
+def test_ann_index_stream_replay_is_idempotent(spark, tmp_path):
+    """Dropping the last commit marker replays the append batch: the
+    (cell, _batch) dynamic-overwrite layout must rewrite, not double."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    rows = [
+        (int(i), [float(x) for x in rng.randn(dim)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "in")
+    index = str(tmp_path / "annidx")
+    ckpt = str(tmp_path / "ckpt")
+    df.write.parquet(src)
+
+    def run_once():
+        q = incremental.ann_index_stream(
+            spark.readStream.schema(df.schema).parquet(src),
+            index, ckpt, n_cells=2, m=4, k=2, iters=1, dim=dim,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(index).count() == 30
+    commits = os.path.join(ckpt, "commits")
+    last = sorted(n for n in os.listdir(commits) if not n.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()  # replays batch 0 through the append path (sidecars exist)
+    stored = spark.read.parquet(index)
+    assert stored.count() == 30  # rewritten, not doubled
+    assert stored.select("vec_id").distinct().count() == 30

@@ -163,3 +163,83 @@ def test_audio_features_real_wav_container(spark):
     assert arr.dtype == np.dtype("<i2") and arr.shape == (4_000,)
     st = multimodal.decode_media(stereo, "wav")
     assert st.shape == (4_000, 2)
+
+
+def test_perceptual_hash_fake_and_dup_pairs(spark):
+    """Fake-path pHash: identical payloads hash identically (Hamming 0
+    pair found by the banded join), unrelated payloads stay far apart;
+    hashes are non-negative 63-bit longs."""
+    from snowav_spark.ops import dedup, multimodal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),  # same text -> same fake payload
+            (3, "completely different content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    hashes = multimodal.perceptual_hash(media, fake=True)
+    got = {r.media_id: r.phash for r in hashes.collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(h >= 0 for h in got.values())
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.media_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_perceptual_hash_real_wav_amplitude_invariance(spark):
+    """Real decode path on WAV PCM: volume scaling leaves the
+    amplitude-profile hash UNCHANGED (mean threshold is scale
+    invariant); a different envelope shape lands far away; stereo
+    downmixes to the mono hash."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from snowav_spark.ops import dedup, multimodal
+    from pyspark.sql import functions as F
+
+    def make_wav(envelope, rate=8_000, channels=1):
+        t = np.arange(int(rate * 0.25)) / rate
+        x = (envelope(t) * 32767).astype("<i2")
+        if channels == 2:
+            x = np.column_stack([x, x]).ravel()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    loud = make_wav(lambda t: 0.9 * np.sin(2 * np.pi * 3 * t))
+    quiet = make_wav(lambda t: 0.05 * np.sin(2 * np.pi * 3 * t))
+    ramp = make_wav(lambda t: 0.9 * (t / t.max()) * np.sin(2 * np.pi * 200 * t))
+    stereo_loud = make_wav(lambda t: 0.9 * np.sin(2 * np.pi * 3 * t), channels=2)
+    rows = [
+        (1, "audio", "wav", None, None, 250, bytearray(loud)),
+        (2, "audio", "wav", None, None, 250, bytearray(quiet)),
+        (3, "audio", "wav", None, None, 250, bytearray(ramp)),
+        (4, "audio", "wav", None, None, 250, bytearray(stereo_loud)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r.phash
+        for r in multimodal.perceptual_hash(df).collect()
+    }
+    assert got[1] == got[2]  # amplitude-scale invariant
+    assert got[1] == got[4]  # stereo == mono after downmix
+    # different envelope: far in Hamming space
+    ham = spark.range(1).select(
+        dedup.hamming64(F.lit(got[1]), F.lit(got[3])).alias("d")
+    ).collect()[0].d
+    assert ham > 8
