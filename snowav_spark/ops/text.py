@@ -710,3 +710,174 @@ def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000)) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index + partition-pruned BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def _term_bucket_sql(term_expr: str, n_buckets: int) -> str:
+    """Bucket id of a term — md5-prefix mod, NOT xxhash64: the driver
+    must compute the SAME bucket for query terms in plain Python
+    (hashlib.md5) to prune partitions before the scan."""
+    return (
+        f"CAST(conv(substring(md5({term_expr}), 1, 8), 16, 10) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def build_text_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist an INVERTED INDEX over a document corpus: posting rows
+    (term, doc_id, tf, dl) partitioned by a term-hash bucket, plus a
+    one-row ``_corpus_stats`` sidecar (n_docs, avg_dl) — the textual
+    sibling of quantize.build_ivfpq_index's layout.  At 100 TB the
+    corpus is scanned ONCE here; every later retrieval reads only the
+    query terms' bucket directories (partition pruning) instead of
+    re-tokenizing the corpus the way ad-hoc ``bm25_scores`` must.
+
+    Buckets use an md5-prefix hash computed identically in SQL (build)
+    and Python (query-time pruning).  Doc frequencies are NOT stored —
+    they are derivable at query time from the query terms' own postings
+    (a groupBy over the pruned scan), which keeps appends cheap: new
+    postings land in their buckets, the stats sidecar is re-merged, and
+    df stays automatically consistent.  NULL-text docs are excluded
+    from the collection entirely (N and avg_dl), matching bm25_scores.
+    """
+    df = df.filter(F.col(text_col).isNotNull())
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .selectExpr(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            f"{_term_bucket_sql('term', n_buckets)} AS bucket",
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("_dl").alias("avg_dl"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_corpus_stats"
+    )
+
+
+def append_to_text_index(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Add documents to a :func:`build_text_index` layout without
+    rebuilding: new postings append into their term buckets (linear in
+    the batch), and the stats sidecar is re-merged as a weighted
+    combination — doc frequencies need no maintenance because retrieval
+    derives them from postings.  Blind to duplicate doc ids (the
+    append_to_ivfpq_index contract); dedup upstream."""
+    spark = df.sparkSession
+    side = path.rstrip("/") + "/_corpus_stats"
+    old = spark.read.parquet(side).collect()[0]
+    df = df.filter(F.col(text_col).isNotNull())
+    # bucket count from the sidecar so appends can't fork the layout
+    n_buckets = int(old.n_buckets)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .selectExpr(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            f"{_term_bucket_sql('term', n_buckets)} AS bucket",
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    new = df.select(
+        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("_dl").alias("avg_dl"),
+    ).collect()[0]
+    n = old.n_docs + new.n_docs
+    avg = (
+        (old.avg_dl * old.n_docs + (new.avg_dl or 0.0) * new.n_docs) / n
+        if n
+        else 0.0
+    )
+    spark.createDataFrame(
+        [(n, float(avg), n_buckets)],
+        "n_docs long, avg_dl double, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(side)
+
+
+def search_text_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a :func:`build_text_index` layout, reading
+    ONLY the query terms' bucket directories: bucket ids are computed
+    driver-side with the same md5-prefix hash the build used, so the
+    scan carries ``bucket IN (…)`` as a PARTITION filter at any corpus
+    size.  Doc frequencies come from the pruned postings themselves
+    (one groupBy over query-term rows); the scoring formula — including
+    the ``round(…, 6)`` — is bm25_scores', so a full-corpus ad-hoc run
+    and an index run return identical scores (pinned in tests).
+    Output: (doc_id, bm25) by score desc, doc_id asc."""
+    side = spark.read.parquet(path.rstrip("/") + "/_corpus_stats")
+    qt = sorted({w.lower() for w in query_terms})
+    n_buckets = int(side.collect()[0].n_buckets)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in qt})
+    side = side.drop("n_buckets")
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qt))
+    )
+    doc_freq = cand.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    scored = (
+        cand.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(side))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

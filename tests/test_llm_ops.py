@@ -1016,3 +1016,72 @@ def test_minhash_signature_matches_banding_aggregate(spark):
     # sub-shingle-length doc: empty shingle set → all-NULL signature in
     # the projection form, no row at all in the explode form
     assert 2 not in agg and all(v is None for v in proj[2])
+
+
+def test_text_index_search_matches_adhoc_bm25(spark, sf_dir, tmp_path):
+    """The persisted inverted index returns BIT-IDENTICAL BM25 scores to
+    the full-corpus ad-hoc scorer (same formula, same rounding), while
+    reading only the query terms' bucket partitions (plan-asserted)."""
+    from snowav_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "textidx")
+    t.build_text_index(docs, "doc_id", "text", path, n_buckets=16)
+
+    query = ["the", "data", "model"]
+    got = {
+        r.doc_id: r.bm25
+        for r in t.search_text_index(spark, path, query, k=1000).collect()
+    }
+    adhoc = {
+        r.doc_id: r.bm25
+        for r in t.bm25_scores(docs, "doc_id", "text", query).collect()
+    }
+    assert got == adhoc and len(got) > 0
+
+    # pruning: the scan carries bucket IN (...) as a PartitionFilter
+    pruned = t.search_text_index(spark, path, ["data"], k=5)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_text_index_append_matches_full_rebuild(spark, tmp_path):
+    """Appending documents must leave retrieval indistinguishable from a
+    full rebuild over the union: postings land in the right buckets and
+    the merged stats sidecar (n_docs, avg_dl) drives identical scores."""
+    from snowav_spark.ops import text as t
+
+    first = spark.createDataFrame(
+        [
+            (1, "spark engines process data at scale"),
+            (2, "ducks swim in the lake"),
+            (3, "data pipelines clean data daily"),
+        ],
+        ["doc_id", "text"],
+    )
+    second = spark.createDataFrame(
+        [
+            (4, "spark data shuffles hurt at scale"),
+            (5, "the lake is calm today"),
+        ],
+        ["doc_id", "text"],
+    )
+    grown = str(tmp_path / "grown")
+    t.build_text_index(first, "doc_id", "text", grown, n_buckets=8)
+    t.append_to_text_index(second, "doc_id", "text", grown)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    t.build_text_index(
+        first.union(second), "doc_id", "text", rebuilt, n_buckets=8
+    )
+    for query in (["data"], ["spark", "lake"], ["the", "scale"]):
+        g = [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(spark, grown, query, k=10).collect()
+        ]
+        rbt = [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(spark, rebuilt, query, k=10).collect()
+        ]
+        assert g == rbt and len(g) > 0
