@@ -350,6 +350,60 @@ def main() -> int:
         ["PythonUDF", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     )
 
+    # 6w2. IVF-PQ at-rest search, two stages: (a) the returned re-rank
+    # plan reads the float store through a PUSHED shortlist In-filter —
+    # no broadcast join against (and no rescan of) the whole corpus —
+    # with sort-free top-k; (b) the ADC probe stage (which collected its
+    # shortlist eagerly, so it isn't in the returned plan) carries the
+    # probed cells as PARTITION filters and is pure codegen over codes
+    p = formatted(qs["q_ivfpq_ann"](spark, SF))
+    check(
+        "q_ivfpq_ann",
+        p,
+        ["In(vec_id", "TakeOrderedAndProject"],
+        ["PythonUDF", "BatchEvalPython", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin"],
+    )
+    from snowav_spark import contract as _contract
+    from snowav_spark.ops import quantize as _quantize
+
+    adc = _quantize.search_ivfpq_index(
+        spark, _contract._IVFPQ_PATHS[SF], [0.0] * 64, "vec_id",
+        k_out=10, nprobe=4,
+    )
+    check(
+        "q_ivfpq_ann/adc",
+        formatted(adc),
+        ["PartitionFilters: [cell", "TakeOrderedAndProject"],
+        ["PythonUDF", "ArrowEvalPython", "BatchEvalPython",
+         "CartesianProduct"],
+    )
+
+    # 6w3. inverted-index retrieval: the postings scan is pruned to the
+    # query terms' buckets at the PARTITION level, doc-freq is map-side
+    # combined, and top-k is sort-free
+    p = formatted(qs["q_text_index"](spark, SF))
+    check(
+        "q_text_index",
+        p,
+        ["PartitionFilters: [bucket", "TakeOrderedAndProject"],
+        ["PythonUDF", "CartesianProduct", "SortMergeJoin"],
+    )
+
+    # 6w4. media perceptual-hash dedup: hash extraction is Arrow-batched
+    # mapInPandas (payload bytes never shuffle — no exchange carries the
+    # payload column), the pair join is a banded equi-join
+    p = formatted(qs["q_media_phash"](spark, SF))
+    check(
+        "q_media_phash",
+        p,
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    for ln in p.splitlines():
+        if "Exchange" in ln and "payload" in ln:
+            failures.append("q_media_phash: payload column in an exchange")
+
     # 6x. sketch rollup: DataSketches aggregate is JVM-side with partial
     # (map-side) sketch building before the exchange
     p = formatted(qs["q_sketch_rollup"](spark, SF))
