@@ -2621,6 +2621,87 @@ def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_hybrid_rrf",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    stats AS (
+        SELECT count(*) * 1e0 AS n_docs,
+               avg(len(string_split(text, ' '))) AS avg_dl
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS word
+        FROM d
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf, min(dl) AS dl
+        FROM toks WHERE word IN ('join', 'vector', 'scan')
+        GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+                   * (tf * 2.2e0)
+                   / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avg_dl))
+               ), 6) AS s
+        FROM tf JOIN dfr USING (word) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY s DESC, doc_id LIMIT 100
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    cs AS (
+        SELECT e.vec_id AS doc_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.q[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS s
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> 0
+        ORDER BY s DESC, doc_id LIMIT 100
+    ),
+    u AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+        FROM bm
+        UNION ALL
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+        FROM cs
+    )
+    SELECT doc_id, round(sum(1e0 / (60 + rnk)), 6) AS rrf
+    FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (EXT;
+    ops/text.py::rrf_fuse): the BM25 term ranking (q_bm25's scorer) and
+    the cosine vector ranking (q_sim_topk's scorer, query = doc 0's
+    embedding) are each truncated to their top 100 and fused as
+    Σ 1/(60 + rank) — the standard no-calibration combiner for
+    text ⊕ vector search.  Deterministic because both rankings round
+    scores before ranking and tie-break on id (so ranks are exact
+    integers in both engines, and the ≤2-term 1/(60+r) sums are
+    order-invariant doubles).  Scale: each retriever does its own
+    pruned top-k (TakeOrdered); the fusion windows run over ≤100 rows
+    by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = text.bm25_scores(docs, "doc_id", "text", ["join", "vector", "scan"])
+    cs = similarity.cosine_topk(
+        emb, "vec_id", "embedding", 0, 100
+    ).withColumnRenamed("vec_id", "doc_id")
+    return text.rrf_fuse(
+        [(bm, "bm25"), (cs, "cos_sim")], "doc_id", depth=100, k_out=10
+    )
+
+
+@q(
     "q_lookback_join",
     """
     SELECT p.event_id,
@@ -7494,6 +7575,8 @@ _GRADE_ORDER = [
     "q_media_phash",
     # persisted-inverted-index retrieval: shares q_bm25's oracle verbatim
     "q_text_index",
+    # hybrid text ⊕ vector retrieval: RRF of the two proven rankings
+    "q_hybrid_rrf",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",

@@ -881,3 +881,45 @@ def search_text_index(
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fuse(
+    inputs: list,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    depth: int = 100,
+    k_out: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of scored candidate lists — the standard
+    hybrid-retrieval combiner (BM25 ⊕ vector ANN):
+    ``rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))``, missing entries
+    contribute nothing.  ``inputs`` is a list of (DataFrame, score_col)
+    pairs, each frame carrying (id_col, score_col).
+
+    Rank-based fusion needs no score calibration across systems — only
+    the ORDER of each list matters, so the fusion is deterministic as
+    long as each ranking is (scores rounded before ranking, ties on id
+    — the cosine_topk/bm25 convention).  Scale: each list is truncated
+    to ``depth`` by TakeOrdered (sort-free), so the row_number window —
+    though unpartitioned — runs over ≤depth rows by construction
+    (domain-bounded, the plan-audit whitelist rule); the union and the
+    ≤2·depth-row fusion aggregate are driver-trivial at any corpus
+    size.  The heavy lifting stays in the upstream retrievers, which is
+    the point: fuse AFTER each system's own pruned top-k."""
+    from pyspark.sql.window import Window
+
+    fused = None
+    for df, score in inputs:
+        top = df.orderBy(F.desc(score), F.asc(id_col)).limit(depth)
+        w = Window.orderBy(F.desc(score), F.asc(id_col))
+        part = top.select(
+            F.col(id_col),
+            (1.0 / (F.lit(k_rrf) + F.row_number().over(w))).alias("_rrf"),
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    return (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("_rrf"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k_out)
+    )

@@ -1085,3 +1085,29 @@ def test_text_index_append_matches_full_rebuild(spark, tmp_path):
             for r in t.search_text_index(spark, rebuilt, query, k=10).collect()
         ]
         assert g == rbt and len(g) > 0
+
+
+def test_rrf_fuse_combines_and_handles_missing(spark):
+    """RRF math: a doc ranked 1st in both lists beats a doc ranked 1st
+    in one and absent from the other; exact 1/(60+r) sums; depth
+    truncation drops ranks beyond it."""
+    from snowav_spark.ops import text as t
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], ["doc_id", "s1"]
+    )
+    b = spark.createDataFrame(
+        [(1, 0.9), (4, 0.8), (2, 0.7)], ["doc_id", "s2"]
+    )
+    got = {
+        r.doc_id: r.rrf
+        for r in t.rrf_fuse(
+            [(a, "s1"), (b, "s2")], "doc_id", k_rrf=60, depth=2, k_out=10
+        ).collect()
+    }
+    # depth=2: doc 3 (rank 3 in a) and doc 2's rank-3 entry in b are cut
+    assert got[1] == round(1 / 61 + 1 / 61, 6)
+    assert got[2] == round(1 / 62, 6)
+    assert got[4] == round(1 / 62, 6)
+    assert 3 not in got
+    assert got[1] > got[2] == got[4]
