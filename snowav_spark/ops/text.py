@@ -733,109 +733,142 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+def _postings_of(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .selectExpr(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            f"{_term_bucket_sql('term', n_buckets)} AS bucket",
+        )
+    )
+
+
+def _stats_of(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    """MERGEABLE integer partials (n_docs, sum_dl): search derives
+    avg_dl = Σsum_dl / Σn_docs, one double division — exact at any
+    merge order (integer sums below 2^53), unlike persisting a float
+    avg that would need order-sensitive weighted re-merging."""
+    return df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_dl").cast("long").alias("sum_dl"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    )
+
+
+def _write_text_parts(
+    postings: DataFrame,
+    stats: DataFrame,
+    path: str,
+    batch_id: int | None,
+    overwrite_all: bool,
+) -> None:
+    """One write shape for both layouts (the quantize._write_codes
+    twin): plain ``bucket`` partitions for batch builds/appends,
+    ``(bucket, _batch)`` + per-batch stats rows for streaming ingest —
+    replays rewrite their own partitions via dynamic overwrite."""
+    side = path.rstrip("/") + "/_corpus_stats"
+    if batch_id is None:
+        mode = "overwrite" if overwrite_all else "append"
+        postings.write.mode(mode).partitionBy("bucket").parquet(path)
+        stats.coalesce(1).write.mode(mode).parquet(side)
+        return
+    pw = postings.withColumn("_batch", F.lit(int(batch_id))).write
+    sw = (
+        stats.withColumn("_batch", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write
+    )
+    if overwrite_all:
+        pw, sw = pw.mode("overwrite"), sw.mode("overwrite")
+    else:
+        pw = pw.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+        sw = sw.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    pw.partitionBy("bucket", "_batch").parquet(path)
+    sw.partitionBy("_batch").parquet(side)
+
+
 def build_text_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
     path: str,
     n_buckets: int = 64,
+    batch_id: int | None = None,
 ) -> None:
     """Persist an INVERTED INDEX over a document corpus: posting rows
     (term, doc_id, tf, dl) partitioned by a term-hash bucket, plus a
-    one-row ``_corpus_stats`` sidecar (n_docs, avg_dl) — the textual
-    sibling of quantize.build_ivfpq_index's layout.  At 100 TB the
-    corpus is scanned ONCE here; every later retrieval reads only the
-    query terms' bucket directories (partition pruning) instead of
+    ``_corpus_stats`` sidecar of mergeable integer partials
+    (n_docs, sum_dl) — the textual sibling of
+    quantize.build_ivfpq_index's layout.  At 100 TB the corpus is
+    scanned ONCE here; every later retrieval reads only the query
+    terms' bucket directories (partition pruning) instead of
     re-tokenizing the corpus the way ad-hoc ``bm25_scores`` must.
 
     Buckets use an md5-prefix hash computed identically in SQL (build)
     and Python (query-time pruning).  Doc frequencies are NOT stored —
     they are derivable at query time from the query terms' own postings
     (a groupBy over the pruned scan), which keeps appends cheap: new
-    postings land in their buckets, the stats sidecar is re-merged, and
-    df stays automatically consistent.  NULL-text docs are excluded
+    postings land in their buckets, a new stats partial is appended,
+    and df stays automatically consistent.  NULL-text docs are excluded
     from the collection entirely (N and avg_dl), matching bm25_scores.
+    ``batch_id`` selects the streaming layout (see _write_text_parts).
     """
     df = df.filter(F.col(text_col).isNotNull())
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
-    postings = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .selectExpr(
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-            f"{_term_bucket_sql('term', n_buckets)} AS bucket",
-        )
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    stats = df.select(
-        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
-    ).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.avg("_dl").alias("avg_dl"),
-        F.lit(n_buckets).cast("int").alias("n_buckets"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        path.rstrip("/") + "/_corpus_stats"
+    _write_text_parts(
+        _postings_of(df, id_col, text_col, n_buckets),
+        _stats_of(df, text_col, n_buckets),
+        path,
+        batch_id,
+        overwrite_all=True,
     )
 
 
 def append_to_text_index(
-    df: DataFrame, id_col: str, text_col: str, path: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    batch_id: int | None = None,
 ) -> None:
     """Add documents to a :func:`build_text_index` layout without
     rebuilding: new postings append into their term buckets (linear in
-    the batch), and the stats sidecar is re-merged as a weighted
-    combination — doc frequencies need no maintenance because retrieval
-    derives them from postings.  Blind to duplicate doc ids (the
-    append_to_ivfpq_index contract); dedup upstream."""
+    the batch) and the batch's own stats PARTIAL row is appended — no
+    read-modify-write of the sidecar, so concurrent/replayed appends
+    can't corrupt the collection stats.  Doc frequencies need no
+    maintenance (retrieval derives them from postings).  Blind to
+    duplicate doc ids (the append_to_ivfpq_index contract); dedup
+    upstream.  ``batch_id`` (streaming): postings land under
+    ``(bucket, _batch)`` and the stats partial under ``_batch`` with
+    dynamic overwrite, so an at-least-once replay rewrites itself."""
     spark = df.sparkSession
     side = path.rstrip("/") + "/_corpus_stats"
-    old = spark.read.parquet(side).collect()[0]
-    df = df.filter(F.col(text_col).isNotNull())
     # bucket count from the sidecar so appends can't fork the layout
-    n_buckets = int(old.n_buckets)
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+    n_buckets = int(spark.read.parquet(side).collect()[0].n_buckets)
+    df = df.filter(F.col(text_col).isNotNull())
+    _write_text_parts(
+        _postings_of(df, id_col, text_col, n_buckets),
+        _stats_of(df, text_col, n_buckets),
+        path,
+        batch_id,
+        overwrite_all=False,
     )
-    (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .selectExpr(
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-            f"{_term_bucket_sql('term', n_buckets)} AS bucket",
-        )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    new = df.select(
-        F.size(tokens(F.col(text_col))).cast("double").alias("_dl")
-    ).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.avg("_dl").alias("avg_dl"),
-    ).collect()[0]
-    n = old.n_docs + new.n_docs
-    avg = (
-        (old.avg_dl * old.n_docs + (new.avg_dl or 0.0) * new.n_docs) / n
-        if n
-        else 0.0
-    )
-    spark.createDataFrame(
-        [(n, float(avg), n_buckets)],
-        "n_docs long, avg_dl double, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(side)
 
 
 def search_text_index(
@@ -855,11 +888,20 @@ def search_text_index(
     the ``round(…, 6)`` — is bm25_scores', so a full-corpus ad-hoc run
     and an index run return identical scores (pinned in tests).
     Output: (doc_id, bm25) by score desc, doc_id asc."""
-    side = spark.read.parquet(path.rstrip("/") + "/_corpus_stats")
+    # merge the sidecar's integer partials: exact at any order/batching,
+    # and sum/count equals the ad-hoc scorer's avg(dl) bit-for-bit
+    # (double summation of integers below 2^53 is exact)
+    raw = spark.read.parquet(path.rstrip("/") + "/_corpus_stats")
     qt = sorted({w.lower() for w in query_terms})
-    n_buckets = int(side.collect()[0].n_buckets)
+    n_buckets = int(raw.collect()[0].n_buckets)
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in qt})
-    side = side.drop("n_buckets")
+    side = raw.agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avg_dl"),
+    )
     cand = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qt))

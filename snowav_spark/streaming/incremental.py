@@ -531,3 +531,52 @@ def ann_index_stream(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def text_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    once: bool = True,
+):
+    """Continuous inverted-index maintenance: a document stream keeps a
+    :func:`snowav_spark.ops.text.build_text_index` layout current — the
+    first non-empty batch builds it, later batches append postings into
+    their term buckets and add their own stats PARTIAL row (the
+    mergeable-integer sidecar design makes the merge order irrelevant).
+    Searches see everything ingested so far, with doc frequencies and
+    avg_dl always consistent because both derive at query time.
+
+    Idempotency under at-least-once replay (the ann_index_stream twin):
+    postings land in ``(bucket, _batch)`` partitions and the stats
+    partial under ``_batch``, both dynamic-overwrite, so a replayed
+    batch rewrites itself.  The stats sidecar doubles as the build's
+    commit marker."""
+    from snowav_spark.ops import text as text_ops
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        import os
+
+        built = os.path.isdir(index_path.rstrip("/") + "/_corpus_stats")
+        if not built:
+            text_ops.build_text_index(
+                batch, id_col, text_col, index_path,
+                n_buckets=n_buckets, batch_id=batch_id,
+            )
+        else:
+            text_ops.append_to_text_index(
+                batch, id_col, text_col, index_path, batch_id=batch_id
+            )
+
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

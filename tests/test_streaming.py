@@ -526,3 +526,74 @@ def test_ann_index_stream_replay_is_idempotent(spark, tmp_path):
     stored = spark.read.parquet(index)
     assert stored.count() == 30  # rewritten, not doubled
     assert stored.select("vec_id").distinct().count() == 30
+
+
+def test_text_index_stream_builds_appends_and_replays(spark, tmp_path):
+    """Two availableNow passes keep the inverted index current (search
+    equals the ad-hoc BM25 over everything ingested); replaying the
+    append batch (commit marker deleted) changes nothing — postings and
+    the stats partial rewrite their own _batch partitions."""
+    import os
+
+    from snowav_spark.ops import text as t
+
+    first = spark.createDataFrame(
+        [
+            (1, "spark engines process data at scale"),
+            (2, "ducks swim in the lake"),
+        ],
+        ["doc_id", "text"],
+    )
+    second = spark.createDataFrame(
+        [
+            (3, "data pipelines clean data daily"),
+            (4, "the lake is calm today"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "in")
+    index = str(tmp_path / "textidx")
+    ckpt = str(tmp_path / "ckpt")
+    first.write.parquet(src)
+
+    def run_once():
+        q = incremental.text_index_stream(
+            spark.readStream.schema(first.schema).parquet(src),
+            index, ckpt, n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    def search(query):
+        return [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(spark, index, query, k=10).collect()
+        ]
+
+    union = first.union(second)
+    for query in (["data"], ["lake", "spark"]):
+        adhoc = sorted(
+            (
+                (r.doc_id, r.bm25)
+                for r in t.bm25_scores(
+                    union, "doc_id", "text", query
+                ).collect()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert search(query) == adhoc and len(adhoc) > 0
+
+    before = search(["data"])
+    commits = os.path.join(ckpt, "commits")
+    last = sorted(n for n in os.listdir(commits) if not n.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()  # replay the append batch
+    assert search(["data"]) == before
+    stats = spark.read.parquet(index + "/_corpus_stats")
+    assert stats.groupBy().sum("n_docs").collect()[0][0] == 4
