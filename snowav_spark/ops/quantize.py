@@ -546,3 +546,27 @@ def append_to_ivfpq_index(
     n = codes.count()
     _write_codes(codes, path, batch_id, overwrite_all=False)
     return n
+
+
+def compact_ivfpq_index(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Fold a STREAMED IVF-PQ layout (``(cell, _batch)`` partitions from
+    ann_index_stream's replay-idempotent appends) back into the batch
+    serving layout: one pass rewrites the codes partitioned by ``cell``
+    alone, dropping the ``_batch`` bookkeeping and re-sizing the
+    micro-batch small files; the sidecars ride through untouched.  Run
+    it AFTER the stream is stopped — further maintenance then uses the
+    batch ``append_to_ivfpq_index`` (the two partition layouts cannot
+    mix under one path).  Returns the post-compaction file count."""
+    from snowav_spark import sinks
+
+    return sinks.compact_partitions(
+        spark,
+        path,
+        partition_by=("cell",),
+        target_rows_per_file=target_rows_per_file,
+        transform=lambda df: (
+            df.drop("_batch") if "_batch" in df.columns else df
+        ),
+    )

@@ -780,6 +780,13 @@ def _write_text_parts(
     ``(bucket, _batch)`` + per-batch stats rows for streaming ingest —
     replays rewrite their own partitions via dynamic overwrite."""
     side = path.rstrip("/") + "/_corpus_stats"
+    # cluster each bucket's postings (without this, every write task
+    # emits a file into every bucket directory — tasks × buckets small
+    # files) and sort by term so the query-time term In-filter also
+    # prunes at parquet row-group level WITHIN a bucket
+    postings = postings.repartition(F.col("bucket")).sortWithinPartitions(
+        "term", "doc_id"
+    )
     if batch_id is None:
         mode = "overwrite" if overwrite_all else "append"
         postings.write.mode(mode).partitionBy("bucket").parquet(path)
@@ -965,3 +972,38 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k_out)
     )
+
+
+def compact_text_index(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Fold a STREAMED inverted-index layout back into the batch serving
+    layout (the compact_ivfpq_index twin): postings rewritten under
+    ``bucket`` alone — term-sorted again, so row-group pruning survives
+    compaction — and the per-batch stats PARTIALS merged into one exact
+    row (integer sums, order-free).  Run after the stream is stopped;
+    batch appends work normally afterwards.  Returns the post-compaction
+    postings file count."""
+    from snowav_spark import sinks
+
+    n_files = sinks.compact_partitions(
+        spark,
+        path,
+        partition_by=("bucket",),
+        target_rows_per_file=target_rows_per_file,
+        transform=lambda df: (
+            df.drop("_batch") if "_batch" in df.columns else df
+        ),
+        sort_within=("term", "doc_id"),
+    )
+    side = path.rstrip("/") + "/_corpus_stats"
+    merged = spark.read.parquet(side).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+        F.max("n_buckets").cast("int").alias("n_buckets"),
+    )
+    rows = merged.collect()  # materialize BEFORE overwriting the source
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(side)
+    return n_files

@@ -200,6 +200,8 @@ def compact_partitions(
     fmt: str = "parquet",
     partition_by: tuple[str, ...] = (),
     target_rows_per_file: int = 1_000_000,
+    transform=None,
+    sort_within: tuple[str, ...] = (),
 ) -> int:
     """Small-files compaction — the table-maintenance job every streaming
     or incremental-append lake needs at 100 TB: micro-batch appends leave
@@ -251,6 +253,11 @@ def compact_partitions(
     shutil.rmtree(staged, ignore_errors=True)  # stale prior attempt
 
     df = read_columnar(spark, path, fmt)
+    if transform is not None:
+        # layout migration hook: e.g. dropping a streaming layout's
+        # ``_batch`` bookkeeping column while folding it back to the
+        # batch serving layout (compact_ivfpq_index / compact_text_index)
+        df = transform(df)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
     if partition_by:
@@ -276,12 +283,28 @@ def compact_partitions(
     else:
         out = df.repartition(n_files)
 
+    if sort_within:
+        # restore intra-file clustering the salt shuffle destroyed
+        # (e.g. the inverted index's term-sorted row groups)
+        out = out.sortWithinPartitions(*sort_within)
     write_columnar(
         out, staged, fmt, partition_by,
         max_records_per_file=target_rows_per_file,
     )
     shutil.move(path, old)
     shutil.move(staged, path)
+    # carry over sidecar DIRECTORIES (underscore/dot-prefixed — invisible
+    # to Spark's read of the parent, e.g. _ivf_centroids, _corpus_stats):
+    # without this, compacting any sidecar-carrying layout silently
+    # dropped its sidecars with the old tree
+    for name in os.listdir(old):
+        src = os.path.join(old, name)
+        if (
+            name.startswith(("_", "."))
+            and os.path.isdir(src)
+            and not os.path.isdir(os.path.join(path, name))
+        ):
+            shutil.move(src, os.path.join(path, name))
     shutil.rmtree(old)
     return sum(
         1

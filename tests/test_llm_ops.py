@@ -1111,3 +1111,43 @@ def test_rrf_fuse_combines_and_handles_missing(spark):
     assert got[4] == round(1 / 62, 6)
     assert 3 not in got
     assert got[1] > got[2] == got[4]
+
+
+def test_compact_text_index_folds_streamed_layout(spark, tmp_path):
+    """A streamed inverted-index layout compacts to the batch serving
+    layout: stats partials merged exactly (integer sums), searches
+    identical, batch appends work afterwards."""
+    from snowav_spark.ops import text as t
+
+    a = spark.createDataFrame(
+        [(1, "spark data at scale"), (2, "ducks on the lake")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(3, "data pipelines clean data"), (4, "the lake is calm")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "tix_stream")
+    t.build_text_index(a, "doc_id", "text", path, n_buckets=8, batch_id=0)
+    t.append_to_text_index(b, "doc_id", "text", path, batch_id=1)
+
+    def search(q):
+        return [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(spark, path, q, k=10).collect()
+        ]
+
+    before = {q: search([q]) for q in ("data", "lake", "spark")}
+    t.compact_text_index(spark, path)
+    stats = spark.read.parquet(path + "/_corpus_stats").collect()
+    assert len(stats) == 1 and stats[0].n_docs == 4
+    assert "_batch" not in spark.read.parquet(path).columns
+    for q, want in before.items():
+        assert search([q]) == want
+
+    t.append_to_text_index(
+        spark.createDataFrame([(5, "calm data lake")], ["doc_id", "text"]),
+        "doc_id", "text", path,
+    )
+    got = dict(search(["data"]))
+    assert 5 in got

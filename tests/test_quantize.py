@@ -329,3 +329,49 @@ def test_ivfpq_append_extends_index_without_retrain(spark, sf_dir, tmp_path):
     )[:5]
     assert got == [(vid, -c) for c, vid in exact]
     assert got[0][0] == qid  # the appended vector is findable, self-hit
+
+
+def test_compact_ivfpq_index_folds_streamed_layout(spark, sf_dir, tmp_path):
+    """A (cell, _batch) streamed layout compacts to the batch serving
+    layout: _batch gone, sidecars preserved, search identical, and a
+    batch append works afterwards."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    a, b = emb.filter(F.col("vec_id") < cut), emb.filter(
+        (F.col("vec_id") >= cut) & (F.col("vec_id") < ids[-1])
+    )
+    last = emb.filter(F.col("vec_id") == ids[-1])
+
+    path = str(tmp_path / "ivfpq_stream")
+    quantize.build_ivfpq_index(
+        a, "vec_id", "embedding", path, n_cells=4, m=8, k=4, iters=1,
+        batch_id=0,
+    )
+    quantize.append_to_ivfpq_index(
+        b, "vec_id", "embedding", path, batch_id=1
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0][1]]
+    before = [
+        (r.vec_id, float(r.adc_dist2))
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=8, nprobe=4
+        ).collect()
+    ]
+    quantize.compact_ivfpq_index(spark, path)
+    stored = spark.read.parquet(path)
+    assert "_batch" not in stored.columns
+    assert stored.count() == a.count() + b.count()
+    after = [
+        (r.vec_id, float(r.adc_dist2))
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=8, nprobe=4
+        ).collect()
+    ]
+    assert after == before
+
+    # batch append works on the compacted layout
+    assert quantize.append_to_ivfpq_index(
+        last, "vec_id", "embedding", path
+    ) == 1
+    assert spark.read.parquet(path).count() == emb.count()

@@ -189,6 +189,45 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             )
         )
         shutil.rmtree(root, ignore_errors=True)
+
+    # Inverted text index: build linear (one tokenize pass); SEARCH must
+    # stay flat when n_buckets grows with the corpus (constant per-bucket
+    # postings — same constant-occupancy rule as IVF cells/LSH bits).
+    if _only is None or {"textidx_build", "textidx_search"} & _only:
+        import shutil
+        import tempfile
+
+        from snowav_spark.ops import text as text_ops
+
+        troot = tempfile.mkdtemp(prefix="probe_textidx_")
+        tidx = troot + "/idx"
+        tn_buckets = max(16, n_docs // 3_125)
+        run_op("textidx_build",
+            lambda: (
+                text_ops.build_text_index(
+                    docs, "doc_id", "text", tidx, n_buckets=tn_buckets
+                ),
+                spark.read.parquet(
+                    tidx.rstrip("/") + "/_corpus_stats"
+                ).count(),
+            )[1]
+        )
+        # the generator's vocabulary is w0..w4999
+        queries = [
+            ["w17", "w123"], ["w999"], ["w5", "w2500", "w4000"],
+            ["w42"], ["w1234", "w77"],
+        ]
+        run_op("textidx_search",
+            lambda: sum(
+                len(
+                    text_ops.search_text_index(
+                        spark, tidx, q, k=10
+                    ).collect()
+                )
+                for q in queries
+            )
+        )
+        shutil.rmtree(troot, ignore_errors=True)
     lens = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
