@@ -295,6 +295,98 @@ def compact_main(argv: list[str]) -> int:
     return 0
 
 
+def index_main(argv: list[str]) -> int:
+    """``python -m snowav_spark index`` — build / search / compact the
+    persisted retrieval layouts (IVF-PQ ANN over an embedding column,
+    inverted text index over a document column) from the shell.  The
+    at-rest forms the engine serves at 100 TB, wired to one command so
+    a layout can be stood up and probed without writing Python."""
+    ap = argparse.ArgumentParser(prog="snowav_spark index")
+    ap.add_argument(
+        "action",
+        choices=(
+            "build-ann", "search-ann", "build-text", "search-text",
+            "compact-ann", "compact-text",
+        ),
+    )
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--source", help="parquet corpus (build actions)")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--n-cells", type=int, default=16)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--k-codes", type=int, default=16)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--train-fraction", type=float, default=1.0)
+    ap.add_argument("--k", type=int, default=10, help="top-k (search)")
+    ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument(
+        "--query-id", type=int, help="search-ann: corpus row to use as query"
+    )
+    ap.add_argument(
+        "--terms", help="search-text: comma-separated query terms"
+    )
+    ap.add_argument(
+        "--rerank", action="store_true",
+        help="search-ann: exact cosine re-rank against --source",
+    )
+    args = ap.parse_args(argv)
+
+    from snowav_spark.ops import quantize, text as text_ops
+
+    spark = get_spark(app_name=f"snowav_spark:index:{args.action}")
+    if args.action in ("build-ann", "build-text") and not args.source:
+        ap.error("--source is required for build actions")
+    src = spark.read.parquet(args.source) if args.source else None
+
+    if args.action == "build-ann":
+        quantize.build_ivfpq_index(
+            src, args.id_col, args.vec_col, args.index,
+            n_cells=args.n_cells, m=args.m, k=args.k_codes,
+            dim=args.dim, train_fraction=args.train_fraction,
+        )
+        print(json.dumps({"index": args.index, "built": "ivfpq"}))
+    elif args.action == "build-text":
+        text_ops.build_text_index(
+            src, args.id_col, args.text_col, args.index,
+            n_buckets=args.n_buckets,
+        )
+        print(json.dumps({"index": args.index, "built": "text"}))
+    elif args.action == "search-ann":
+        if args.query_id is None or src is None:
+            ap.error("search-ann needs --source and --query-id")
+        qrow = src.filter(
+            src[args.id_col] == args.query_id
+        ).select(args.vec_col).collect()
+        if not qrow:
+            ap.error(f"query id {args.query_id} not in --source")
+        qv = [float(x) for x in qrow[0][0]]
+        out = quantize.search_ivfpq_index(
+            spark, args.index, qv, args.id_col, k_out=args.k,
+            nprobe=args.nprobe, rerank=src if args.rerank else None,
+            rerank_vec=args.vec_col,
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    elif args.action == "search-text":
+        if not args.terms:
+            ap.error("search-text needs --terms")
+        out = text_ops.search_text_index(
+            spark, args.index, args.terms.split(","), k=args.k
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    elif args.action == "compact-ann":
+        n = quantize.compact_ivfpq_index(spark, args.index)
+        print(json.dumps({"index": args.index, "files_after": n}))
+    else:
+        n = text_ops.compact_text_index(spark, args.index)
+        print(json.dumps({"index": args.index, "files_after": n}))
+    return 0
+
+
 def explain_main(argv: list[str]) -> int:
     """``python -m snowav_spark explain <key> [...]`` — print the
     optimized physical plan for any contract query key, the same
@@ -336,6 +428,8 @@ def main(argv: list[str] | None = None) -> int:
         return compact_main(argv[1:])
     if argv and argv[0] == "explain":
         return explain_main(argv[1:])
+    if argv and argv[0] == "index":
+        return index_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

@@ -402,3 +402,57 @@ def test_write_jdbc_shape_and_gating(spark):
             df, "jdbc:mysql://localhost:1/db", "t",
             properties={"driver": "com.mysql.cj.jdbc.Driver"},
         )
+
+
+def test_cli_index_build_search_compact(spark, sf_dir, tmp_path, capsys):
+    """The `index` subcommand drives both persisted retrieval layouts
+    end-to-end: build → search (pruned) → compact, shell-only."""
+    from snowav_spark import cli
+
+    tix = str(tmp_path / "tix")
+    rc = cli.main(
+        [
+            "index", "build-text", "--index", tix,
+            "--source", f"{sf_dir}/documents.parquet",
+            "--id-col", "doc_id", "--n-buckets", "8",
+        ]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["index", "search-text", "--index", tix, "--terms",
+         "join,vector,scan", "--k", "3"]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    import json as _json
+
+    hits = [_json.loads(ln) for ln in lines if "bm25" in ln]
+    assert len(hits) == 3 and all("doc_id" in h for h in hits)
+
+    ann = str(tmp_path / "ann")
+    rc = cli.main(
+        [
+            "index", "build-ann", "--index", ann,
+            "--source", f"{sf_dir}/embeddings.parquet",
+            "--n-cells", "4", "--k-codes", "4",
+        ]
+    )
+    assert rc == 0
+    rc = cli.main(
+        [
+            "index", "search-ann", "--index", ann,
+            "--source", f"{sf_dir}/embeddings.parquet",
+            "--query-id", "0", "--k", "3", "--rerank",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    top = _json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-3]
+    )
+    assert top["vec_id"] == 0 and top["cos_sim"] == 1.0
+
+    assert cli.main(["index", "compact-text", "--index", tix]) == 0
+    assert cli.main(["index", "compact-ann", "--index", ann]) == 0
