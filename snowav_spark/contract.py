@@ -2284,12 +2284,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_phash",
     """
     WITH m AS (
-        SELECT doc_id AS id, md5(text) AS p FROM documents
+        SELECT DISTINCT doc_id AS id, md5(text) AS p FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, md5(text)
+        SELECT DISTINCT doc_id + 1000000, md5(text)
         FROM documents WHERE doc_id % 5 = 0
     )
-    SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, 0 AS hamming
     FROM m a JOIN m b ON a.p = b.p AND a.id < b.id
     """,
 )

@@ -402,9 +402,6 @@ def build_ivfpq_index(
     # mid-build leaves no sidecar, and the static overwrite here wipes
     # the partial codes on rebuild).
     _write_codes(codes, path, batch_id, overwrite_all=True)
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
-        path.rstrip("/") + "/_ivf_centroids"
-    )
     cb_rows = [
         (j, ci, [float(x) for x in c])
         for j, cents_j in enumerate(codebook)
@@ -414,6 +411,14 @@ def build_ivfpq_index(
         cb_rows, "subspace int, centroid_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "/_pq_codebook"
+    )
+    # the centroid sidecar is the commit marker (ann_index_stream keys
+    # its build-vs-append decision on it), so it must be written LAST —
+    # marker-before-codebook would leave a 'committed' index whose
+    # appends fail forever on the missing codebook after a crash between
+    # the two sidecar writes
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_ivf_centroids"
     )
     return cents, codebook
 
@@ -543,8 +548,15 @@ def append_to_ivfpq_index(
     cents, codebook = _read_ivfpq_sidecars(spark, path)
     res = _residuals(df, id_col, vec, cents)
     codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
-    n = codes.count()
-    _write_codes(codes, path, batch_id, overwrite_all=False)
+    # cache around the count + write: without it the assign/encode
+    # pipeline runs TWICE per append (once per action) — 2× the
+    # advertised linear ingest cost on every micro-batch
+    codes = codes.persist()
+    try:
+        n = codes.count()
+        _write_codes(codes, path, batch_id, overwrite_all=False)
+    finally:
+        codes.unpersist()
     return n
 
 

@@ -1002,8 +1002,25 @@ def compact_text_index(
         F.sum("sum_dl").cast("long").alias("sum_dl"),
         F.max("n_buckets").cast("int").alias("n_buckets"),
     )
-    rows = merged.collect()  # materialize BEFORE overwriting the source
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(side)
+    rows = merged.collect()  # materialize BEFORE touching the source
+    # staged + rename swap, NOT an in-place overwrite: Spark's static
+    # overwrite deletes the partials before committing the replacement,
+    # so a crash mid-write would leave NO stats at all (search and
+    # append both unrecoverable).  compact_partitions already validated
+    # the path is a local directory, so os-level renames are safe here.
+    import os
+    import shutil
+
+    staged = side + "._compact_staged"
+    old = side + "._compact_old"
+    shutil.rmtree(staged, ignore_errors=True)
+    if os.path.isdir(old) and not os.path.isdir(side):
+        shutil.move(old, side)  # recover a prior crash mid-swap
+    shutil.rmtree(old, ignore_errors=True)
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.parquet(
+        staged
+    )
+    shutil.move(side, old)
+    shutil.move(staged, side)
+    shutil.rmtree(old)
     return n_files

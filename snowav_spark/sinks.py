@@ -291,20 +291,23 @@ def compact_partitions(
         out, staged, fmt, partition_by,
         max_records_per_file=target_rows_per_file,
     )
-    shutil.move(path, old)
-    shutil.move(staged, path)
-    # carry over sidecar DIRECTORIES (underscore/dot-prefixed — invisible
-    # to Spark's read of the parent, e.g. _ivf_centroids, _corpus_stats):
-    # without this, compacting any sidecar-carrying layout silently
-    # dropped its sidecars with the old tree
-    for name in os.listdir(old):
-        src = os.path.join(old, name)
+    # carry sidecar DIRECTORIES (underscore/dot-prefixed — invisible to
+    # Spark's read of the parent, e.g. _ivf_centroids, _corpus_stats)
+    # into STAGED before the swap: without this, compacting any
+    # sidecar-carrying layout silently dropped its sidecars — and
+    # copying BEFORE the swap (rather than moving out of the backup
+    # after it) keeps `old` fully redundant at every instant, so the
+    # crash-recovery rmtree above can never destroy the only copy
+    for name in os.listdir(path):
+        src = os.path.join(path, name)
         if (
             name.startswith(("_", "."))
             and os.path.isdir(src)
-            and not os.path.isdir(os.path.join(path, name))
+            and not os.path.isdir(os.path.join(staged, name))
         ):
-            shutil.move(src, os.path.join(path, name))
+            shutil.copytree(src, os.path.join(staged, name))
+    shutil.move(path, old)
+    shutil.move(staged, path)
     shutil.rmtree(old)
     return sum(
         1

@@ -465,6 +465,18 @@ def frequency_sketch_stream(
     return writer.start()
 
 
+def _fs_dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem — works for every
+    filesystem Spark can write (local, HDFS, object stores), unlike
+    ``os.path.isdir`` which silently answers False for any non-local
+    URI (and would make a stream rebuild-and-wipe its index every
+    batch)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def ann_index_stream(
     emb: DataFrame,
     index_path: str,
@@ -508,10 +520,8 @@ def ann_index_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        import os
-
-        built = os.path.isdir(
-            index_path.rstrip("/") + "/_ivf_centroids"
+        built = _fs_dir_exists(
+            batch.sparkSession, index_path.rstrip("/") + "/_ivf_centroids"
         )
         if not built:
             quantize.build_ivfpq_index(
@@ -560,9 +570,9 @@ def text_index_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        import os
-
-        built = os.path.isdir(index_path.rstrip("/") + "/_corpus_stats")
+        built = _fs_dir_exists(
+            batch.sparkSession, index_path.rstrip("/") + "/_corpus_stats"
+        )
         if not built:
             text_ops.build_text_index(
                 batch, id_col, text_col, index_path,

@@ -164,15 +164,19 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         store = root + "/floats"
         emb.orderBy("vec_id").write.parquet(store)
         emb_store = spark.read.parquet(store)
-        run_op("ivfpq_build",
-            lambda: (
-                quantize.build_ivfpq_index(
-                    emb, "vec_id", "embedding", idx, n_cells=n_cells,
-                    m=8, k=16, iters=1, dim=64, train_fraction=frac,
-                ),
-                spark.read.parquet(idx).count(),
-            )[1]
-        )
+
+        def _build_ivfpq():
+            quantize.build_ivfpq_index(
+                emb, "vec_id", "embedding", idx, n_cells=n_cells,
+                m=8, k=16, iters=1, dim=64, train_fraction=frac,
+            )
+            return spark.read.parquet(idx).count()
+
+        run_op("ivfpq_build", _build_ivfpq)
+        if _only is not None and "ivfpq_build" not in _only:
+            # PROBE_ONLY=ivfpq_search: the search still needs an index —
+            # build it UNTIMED (run_op skipped the timed build above)
+            _build_ivfpq()
         qvs = [
             [float(x) for x in r.embedding]
             for r in emb.orderBy("vec_id").limit(5).collect()
@@ -202,16 +206,17 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         troot = tempfile.mkdtemp(prefix="probe_textidx_")
         tidx = troot + "/idx"
         tn_buckets = max(16, n_docs // 3_125)
-        run_op("textidx_build",
-            lambda: (
-                text_ops.build_text_index(
-                    docs, "doc_id", "text", tidx, n_buckets=tn_buckets
-                ),
-                spark.read.parquet(
-                    tidx.rstrip("/") + "/_corpus_stats"
-                ).count(),
-            )[1]
-        )
+        def _build_textidx():
+            text_ops.build_text_index(
+                docs, "doc_id", "text", tidx, n_buckets=tn_buckets
+            )
+            return spark.read.parquet(
+                tidx.rstrip("/") + "/_corpus_stats"
+            ).count()
+
+        run_op("textidx_build", _build_textidx)
+        if _only is not None and "textidx_build" not in _only:
+            _build_textidx()  # search-only isolation still needs the index
         # the generator's vocabulary is w0..w4999
         queries = [
             ["w17", "w123"], ["w999"], ["w5", "w2500", "w4000"],
