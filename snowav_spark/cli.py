@@ -217,6 +217,13 @@ def curate_main(argv: list[str]) -> int:
         help="corpus output format (jsonl = newline-delimited JSON, the "
         "common trainer ingestion format)",
     )
+    ap.add_argument(
+        "--text-index",
+        action="store_true",
+        help="also build the persisted inverted index over the curated "
+        "corpus (<output>/text_index) — retrieval-ready in the same run",
+    )
+    ap.add_argument("--index-buckets", type=int, default=64)
     args = ap.parse_args(argv)
 
     from snowav_spark.pipeline_llm import CurationConfig, curate
@@ -254,6 +261,15 @@ def curate_main(argv: list[str]) -> int:
         res.packed.write.mode("overwrite").partitionBy("shard").parquet(
             f"{args.output}/packed"
         )
+        if args.text_index:
+            # the curated corpus is already persisted, so the index
+            # build's tokenize pass reads it from cache, not the lineage
+            from snowav_spark.ops import text as text_ops
+
+            text_ops.build_text_index(
+                res.corpus, args.id_col, args.text_col,
+                f"{args.output}/text_index", n_buckets=args.index_buckets,
+            )
     finally:
         res.corpus.unpersist()
         res.survivors_map.unpersist()

@@ -456,3 +456,42 @@ def test_cli_index_build_search_compact(spark, sf_dir, tmp_path, capsys):
 
     assert cli.main(["index", "compact-text", "--index", tix]) == 0
     assert cli.main(["index", "compact-ann", "--index", ann]) == 0
+
+
+def test_cli_curate_builds_text_index(spark, sf_dir, tmp_path):
+    """--text-index makes one curate run emit a retrieval-ready inverted
+    index over the curated corpus: searches return only surviving docs
+    and scores match the ad-hoc scorer on the corpus."""
+    from snowav_spark import cli
+    from snowav_spark.ops import text as t
+
+    out = str(tmp_path / "curated")
+    rc = cli.main(
+        [
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--jaccard", "0.1",
+            "--capacity", "256",
+            "--shards", "4",
+            "--text-index",
+            "--index-buckets", "8",
+        ]
+    )
+    assert rc == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    got = {
+        r.doc_id: r.bm25
+        for r in t.search_text_index(
+            spark, f"{out}/text_index", ["join", "vector"], k=1000
+        ).collect()
+    }
+    adhoc = {
+        r.doc_id: r.bm25
+        for r in t.bm25_scores(
+            corpus, "doc_id", "text", ["join", "vector"]
+        ).collect()
+    }
+    assert got == adhoc and len(got) > 0
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert set(got) <= corpus_ids
