@@ -1187,6 +1187,9 @@ def main() -> int:
         "q_global_decile": 1,
         # cumulative + total over the ≤30-row zone×band aggregate
         "q_abc_class": 2,
+        # one row_number per fused retriever list, each over ≤depth(=100)
+        # TakeOrdered survivors only (rrf_fuse truncates BEFORE ranking)
+        "q_hybrid_rrf": 2,
     }
 
     def unpartitioned_windows(plan: str) -> int:
