@@ -204,6 +204,43 @@ def perturb_float_nan(name: str, tbl: pa.Table) -> pa.Table:
     return _set_rows(tbl, "value", {1: float("nan"), 7: float("nan")})
 
 
+def perturb_hot_term(name: str, tbl: pa.Table) -> pa.Table:
+    """A corpus-hot QUERY term: 'join' (a term the bm25/text-index/rrf
+    keys actually query) appended to every document and tripled in a few
+    — df(join) = N drives the BM25 idf to ln(1 + ε) ≈ 0, every doc
+    matches the retrieval keys (top-k tie-break storms on near-equal
+    scores), the inverted index gets one corpus-hot posting bucket, and
+    dl shifts by one everywhere.  Also three pure-hot docs (text is ONLY
+    the hot term).  Both engines see the same rows, so any divergence in
+    idf math, tie-breaks, or bucket handling is a real dialect bug."""
+    if name != "documents" or tbl.num_rows < 10:
+        return tbl
+    texts = tbl.column("text").to_pylist()
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            out.append(None)
+        elif i % 7 == 0:
+            out.append(f"join {t} join join")
+        else:
+            out.append(f"{t} join")
+    idx = tbl.schema.get_field_index("text")
+    tbl = tbl.set_column(
+        idx, tbl.schema.field(idx), pa.array(out, type=tbl.column("text").type)
+    )
+    extra = tbl.slice(0, 3)
+    ids = pc.add(extra.column("doc_id"), 2_000_000)
+    di = extra.schema.get_field_index("doc_id")
+    extra = extra.set_column(di, extra.schema.field(di), ids)
+    ti = extra.schema.get_field_index("text")
+    extra = extra.set_column(
+        ti,
+        extra.schema.field(ti),
+        pa.array(["join join join"] * 3, type=tbl.column("text").type),
+    )
+    return pa.concat_tables([tbl, extra])
+
+
 VARIANTS = {
     "nulls": (perturb_nulls, True),
     "weird_text": (perturb_weird_text, True),
@@ -211,6 +248,7 @@ VARIANTS = {
     "ts_tz": (perturb_ts_tz, True),
     "dupes": (perturb_dupes, True),
     "fuzzy_text": (perturb_fuzzy_text, True),
+    "hot_term": (perturb_hot_term, True),
     "float_mag": (perturb_float_mag, False),
     "float_nan": (perturb_float_nan, False),
 }
