@@ -287,3 +287,91 @@ def pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph, via DEGREE-ORIENTED wedge closing — the join
+    strategy that survives skewed graphs at 100 TB.
+
+    The naive a<b<c three-way self-join (which IS the oracle's
+    formulation — same count by a different physical route) fans out as
+    Σ d(v)² on raw ids: one celebrity vertex with degree 1M contributes
+    10¹² wedges.  Orienting every edge from its lower (degree, id)
+    endpoint to the higher makes out-degrees O(√E)-bounded on ANY graph
+    (arboricity argument — a vertex's out-neighbors all have degree ≥ its
+    own), so the wedge join fans out as Σ d_out(v)² ≤ O(E^1.5) worst
+    case and far less in practice, and each triangle is counted EXACTLY
+    once (at its orientation-minimal apex).
+
+    Plan: dedup/canonicalize edges (one shuffle) → two broadcast-or-
+    shuffle joins against the |V|-row degree table → wedge self-join
+    keyed on the apex → closing equi-join on the (v, w) pair.  Wedge
+    count Σ d(d−1)/2 and the 3T/W coefficient are exact-integer math,
+    so the single output row hash-matches across engines.
+
+    Output: (n_vertices, n_edges, n_wedges, n_triangles, clustering).
+    """
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.selectExpr("a AS v")
+        .unionAll(e.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge low→high by (degree, id); struct comparison gives
+    # the strict total order
+    keyed = (
+        e.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("v", "b"), "b")
+        .withColumnRenamed("d", "db")
+        .selectExpr(
+            "CASE WHEN struct(da, a) < struct(db, b) THEN a ELSE b END AS u",
+            "CASE WHEN struct(da, a) < struct(db, b) THEN b ELSE a END AS w",
+            "CASE WHEN struct(da, a) < struct(db, b) THEN db ELSE da END"
+            " AS dw",
+        )
+    )
+    o1 = keyed.select(
+        F.col("u"), F.col("w").alias("v1"), F.col("dw").alias("d1")
+    )
+    o2 = keyed.select(
+        F.col("u"), F.col("w").alias("v2"), F.col("dw").alias("d2")
+    )
+    # wedges at the apex u with (deg, id)-ordered leg pair v1 < v2; the
+    # closing edge, being oriented low→high, is exactly (v1 → v2)
+    wedges = o1.join(o2, "u").filter(
+        F.struct("d1", "v1") < F.struct("d2", "v2")
+    )
+    closing = keyed.select(
+        F.col("u").alias("v1"), F.col("w").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    counts = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).selectExpr(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        # CAST: a bare 0.0 literal parses as DECIMAL and would drag the
+        # CASE's unified type away from the ELSE branch's double
+        "CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "round(3.0 * n_triangles / n_wedges, 6) END AS clustering",
+    )
