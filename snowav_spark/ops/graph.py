@@ -375,3 +375,67 @@ def triangle_stats(
         "CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE) ELSE "
         "round(3.0 * n_triangles / n_wedges, 6) END AS clustering",
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex has degree ≥ k — the graph-curation filter that strips
+    weakly-connected fringe (bot rings and spam clusters survive as
+    dense cores; one-off interactions peel away).
+
+    Iterative peeling, each round fully distributed: degrees are ONE
+    map-side-combined aggregate, the under-k vertex set broadcasts back
+    as a semi-join filter on the edge list, and the shrinking edge
+    frame is ``localCheckpoint``-ed per round (the connected_components
+    lineage discipline — a 50-round loop otherwise compounds a plan
+    Catalyst re-optimizes from scratch each action).  Terminates when a
+    round removes nothing (the fixpoint IS the k-core: every survivor
+    has degree ≥ k within the surviving subgraph) or the graph empties.
+    Worst-case rounds are graph-diameter-ish; real graphs converge in a
+    handful.
+
+    Returns (vertex, degree) rows of the k-core — exact and unique, so
+    tests pin it against a Python brute force.  Not SQL-oracle-able:
+    peeling is a non-monotone fixpoint (recursive CTEs only grow)."""
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.selectExpr("a AS v")
+            .unionAll(e.selectExpr("b AS v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k).select("v")
+        if weak.isEmpty():
+            return deg.select(
+                F.col("v").alias("vertex"), F.col("d").alias("degree")
+            )
+        e = (
+            e.join(
+                F.broadcast(weak.withColumnRenamed("v", "a")), "a", "anti"
+            )
+            .join(
+                F.broadcast(weak.withColumnRenamed("v", "b")), "b", "anti"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            break
+    return e.sparkSession.createDataFrame(
+        [], "vertex long, degree long"
+    )

@@ -803,3 +803,43 @@ def test_triangle_stats_matches_brute_force(spark):
             assert r.clustering == round(
                 3.0 * r.n_triangles / r.n_wedges, 6
             )
+
+
+def test_k_core_matches_brute_force(spark):
+    """Iterative peeling reaches the exact k-core fixpoint: verified
+    against Python brute force for k ∈ {2,3,4} on a triangle-with-tail,
+    a clique, a path that peels to empty, and a random multigraph."""
+    import random
+
+    from snowav_spark.ops import graph
+
+    def brute(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {v for v, d in deg.items() if d < k}
+            if not weak:
+                return deg
+            es = {
+                (a, b) for a, b in es if a not in weak and b not in weak
+            }
+            if not es:
+                return {}
+
+    rng = random.Random(13)
+    cases = [
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],  # K5
+        [(1, 2), (2, 3), (3, 4)],  # peels to empty at k=2
+        [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(50)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k in (2, 3, 4):
+            got = {
+                r.vertex: r.degree for r in graph.k_core(df, k).collect()
+            }
+            assert got == brute(edges, k)
