@@ -223,7 +223,11 @@ def curate_main(argv: list[str]) -> int:
         help="also build the persisted inverted index over the curated "
         "corpus (<output>/text_index) — retrieval-ready in the same run",
     )
-    ap.add_argument("--index-buckets", type=int, default=64)
+    ap.add_argument(
+        "--index-buckets", type=int, default=64,
+        help="term-hash partition count of the --text-index layout "
+        "(grow with the corpus for constant per-bucket postings)",
+    )
     args = ap.parse_args(argv)
 
     from snowav_spark.pipeline_llm import CurationConfig, curate

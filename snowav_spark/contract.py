@@ -2739,10 +2739,25 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph) — the strategy that survives celebrity vertices at 100 TB,
     verified bit-equal to brute force in tests.  All outputs are exact
     integers plus one rounded exact-integer ratio."""
+    return graph.triangle_stats(
+        _co_supplier_edges(spark, sf_dir), "src", "dst"
+    )
+
+
+def _co_supplier_edges(
+    spark: SparkSession, sf_dir: str, min_qty: int | None = None
+) -> DataFrame:
+    """(src, dst) supplier co-fulfillment edges: suppliers adjacent when
+    they ship lines of the same order (optionally only high-quantity
+    lines) — the shared edge definition of the graph keys (q_triangles,
+    q_degree_hist, q_kcore).  Per-order fan-out is C(suppliers-per-
+    order, 2) — bounded by order width, never line-item quadratic."""
     li = load_table(spark, sf_dir, "lineitem")
+    if min_qty is not None:
+        li = li.filter(F.col("l_quantity") >= min_qty)
     os_ = li.select("l_orderkey", "l_suppkey").distinct()
     a, b = os_.alias("a"), os_.alias("b")
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
         .select(
@@ -2750,7 +2765,6 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_suppkey").alias("dst"),
         )
     )
-    return graph.triangle_stats(edges, "src", "dst")
 
 
 @q(
@@ -2774,24 +2788,10 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     celebrity vertices that force degree-oriented strategies like
     q_triangles').  Two map-side-combined aggregates over the edge
     list; the histogram domain is bounded by max degree, never |V|."""
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .distinct()
+    e = graph._canonical_edges(
+        _co_supplier_edges(spark, sf_dir), "src", "dst"
     )
-    deg = (
-        e.selectExpr("src AS v")
-        .unionAll(e.selectExpr("dst AS v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    deg = graph._degrees(e)
     return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_vertices")
     )
@@ -2810,22 +2810,9 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join of the (small) under-k set; the shrinking edge frame is
     localCheckpoint'ed per round (the connected_components lineage
     discipline)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = (
-        li.filter(F.col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    return graph.k_core(
+        _co_supplier_edges(spark, sf_dir, min_qty=48), 3, "src", "dst"
     )
-    a, b = os_.alias("a"), os_.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
-    return graph.k_core(edges, 3, "src", "dst")
 
 
 @q(

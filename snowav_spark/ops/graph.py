@@ -289,6 +289,30 @@ def pagerank_exact(
     return ranks
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list canonicalized to unique (a < b) pairs with
+    self-loops and NULL endpoints dropped — shared by every undirected
+    operator here (triangle_stats, k_core)."""
+    return (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(v, d) over a canonical edge list — one map-side-combined agg."""
+    return (
+        e.selectExpr("a AS v")
+        .unionAll(e.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -314,20 +338,12 @@ def triangle_stats(
 
     Output: (n_vertices, n_edges, n_wedges, n_triangles, clustering).
     """
-    e = (
-        edges.selectExpr(
-            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
-        )
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    deg = (
-        e.selectExpr("a AS v")
-        .unionAll(e.selectExpr("b AS v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    # lazy localCheckpoint (the q_market_basket precedent): the deduped
+    # edge subtree feeds the degree agg, both orientation joins, and the
+    # n_edges count — materialize it once within the action instead of
+    # re-running the dedup shuffle per reference
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = _degrees(e)
     # orient each edge low→high by (degree, id); struct comparison gives
     # the strict total order
     keyed = (
@@ -402,40 +418,40 @@ def k_core(
 
     Returns (vertex, degree) rows of the k-core — exact and unique, so
     tests pin it against a Python brute force.  Not SQL-oracle-able:
-    peeling is a non-monotone fixpoint (recursive CTEs only grow)."""
-    e = (
-        edges.selectExpr(
-            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
-        )
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    peeling is a non-monotone fixpoint (recursive CTEs only grow).
+    Raises RuntimeError if ``max_rounds`` is exhausted before the
+    fixpoint: an approximate k-core is a SUPERSET that silently defeats
+    the filter's purpose, and a long peeling chain (each round strips
+    one tail vertex) is a real input — raise loudly and let the caller
+    raise the budget."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        deg = (
-            e.selectExpr("a AS v")
-            .unionAll(e.selectExpr("b AS v"))
-            .groupBy("v")
-            .agg(F.count("*").alias("d"))
-        )
+        # one degree materialization per round: the weak probe, the edge
+        # filter, and (on the fixpoint round) the returned frame all read
+        # it — without the checkpoint each would rebuild the agg lineage
+        deg = _degrees(e).localCheckpoint(eager=True)
         weak = deg.filter(F.col("d") < k).select("v")
         if weak.isEmpty():
             return deg.select(
                 F.col("v").alias("vertex"), F.col("d").alias("degree")
             )
+        # join strategy left to AQE (the drop_near_dups rationale): in
+        # early rounds the under-k set can be O(|V|) — a forced broadcast
+        # would OOM exactly on the sparse graphs peeling exists for
         e = (
-            e.join(
-                F.broadcast(weak.withColumnRenamed("v", "a")), "a", "anti"
-            )
-            .join(
-                F.broadcast(weak.withColumnRenamed("v", "b")), "b", "anti"
-            )
+            e.join(weak.withColumnRenamed("v", "a"), "a", "anti")
+            .join(weak.withColumnRenamed("v", "b"), "b", "anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
         if e.isEmpty():
-            break
-    return e.sparkSession.createDataFrame(
-        [], "vertex long, degree long"
+            # graph peeled away entirely: empty core, same schema/types
+            # as the fixpoint path (vertex keeps the input id type)
+            empty = _degrees(e).select(
+                F.col("v").alias("vertex"), F.col("d").alias("degree")
+            )
+            return empty
+    raise RuntimeError(
+        f"k_core: no fixpoint within max_rounds={max_rounds} "
+        "(long peeling chain?) — raise max_rounds"
     )

@@ -843,3 +843,22 @@ def test_k_core_matches_brute_force(spark):
                 r.vertex: r.degree for r in graph.k_core(df, k).collect()
             }
             assert got == brute(edges, k)
+
+
+def test_k_core_long_chain_and_budget_raise(spark):
+    """A triangle with a 40-vertex tail peels ~20 rounds before the
+    2-core (the triangle) remains — the fixpoint must be exact, never a
+    silently-empty frame; an insufficient max_rounds raises loudly."""
+    import pytest
+
+    from snowav_spark.ops import graph
+
+    tail = [(i, i + 1) for i in range(3, 43)]  # 3-4-5-...-43
+    edges = [(1, 2), (2, 3), (1, 3)] + tail
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.degree for r in graph.k_core(df, 2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        graph.k_core(df, 2, max_rounds=3)
