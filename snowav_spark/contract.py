@@ -2770,7 +2770,8 @@ def _co_supplier_edges(
 @q(
     "q_degree_hist",
     """
-    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_quantity >= 48),
     e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
           FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
                              AND x.l_suppkey < y.l_suppkey),
@@ -2783,13 +2784,16 @@ def _co_supplier_edges(
     """,
 )
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the supplier co-fulfillment graph (EXT) —
-    the first diagnostic on any graph workload (power-law tail = the
-    celebrity vertices that force degree-oriented strategies like
-    q_triangles').  Two map-side-combined aggregates over the edge
-    list; the histogram domain is bounded by max degree, never |V|."""
+    """Degree distribution of the HIGH-QUANTITY supplier co-fulfillment
+    graph (EXT) — the first diagnostic on any graph workload (power-law
+    tail = the celebrity vertices that force degree-oriented strategies
+    like q_triangles').  The quantity filter keeps the graph sparse
+    enough to have a real distribution (the unfiltered graph is
+    complete at small SFs: every vertex the same degree, a one-row
+    histogram).  Two map-side-combined aggregates over the edge list;
+    the histogram domain is bounded by max degree, never |V|."""
     e = graph._canonical_edges(
-        _co_supplier_edges(spark, sf_dir), "src", "dst"
+        _co_supplier_edges(spark, sf_dir, min_qty=48), "src", "dst"
     )
     deg = graph._degrees(e)
     return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
