@@ -2801,6 +2801,83 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_assortativity",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_quantity >= 48),
+    e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
+                             AND x.l_suppkey < y.l_suppkey),
+    deg AS (SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    ep AS (SELECT da.d AS x, db.d AS y
+           FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+           UNION ALL
+           SELECT db.d, da.d
+           FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+    s AS (SELECT count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM ep)
+    SELECT CAST(m AS BIGINT) AS n_endpoints,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE round(
+                    (m * sxy - sx * sy)
+                    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6)
+           END AS assortativity
+    FROM s
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the high-quantity supplier graph (EXT):
+    the Pearson correlation of degrees across edge endpoints — positive
+    = hubs link hubs (social nets), negative = hubs link leaves
+    (hub-and-spoke logistics).  Every moment is an EXACT integer sum
+    over the symmetrized endpoint pairs (degrees are ints; m·sxx − sx²
+    stays far below int64 at any realistic degree domain), so the one
+    final double expression is bit-identical across engines — the
+    q_abc_class integer-moments discipline applied to a correlation.
+    Scale: two broadcast-or-shuffle joins of the edge list against the
+    |V|-row degree table + one map-side-combined 6-moment aggregate; no
+    window, no sort."""
+    e = graph._canonical_edges(
+        _co_supplier_edges(spark, sf_dir, min_qty=48), "src", "dst"
+    ).localCheckpoint(eager=False)
+    deg = graph._degrees(e)
+    pair = (
+        e.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("d", "x")
+        .join(deg.withColumnRenamed("v", "b"), "b")
+        .withColumnRenamed("d", "y")
+        .select("x", "y")
+    )
+    ep = pair.unionAll(pair.selectExpr("y AS x", "x AS y"))
+    s = ep.agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    return s.selectExpr(
+        "CAST(m AS BIGINT) AS n_endpoints",
+        "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
+        "THEN CAST(0 AS DOUBLE) ELSE round("
+        "(m * sxy - sx * sy) "
+        "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) "
+        "/ sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6) END "
+        "AS assortativity",
+    )
+
+
 @q("q_kcore")
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the high-volume supplier co-fulfillment graph (EXT,
@@ -7699,6 +7776,8 @@ _GRADE_ORDER = [
     "q_triangles",
     # graph degree distribution (two map-side-combined aggregates)
     "q_degree_hist",
+    # degree assortativity from exact integer moments
+    "q_assortativity",
     # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",
