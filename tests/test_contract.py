@@ -37,3 +37,42 @@ def test_rows_only(spark, sf_dir, key):
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
+
+
+def test_assortativity_semantics(spark):
+    """The symmetrized endpoint-degree pairs behind q_assortativity land
+    the textbook signs: a star is perfectly disassortative (numpy
+    Pearson over the same pairs = -1), and a degree-regular cycle has
+    zero degree variance (the key's zero-variance guard territory)."""
+    import numpy as np
+
+    from snowav_spark.ops import graph
+
+    def endpoint_pairs(edges):
+        e = graph._canonical_edges(
+            spark.createDataFrame(edges, "src long, dst long"),
+            "src", "dst",
+        )
+        deg = graph._degrees(e)
+        pair = (
+            e.join(deg.withColumnRenamed("v", "a"), "a")
+            .withColumnRenamed("d", "x")
+            .join(deg.withColumnRenamed("v", "b"), "b")
+            .withColumnRenamed("d", "y")
+            .select("x", "y")
+        )
+        ep = pair.unionAll(pair.selectExpr("y AS x", "x AS y"))
+        return np.array([(r.x, r.y) for r in ep.collect()], dtype=float)
+
+    # star K1,4: every edge joins the degree-4 hub to a degree-1 leaf
+    rows = endpoint_pairs([(0, i) for i in range(1, 5)])
+    assert abs(np.corrcoef(rows[:, 0], rows[:, 1])[0, 1] - (-1.0)) < 1e-9
+
+    # cycle C5: all degrees equal -> zero variance
+    e = graph._canonical_edges(
+        spark.createDataFrame(
+            [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+        ),
+        "src", "dst",
+    )
+    assert {r.d for r in graph._degrees(e).collect()} == {2}
