@@ -25,6 +25,7 @@ so citations point into the public USDA-ARS-NWRC/snowav package).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2610,8 +2611,11 @@ def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
         import tempfile
 
+        # pid-salted: two processes benchmarking the same sf_dir must
+        # not race on one directory (a static-overwrite rebuild would
+        # delete it under the other's mid-flight scan)
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/snowav_textidx_{tag}"
+        path = f"{tempfile.gettempdir()}/snowav_textidx_{tag}_{os.getpid()}"
         docs = load_table(spark, sf_dir, "documents")
         text.build_text_index(docs, "doc_id", "text", path, n_buckets=16)
         _TEXT_INDEX_PATHS[sf_dir] = path
@@ -2716,14 +2720,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
     eg AS (SELECT count(*) AS n_edges FROM e),
     vw AS (SELECT count(*) AS n_vertices,
-                  CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+                  CAST(sum(CAST(d AS HUGEINT) * (d - 1) // 2)
+                       AS BIGINT) AS n_wedges
            FROM deg)
     SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
            CAST(n_edges AS BIGINT) AS n_edges,
            n_wedges,
            CAST(n_triangles AS BIGINT) AS n_triangles,
            CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE)
-                ELSE round(3.0 * n_triangles / n_wedges, 6)
+                ELSE round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6)
            END AS clustering
     FROM vw, eg, tri
     """,
@@ -2817,18 +2822,18 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNION ALL
            SELECT db.d, da.d
            FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-    s AS (SELECT count(*) AS m,
-                 CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy
+    s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
           FROM ep)
     SELECT CAST(m AS BIGINT) AS n_endpoints,
            CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
                 THEN CAST(0 AS DOUBLE)
                 ELSE round(
-                    (m * sxy - sx * sy)
+                    CAST(m * sxy - sx * sy AS DOUBLE)
                     / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
                     / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6)
            END AS assortativity
@@ -2840,10 +2845,13 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Pearson correlation of degrees across edge endpoints — positive
     = hubs link hubs (social nets), negative = hubs link leaves
     (hub-and-spoke logistics).  Every moment is an EXACT integer sum
-    over the symmetrized endpoint pairs (degrees are ints; m·sxx − sx²
-    stays far below int64 at any realistic degree domain), so the one
-    final double expression is bit-identical across engines — the
-    q_abc_class integer-moments discipline applied to a correlation.
+    over the symmetrized endpoint pairs, accumulated AND multiplied in
+    decimal(38,0): sx grows ~linearly with 2·|E|, so the raw long
+    product m·sxx − sx² would cross int64 around sf≈3–4k (inside the
+    100 TB design point) while decimal keeps ~1e38 of headroom; DuckDB
+    mirrors with HUGEINT, so the one final decimal→double conversion is
+    correctly rounded identically in both engines — the q_abc_class
+    integer-moments discipline applied to a correlation.
     Scale: two broadcast-or-shuffle joins of the edge list against the
     |V|-row degree table + one map-side-combined 6-moment aggregate; no
     window, no sort."""
@@ -2859,23 +2867,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     ep = pair.unionAll(pair.selectExpr("y AS x", "x AS y"))
-    s = ep.agg(
-        F.count("*").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
-        F.sum(F.expr("y * y")).cast("long").alias("syy"),
-    )
-    return s.selectExpr(
-        "CAST(m AS BIGINT) AS n_endpoints",
-        "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
-        "THEN CAST(0 AS DOUBLE) ELSE round("
-        "(m * sxy - sx * sy) "
-        "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) "
-        "/ sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6) END "
-        "AS assortativity",
-    )
+    return graph.endpoint_assortativity(ep)
 
 
 @q("q_kcore")
@@ -3863,8 +3855,9 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _IVFPQ_PATHS.get(sf_dir)
     if path is None:
+        # pid-salted: see _TEXT_INDEX_PATHS — no cross-process races
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/snowav_ivfpq_{tag}"
+        path = f"{tempfile.gettempdir()}/snowav_ivfpq_{tag}_{os.getpid()}"
         quantize.build_ivfpq_index(
             emb, "vec_id", "embedding", path,
             n_cells=8, m=8, k=8, iters=1, dim=64,

@@ -378,7 +378,18 @@ def triangle_stats(
     counts = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
         deg.agg(
             F.count("*").cast("long").alias("n_vertices"),
-            F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+            # wedge count per vertex in decimal(38,0): d*(d-1) wraps the
+            # long at d ~ 4.3e9 (a celebrity vertex is a real input at
+            # scale); decimal /2 is exact (d*(d-1) is even; DIV would
+            # re-bound to BIGINT and wrap) and the summed total is
+            # re-bounded to long only at the output column
+            F.sum(
+                F.expr(
+                    "CAST(d AS DECIMAL(38,0)) * (d - 1) / 2"
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("n_wedges"),
         )
     )
     return counts.crossJoin(tri).selectExpr(
@@ -386,10 +397,48 @@ def triangle_stats(
         "n_edges",
         "n_wedges",
         "n_triangles",
-        # CAST: a bare 0.0 literal parses as DECIMAL and would drag the
-        # CASE's unified type away from the ELSE branch's double
+        # CAST both branches: a bare 0.0 (or 3.0) literal parses as
+        # DECIMAL in Spark SQL — the ratio must be computed in IEEE
+        # doubles end-to-end or the 6th decimal can diverge from engines
+        # (DuckDB) that promote decimal division to double
         "CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE) ELSE "
-        "round(3.0 * n_triangles / n_wedges, 6) END AS clustering",
+        "round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6) "
+        "END AS clustering",
+    )
+
+
+def endpoint_assortativity(ep: DataFrame) -> DataFrame:
+    """Pearson correlation of (x, y) integer endpoint-degree pairs —
+    the moment kernel behind degree assortativity, factored out so the
+    overflow path is unit-testable with synthetic huge degrees.
+
+    ``ep`` must hold the SYMMETRIZED endpoint pairs (each undirected
+    edge contributes both (dx, dy) and (dy, dx)).  Every moment is
+    accumulated AND multiplied in decimal(38,0), never long: sx grows
+    ~linearly with 2·|E|, so the raw int64 product m·sxx − sx² wraps
+    silently (non-ANSI Spark) around sf≈3–4k — inside the 100 TB design
+    point — while decimal keeps ~1e38 of headroom and the single
+    decimal→double conversion before sqrt rounds identically to
+    DuckDB's HUGEINT promotion.  One map-side-combined 6-moment
+    aggregate; no window, no sort.
+    """
+    dec = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    s = ep.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    return s.selectExpr(
+        "CAST(m AS BIGINT) AS n_endpoints",
+        "CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 "
+        "THEN CAST(0 AS DOUBLE) ELSE round("
+        "CAST(m * sxy - sx * sy AS DOUBLE) "
+        "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) "
+        "/ sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6) END "
+        "AS assortativity",
     )
 
 

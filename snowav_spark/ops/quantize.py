@@ -543,7 +543,12 @@ def append_to_ivfpq_index(
     ``(cell, _batch=<id>)`` partition with dynamic overwrite, so an
     at-least-once REPLAY of the batch rewrites its own partitions —
     requires the index to have been built with a ``batch_id`` too (the
-    two layouts cannot mix under one path)."""
+    two layouts cannot mix under one path).
+
+    RETRY HAZARD (batch_id=None): the plain append is NOT idempotent —
+    a crash between the partial code write and the caller's retry
+    duplicates rows silently.  Pass a stable ``batch_id`` whenever the
+    append may be retried (see append_to_text_index)."""
     spark = df.sparkSession
     cents, codebook = _read_ivfpq_sidecars(spark, path)
     res = _residuals(df, id_col, vec, cents)

@@ -863,7 +863,15 @@ def append_to_text_index(
     duplicate doc ids (the append_to_ivfpq_index contract); dedup
     upstream.  ``batch_id`` (streaming): postings land under
     ``(bucket, _batch)`` and the stats partial under ``_batch`` with
-    dynamic overwrite, so an at-least-once replay rewrites itself."""
+    dynamic overwrite, so an at-least-once replay rewrites itself.
+
+    RETRY HAZARD (batch_id=None): the plain-append layout is NOT
+    idempotent — a caller that crashes mid-append (postings written,
+    stats partial not yet) and retries double-counts tf/df silently.
+    Any append that may be retried (job schedulers, at-least-once
+    pipelines) should pass a stable ``batch_id`` so the replay lands as
+    a dynamic-partition overwrite of its own ``_batch`` directories
+    instead of a second copy."""
     spark = df.sparkSession
     side = path.rstrip("/") + "/_corpus_stats"
     # bucket count from the sidecar so appends can't fork the layout

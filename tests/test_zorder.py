@@ -129,13 +129,10 @@ def test_zorder_write_skips_rowgroups_both_dims(spark, sf_dir, tmp_path):
     assert s2_hit == s_tot  # every row group overlaps under the sort
     assert z2_hit < z_tot, (z2_hit, z_tot)
 
-    # round trip: clustering reorders rows, never changes them
+    # round trip: clustering reorders rows, never changes them — full
+    # bidirectional multiset equality (a duplicate-one/drop-one layout
+    # bug with offsetting aggregates must not pass)
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
-    a = li.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
-    )
-    b = back.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
-    )
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert back.exceptAll(li).isEmpty()
+    assert li.exceptAll(back).isEmpty()
