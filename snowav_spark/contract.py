@@ -3875,6 +3875,78 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_ann_filtered index memo: a SECOND persisted IVF-PQ layout carrying
+# the label metadata column next to the codes (the plain q_ivfpq_ann
+# index stores codes only) — built once per (sf_dir, process).
+_IVFPQ_META_PATHS: dict = {}
+
+
+@q(
+    "q_ann_filtered",
+    """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.q[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> 0 AND e.label = 2
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN from the persisted IVF-PQ index (EXT;
+    ops/quantize.py::search_ivfpq_index ``where=``): the production
+    retrieval query — "top-k nearest WHERE label = 2" — served from the
+    index alone, no side lookup.  The label rides next to the codes
+    (``build_ivfpq_index(metadata=("label",))``), so the predicate is
+    PUSHED into the pruned cell scan: non-matching rows never reach ADC
+    scoring and the exact re-rank id set is filtered by construction.
+
+    ORACLE-exact by parameter choice, not by luck: full probe
+    (nprobe = n_cells) + unbounded re-rank depth make the output the
+    exact filtered cosine top-k — independent of the engine-specific
+    k-means codebooks, which only order the shortlist the re-rank then
+    re-scores in full.  The at-scale serving shape (nprobe < cells,
+    bounded depth, recall < 1) is pinned separately: the rows-only
+    q_ivfpq_ann key and the pruned-probe recall tests in
+    tests/test_quantize.py.  Plan audit asserts BOTH the cell
+    PartitionFilters and the pushed label filter."""
+    import hashlib
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _IVFPQ_META_PATHS.get(sf_dir)
+    if path is None:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/snowav_ivfpqm_{tag}_{os.getpid()}"
+        quantize.build_ivfpq_index(
+            emb, "vec_id", "embedding", path,
+            n_cells=8, m=8, k=8, iters=1, dim=64, metadata=("label",),
+        )
+        _IVFPQ_META_PATHS[sf_dir] = path
+    qrow = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    return quantize.search_ivfpq_index(
+        spark, path, [float(v) for v in qrow], "vec_id",
+        k_out=10, nprobe=8, rerank=emb, rerank_depth=1_000_000,
+        where="label = 2 AND vec_id <> 0",
+    )
+
+
 @q("q_sketch_rollup")
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives from MERGEABLE per-day HLL
@@ -7570,75 +7642,99 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
 # prescribed (§2.1's scan row keeps q_scan_project in-window).
 #
-# Round-7 rotation (VERDICT r6 item 1): the rotation-queue head —
-# q_scan_stats, q_dedup_resolve, q_decontam_bloom, q_ngram_freq,
-# q_token_budget, q_unigram_logprob — moves INTO the window; the six
-# keys that earned first-time green rows in r06 (q_regional_volume,
-# q_market_share, q_late_orders, q_promo_share, q_growth_accounting,
-# q_peak_concurrency) rotate out to the tail.
+# Round-8 rotation (VERDICT r7 items 1+7): EIGHTEEN keys swap in —
+# the 12-key rotation-queue head (q_oov_rate … q_simhash_md5) plus the
+# six round-7 flagship graph/retrieval keys (q_media_phash,
+# q_text_index, q_hybrid_rrf, q_triangles, q_degree_hist,
+# q_assortativity).  Eighteen r07-graded keys whose SURVEY §2 rows keep
+# other in-window siblings or permanent green driver rows rotate out to
+# the locally-gated tail (every rotated-out key keeps its permanent
+# CORRECTNESS row and stays hash-gated by tools/check.py).
 
 _GRADE_ORDER = [
-    # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row -------
+    # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row
+    # -- (32 carried, 18 rotated in r08 per VERDICT r7 items 1+7) ----
     "q_zonal_mean",
-    "q_zonal_volume",
     "q_rollup_total",
-    "q_end_last",
-    "q_sum_range",
-    "q_difference",
-    "q_daily_series",
-    "q_distinct",
     "q_topk",
     "q_pivot",
     "q_join_dim",
-    "q_join_compare_runs",
-    "q_validation_join",
     "q_asof_flight",
-    "q_semi_anti",
     "q_point_extract",
     "q_cumsum",
-    "q_lag_delta",
-    "q_rank",
-    "q_moving_avg",
     "q_tumbling_daily",
-    "q_sliding_window",
     "q_session_window",
     "q_scan_project",
     "q_filter_daterange",
     "q_project_units",
-    "q_band_digitize",
-    "q_cond_rain_snow",
     "q_avail_split",
     "q_percentiles",
     "q_snow_line",
-    "q_text_stats",
-    "q_tokenize",
     "q_pii_redact",
     "q_fuzzy_join",
     "q_dedup_exact",
     "q_dedup_near",
     "q_time_rollup",
     "q_sim_topk",
-    "q_knn_join",
     "q_multimodal",
     "q_rolling_active",
     "q_share_of_total",
     "q_gap_fill",
-    # -- rotated in r07 per VERDICT r6 item 1: never-driver-graded keys ----
     "q_scan_stats",
     "q_dedup_resolve",
     "q_decontam_bloom",
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
-    # -- tail: oracle-backed twins of in-window keys (locally gated) -------
-    # -- rotated out r07 (earned permanent green r06 driver rows) ----------
+    # -- rotated in r08: rotation-queue head ---------------------------
+    "q_oov_rate",
+    "q_bm25",
+    "q_lookback_join",
+    "q_dup_histogram",
+    "q_shuffle_order",
+    "q_embed_quant",
+    "q_source_mix",
+    "q_profile",
+    "q_stratified",
+    "q_repetition",
+    "q_quality_flags",
+    "q_simhash_md5",
+    # -- rotated in r08: round-7 flagship graph/retrieval keys ---------
+    "q_media_phash",
+    "q_text_index",
+    "q_hybrid_rrf",
+    "q_triangles",
+    "q_degree_hist",
+    "q_assortativity",
+    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- round-8 oracle additions (queue tail; see COVERAGE.md) --------
+    "q_ann_filtered",
+    # -- rotated out r08 (permanent green driver rows r01-r07) ---------
+    "q_zonal_volume",
+    "q_end_last",
+    "q_sum_range",
+    "q_difference",
+    "q_daily_series",
+    "q_distinct",
+    "q_join_compare_runs",
+    "q_validation_join",
+    "q_semi_anti",
+    "q_lag_delta",
+    "q_rank",
+    "q_moving_avg",
+    "q_sliding_window",
+    "q_band_digitize",
+    "q_cond_rain_snow",
+    "q_text_stats",
+    "q_tokenize",
+    "q_knn_join",
+    # -- earlier-rotated and never-windowed oracle keys + rows-only ----
     "q_regional_volume",
     "q_market_share",
     "q_late_orders",
     "q_promo_share",
     "q_growth_accounting",
     "q_peak_concurrency",
-    # -- rotated out r06 (permanent green r01–r05 driver rows) -------------
     "q_sort_multi",
     "q_union_runs",
     "q_except_dates",
@@ -7665,19 +7761,6 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
-    # -- tail: oracle-backed keys added after the window was pinned --------
-    "q_oov_rate",
-    "q_bm25",
-    "q_lookback_join",
-    "q_dup_histogram",
-    "q_shuffle_order",
-    "q_embed_quant",
-    "q_source_mix",
-    "q_profile",
-    "q_stratified",
-    "q_repetition",
-    "q_quality_flags",
-    "q_simhash_md5",
     "q_retention",
     "q_funnel",
     "q_skew_join",
@@ -7695,7 +7778,6 @@ _GRADE_ORDER = [
     "q_dedup_bursts",
     "q_overlap_matrix",
     "q_drift_bins",
-    # -- round-5 oracle-backed additions -------------------------------
     "q_skyline",
     "q_scd2",
     "q_interval_join",
@@ -7749,29 +7831,12 @@ _GRADE_ORDER = [
     "q_bracket_filter",
     "q_waiting_suppliers",
     "q_idle_customers",
-    # -- round-6 oracle-backed additions -------------------------------
-    # promoted from rows-only: exact integer micro-mass ranks (r06)
     "q_pagerank",
     "q_drawdown",
     "q_abc_class",
     "q_median_gap",
     "q_histogram2d",
     "q_embed_norms",
-    # -- round-7 oracle-backed additions -------------------------------
-    # perceptual-hash media dedup: Hamming-0 pair set == exact
-    # payload-equality oracle (see q_media_phash docstring)
-    "q_media_phash",
-    # persisted-inverted-index retrieval: shares q_bm25's oracle verbatim
-    "q_text_index",
-    # hybrid text ⊕ vector retrieval: RRF of the two proven rankings
-    "q_hybrid_rrf",
-    # degree-oriented triangle counting vs the oracle's canonical 3-join
-    "q_triangles",
-    # graph degree distribution (two map-side-combined aggregates)
-    "q_degree_hist",
-    # degree assortativity from exact integer moments
-    "q_assortativity",
-    # -- tail: rows-only by construction -----------------------------------
     "q_cluster_kmeans",
     "q_cluster_sample",
     "q_pack_sequences",
@@ -7787,8 +7852,6 @@ _GRADE_ORDER = [
     "q_sketch_rollup",
     "q_approx_percentile",
     "q_multimodal_decode",
-    # k-core peeling: exact + unique but a non-monotone fixpoint (no
-    # recursive-CTE oracle); brute-force-pinned in tests
     "q_kcore",
 ]
 

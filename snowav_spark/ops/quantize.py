@@ -275,10 +275,14 @@ def pq_topk(
     return scored.orderBy("adc_dist2", codes.columns[0]).limit(k_out)
 
 
-def _residuals(df: DataFrame, id_col: str, vec: str, cents) -> DataFrame:
-    """(id, cell, _res): Voronoi cell + residual v − centroid(cell), via
-    one broadcast join against the KB centroid table + a zip_with
-    subtraction — the corpus is never shuffled."""
+def _residuals(
+    df: DataFrame, id_col: str, vec: str, cents, extra: tuple = ()
+) -> DataFrame:
+    """(id, *extra, cell, _res): Voronoi cell + residual v − centroid
+    (cell), via one broadcast join against the KB centroid table + a
+    zip_with subtraction — the corpus is never shuffled.  ``extra``
+    names metadata columns that ride through unchanged (filtered-ANN
+    support: they end up stored next to the codes)."""
     from snowav_spark.ops import similarity
 
     cent_df = df.sparkSession.createDataFrame(
@@ -288,6 +292,7 @@ def _residuals(df: DataFrame, id_col: str, vec: str, cents) -> DataFrame:
     assigned = similarity.ivf_assign(df, id_col, vec, cents)
     return assigned.join(F.broadcast(cent_df), "cell").selectExpr(
         id_col,
+        *extra,
         "cell",
         f"zip_with(CAST({vec} AS array<double>), _cent, "
         "(a, b) -> a - b) AS _res",
@@ -346,6 +351,7 @@ def build_ivfpq_index(
     dim: int = 64,
     train_fraction: float = 1.0,
     batch_id: int | None = None,
+    metadata: tuple = (),
 ) -> tuple[list, list]:
     """Persist an IVF-PQ index: the FAISS ``IVFx,PQm`` layout re-expressed
     as a parquet directory tree (ref path: SURVEY §2.6 ANN scale path —
@@ -376,6 +382,12 @@ def build_ivfpq_index(
     - ``_ivf_centroids``: (cell, centroid array<double>)
     - ``_pq_codebook``:   (subspace, centroid_id, centroid array<double>)
 
+    ``metadata`` names extra columns of ``df`` stored verbatim next to
+    the codes (lang, quality, date, …): search can then push a metadata
+    predicate into the pruned cell scan — the "top-k WHERE lang='en'"
+    production query — without touching any other table.  Appends to a
+    metadata-carrying index must pass the same tuple.
+
     Returns ``(centroids, codebook)``.
     """
     from snowav_spark.ops import sampling, similarity
@@ -386,14 +398,16 @@ def build_ivfpq_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, _cent array<double>",
     )
-    res = _residuals(df, id_col, vec, cents)
+    res = _residuals(df, id_col, vec, cents, extra=metadata)
     train = res
     if train_fraction < 1.0:
         train = sampling.hash_sample(res, id_col, train_fraction)
     codebook = train_pq_codebook(
         train, id_col, "_res", dim=dim, m=m, k=k, iters=iters
     )
-    codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
+    codes = pq_encode(
+        res, id_col, "_res", codebook, keep=("cell", *metadata)
+    )
     # batch_id: streaming indexes partition by (cell, _batch) so an
     # at-least-once replay REWRITES its own partitions (see
     # streaming.incremental.ann_index_stream); a given index must use
@@ -433,6 +447,7 @@ def search_ivfpq_index(
     rerank: DataFrame | None = None,
     rerank_vec: str = "embedding",
     rerank_depth: int = 0,
+    where: str | None = None,
 ) -> DataFrame:
     """Top-k search against a :func:`build_ivfpq_index` layout.
 
@@ -451,6 +466,18 @@ def search_ivfpq_index(
     the candidate id set is broadcast, so the corpus side is a pruned
     semi-join scan, never shuffled.  Output is then (id, cos_sim)
     descending, directly comparable to cosine_topk's exact answer.
+
+    ``where`` (metadata-filtered ANN — the production "top-k among docs
+    WHERE lang='en' AND quality>q" query): a SQL predicate over
+    metadata columns the index was built with
+    (``build_ivfpq_index(metadata=...)``).  It lands BETWEEN the cell
+    partition filter and the ADC projection, so Catalyst pushes it into
+    the pruned parquet scan (PushedFilters) — non-matching rows never
+    reach scoring, and the shortlist (hence the re-rank id set) is
+    filtered by construction.  nprobe semantics are unchanged: the
+    filter prunes rows WITHIN probed cells, it does not widen the
+    probe; highly selective filters may warrant a larger nprobe to keep
+    the candidate pool deep enough.
     """
     import numpy as np
 
@@ -491,6 +518,8 @@ def search_ivfpq_index(
             f"element_at(codes, {j + 1}) + 1)"
         )
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if where is not None:
+        cand = cand.filter(where)
     scored = cand.selectExpr(id_col, f"{' + '.join(terms)} AS adc_dist2")
     depth = rerank_depth or 4 * k_out
     if rerank is None:
@@ -522,6 +551,7 @@ def append_to_ivfpq_index(
     vec: str,
     path: str,
     batch_id: int | None = None,
+    metadata: tuple = (),
 ) -> int:
     """Incrementally add vectors to a :func:`build_ivfpq_index` layout
     WITHOUT retraining: new rows are Voronoi-assigned and PQ-encoded
@@ -548,11 +578,17 @@ def append_to_ivfpq_index(
     RETRY HAZARD (batch_id=None): the plain append is NOT idempotent —
     a crash between the partial code write and the caller's retry
     duplicates rows silently.  Pass a stable ``batch_id`` whenever the
-    append may be retried (see append_to_text_index)."""
+    append may be retried (see append_to_text_index).
+
+    ``metadata`` must match the build's tuple for a metadata-carrying
+    index — a mismatch forks the row schema (old rows read NULL for the
+    missing columns), silently breaking filtered search."""
     spark = df.sparkSession
     cents, codebook = _read_ivfpq_sidecars(spark, path)
-    res = _residuals(df, id_col, vec, cents)
-    codes = pq_encode(res, id_col, "_res", codebook, keep=("cell",))
+    res = _residuals(df, id_col, vec, cents, extra=metadata)
+    codes = pq_encode(
+        res, id_col, "_res", codebook, keep=("cell", *metadata)
+    )
     # cache around the count + write: without it the assign/encode
     # pipeline runs TWICE per append (once per action) — 2× the
     # advertised linear ingest cost on every micro-batch

@@ -241,6 +241,100 @@ def test_ivfpq_index_build_and_search(spark, sf_dir, tmp_path):
     assert got == [(vid, -c) for c, vid in exact]
 
 
+def test_ivfpq_metadata_filtered_search(spark, sf_dir, tmp_path):
+    """Metadata-filtered ANN e2e: build with metadata=("label",) stores
+    the label next to the codes; search(where=...) pushes the predicate
+    into the pruned cell scan (PushedFilters), returns ONLY matching
+    ids, and under full probe + full depth equals the exact filtered
+    cosine top-k.  A pruned probe stays a subset of the filtered corpus
+    with decent recall."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_meta")
+    quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path,
+        n_cells=4, m=8, k=4, iters=1, metadata=("label",),
+    )
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["cell", "codes", "label", "vec_id"]
+    # labels stored verbatim
+    want_labels = {r.vec_id: r.label for r in emb.collect()}
+    got_labels = {r.vec_id: r.label for r in stored.collect()}
+    assert got_labels == want_labels
+
+    vecs = {
+        r.vec_id: (np.asarray([float(x) for x in r.embedding]), r.label)
+        for r in emb.collect()
+    }
+    qid = sorted(vecs)[0]
+    q = [float(x) for x in vecs[qid][0]]
+    n = emb.count()
+
+    # pushed filter: the ADC plan carries label in PushedFilters and
+    # every returned id has the label
+    adc = quantize.search_ivfpq_index(
+        spark, path, q, "vec_id", k_out=10, nprobe=2, where="label = 1"
+    )
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(label,1" in plan.split("PushedFilters", 1)[1].split(
+        "]", 1
+    )[0]
+    assert all(vecs[r.vec_id][1] == 1 for r in adc.collect())
+
+    # full probe + full depth == exact filtered cosine top-k
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=5, nprobe=4,
+            rerank=emb, rerank_depth=n, where="label = 1",
+        ).collect()
+    ]
+    qv = vecs[qid][0]
+    qn = np.linalg.norm(qv)
+    exact = sorted(
+        (
+            -round(float(v @ qv) / (np.linalg.norm(v) * qn), 6),
+            vid,
+        )
+        for vid, (v, lab) in vecs.items()
+        if lab == 1
+    )[:5]
+    assert got == [(vid, -c) for c, vid in exact]
+
+    # pruned probe: subset of the filtered corpus, recall >= 3/5 vs the
+    # exact filtered answer on this small fixture
+    pruned = [
+        r.vec_id
+        for r in quantize.search_ivfpq_index(
+            spark, path, q, "vec_id", k_out=5, nprobe=2,
+            rerank=emb, rerank_depth=20, where="label = 1",
+        ).collect()
+    ]
+    assert all(vecs[v][1] == 1 for v in pruned)
+    assert len(set(pruned) & {vid for _, vid in exact}) >= 3
+
+
+def test_ivfpq_metadata_append_carries_labels(spark, sf_dir, tmp_path):
+    """Appending to a metadata-carrying index with the same tuple keeps
+    filtered search correct over old + new rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.filter(F.col("vec_id") < 100)
+    tail = emb.filter(F.col("vec_id") >= 100)
+    path = str(tmp_path / "ivfpq_meta_app")
+    quantize.build_ivfpq_index(
+        head, "vec_id", "embedding", path,
+        n_cells=2, m=8, k=2, iters=1, metadata=("label",),
+    )
+    n = quantize.append_to_ivfpq_index(
+        tail, "vec_id", "embedding", path, metadata=("label",)
+    )
+    assert n == tail.count()
+    stored = spark.read.parquet(path)
+    assert stored.count() == emb.count()
+    assert stored.filter(F.col("label").isNull()).count() == 0
+
+
 def test_ivfpq_search_rejects_bad_query_dim(spark, sf_dir, tmp_path):
     import pytest
 

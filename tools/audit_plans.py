@@ -379,6 +379,36 @@ def main() -> int:
          "CartesianProduct"],
     )
 
+    # 6w2b. metadata-FILTERED IVF-PQ search (q_ann_filtered): the ADC
+    # probe stage must carry BOTH the probed cells as PARTITION filters
+    # AND the metadata predicate as a PUSHED data filter on the code
+    # scan — the "top-k WHERE label=…" production query is served
+    # entirely from the pruned index directories
+    qs["q_ann_filtered"](spark, SF)  # ensure the metadata index exists
+    fadc = _quantize.search_ivfpq_index(
+        spark, _contract._IVFPQ_META_PATHS[SF], [0.0] * 64, "vec_id",
+        k_out=10, nprobe=4, where="label = 2",
+    )
+    pf = formatted(fadc)
+    check(
+        "q_ann_filtered/adc",
+        pf,
+        ["PartitionFilters: [cell", "PushedFilters: [",
+         "EqualTo(label,2", "TakeOrderedAndProject"],
+        ["PythonUDF", "ArrowEvalPython", "BatchEvalPython",
+         "CartesianProduct"],
+    )
+    # the returned (re-rank) plan: pushed shortlist In-filter, sort-free
+    # top-k — same contract as the unfiltered key
+    p = formatted(qs["q_ann_filtered"](spark, SF))
+    check(
+        "q_ann_filtered",
+        p,
+        ["In(vec_id", "TakeOrderedAndProject"],
+        ["PythonUDF", "BatchEvalPython", "CartesianProduct",
+         "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    )
+
     # 6w3. inverted-index retrieval: the postings scan is pruned to the
     # query terms' buckets at the PARTITION level, doc-freq is map-side
     # combined, and top-k is sort-free
