@@ -316,9 +316,10 @@ def compact_main(argv: list[str]) -> int:
 
 
 def index_main(argv: list[str]) -> int:
-    """``python -m snowav_spark index`` — build / search / compact the
-    persisted retrieval layouts (IVF-PQ ANN over an embedding column,
-    inverted text index over a document column) from the shell.  The
+    """``python -m snowav_spark index`` — build / search / delete /
+    compact the persisted retrieval layouts (IVF-PQ ANN over an
+    embedding column, inverted text index over a document column) from
+    the shell.  The
     at-rest forms the engine serves at 100 TB, wired to one command so
     a layout can be stood up and probed without writing Python."""
     ap = argparse.ArgumentParser(prog="snowav_spark index")
@@ -326,7 +327,7 @@ def index_main(argv: list[str]) -> int:
         "action",
         choices=(
             "build-ann", "search-ann", "build-text", "search-text",
-            "compact-ann", "compact-text",
+            "compact-ann", "compact-text", "delete-ann", "delete-text",
         ),
     )
     ap.add_argument("--index", required=True, help="index directory")
@@ -351,6 +352,11 @@ def index_main(argv: list[str]) -> int:
     ap.add_argument(
         "--rerank", action="store_true",
         help="search-ann: exact cosine re-rank against --source",
+    )
+    ap.add_argument(
+        "--ids",
+        help="delete actions: comma-separated ids to tombstone "
+        "(compact later folds them away physically)",
     )
     args = ap.parse_args(argv)
 
@@ -398,6 +404,21 @@ def index_main(argv: list[str]) -> int:
         )
         for r in out.collect():
             print(json.dumps(r.asDict()))
+    elif args.action == "delete-ann":
+        if not args.ids:
+            ap.error("delete-ann needs --ids")
+        n = quantize.delete_from_ivfpq_index(
+            spark, args.index,
+            [int(i) for i in args.ids.split(",")], args.id_col,
+        )
+        print(json.dumps({"index": args.index, "tombstoned": n}))
+    elif args.action == "delete-text":
+        if not args.ids:
+            ap.error("delete-text needs --ids")
+        n = text_ops.delete_from_text_index(
+            spark, args.index, [int(i) for i in args.ids.split(",")]
+        )
+        print(json.dumps({"index": args.index, "tombstoned": n}))
     elif args.action == "compact-ann":
         n = quantize.compact_ivfpq_index(spark, args.index)
         print(json.dumps({"index": args.index, "files_after": n}))

@@ -51,6 +51,17 @@ TABLES = (
 _CACHE: dict[tuple[int, str, str], tuple[object, DataFrame]] = {}
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works on any
+    Spark-supported filesystem and, unlike a speculative
+    ``spark.read.parquet`` try/except, never logs a JVM
+    FileNotFoundException stack trace on the miss path (sidecar probes
+    run on EVERY index search)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def clear_cache() -> None:
     """Drop cached table plans (needed only if a previously-loaded
     directory's files were replaced)."""

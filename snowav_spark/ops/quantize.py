@@ -520,6 +520,12 @@ def search_ivfpq_index(
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     if where is not None:
         cand = cand.filter(where)
+    # deleted vectors: anti-join the tombstone sidecar before scoring
+    # (delete_from_ivfpq_index).  AQE picks the join strategy —
+    # takedown sets are usually broadcast-small.
+    tomb = _read_ivfpq_tombstones(spark, path)
+    if tomb is not None:
+        cand = cand.join(tomb, id_col, "left_anti")
     scored = cand.selectExpr(id_col, f"{' + '.join(terms)} AS adc_dist2")
     depth = rerank_depth or 4 * k_out
     if rerank is None:
@@ -601,6 +607,58 @@ def append_to_ivfpq_index(
     return n
 
 
+def _read_ivfpq_tombstones(spark, path: str):
+    """The index's ``_tombstones`` sidecar, or None if never deleted."""
+    from snowav_spark.io import hadoop_path_exists
+
+    tomb = path.rstrip("/") + "/_tombstones"
+    if not hadoop_path_exists(spark, tomb):
+        return None
+    return spark.read.parquet(tomb)
+
+
+def delete_from_ivfpq_index(
+    spark, path: str, ids, id_col: str = "vec_id"
+) -> int:
+    """Tombstone vectors in a :func:`build_ivfpq_index` layout — the
+    takedown / re-dedup eviction path (the delete_from_text_index
+    twin).  Code rows are NEVER rewritten: ids land in a
+    ``_tombstones`` sidecar that :func:`search_ivfpq_index` anti-joins
+    against (deleted vectors vanish from results immediately) and
+    :func:`compact_ivfpq_index` later drops physically.  ``ids`` is a
+    list or a 1-column DataFrame named ``id_col``.
+
+    Idempotent (already-tombstoned ids skipped); ids absent from the
+    index are ignored — presence is checked against the code rows (one
+    pushed-In-filter scan per delete BATCH; batch takedowns, don't
+    loop).  A tombstoned id stays suppressed even if re-appended;
+    compact first to truly re-add.  Returns newly tombstoned count."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    ids = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    existing = _read_ivfpq_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing, id_col, "left_anti")
+    present = (
+        spark.read.parquet(path)
+        .join(F.broadcast(ids), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+        .persist()
+    )
+    try:
+        n = present.count()
+        if n:
+            present.coalesce(1).write.mode("append").parquet(
+                path.rstrip("/") + "/_tombstones"
+            )
+    finally:
+        present.unpersist()
+    return n
+
+
 def compact_ivfpq_index(
     spark, path: str, target_rows_per_file: int = 1_000_000
 ) -> int:
@@ -612,14 +670,29 @@ def compact_ivfpq_index(
     it AFTER the stream is stopped — further maintenance then uses the
     batch ``append_to_ivfpq_index`` (the two partition layouts cannot
     mix under one path).  Returns the post-compaction file count."""
+    import shutil
+
     from snowav_spark import sinks
 
-    return sinks.compact_partitions(
+    tomb = _read_ivfpq_tombstones(spark, path)
+    tomb_id = tomb.columns[0] if tomb is not None else None
+
+    def _fold(df):
+        if "_batch" in df.columns:
+            df = df.drop("_batch")
+        if tomb is not None:
+            # physical delete of tombstoned rows during the rewrite
+            df = df.join(tomb, tomb_id, "left_anti")
+        return df
+
+    n_files = sinks.compact_partitions(
         spark,
         path,
         partition_by=("cell",),
         target_rows_per_file=target_rows_per_file,
-        transform=lambda df: (
-            df.drop("_batch") if "_batch" in df.columns else df
-        ),
+        transform=_fold,
     )
+    # tombstones are folded in — retire the sidecar so re-appended ids
+    # are live again
+    shutil.rmtree(path.rstrip("/") + "/_tombstones", ignore_errors=True)
+    return n_files

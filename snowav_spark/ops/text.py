@@ -886,6 +886,80 @@ def append_to_text_index(
     )
 
 
+def _read_text_tombstones(spark, path: str):
+    """The index's ``_tombstones`` sidecar as a (doc_id) frame, or None
+    if no delete has ever run (the sidecar directory does not exist)."""
+    from snowav_spark.io import hadoop_path_exists
+
+    tomb = path.rstrip("/") + "/_tombstones"
+    if not hadoop_path_exists(spark, tomb):
+        return None
+    return spark.read.parquet(tomb)
+
+
+def delete_from_text_index(spark, path: str, doc_ids) -> int:
+    """Tombstone documents in a :func:`build_text_index` layout — the
+    takedown / re-dedup eviction path (SURVEY §2.6 lifecycle; no
+    reference analog — the public pattern is Delta/Iceberg delete
+    files).  Postings are NEVER rewritten here: deletes append the ids
+    to a ``_tombstones`` sidecar that :func:`search_text_index`
+    anti-joins against, and :func:`compact_text_index` later folds away
+    physically.  ``doc_ids`` is a list of ids or a 1-column DataFrame.
+
+    Exactness: search after delete equals a fresh rebuild on the
+    surviving corpus — a NEGATIVE stats partial (−n_docs, −sum_dl,
+    recovered from the docs' own postings) is appended next to the
+    positive ones, so avg_dl/n_docs stay exact, and doc frequencies
+    already derive from (anti-joined) postings.  Cost: one postings
+    scan per delete BATCH (doc_id is not the partition key) — batch
+    takedowns, don't loop.  Idempotent: already-tombstoned ids are
+    skipped (no double subtraction); ids absent from the index are
+    ignored (they may legitimately be appended later).  Write order is
+    tombstones THEN stats — a crash between the two leaves deleted docs
+    excluded but stats stale-high until compaction (conservative),
+    never a double-subtract.  A tombstoned id stays suppressed even if
+    re-appended; compact first to truly re-add.  Returns the number of
+    newly tombstoned documents."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids = doc_ids.selectExpr("CAST(doc_id AS LONG) AS doc_id").distinct()
+    existing = _read_text_tombstones(spark, path)
+    if existing is not None:
+        ids = ids.join(existing, "doc_id", "left_anti")
+    # per-doc length from the docs' own postings (dl rides on every
+    # posting row) — also restricts the tombstones to ids actually
+    # present, so an absent id can't suppress a future append
+    per_doc = (
+        spark.read.parquet(path)
+        .join(F.broadcast(ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .persist()
+    )
+    try:
+        n = per_doc.count()
+        if n == 0:
+            return 0
+        per_doc.select("doc_id").coalesce(1).write.mode("append").parquet(
+            path.rstrip("/") + "/_tombstones"
+        )
+        side = path.rstrip("/") + "/_corpus_stats"
+        n_buckets = int(
+            spark.read.parquet(side).select("n_buckets").first()[0]
+        )
+        neg = per_doc.agg(
+            (-F.count("*")).cast("long").alias("n_docs"),
+            (-F.sum("dl")).cast("long").alias("sum_dl"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+        )
+        neg.coalesce(1).write.mode("append").parquet(side)
+    finally:
+        per_doc.unpersist()
+    return n
+
+
 def search_text_index(
     spark,
     path: str,
@@ -921,6 +995,14 @@ def search_text_index(
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qt))
     )
+    # deleted docs: anti-join the tombstone sidecar BEFORE df/scoring —
+    # with the negative stats partials this makes post-delete search
+    # EQUAL a rebuild on the surviving corpus (pinned in tests).  Join
+    # strategy left to AQE: takedown sets are usually broadcast-small,
+    # but a policy-change purge can be arbitrarily large.
+    tomb = _read_text_tombstones(spark, path)
+    if tomb is not None:
+        cand = cand.join(tomb, "doc_id", "left_anti")
     doc_freq = cand.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -994,14 +1076,24 @@ def compact_text_index(
     postings file count."""
     from snowav_spark import sinks
 
+    tomb = _read_text_tombstones(spark, path)
+
+    def _fold(df):
+        if "_batch" in df.columns:
+            df = df.drop("_batch")
+        if tomb is not None:
+            # physical delete: tombstoned postings are dropped from the
+            # rewrite; the stats sidecar already carries their negative
+            # partials, so the merged stats row below stays exact
+            df = df.join(tomb, "doc_id", "left_anti")
+        return df
+
     n_files = sinks.compact_partitions(
         spark,
         path,
         partition_by=("bucket",),
         target_rows_per_file=target_rows_per_file,
-        transform=lambda df: (
-            df.drop("_batch") if "_batch" in df.columns else df
-        ),
+        transform=_fold,
         sort_within=("term", "doc_id"),
     )
     side = path.rstrip("/") + "/_corpus_stats"
@@ -1031,4 +1123,9 @@ def compact_text_index(
     shutil.move(side, old)
     shutil.move(staged, side)
     shutil.rmtree(old)
+    # tombstones are now folded into the data (rows dropped, stats
+    # merged) — retire the sidecar so re-appended ids are live again
+    shutil.rmtree(
+        path.rstrip("/") + "/_tombstones", ignore_errors=True
+    )
     return n_files

@@ -454,8 +454,29 @@ def test_cli_index_build_search_compact(spark, sf_dir, tmp_path, capsys):
     )
     assert top["vec_id"] == 0 and top["cos_sim"] == 1.0
 
+    # delete: tombstone an id, search excludes it, compact folds it away
+    rc = cli.main(["index", "delete-ann", "--index", ann, "--ids", "0"])
+    assert rc == 0
+    rc = cli.main(
+        [
+            "index", "search-ann", "--index", ann,
+            "--source", f"{sf_dir}/embeddings.parquet",
+            "--query-id", "0", "--k", "3", "--rerank",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    hits = [
+        _json.loads(ln) for ln in out.splitlines()
+        if ln.startswith("{") and "cos_sim" in ln
+    ]
+    assert hits and all(h["vec_id"] != 0 for h in hits)
+
     assert cli.main(["index", "compact-text", "--index", tix]) == 0
     assert cli.main(["index", "compact-ann", "--index", ann]) == 0
+    import os
+
+    assert not os.path.isdir(ann + "/_tombstones")
 
 
 def test_cli_curate_builds_text_index(spark, sf_dir, tmp_path):

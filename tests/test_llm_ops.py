@@ -1087,6 +1087,135 @@ def test_text_index_append_matches_full_rebuild(spark, tmp_path):
         assert g == rbt and len(g) > 0
 
 
+def test_text_index_delete_tombstones_then_compact(spark, tmp_path):
+    """Delete lifecycle: tombstoned docs vanish from search IMMEDIATELY
+    and scores over survivors equal a fresh rebuild on the surviving
+    corpus (negative stats partials keep avg_dl/n_docs exact); re-delete
+    is a no-op; compaction physically drops the rows and retires the
+    sidecar; a post-compact re-append makes the id live again."""
+    import os
+
+    from snowav_spark.ops import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engines process data at scale"),
+            (2, "ducks swim in the lake"),
+            (3, "data pipelines clean data daily"),
+            (4, "spark data shuffles hurt at scale"),
+            (5, "the lake is calm today"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "delidx")
+    t.build_text_index(docs, "doc_id", "text", path, n_buckets=8)
+
+    n = t.delete_from_text_index(spark, path, [2, 5, 99])
+    assert n == 2  # id 99 absent from the index: ignored
+
+    survivors = docs.filter(~F.col("doc_id").isin(2, 5))
+    rebuilt = str(tmp_path / "delidx_rebuilt")
+    t.build_text_index(survivors, "doc_id", "text", rebuilt, n_buckets=8)
+    for query in (["data"], ["the", "lake"], ["spark", "scale"]):
+        got = [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(spark, path, query, k=10).collect()
+        ]
+        want = [
+            (r.doc_id, r.bm25)
+            for r in t.search_text_index(
+                spark, rebuilt, query, k=10
+            ).collect()
+        ]
+        assert got == want
+        assert all(d not in (2, 5) for d, _ in got)
+    # the lake query must still return something (doc 2/5 gone, none left
+    # with "lake" -> check a query with survivors instead)
+    assert len(
+        t.search_text_index(spark, path, ["data"], k=10).collect()
+    ) > 0
+
+    # idempotent: re-deleting subtracts nothing
+    assert t.delete_from_text_index(spark, path, [2, 5]) == 0
+    stats = spark.read.parquet(path + "/_corpus_stats")
+    assert stats.agg(F.sum("n_docs")).first()[0] == 3
+
+    # compaction folds the tombstones away physically
+    t.compact_text_index(spark, path)
+    assert not os.path.isdir(path + "/_tombstones")
+    remaining = {
+        r.doc_id
+        for r in spark.read.parquet(path).select("doc_id").distinct().collect()
+    }
+    assert remaining == {1, 3, 4}
+    merged = spark.read.parquet(path + "/_corpus_stats")
+    assert merged.count() == 1 and merged.first().n_docs == 3
+    # search still equals the rebuild after the physical fold
+    got = [
+        (r.doc_id, r.bm25)
+        for r in t.search_text_index(spark, path, ["data"], k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in t.search_text_index(spark, rebuilt, ["data"], k=10).collect()
+    ]
+    assert got == want
+
+    # post-compact re-append: the id is live again
+    t.append_to_text_index(
+        spark.createDataFrame([(2, "ducks swim in the lake")],
+                              ["doc_id", "text"]),
+        "doc_id", "text", path,
+    )
+    back = t.search_text_index(spark, path, ["ducks"], k=10).collect()
+    assert [r.doc_id for r in back] == [2]
+
+
+def test_ivfpq_delete_tombstones_then_compact(spark, sf_dir, tmp_path):
+    """IVF-PQ delete lifecycle: tombstoned ids vanish from both the ADC
+    and re-ranked search immediately; re-delete is a no-op; compaction
+    drops the code rows physically and retires the sidecar."""
+    import os
+
+    from snowav_spark.ops import quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "delivf")
+    quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path, n_cells=4, m=8, k=4, iters=1
+    )
+    qid = emb.orderBy("vec_id").first().vec_id
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == qid).first().embedding]
+
+    # the query's own vector self-hits at rank 0 before deletion
+    pre = quantize.search_ivfpq_index(
+        spark, path, q, "vec_id", k_out=5, nprobe=4
+    ).collect()
+    assert pre[0].vec_id == qid
+
+    assert quantize.delete_from_ivfpq_index(spark, path, [qid]) == 1
+    assert quantize.delete_from_ivfpq_index(spark, path, [qid]) == 0
+
+    post = quantize.search_ivfpq_index(
+        spark, path, q, "vec_id", k_out=5, nprobe=4
+    ).collect()
+    assert all(r.vec_id != qid for r in post)
+    rr = quantize.search_ivfpq_index(
+        spark, path, q, "vec_id", k_out=5, nprobe=4,
+        rerank=emb, rerank_depth=50,
+    ).collect()
+    assert all(r.vec_id != qid for r in rr) and len(rr) == 5
+
+    n_before = spark.read.parquet(path).count()
+    quantize.compact_ivfpq_index(spark, path)
+    assert not os.path.isdir(path + "/_tombstones")
+    assert spark.read.parquet(path).count() == n_before - 1
+    assert (
+        spark.read.parquet(path).filter(F.col("vec_id") == qid).count() == 0
+    )
+
+
 def test_rrf_fuse_combines_and_handles_missing(spark):
     """RRF math: a doc ranked 1st in both lists beats a doc ranked 1st
     in one and absent from the other; exact 1/(60+r) sums; depth
