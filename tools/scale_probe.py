@@ -141,6 +141,61 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         lambda: graph.resolve_duplicates(pairs, "doc_id").count()
     )
 
+    # Graph analytics family (VERDICT r7 item 5): a small-world ring
+    # graph — n_docs vertices, out-degree 4 into a 10-hop neighborhood,
+    # so |E| ~ 4·n and triangles/peel-rounds/moments all have real work
+    # that doubles with n.  Expected growth ≈ linear: wedge closing is
+    # bounded by degree-oriented out-degrees (constant here), peeling by
+    # rounds × one agg + anti-join, moments by two edge-degree joins.
+    if _only is None or {
+        "graph_triangles", "graph_degree_hist",
+        "graph_assortativity", "graph_kcore",
+    } & _only:
+        g_edges = (
+            spark.range(n_docs * 4)
+            .select(
+                (F.col("id") / 4).cast("long").alias("src"),
+                F.pmod(
+                    (F.col("id") / 4).cast("long")
+                    + 1
+                    + F.pmod(F.hash("id"), F.lit(10)),
+                    F.lit(n_docs),
+                ).alias("dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        run_op("graph_triangles",
+            lambda: graph.triangle_stats(g_edges).count()
+        )
+        run_op("graph_degree_hist",
+            lambda: graph._degrees(
+                graph._canonical_edges(g_edges, "src", "dst")
+            ).groupBy("d").count().count()
+        )
+
+        def _assort():
+            e = graph._canonical_edges(
+                g_edges, "src", "dst"
+            ).localCheckpoint(eager=False)
+            deg = graph._degrees(e)
+            pair = (
+                e.join(deg.withColumnRenamed("v", "a"), "a")
+                .withColumnRenamed("d", "x")
+                .join(deg.withColumnRenamed("v", "b"), "b")
+                .withColumnRenamed("d", "y")
+                .select("x", "y")
+            )
+            ep = pair.unionAll(pair.selectExpr("y AS x", "x AS y"))
+            return graph.endpoint_assortativity(ep).count()
+
+        run_op("graph_assortativity", _assort)
+        # k=4 on an avg-degree-~7.x graph: real peel cascades without
+        # the ring-propagation chain k=5 triggers (hundreds of rounds —
+        # each round peels only the chain frontier)
+        run_op("graph_kcore",
+            lambda: graph.k_core(g_edges, 4, max_rounds=300).count()
+        )
+
     # IVF-PQ: build cost must stay ~linear (one pass + sampled training);
     # SERVE cost must stay ~flat when n_cells grows with the corpus
     # (constant per-cell occupancy — the partition-pruned probe then
