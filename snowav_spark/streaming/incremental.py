@@ -135,18 +135,36 @@ def curation_stream(
     text_col: str = "text",
     min_quality: float = 0.0,
     watermark: str = "1 hour",
+    near_dedup: bool = False,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    window_len: str = "1 hour",
 ) -> DataFrame:
     """Streaming corpus curation: the ingest-time stages of
     pipeline_llm.curate as one continuous query.
 
     clean/redact (stateless codegen projection) → quality gate
     (stateless arithmetic) → stateful exact dedup on the NORMALIZED
-    digest within the watermark horizon.  Near-dedup resolution is
-    iterative and stays a periodic batch job over the streamed-in sink —
-    the standard lambda split: stateless + keyed-state stages stream,
-    global-graph stages batch.  State is bounded by the watermark
-    (digests older than the horizon evict), so this runs forever at
-    ingest scale.
+    digest within the watermark horizon.  State is bounded by the
+    watermark (digests older than the horizon evict), so this runs
+    forever at ingest scale.
+
+    ``near_dedup=True`` chains the near_dedup_stream band-ownership
+    stages AFTER the digest dedup as the in-horizon NEAR-dup gate —
+    FLAG, don't drop: the output gains (win_start, owned_bands, bands,
+    near_dup_flag) per surviving doc, where ``near_dup_flag`` marks any
+    doc that lost ≥1 LSH band to an earlier in-horizon owner (per-band
+    collision probability = Jaccard^(num_hashes/bands)).  Flagged docs
+    stay in the stream so the periodic batch resolve
+    (graph.resolve_duplicates over minhash_lsh_pairs) keeps its
+    keep-best/canonical contract — the stream only provides the early
+    signal.  Docs shorter than ``n`` tokens carry no shingles: they get
+    doc-unique salt buckets, own all their bands, and are never flagged
+    (their dedup is the exact digest stage).  Three chained stateful
+    operators in append mode (digest dedup → bucket ownership →
+    windowed ownership count), every one watermark-bounded; rows emit
+    when their ``window_len`` window closes.
     """
     from snowav_spark.ops import text as text_ops
 
@@ -159,10 +177,68 @@ def curation_stream(
     gated = cleaned.withColumn("_digest", F.md5("_clean")).filter(
         quality >= F.lit(min_quality)
     )
-    return (
+    deduped = (
         _ltz(gated, ts)
         .withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["_digest"])
+    )
+    if not near_dedup:
+        return deduped
+
+    from snowav_spark.ops.dedup import minhash_signature
+
+    rows = num_hashes // bands
+    toks = F.split(F.col("_clean"), " ")
+    sig = deduped.withColumn(
+        "_sig",
+        F.when(F.size(toks) >= n, minhash_signature(toks, num_hashes, n)),
+    )
+
+    def _bucket(b: int):
+        # same murmur3/min banding as the batch miner for banded docs;
+        # a doc-unique salt bucket for short docs, so they own all
+        # their bands and are never flagged (hash-collision odds with a
+        # real bucket are 2^-32 per band — noise, not a failure mode)
+        return F.when(
+            F.col("_sig").isNotNull(),
+            F.hash(
+                *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+            ),
+        ).otherwise(F.hash(F.col(id_col), F.lit(b - 1_000_000_007)))
+
+    banded = sig.select(
+        F.col(ts),
+        F.col(id_col),
+        F.col("_clean"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(ts), F.col(id_col), "_clean", "bb.band", "bb.bucket")
+    # the watermark set before the digest dedup PROPAGATES through the
+    # chain — redefining it between stateful operators is disallowed
+    # (Spark's multi-stateful watermark simulator)
+    owned = banded.dropDuplicatesWithinWatermark(["band", "bucket"])
+    return (
+        owned.groupBy(F.window(F.col(ts), window_len), F.col(id_col))
+        .agg(
+            F.count("*").alias("owned_bands"),
+            F.first("_clean").alias(text_col),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col(id_col),
+            F.col(text_col),
+            "owned_bands",
+            F.lit(bands).alias("bands"),
+            (F.col("owned_bands") < F.lit(bands)).alias("near_dup_flag"),
+        )
     )
 
 

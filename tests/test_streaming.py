@@ -149,6 +149,61 @@ def test_curation_stream_cleans_gates_dedups(spark, tmp_path):
     assert "bob" not in texts and "email" in texts
 
 
+def test_curation_stream_near_dedup_gate_flags_not_drops(spark, tmp_path):
+    """curation_stream(near_dedup=True) e2e: the band-ownership stages
+    chain after the digest dedup — an in-horizon NEAR dup is FLAGGED
+    (kept in the stream, near_dup_flag=true, owned_bands < bands), a
+    novel doc and the cluster's first doc are unflagged, an exact twin
+    still vanishes at the digest stage, and a short doc (< n tokens,
+    unbanded) passes unflagged.  Flag-don't-drop preserves the batch
+    resolve contract (pipeline_llm near-dedup parity tests unchanged)."""
+    import datetime
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " changed"
+    novel = " ".join(f"x{i}" for i in range(40))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    flush = datetime.datetime(2024, 1, 1, 18, 0, 0)
+    cols = ["doc_id", "text", "ts"]
+    src = str(tmp_path / "cnd_in")
+    drops = [
+        [(0, base, t0)],
+        [(1, base, t1), (2, near, t1), (3, novel, t1), (4, "tiny doc", t1)],
+        [(9, "flush doc only closes windows now", flush)],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = incremental.stream_source(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "cnd_out")
+    ckpt = str(tmp_path / "cnd_ckpt")
+    q = incremental.run_to_sink(
+        incremental.curation_stream(
+            stream, "ts", watermark="1 hour", near_dedup=True
+        ),
+        out,
+        ckpt,
+        once=True,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # flush doc's window is still open; exact twin died at digest stage
+    assert 9 not in got and 1 not in got
+    # cluster head + novel doc + short doc: kept, unflagged
+    assert got[0].owned_bands == 8 and not got[0].near_dup_flag
+    assert got[3].owned_bands == 8 and not got[3].near_dup_flag
+    assert got[4].owned_bands == 8 and not got[4].near_dup_flag
+    # the near dup is KEPT but flagged with partial ownership
+    assert 2 in got, "flag-don't-drop: near dup must stay in the stream"
+    assert got[2].near_dup_flag and 0 < got[2].owned_bands < 8
+    # text rides through (cleaned form)
+    assert got[3].text.startswith("x0 ")
+
+
 def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     """Two availableNow passes: the second batch's twins of the first
     batch's docs must be dropped via the persisted index, fresh content
