@@ -2624,6 +2624,79 @@ def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_text_filtered index memo: a SECOND inverted-index layout carrying
+# the (lang, source) doc-metadata sidecar (the plain q_text_index
+# layout stores postings+stats only) — built once per (sf_dir, process).
+_TEXT_META_PATHS: dict = {}
+
+
+@q(
+    "q_text_filtered",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    stats AS (
+        SELECT count(*) * 1e0 AS n_docs,
+               avg(len(string_split(text, ' '))) AS avg_dl
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS word
+        FROM d
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf, min(dl) AS dl
+        FROM toks WHERE word IN ('join', 'vector', 'scan')
+        GROUP BY doc_id, word
+    ),
+    dfr AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+                   * (tf * 2.2e0)
+                   / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avg_dl))
+               ), 6) AS bm25
+        FROM tf JOIN dfr USING (word) CROSS JOIN stats
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.bm25
+    FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+    WHERE dd.lang = 'en'
+    """,
+)
+def q_text_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED BM25 retrieval from the persisted inverted
+    index (EXT; ops/text.py::search_text_index ``where=``) — the
+    q_ann_filtered twin for text: "matching docs WHERE lang='en'",
+    served from the index + its |docs|-row ``_doc_meta`` sidecar, no
+    corpus access.  POST-FILTER semantics make it ORACLE-exact: df and
+    avg_dl stay collection-level (a doc scores identically with or
+    without the filter — exactly what the SQL twin states via the final
+    lang join), the predicate is PUSHED into the sidecar scan
+    (plan-audited), and with k exceeding every match count the result
+    set is the full filtered score table, bit-identical."""
+    path = _TEXT_META_PATHS.get(sf_dir)
+    if path is None:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = (
+            f"{tempfile.gettempdir()}/snowav_textidxm_{tag}_{os.getpid()}"
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        text.build_text_index(
+            docs, "doc_id", "text", path, n_buckets=16,
+            doc_meta=("lang", "source"),
+        )
+        _TEXT_META_PATHS[sf_dir] = path
+    return text.search_text_index(
+        spark, path, ["join", "vector", "scan"], k=10_000_000,
+        where="lang = 'en'",
+    )
+
+
 @q(
     "q_hybrid_rrf",
     """
@@ -7709,6 +7782,7 @@ _GRADE_ORDER = [
     # -- tail: locally gated (tools/check.py every run) ----------------
     # -- round-8 oracle additions (queue tail; see COVERAGE.md) --------
     "q_ann_filtered",
+    "q_text_filtered",
     # -- rotated out r08 (permanent green driver rows r01-r07) ---------
     "q_zonal_volume",
     "q_end_last",

@@ -818,6 +818,7 @@ def build_text_index(
     path: str,
     n_buckets: int = 64,
     batch_id: int | None = None,
+    doc_meta: tuple = (),
 ) -> None:
     """Persist an INVERTED INDEX over a document corpus: posting rows
     (term, doc_id, tf, dl) partitioned by a term-hash bucket, plus a
@@ -836,6 +837,13 @@ def build_text_index(
     and df stays automatically consistent.  NULL-text docs are excluded
     from the collection entirely (N and avg_dl), matching bm25_scores.
     ``batch_id`` selects the streaming layout (see _write_text_parts).
+
+    ``doc_meta`` names metadata columns (lang, source, quality, …)
+    stored once per doc in a ``_doc_meta`` sidecar — search can then
+    POST-FILTER results by a metadata predicate (the quantize
+    ``metadata=`` twin; see ``search_text_index(where=…)``) without
+    touching any other table.  One sidecar row per doc, not per
+    posting, so the overhead is |docs|, not |postings|.
     """
     df = df.filter(F.col(text_col).isNotNull())
     _write_text_parts(
@@ -845,6 +853,10 @@ def build_text_index(
         batch_id,
         overwrite_all=True,
     )
+    if doc_meta:
+        df.selectExpr(f"{id_col} AS doc_id", *doc_meta).write.mode(
+            "overwrite"
+        ).parquet(path.rstrip("/") + "/_doc_meta")
 
 
 def append_to_text_index(
@@ -884,6 +896,20 @@ def append_to_text_index(
         batch_id,
         overwrite_all=False,
     )
+    # metadata-carrying index: append the batch's sidecar rows with the
+    # SAME columns the build declared (schema read from the sidecar) —
+    # a metadata-less append against a meta-carrying index would leave
+    # NULL-filtered docs invisible to filtered search
+    from snowav_spark.io import hadoop_path_exists
+
+    meta_dir = path.rstrip("/") + "/_doc_meta"
+    if hadoop_path_exists(spark, meta_dir):
+        meta_cols = [
+            c for c in spark.read.parquet(meta_dir).columns if c != "doc_id"
+        ]
+        df.selectExpr(f"{id_col} AS doc_id", *meta_cols).write.mode(
+            "append"
+        ).parquet(meta_dir)
 
 
 def _read_text_tombstones(spark, path: str):
@@ -967,6 +993,7 @@ def search_text_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    where: str | None = None,
 ) -> DataFrame:
     """BM25 top-k against a :func:`build_text_index` layout, reading
     ONLY the query terms' bucket directories: bucket ids are computed
@@ -976,7 +1003,16 @@ def search_text_index(
     (one groupBy over query-term rows); the scoring formula — including
     the ``round(…, 6)`` — is bm25_scores', so a full-corpus ad-hoc run
     and an index run return identical scores (pinned in tests).
-    Output: (doc_id, bm25) by score desc, doc_id asc."""
+    Output: (doc_id, bm25) by score desc, doc_id asc.
+
+    ``where`` (metadata-filtered retrieval): a SQL predicate over the
+    ``_doc_meta`` sidecar columns the index was built with
+    (``build_text_index(doc_meta=…)``).  POST-FILTER semantics — df and
+    avg_dl stay collection-level, so a doc's score is identical whether
+    or not a filter is applied (the semantics an exact SQL twin can
+    state); the predicate is pushed into the |docs|-row sidecar scan
+    and the surviving ids semi-join the scored frame before top-k.
+    Raises if the index carries no ``_doc_meta`` sidecar."""
     # merge the sidecar's integer partials: exact at any order/batching,
     # and sum/count equals the ad-hoc scorer's avg(dl) bit-for-bit
     # (double summation of integers below 2^53 is exact)
@@ -1019,6 +1055,19 @@ def search_text_index(
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+    if where is not None:
+        from snowav_spark.io import hadoop_path_exists
+
+        meta_dir = path.rstrip("/") + "/_doc_meta"
+        if not hadoop_path_exists(spark, meta_dir):
+            raise ValueError(
+                "search_text_index(where=...) needs an index built with "
+                "doc_meta=(...): no _doc_meta sidecar at " + meta_dir
+            )
+        keep = (
+            spark.read.parquet(meta_dir).filter(where).select("doc_id")
+        )
+        scored = scored.join(keep, "doc_id", "left_semi")
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 
 

@@ -1087,6 +1087,67 @@ def test_text_index_append_matches_full_rebuild(spark, tmp_path):
         assert g == rbt and len(g) > 0
 
 
+def test_text_index_metadata_filtered_search(spark, tmp_path):
+    """search_text_index(where=…) post-filters by the _doc_meta sidecar:
+    scores equal the unfiltered run (df/avg_dl stay collection-level),
+    only matching docs survive, appends carry their metadata rows, and
+    a metadata-less index refuses the filter loudly."""
+    import pytest
+
+    from snowav_spark.ops import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engines process data at scale", "en"),
+            (2, "datos y tablas en el lago", "es"),
+            (3, "data pipelines clean data daily", "en"),
+            (4, "el lago de data es tranquilo", "es"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    path = str(tmp_path / "metaidx")
+    t.build_text_index(
+        docs, "doc_id", "text", path, n_buckets=8, doc_meta=("lang",)
+    )
+    unfiltered = {
+        r.doc_id: r.bm25
+        for r in t.search_text_index(spark, path, ["data"], k=10).collect()
+    }
+    en = {
+        r.doc_id: r.bm25
+        for r in t.search_text_index(
+            spark, path, ["data"], k=10, where="lang = 'en'"
+        ).collect()
+    }
+    assert set(en) == {1, 3}
+    # post-filter semantics: identical scores, just restricted
+    assert all(en[d] == unfiltered[d] for d in en)
+
+    # append carries metadata: the new doc is filterable immediately
+    t.append_to_text_index(
+        spark.createDataFrame(
+            [(5, "more data arrives in spark", "en")],
+            ["doc_id", "text", "lang"],
+        ),
+        "doc_id", "text", path,
+    )
+    en2 = {
+        r.doc_id
+        for r in t.search_text_index(
+            spark, path, ["data"], k=10, where="lang = 'en'"
+        ).collect()
+    }
+    assert en2 == {1, 3, 5}
+
+    # no sidecar -> loud refusal, not a silent unfiltered result
+    bare = str(tmp_path / "bareidx")
+    t.build_text_index(docs, "doc_id", "text", bare, n_buckets=8)
+    with pytest.raises(ValueError, match="_doc_meta"):
+        t.search_text_index(
+            spark, bare, ["data"], k=10, where="lang = 'en'"
+        ).collect()
+
+
 def test_text_index_delete_tombstones_then_compact(spark, tmp_path):
     """Delete lifecycle: tombstoned docs vanish from search IMMEDIATELY
     and scores over survivors equal a fresh rebuild on the surviving

@@ -420,6 +420,20 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "SortMergeJoin"],
     )
 
+    # 6w3b. metadata-filtered text retrieval (q_text_filtered): the
+    # postings scan keeps its bucket PARTITION pruning AND the metadata
+    # predicate is PUSHED into the |docs|-row _doc_meta sidecar scan;
+    # the id semi-join must stay broadcast (never a sort-merge of the
+    # scored frame)
+    p = formatted(qs["q_text_filtered"](spark, SF))
+    check(
+        "q_text_filtered",
+        p,
+        ["PartitionFilters: [bucket", "EqualTo(lang,en",
+         "TakeOrderedAndProject"],
+        ["PythonUDF", "CartesianProduct", "SortMergeJoin"],
+    )
+
     # 6w4. media perceptual-hash dedup: hash extraction is Arrow-batched
     # mapInPandas (payload bytes never shuffle — no exchange carries the
     # payload column), the pair join is a banded equi-join
