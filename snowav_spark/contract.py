@@ -7370,6 +7370,307 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_priority_lag",
+    """
+    SELECT CAST(lag_bucket AS BIGINT) AS lag_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 0
+                    WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1
+                    WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 2
+                    ELSE 3 END AS lag_bucket
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    GROUP BY 1
+    """,
+)
+def q_priority_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority × ship-lag cross-tab (EXT, TPC-H Q12 shape re-keyed to
+    this schema's columns: lag buckets stand in for shipmode): per
+    30-day ship-lag bucket, how many lines belong to urgent-priority vs
+    other orders — the fulfilment-SLA diagnostic.  Bucketing is CASE on
+    interval comparisons (identical timestamp arithmetic both engines —
+    never date_diff, whose boundary semantics differ), both counts are
+    conditional sums in ONE hash agg over the fact join, and orders'
+    two columns broadcast-prune before the join.  Output is ≤4 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = (
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            0,
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+            1,
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            2,
+        )
+        .otherwise(3)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.cast("bigint").alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q_top_supplier",
+    f"""
+    WITH r AS (
+        SELECT l_suppkey,
+               {msum_sql('l_extendedprice * (1 - l_discount)')} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+    FROM r JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM r)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue supplier(s) of a quarter (EXT, TPC-H Q15 shape): the
+    revenue view + WHERE total = (SELECT max(...)) equality, kept
+    EXACT by msum fixed-point revenue — max over identical doubles on
+    both engines, so the equality join can never drop a tied winner on
+    a ulp.  Shape: one quarter-pruned fact aggregate (|suppliers| rows),
+    the 1-row max broadcast back as a crossJoin filter (the scalar
+    subquery decorrelated, nothing collected), supplier broadcast for
+    the name.  Ties all surface, deterministically."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    r = li.groupBy("l_suppkey").agg(
+        msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = F.broadcast(r.agg(F.max("total_rev").alias("_mx")))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        r.crossJoin(mx)
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_rev",
+        )
+    )
+
+
+@q(
+    "q_supplier_cnt",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%9')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts per part attribute (EXT, TPC-H Q16 shape, with
+    lineitem's observed (part, supplier) pairs standing in for
+    partsupp): distinct suppliers per (brand, type, size) over selected
+    sizes, excluding a complaints-list supplier set stated as NOT IN.
+    The NOT IN decorrelates to a broadcast ANTI-join (exact because
+    s_suppkey is non-null — the NULL-poisoning case NOT IN is infamous
+    for can't arise); the pair set collapses map-side BEFORE any join;
+    part broadcasts with its filter pushed to the dim scan."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%9"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@q(
+    "q_excess_shippers",
+    """
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(sq) AS tq FROM pq GROUP BY 1)
+    SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+    FROM pq
+    JOIN tot      ON pq.l_partkey = tot.l_partkey
+    JOIN part     ON p_partkey = pq.l_partkey
+    JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+    WHERE p_name LIKE 'red%' AND pq.sq > 0.5 * tot.tq
+    """,
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-share shippers (EXT, TPC-H Q20 shape re-keyed to
+    shipped volume): suppliers who shipped MORE THAN HALF of some red
+    part's total yearly volume — the nested-semi-join chain (part
+    filter → per-(part,supplier) volume → compare against the per-part
+    total).  Exact: quantities are integer-valued, so both sums and the
+    0.5·total threshold are identical doubles in both engines.  Shape:
+    the fact collapses to (part, supplier) grain map-side; the per-part
+    total derives from THAT aggregate (never a second fact scan); part
+    (name-filtered at the scan) and supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("sq").alias("tq")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        pq.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name"
+        )
+        .distinct()
+    )
+
+
+@q(
+    "q_national_share",
+    f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               sum({windows.fixed_micros_sql("l_extendedprice * (1 - l_discount)")}) AS vm
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey,
+           CAST(vm AS DOUBLE) / 1000000.0 AS value
+    FROM pr
+    WHERE CAST(vm AS DOUBLE) > CAST((SELECT sum(vm) FROM pr) AS DOUBLE)
+                               * 0.001
+    """,
+)
+def q_national_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentrated national part value (EXT, TPC-H Q11 shape over
+    shipped revenue): parts whose revenue through one nation's
+    suppliers exceeds 0.1% of that nation's total — the
+    scalar-subquery HAVING, decorrelated into a 1-row broadcast total.
+    Exact: per-part values accumulate as fixed-point micro integers
+    (msum discipline), the grand total is the exact integer sum OF
+    those integers, and both sides convert int→double once before the
+    single threshold multiply — identical in Spark's decimal and
+    DuckDB's HUGEINT.  Shape: nation+supplier broadcast-prune the fact
+    scan, one part-grain agg, the total derived from it (no second
+    scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = (
+        li.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(windows.fixed_micros(rev)).alias("vm"))
+    )
+    tot = F.broadcast(pr.agg(F.sum("vm").alias("_tot")))
+    return (
+        pr.crossJoin(tot)
+        .filter(
+            F.col("vm").cast("double") > F.col("_tot").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            (F.col("vm").cast("double") / 1_000_000.0).alias("value"),
+        )
+    )
+
+
+@q(
     "q_drawdown",
     f"""
     WITH d AS (
@@ -7783,6 +8084,11 @@ _GRADE_ORDER = [
     # -- round-8 oracle additions (queue tail; see COVERAGE.md) --------
     "q_ann_filtered",
     "q_text_filtered",
+    "q_priority_lag",
+    "q_top_supplier",
+    "q_supplier_cnt",
+    "q_excess_shippers",
+    "q_national_share",
     # -- rotated out r08 (permanent green driver rows r01-r07) ---------
     "q_zonal_volume",
     "q_end_last",
