@@ -420,6 +420,33 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "SortMergeJoin"],
     )
 
+    # 6x. round-8 TPC-H shapes: decorrelated scalar subqueries must be
+    # 1-row broadcasts (BroadcastNestedLoopJoin), dims broadcast, and
+    # nothing falls back to a real cartesian or a Python UDF
+    # (Catalyst rewrites the crossJoin + max-equality filter into an
+    # equi BroadcastHashJoin — even better than the expected 1-row BNLJ)
+    p = formatted(qs["q_top_supplier"](spark, SF))
+    check(
+        "q_top_supplier",
+        p,
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "PythonUDF", "SortMergeJoin"],
+    )
+    p = formatted(qs["q_national_share"](spark, SF))
+    check(
+        "q_national_share",
+        p,
+        ["BroadcastNestedLoopJoin", "partial_sum"],
+        ["CartesianProduct", "PythonUDF"],
+    )
+    p = formatted(qs["q_supplier_cnt"](spark, SF))
+    check(
+        "q_supplier_cnt",
+        p,
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "PythonUDF", "BroadcastNestedLoopJoin"],
+    )
+
     # 6w3b. metadata-filtered text retrieval (q_text_filtered): the
     # postings scan keeps its bucket PARTITION pruning AND the metadata
     # predicate is PUSHED into the |docs|-row _doc_meta sidecar scan;
