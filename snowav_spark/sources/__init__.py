@@ -1,13 +1,16 @@
 from snowav_spark.sources.netcdf_source import NetCDFDataSource
 from snowav_spark.sources.raster_source import RasterGridDataSource
+from snowav_spark.sources.zarr_source import ZarrDataSource
 
 
 def register(spark) -> None:
     """Register every custom Python DataSource on a session (idempotent):
-    ``snowav_raster`` (CSV grid files) and ``snowav_netcdf`` (classic or
-    HDF5-backed NetCDF model output)."""
+    ``snowav_raster`` (CSV grid files), ``snowav_netcdf`` (classic or
+    HDF5-backed NetCDF model output), and ``snowav_zarr`` (chunked Zarr
+    v2 array stores, one executor task per chunk)."""
     spark.dataSource.register(RasterGridDataSource)
     spark.dataSource.register(NetCDFDataSource)
+    spark.dataSource.register(ZarrDataSource)
 
 
 def open_dataset(path_or_bytes):

@@ -1,0 +1,170 @@
+"""Zarr v2 reader/source tests: format round-trips across dtypes,
+codecs, orders, separators; sparse (missing-chunk) semantics; edge
+trimming; the chunk-partitioned Spark source; and loud refusals on the
+unsupported codec/filters/ndim cases."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from snowav_spark.sources import zarr
+
+
+def test_roundtrip_dtypes_codecs_orders(tmp_path):
+    rng = np.random.RandomState(3)
+    cases = [
+        (rng.rand(7, 5), (3, 2), "zlib", "C"),
+        (rng.rand(7, 5).astype("<f4"), (4, 4), None, "F"),
+        ((rng.rand(6) * 100).astype("<i4"), (4,), "zlib", "C"),
+        ((rng.rand(3, 4, 5) * 255).astype("|u1"), (2, 2, 2), None, "C"),
+        (rng.rand(5, 5).astype(">f8"), (2, 3), "zlib", "C"),
+    ]
+    for i, (arr, chunks, comp, order) in enumerate(cases):
+        p = str(tmp_path / f"a{i}")
+        zarr.write_array(p, arr, chunks, compressor=comp, order=order)
+        got = zarr.read_array(p)
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_missing_chunk_is_fill_by_spec(tmp_path):
+    """Sparse layout: absent chunk files read as fill_value — treating
+    them as zeros or errors would corrupt sparse arrays."""
+    arr = np.full((6, 6), -9.0)
+    arr[0, 0] = 1.0
+    arr[5, 5] = 2.0
+    p = str(tmp_path / "sparse")
+    zarr.write_array(
+        p, arr, (3, 3), fill_value=-9.0, skip_fill_chunks=True
+    )
+    # only the two corner chunks exist on disk
+    files = [n for n in os.listdir(p) if not n.startswith(".")]
+    assert sorted(files) == ["0.0", "1.1"]
+    np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+
+def test_nan_fill_value_json_string(tmp_path):
+    """Non-finite fills are JSON strings per spec ('NaN'); the reader
+    decodes them and missing chunks materialize as NaN."""
+    arr = np.array([[1.0, 2.0], [3.0, 4.0]])
+    p = str(tmp_path / "nanfill")
+    zarr.write_array(
+        p, arr, (2, 1), fill_value=float("nan"), skip_fill_chunks=False
+    )
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["fill_value"] == "NaN"
+    # drop one chunk: it must come back as NaN, not zero
+    os.remove(os.path.join(p, "0.1"))
+    got = zarr.read_array(p)
+    np.testing.assert_array_equal(got[:, 0], arr[:, 0])
+    assert np.isnan(got[:, 1]).all()
+
+
+def test_nested_dimension_separator(tmp_path):
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = str(tmp_path / "nested")
+    zarr.write_array(p, arr, (2, 3), dimension_separator="/")
+    assert os.path.isfile(os.path.join(p, "1", "1"))
+    np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+
+def test_unsupported_codec_and_filters_raise(tmp_path):
+    p = str(tmp_path / "bad")
+    os.makedirs(p)
+    meta = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        "compressor": {"id": "blosc", "cname": "lz4"},
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    with pytest.raises(ValueError, match="blosc"):
+        zarr.read_array_meta(p)
+    meta["compressor"] = None
+    meta["filters"] = [{"id": "delta"}]
+    json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    with pytest.raises(ValueError, match="filter"):
+        zarr.read_array_meta(p)
+
+
+def test_group_listing(tmp_path):
+    g = str(tmp_path / "grp")
+    zarr.write_group(
+        g,
+        {"swe": np.ones((2, 2)), "depth": np.zeros((2, 2))},
+        chunks=(2, 2),
+    )
+    assert zarr.group_arrays(g) == ["depth", "swe"]
+
+
+def test_spark_source_reads_group_chunk_parallel(spark, tmp_path):
+    """The snowav_zarr source: one partition per chunk, group members
+    become variables, edge chunks trim, fills surface as NaN, and a
+    zonal mean over the tall rows matches numpy."""
+    from snowav_spark import sources
+
+    sources.register(spark)
+    rng = np.random.RandomState(11)
+    swe = rng.rand(5, 7)  # edge chunks on both dims at (2, 3) chunking
+    swe[0, :3] = -99.0  # out-of-basin sentinel via fill_value
+    depth = rng.rand(5, 7)
+    g = str(tmp_path / "run")
+    zarr.write_group(g, {"swe": swe, "depth": depth}, chunks=(2, 3),
+                     fill_value=-99.0)
+
+    df = spark.read.format("snowav_zarr").load(g)
+    assert df.columns == ["variable", "t", "y", "x", "value"]
+    n = df.count()
+    assert n == 2 * 5 * 7
+    # every cell lands exactly once at its (y, x)
+    got = {
+        (r.variable, r.y, r.x): r.value
+        for r in df.collect()
+    }
+    assert len(got) == n
+    for (var, arr) in (("swe", swe), ("depth", depth)):
+        for y in range(5):
+            for x in range(7):
+                v = got[(var, y, x)]
+                if arr[y, x] == -99.0:
+                    assert v is None or np.isnan(v)
+                else:
+                    assert v == arr[y, x]
+    # the zonal aggregate downstream operators run: NaN-safe mean
+    m = (
+        df.filter((F.col("variable") == "swe") & ~F.isnan("value"))
+        .agg(F.avg("value"))
+        .first()[0]
+    )
+    assert abs(m - swe[swe != -99.0].mean()) < 1e-12
+    # partitions really are chunks: 2 vars x ceil(5/2) x ceil(7/3) = 18
+    reader = sources.zarr_source.ZarrReader({"path": g})
+    assert len(reader.partitions()) == 2 * 3 * 3
+
+
+def test_spark_source_single_array_and_1d(spark, tmp_path):
+    from snowav_spark import sources
+
+    sources.register(spark)
+    arr = np.arange(10, dtype="<f8")
+    p = str(tmp_path / "elev")
+    zarr.write_array(p, arr, (4,))
+    df = spark.read.format("snowav_zarr").load(p)
+    rows = df.orderBy("x").collect()
+    assert [r.variable for r in rows] == ["elev"] * 10
+    assert [r.t for r in rows] == [0] * 10
+    assert [r.y for r in rows] == [0] * 10
+    assert [r.value for r in rows] == list(map(float, range(10)))
+
+
+def test_spark_source_rejects_4d(tmp_path):
+    from snowav_spark.sources import zarr_source
+
+    p = str(tmp_path / "a4")
+    zarr.write_array(p, np.zeros((2, 2, 2, 2)), (1, 1, 1, 1))
+    with pytest.raises(ValueError, match="1-3 dim"):
+        zarr_source.ZarrReader({"path": p}).partitions()
