@@ -53,7 +53,7 @@ import sys
 
 from pyspark.sql import functions as F
 
-from snowav_spark import pipeline, sources
+from snowav_spark import ingest, pipeline, sources
 from snowav_spark.ingest import synthetic_topo
 from snowav_spark.session import get_spark
 
@@ -174,10 +174,11 @@ def parse_spec(path: str) -> tuple[pipeline.PipelineSpec, dict]:
         # at the latter (ref:snowav/framework/outputs.py)
         "grid_dir": (
             req("grid_dir", "nc_dir", "run_dirs")
-            if "nc_dir" not in s
+            if "nc_dir" not in s and "zarr_dir" not in s
             else None
         ),
         "nc_dir": s.get("nc_dir"),
+        "zarr_dir": s.get("zarr_dir"),
         "nc_variables": s.get("nc_variables"),
         "topo_parquet": s.get("topo_parquet"),
         "report_variable": s.get("report_variable"),
@@ -499,6 +500,11 @@ def main(argv: list[str] | None = None) -> int:
         if extras["nc_variables"]:
             rd = rd.option("variables", extras["nc_variables"])
         raster = rd.load(nc_dir)
+    elif extras["zarr_dir"]:
+        # zarr_dir: a Zarr v2 group of (t, y, x) variables + a CF time
+        # member — chunk-partitioned scan, time dim broadcast (EP1 is
+        # container-agnostic across CSV grids / NetCDF / Zarr)
+        raster = ingest.read_zarr_outputs(spark, extras["zarr_dir"])
     else:
         raster = spark.read.format("snowav_raster").load(extras["grid_dir"])
     if extras["topo_parquet"]:

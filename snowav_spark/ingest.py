@@ -16,10 +16,12 @@ loads everything into driver RAM.  Here ingestion is distributed:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DateType,
     DoubleType,
@@ -137,6 +139,54 @@ def read_netcdf_outputs(
                         )
 
     return paths_df.mapInPandas(read_file, RASTER_SCHEMA)
+
+
+def read_zarr_outputs(
+    spark: SparkSession, path: str, time_var: str = "time"
+) -> DataFrame:
+    """Zarr model output → the same tall (date, y, x, variable, value)
+    frame read_netcdf_outputs emits, so every downstream operator
+    (banding, zonal stats, the EP1 pipeline) is container-agnostic.
+
+    ``path`` is a Zarr v2 group whose (t, y, x) member arrays are the
+    model variables and whose 1-D ``time`` member carries CF
+    "X since Y" units (the snow.nc convention re-expressed as Zarr).
+    The time axis is DRIVER-read (it is |timesteps| scalars) and
+    broadcast as a (t → date) dim join onto the chunk-partitioned
+    ``snowav_zarr`` scan — the data chunks never route through the
+    driver.  Without a time member, t maps to days since 1970-01-01
+    (index dates — synthetic/test stores).
+    """
+    import datetime
+
+    from snowav_spark.sources import zarr as zmod
+
+    dates = None
+    if zmod.is_zarr_group(path) and time_var in zmod.group_arrays(path):
+        tdir = os.path.join(path, time_var)
+        nums = zmod.read_array(tdir).astype(float)
+        units = zmod.read_attrs(tdir).get(
+            "units", "days since 1970-01-01"
+        )
+        dates = [pd.Timestamp(d).date() for d in _num2date(nums, units)]
+    df = (
+        spark.read.format("snowav_zarr")
+        .load(path)
+        .filter(F.col("variable") != time_var)
+    )
+    if dates is None:
+        dim = None
+        mx = df.agg(F.max("t")).first()[0]
+        dates = [
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=i)
+            for i in range(int(mx or 0) + 1)
+        ]
+    dim = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dates)], "t int, date date"
+    )
+    return df.join(F.broadcast(dim), "t").select(
+        "date", "y", "x", "variable", "value"
+    )
 
 
 def synthetic_raster(

@@ -167,6 +167,78 @@ def test_cli_netcdf_run_dir(spark, tmp_path):
     assert frame2.loc[-1, "basin_A"] == pytest.approx(frame.loc[-1, "basin_A"])
 
 
+def test_cli_zarr_run_dir(spark, tmp_path):
+    """`zarr_dir` in the INI drives the whole EP1 pipeline from a Zarr
+    v2 group (chunked (t, y, x) variables + a CF time member) — and the
+    run is numerically IDENTICAL to the same grids fed through the
+    NetCDF path, proving the container-agnostic tall schema."""
+    import numpy as np
+
+    from snowav_spark import cli
+    from snowav_spark.sources import netcdf3
+    from snowav_spark.sources import zarr as zmod
+
+    grids = np.stack(
+        [np.full((3, 4), 12.0), np.full((3, 4), 13.0)]
+    )  # (t, y, x)
+    zdir = tmp_path / "zarr_run"
+    zmod.write_group(
+        str(zdir),
+        {"swe_mm": grids},
+        chunks=(1, 2, 3),  # exercises edge chunks in every dim
+    )
+    # time member with CF units (written separately: 1-D + attrs)
+    zmod.write_array(
+        str(zdir / "time"),
+        np.array([0.0, 1.0]),
+        (2,),
+        attrs={"units": "days since 2024-03-01"},
+    )
+    ini = tmp_path / "z_run.ini"
+    report = tmp_path / "z_report.csv"
+    ini.write_text(
+        "[snowav]\n"
+        "run_id = z_run\n"
+        "edges = 0, 10, 20, 30\n"
+        "basins = basin_A, basin_B\n"
+        f"zarr_dir = {zdir}\n"
+        f"store_path = {tmp_path / 'z_store'}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report}\n"
+    )
+    assert cli.main(["-f", str(ini)]) == 0
+    zframe = pd.read_csv(report).set_index("band")
+
+    # identical grids through the NetCDF path -> identical report
+    ncdir = tmp_path / "nc_twin"
+    ncdir.mkdir()
+    netcdf3.write(
+        str(ncdir / "snow.nc"),
+        dims={"time": 2, "y": 3, "x": 4},
+        variables={
+            "time": (["time"], np.array([0.0, 1.0]),
+                     {"units": "days since 2024-03-01"}),
+            "swe_mm": (["time", "y", "x"], grids, {}),
+        },
+    )
+    ini2 = tmp_path / "nc_twin.ini"
+    report2 = tmp_path / "nc_twin_report.csv"
+    ini2.write_text(
+        "[snowav]\n"
+        "run_id = nc_twin\n"
+        "edges = 0, 10, 20, 30\n"
+        "basins = basin_A, basin_B\n"
+        f"nc_dir = {ncdir}\n"
+        "nc_variables = swe_mm\n"
+        f"store_path = {tmp_path / 'nc_twin_store'}\n"
+        "report_variable = swe_mm\n"
+        f"report_csv = {report2}\n"
+    )
+    assert cli.main(["-f", str(ini2)]) == 0
+    nframe = pd.read_csv(report2).set_index("band")
+    pd.testing.assert_frame_equal(zframe, nframe)
+
+
 def test_cli_missing_config():
     from snowav_spark import cli
 
