@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -105,41 +106,144 @@ class ZarrReader(DataSourceReader):
         )
 
     def read(self, partition: _ChunkPartition):
-        import numpy as np
+        yield from _chunk_rows(
+            partition.array_dir,
+            partition.variable,
+            tuple(partition.coord),
+            partition.meta,
+        )
 
+
+def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
+    """Decode one chunk to tall rows: edge trim, fill/non-finite → NaN
+    (the masked_to_nan rule), global (t, y, x) indices — shared by the
+    batch partitions and the streaming micro-batches."""
+    import numpy as np
+
+    from snowav_spark.sources import zarr
+
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    block = zarr.read_chunk(array_dir, meta, coord)
+    lens = tuple(
+        min((i + 1) * c, s) - i * c
+        for i, c, s in zip(coord, chunks, shape)
+    )
+    block = np.asarray(
+        block[tuple(slice(0, n) for n in lens)], dtype=np.float64
+    ).copy()
+    fill = meta.get("fill_value")
+    if isinstance(fill, str):
+        fill = float(fill)
+    if fill is not None and np.isfinite(fill):
+        block[block == fill] = np.nan
+    block[~np.isfinite(block)] = np.nan
+    offs = [i * c for i, c in zip(coord, chunks)]
+    while len(offs) < 3:
+        offs.insert(0, 0)
+        block = block[np.newaxis, ...]
+    t0, y0, x0 = offs
+    for ti in range(block.shape[0]):
+        for yi in range(block.shape[1]):
+            row = block[ti, yi]
+            for xi in range(block.shape[2]):
+                yield (variable, t0 + ti, y0 + yi, x0 + xi, float(row[xi]))
+
+
+class ZarrStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ingest of a GROWING Zarr store (EP2 for cloud-native
+    output): the model appends timesteps by writing new chunk files and
+    bumping ``.zarray`` shape — each micro-batch reads exactly the
+    chunk files that appeared since the last offset.
+
+    Offset = per-array SET of seen chunk filenames (the raster source's
+    scheme: exact under any arrival order, bounded by the store's chunk
+    count; a high-water mark would be unsound because chunk names sort
+    lexically, not by time).  Metadata is re-read every batch so
+    coordinates land against the CURRENT shape.  Assumes chunk-aligned
+    appends (the standard growth pattern — an append that REWRITES a
+    partial edge chunk keeps its filename and would be skipped; rechunk
+    or use the batch source for non-aligned growth)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snowav_zarr requires a load(path) directory")
+
+    def _arrays(self) -> list:
         from snowav_spark.sources import zarr
 
-        meta = partition.meta
-        shape = tuple(meta["shape"])
-        chunks = tuple(meta["chunks"])
-        coord = tuple(partition.coord)
-        block = zarr.read_chunk(partition.array_dir, meta, coord)
-        # edge trim, then fill/non-finite -> NaN (masked_to_nan rule)
-        lens = tuple(
-            min((i + 1) * c, s) - i * c
-            for i, c, s in zip(coord, chunks, shape)
-        )
-        block = np.asarray(
-            block[tuple(slice(0, n) for n in lens)], dtype=np.float64
-        ).copy()
-        fill = meta.get("fill_value")
-        if isinstance(fill, str):
-            fill = float(fill)
-        if fill is not None and np.isfinite(fill):
-            block[block == fill] = np.nan
-        block[~np.isfinite(block)] = np.nan
-        # global index offsets for this chunk, padded to (t, y, x)
-        offs = [i * c for i, c in zip(coord, chunks)]
-        while len(offs) < 3:
-            offs.insert(0, 0)
-            block = block[np.newaxis, ...]
-        t0, y0, x0 = offs
-        var = partition.variable
-        for ti in range(block.shape[0]):
-            for yi in range(block.shape[1]):
-                row = block[ti, yi]
-                for xi in range(block.shape[2]):
-                    yield (var, t0 + ti, y0 + yi, x0 + xi, float(row[xi]))
+        if zarr.is_zarr_array(self.path):
+            name = os.path.basename(os.path.normpath(self.path))
+            pairs = [(name, self.path)]
+        else:
+            pairs = [
+                (n, os.path.join(self.path, n))
+                for n in zarr.group_arrays(self.path)
+            ]
+        for _, adir in pairs:
+            if zarr.read_array_meta(adir).get(
+                "dimension_separator", "."
+            ) == "/":
+                raise ValueError(
+                    "snowav_zarr streaming supports '.'-separated chunk "
+                    f"names only (flat listing = the offset set); {adir} "
+                    "uses nested '/' directories — use the batch source"
+                )
+        return pairs
+
+    @staticmethod
+    def _chunk_names(array_dir: str) -> set:
+        return {
+            n
+            for n in os.listdir(array_dir)
+            if not n.startswith((".", "_"))
+            and os.path.isfile(os.path.join(array_dir, n))
+        }
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def _rows_for(self, per_array: dict) -> list:
+        from snowav_spark.sources import zarr
+
+        rows: list = []
+        for var, adir in self._arrays():
+            names = per_array.get(var)
+            if not names:
+                continue
+            meta = zarr.read_array_meta(adir)
+            sep = meta.get("dimension_separator", ".")
+            for name in sorted(names):
+                coord = tuple(int(i) for i in name.split(sep))
+                rows.extend(_chunk_rows(adir, var, coord, meta))
+        return rows
+
+    def read(self, start: dict):
+        seen = {k: set(v) for k, v in start.get("seen", {}).items()}
+        new: dict = {}
+        for var, adir in self._arrays():
+            fresh = self._chunk_names(adir) - seen.get(var, set())
+            if fresh:
+                new[var] = fresh
+        if not new:
+            return iter([]), dict(start)
+        end = {
+            "seen": {
+                var: sorted(seen.get(var, set()) | new.get(var, set()))
+                for var in set(seen) | set(new)
+            }
+        }
+        return iter(self._rows_for(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = {k: set(v) for k, v in start.get("seen", {}).items()}
+        e = {k: set(v) for k, v in end.get("seen", {}).items()}
+        delta = {k: e[k] - s.get(k, set()) for k in e}
+        return iter(self._rows_for(delta))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class ZarrDataSource(DataSource):
@@ -152,6 +256,11 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ZarrReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return ZarrStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -161,6 +161,70 @@ def test_spark_source_single_array_and_1d(spark, tmp_path):
     assert [r.value for r in rows] == list(map(float, range(10)))
 
 
+def test_zarr_stream_reads_appended_timesteps(spark, tmp_path):
+    """Streaming a GROWING store: each availableNow pass picks up only
+    the chunk files that appeared since the checkpoint — the model
+    appends a timestep by writing new chunks and bumping shape, and the
+    second run emits exactly the new rows (no re-read of old chunks)."""
+    from snowav_spark import sources
+
+    sources.register(spark)
+    g = str(tmp_path / "grow")
+    # t=1 initially, chunk-aligned along t (chunks t-dim = 1)
+    arr0 = np.full((1, 2, 2), 5.0)
+    zarr.write_group(g, {"swe": arr0}, chunks=(1, 2, 2))
+
+    out = str(tmp_path / "zs_out")
+    ckpt = str(tmp_path / "zs_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("snowav_zarr")
+            .load(g)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 4
+    assert {r.t for r in first.collect()} == {0}
+
+    # append one timestep: new chunk file 1.0.0 + shape bump
+    import json as _json
+
+    arr1 = np.full((1, 2, 2), 7.0)
+    meta_path = os.path.join(g, "swe", ".zarray")
+    meta = _json.load(open(meta_path))
+    raw = arr1.astype("<f8").tobytes()
+    import zlib as _z
+
+    open(os.path.join(g, "swe", "1.0.0"), "wb").write(_z.compress(raw, 1))
+    meta["shape"] = [2, 2, 2]
+    _json.dump(meta, open(meta_path, "w"))
+
+    run_once()
+    both = spark.read.parquet(out)
+    assert both.count() == 8
+    vals = {(r.t, r.y, r.x): r.value for r in both.collect()}
+    assert vals[(0, 0, 0)] == 5.0 and vals[(1, 1, 1)] == 7.0
+
+
+def test_zarr_stream_rejects_nested_separator(tmp_path):
+    from snowav_spark.sources import zarr_source
+
+    p = str(tmp_path / "nested_s")
+    zarr.write_array(
+        p, np.zeros((2, 2)), (1, 1), dimension_separator="/"
+    )
+    with pytest.raises(ValueError, match="nested"):
+        zarr_source.ZarrStreamReader({"path": p})._arrays()
+
+
 def test_spark_source_rejects_4d(tmp_path):
     from snowav_spark.sources import zarr_source
 
