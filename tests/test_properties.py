@@ -97,6 +97,49 @@ def test_rollup_total_equals_sum_of_bands(spark, vals):
 
 
 @given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(1, 5_000_000_000), st.integers(1, 5_000_000_000)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_endpoint_assortativity_matches_python_bigints(spark, pairs):
+    """The decimal(38,0) moment kernel must equal exact Python bigint
+    arithmetic for ANY degree magnitude — including ~5e9 degrees whose
+    squared moments wrap int64 many times over (the overflow class
+    VERDICT r7 item 2 closed)."""
+    import math
+
+    from snowav_spark.ops import graph
+
+    sym = pairs + [(y, x) for x, y in pairs]
+    ep = spark.createDataFrame(sym, "x long, y long")
+    row = graph.endpoint_assortativity(ep).collect()[0]
+    m = len(sym)
+    sx = sum(x for x, _ in sym)
+    sy = sum(y for _, y in sym)
+    sxy = sum(x * y for x, y in sym)
+    sxx = sum(x * x for x, _ in sym)
+    syy = sum(y * y for _, y in sym)
+    vx = m * sxx - sx * sx
+    vy = m * syy - sy * sy
+    if vx == 0 or vy == 0:
+        want = 0.0
+    else:
+        want = round(
+            float(m * sxy - sx * sy)
+            / math.sqrt(float(vx))
+            / math.sqrt(float(vy)),
+            6,
+        )
+    assert row.n_endpoints == m
+    assert row.assortativity == want
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 40), st.integers(0, 40)),
         min_size=1,
