@@ -429,6 +429,76 @@ def index_main(argv: list[str]) -> int:
     return 0
 
 
+def sql_main(argv: list[str]) -> int:
+    """``python -m snowav_spark sql`` — ad-hoc Spark SQL from the shell.
+
+    Registers every ``<name>.parquet`` under ``--tables`` as a temp view
+    (plus ``results`` for a ``--store`` results-store path) and runs the
+    query — SQL text and the DataFrame API compile to the same Catalyst
+    plan, so everything the engine optimizes (pushdown, pruning,
+    broadcast selection, AQE) applies to user SQL unchanged.  Output
+    prints as JSON lines (bounded by --limit) or lands as parquet/CSV
+    via --output; ``--explain`` prints the optimized physical plan
+    instead of running (the plan-audit view of a user query)."""
+    ap = argparse.ArgumentParser(prog="snowav_spark sql")
+    ap.add_argument("-e", "--query", required=True, help="SQL text")
+    ap.add_argument(
+        "--tables",
+        help="directory whose <name>.parquet datasets become temp views",
+    )
+    ap.add_argument(
+        "--store", help="results-store path registered as view `results`"
+    )
+    ap.add_argument(
+        "--output", help="write the full result here instead of printing"
+    )
+    ap.add_argument(
+        "--format", default="parquet", choices=("parquet", "csv"),
+        help="--output format",
+    )
+    ap.add_argument(
+        "--limit", type=int, default=100,
+        help="max rows printed without --output (never applied to "
+        "--output writes)",
+    )
+    ap.add_argument("--explain", action="store_true")
+    args = ap.parse_args(argv)
+    if not args.tables and not args.store:
+        ap.error("need --tables and/or --store to register views")
+
+    from snowav_spark import io as io_mod
+
+    spark = get_spark(app_name="snowav_spark:sql")
+    if args.tables:
+        import glob as _glob
+
+        names = sorted(
+            os.path.basename(p)[: -len(".parquet")]
+            for p in _glob.glob(os.path.join(args.tables, "*.parquet"))
+        )
+        if not names:
+            ap.error(f"no <name>.parquet datasets under {args.tables}")
+        io_mod.register_temp_views(spark, args.tables, tuple(names))
+    if args.store:
+        spark.read.parquet(args.store).createOrReplaceTempView("results")
+
+    df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    if args.output:
+        w = df.write.mode("overwrite")
+        if args.format == "csv":
+            w.option("header", True).csv(args.output)
+        else:
+            w.parquet(args.output)
+        print(json.dumps({"output": args.output, "format": args.format}))
+        return 0
+    for r in df.limit(args.limit).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def explain_main(argv: list[str]) -> int:
     """``python -m snowav_spark explain <key> [...]`` — print the
     optimized physical plan for any contract query key, the same
@@ -472,6 +542,8 @@ def main(argv: list[str] | None = None) -> int:
         return explain_main(argv[1:])
     if argv and argv[0] == "index":
         return index_main(argv[1:])
+    if argv and argv[0] == "sql":
+        return sql_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

@@ -239,6 +239,61 @@ def test_cli_zarr_run_dir(spark, tmp_path):
     pd.testing.assert_frame_equal(zframe, nframe)
 
 
+def test_cli_sql_adhoc(spark, sf_dir, tmp_path, capsys):
+    """`sql` subcommand: fixture tables register as views, results print
+    as JSON lines or land as CSV, and --explain prints a plan without
+    executing."""
+    import json as _json
+    import os
+
+    from snowav_spark import cli
+
+    rc = cli.main(
+        [
+            "sql", "--tables", sf_dir, "-e",
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY 1 ORDER BY 1",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    got = {d["l_returnflag"]: d["n"] for d in lines}
+    want = {
+        r.l_returnflag: r.n
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    out = str(tmp_path / "sqlout")
+    rc = cli.main(
+        [
+            "sql", "--tables", sf_dir, "--output", out, "--format", "csv",
+            "-e", "SELECT r_regionkey, r_name FROM region",
+        ]
+    )
+    assert rc == 0
+    frame = pd.concat(
+        pd.read_csv(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".csv")
+    )
+    assert len(frame) == 5
+
+    rc = cli.main(
+        ["sql", "--tables", sf_dir, "--explain", "-e",
+         "SELECT count(*) FROM orders"]
+    )
+    assert rc == 0
+    assert "AdaptiveSparkPlan" in capsys.readouterr().out
+
+
 def test_cli_missing_config():
     from snowav_spark import cli
 
