@@ -106,7 +106,7 @@ class ZarrReader(DataSourceReader):
         )
 
     def read(self, partition: _ChunkPartition):
-        yield from _chunk_rows(
+        yield from _chunk_batches(
             partition.array_dir,
             partition.variable,
             tuple(partition.coord),
@@ -114,10 +114,10 @@ class ZarrReader(DataSourceReader):
         )
 
 
-def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
-    """Decode one chunk to tall rows: edge trim, fill/non-finite → NaN
-    (the masked_to_nan rule), global (t, y, x) indices — shared by the
-    batch partitions and the streaming micro-batches."""
+def _chunk_block(array_dir: str, variable: str, coord: tuple, meta: dict):
+    """Decode one chunk: edge trim, fill/non-finite → NaN (the
+    masked_to_nan rule), padded to 3-D, plus its global (t, y, x)
+    offsets — the shared kernel under both emission forms."""
     import numpy as np
 
     from snowav_spark.sources import zarr
@@ -142,7 +142,39 @@ def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
     while len(offs) < 3:
         offs.insert(0, 0)
         block = block[np.newaxis, ...]
-    t0, y0, x0 = offs
+    return block, tuple(offs)
+
+
+def _chunk_batches(array_dir: str, variable: str, coord: tuple, meta: dict):
+    """One Arrow RecordBatch per chunk — rows never materialize as
+    Python objects (the netcdf_source discipline: columnar all the way
+    from the NumPy block to the JVM; measured ~8× over per-cell
+    tuple yields on the scale probe)."""
+    import numpy as np
+    import pyarrow as pa
+
+    block, (t0, y0, x0) = _chunk_block(array_dir, variable, coord, meta)
+    nt, ny, nx = block.shape
+    ts, ys, xs = np.indices((nt, ny, nx))
+    vals = block.ravel()
+    n = vals.size
+    yield pa.record_batch(
+        [
+            pa.array([variable] * n, pa.string()),
+            pa.array((ts.ravel() + t0).astype("int32"), pa.int32()),
+            pa.array((ys.ravel() + y0).astype("int32"), pa.int32()),
+            pa.array((xs.ravel() + x0).astype("int32"), pa.int32()),
+            pa.array(vals, pa.float64(), mask=np.isnan(vals)),
+        ],
+        names=["variable", "t", "y", "x", "value"],
+    )
+
+
+def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
+    """Tuple-row emission of one chunk — the STREAMING path only: the
+    simple stream-reader protocol reads on the driver and pickles plain
+    rows through its offset replay, so Arrow batches don't apply."""
+    block, (t0, y0, x0) = _chunk_block(array_dir, variable, coord, meta)
     for ti in range(block.shape[0]):
         for yi in range(block.shape[1]):
             row = block[ti, yi]

@@ -196,6 +196,52 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             lambda: graph.k_core(g_edges, 4, max_rounds=300).count()
         )
 
+    # Zarr chunk-partitioned scan: one task per chunk, so scan cost is
+    # ~linear in chunk count at fixed chunk size (the layout claim of
+    # sources/zarr_source.py).  Chunks are (1, 64, 64) float64 slabs;
+    # n_docs/1000 timesteps -> n_docs/1000 chunks of 32 KiB.
+    if _only is None or "zarr_scan" in _only:
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+
+        from snowav_spark.sources import zarr as _zmod
+
+        zroot = _tf.mkdtemp(prefix="probe_zarr_")
+        zdir = zroot + "/arr"
+        t_steps = max(n_docs // 1000, 8)
+        rng = _np.random.RandomState(5)
+        # write chunk files directly (driver-side generation is NOT the
+        # timed path; the scan is)
+        _zmod.write_array(
+            zdir,
+            rng.rand(1, 64, 64),  # placeholder; meta then patched
+            (1, 64, 64),
+        )
+        import json as _json
+
+        meta = _json.load(open(zdir + "/.zarray"))
+        meta["shape"] = [t_steps, 64, 64]
+        _json.dump(meta, open(zdir + "/.zarray", "w"))
+        import zlib as _zl
+
+        for ti in range(1, t_steps):
+            raw = rng.rand(1, 64, 64).astype("<f8").tobytes()
+            with open(f"{zdir}/{ti}.0.0", "wb") as f:
+                f.write(_zl.compress(raw, 1))
+
+        from snowav_spark import sources as _sources
+
+        _sources.register(spark)
+
+        def _zarr_scan():
+            df = spark.read.format("snowav_zarr").load(zdir)
+            return df.filter(~F.isnan("value")).count()
+
+        run_op("zarr_scan", _zarr_scan)
+        _sh.rmtree(zroot, ignore_errors=True)
+
     # IVF-PQ: build cost must stay ~linear (one pass + sampled training);
     # SERVE cost must stay ~flat when n_cells grows with the corpus
     # (constant per-cell occupancy — the partition-pruned probe then
