@@ -359,6 +359,16 @@ def index_main(argv: list[str]) -> int:
         help="delete actions: comma-separated ids to tombstone "
         "(compact later folds them away physically)",
     )
+    ap.add_argument(
+        "--metadata",
+        help="build actions: comma-separated source columns stored "
+        "next to the index rows for filtered search",
+    )
+    ap.add_argument(
+        "--where",
+        help="search actions: SQL predicate over the index's stored "
+        "metadata columns",
+    )
     args = ap.parse_args(argv)
 
     from snowav_spark.ops import quantize, text as text_ops
@@ -368,17 +378,21 @@ def index_main(argv: list[str]) -> int:
         ap.error("--source is required for build actions")
     src = spark.read.parquet(args.source) if args.source else None
 
+    meta_cols = tuple(
+        c.strip() for c in args.metadata.split(",")
+    ) if args.metadata else ()
     if args.action == "build-ann":
         quantize.build_ivfpq_index(
             src, args.id_col, args.vec_col, args.index,
             n_cells=args.n_cells, m=args.m, k=args.k_codes,
             dim=args.dim, train_fraction=args.train_fraction,
+            metadata=meta_cols,
         )
         print(json.dumps({"index": args.index, "built": "ivfpq"}))
     elif args.action == "build-text":
         text_ops.build_text_index(
             src, args.id_col, args.text_col, args.index,
-            n_buckets=args.n_buckets,
+            n_buckets=args.n_buckets, doc_meta=meta_cols,
         )
         print(json.dumps({"index": args.index, "built": "text"}))
     elif args.action == "search-ann":
@@ -393,7 +407,7 @@ def index_main(argv: list[str]) -> int:
         out = quantize.search_ivfpq_index(
             spark, args.index, qv, args.id_col, k_out=args.k,
             nprobe=args.nprobe, rerank=src if args.rerank else None,
-            rerank_vec=args.vec_col,
+            rerank_vec=args.vec_col, where=args.where,
         )
         for r in out.collect():
             print(json.dumps(r.asDict()))
@@ -401,7 +415,8 @@ def index_main(argv: list[str]) -> int:
         if not args.terms:
             ap.error("search-text needs --terms")
         out = text_ops.search_text_index(
-            spark, args.index, args.terms.split(","), k=args.k
+            spark, args.index, args.terms.split(","), k=args.k,
+            where=args.where,
         )
         for r in out.collect():
             print(json.dumps(r.asDict()))

@@ -606,6 +606,65 @@ def test_cli_index_build_search_compact(spark, sf_dir, tmp_path, capsys):
     assert not os.path.isdir(ann + "/_tombstones")
 
 
+def test_cli_index_filtered_search(spark, sf_dir, tmp_path, capsys):
+    """--metadata at build + --where at search: both index families
+    serve the filtered production query from the shell."""
+    import json as _json
+
+    from snowav_spark import cli
+
+    ann = str(tmp_path / "fann")
+    assert cli.main(
+        [
+            "index", "build-ann", "--index", ann,
+            "--source", f"{sf_dir}/embeddings.parquet",
+            "--n-cells", "4", "--k-codes", "4", "--metadata", "label",
+        ]
+    ) == 0
+    assert cli.main(
+        [
+            "index", "search-ann", "--index", ann,
+            "--source", f"{sf_dir}/embeddings.parquet",
+            "--query-id", "0", "--k", "5", "--rerank",
+            "--where", "label = 2",
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    hits = [
+        _json.loads(ln) for ln in out.splitlines()
+        if ln.startswith("{") and "cos_sim" in ln
+    ]
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert hits and all(labels[h["vec_id"]] == 2 for h in hits)
+
+    tix = str(tmp_path / "ftix")
+    assert cli.main(
+        [
+            "index", "build-text", "--index", tix,
+            "--source", f"{sf_dir}/documents.parquet",
+            "--id-col", "doc_id", "--n-buckets", "8",
+            "--metadata", "lang,source",
+        ]
+    ) == 0
+    assert cli.main(
+        ["index", "search-text", "--index", tix, "--terms", "join,scan",
+         "--k", "5", "--where", "lang = 'en'"]
+    ) == 0
+    out = capsys.readouterr().out
+    hits = [
+        _json.loads(ln) for ln in out.splitlines()
+        if ln.startswith("{") and "bm25" in ln
+    ]
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert hits and all(langs[h["doc_id"]] == "en" for h in hits)
+
+
 def test_cli_curate_builds_text_index(spark, sf_dir, tmp_path):
     """--text-index makes one curate run emit a retrieval-ready inverted
     index over the curated corpus: searches return only surviving docs
