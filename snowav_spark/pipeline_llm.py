@@ -65,6 +65,18 @@ class CurationResult:
     survivors_map: DataFrame
     packed: DataFrame
     stage_counts: dict[str, int] = field(default_factory=dict)
+    # count_stages="observe": per-stage pyspark Observation objects —
+    # call observed_counts() AFTER an action has materialized the
+    # corpus (e.g. the sink write); counts then cost ZERO extra scans.
+    observations: dict = field(default_factory=dict)
+
+    def observed_counts(self) -> dict[str, int]:
+        """Stage row counts captured by observe() during the caller's
+        own action (blocks until one has run)."""
+        return {
+            name: int(obs.get["rows"])
+            for name, obs in self.observations.items()
+        }
 
 
 def curate(df: DataFrame, cfg: CurationConfig | None = None,
@@ -74,8 +86,11 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     """Run the full curation pipeline.
 
     ``count_stages=True`` materializes a count per stage for reporting —
-    off by default because each count is an extra action (at 100 TB you
-    want the counts from the sink's metrics, not extra scans).
+    off by default because each count is an extra action.
+    ``count_stages="observe"`` is the 100 TB form: each stage gets a
+    ``DataFrame.observe`` counter (a CollectMetrics node in the SAME
+    plan), so the counts ride the caller's one sink write for free —
+    read them afterwards via ``CurationResult.observed_counts()``.
 
     ``corpus_index`` switches the exact-dedup stage to INCREMENTAL mode:
     the batch is deduplicated (exact + near) against an existing corpus'
@@ -100,19 +115,26 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
 
         _ex.enforce(df, list(cfg.input_expectations))
     counts: dict[str, int] = {}
+    observations: dict = {}
 
     def note(name: str, frame: DataFrame) -> DataFrame:
+        if count_stages == "observe":
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observations[name] = obs
+            return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
         if count_stages:
             counts[name] = frame.count()
         return frame
 
-    note("raw", df)
+    df = note("raw", df)
 
     # 1. clean + redact; keep the normalized text alongside the raw.
     cleaned = df.withColumn(
         "_clean", text.clean_text(text.redact_pii(F.col(txt)))
     ).filter(F.length("_clean") > 0)
-    note("cleaned", cleaned)
+    cleaned = note("cleaned", cleaned)
 
     # 2. quality / language gate.
     q = text.quality_score(cleaned, id_c, "_clean").select(
@@ -166,7 +188,7 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
         exact = gated.join(kept, id_c, "left_semi")
     else:
         exact = dedup.drop_exact_dups(gated, "_clean", id_c)
-    note("exact_deduped", exact)
+    exact = note("exact_deduped", exact)
 
     # 4. near-dedup: shingle pairs → connected components → survivors.
     pairs = dedup.jaccard_pairs(
@@ -179,7 +201,7 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
     ).select("doc_a", "doc_b")
     survivors_map = graph.resolve_duplicates(pairs, id_c, "doc_a", "doc_b")
     corpus = graph.drop_near_dups(exact, pairs, id_c, "doc_a", "doc_b")
-    note("near_deduped", corpus)
+    corpus = note("near_deduped", corpus)
 
     # 4b. benchmark decontamination: drop training docs that leak eval
     #     n-grams (broadcast eval-gram set; one scan of the corpus).
@@ -192,7 +214,7 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
             .select(id_c)
         )
         corpus = corpus.join(leaked, id_c, "left_anti")
-        note("decontaminated", corpus)
+        corpus = note("decontaminated", corpus)
 
     # 4c. mixture balancing: md5-deterministic per-group downsampling
     #     AFTER dedup (duplicates must not inflate a group's share).
@@ -207,7 +229,7 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
             corpus = sampling.temperature_balance(
                 corpus, id_c, cfg.balance_col
             ).drop("_rate")
-        note("balanced", corpus)
+        corpus = note("balanced", corpus)
 
     # 5. pack into training bins on token counts of the cleaned text.
     lens = corpus.select(
@@ -223,4 +245,5 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
         survivors_map=survivors_map,
         packed=packed,
         stage_counts=counts,
+        observations=observations,
     )

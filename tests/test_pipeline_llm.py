@@ -49,6 +49,25 @@ def test_curate_stages(corpus):
     assert res.stage_counts["raw"] == 7
 
 
+def test_curate_observe_counts_match_eager_counts(corpus, tmp_path):
+    """count_stages="observe" rides the sink write (zero extra scans —
+    CollectMetrics nodes in the same plan) and reports the same stage
+    counts the eager count_stages=True run materializes."""
+    cfg = CurationConfig(
+        min_quality=0.5, jaccard_threshold=0.5, pack_capacity=64,
+        pack_shards=2,
+    )
+    eager = curate(corpus, cfg, count_stages=True)
+    res = curate(corpus, cfg, count_stages="observe")
+    assert res.stage_counts == {}  # nothing materialized yet
+    # the caller's own action — one corpus write — fills every upstream
+    # observation
+    res.corpus.write.mode("overwrite").parquet(str(tmp_path / "c"))
+    got = res.observed_counts()
+    assert got == eager.stage_counts
+    assert got["raw"] == 7
+
+
 def test_curate_lang_gate(spark):
     en = "the quick brown fox jumps over the lazy dog and the cat watches them"
     rows = [(0, en), (1, en.replace("the", "der").replace("and", "und"))]
