@@ -21,7 +21,8 @@ TZ=America/Denver SPARK_GRAFT_JAVA_TZ=America/Denver python tools/check.py \
     q_seasonality q_cusum_change q_growth_accounting q_activity_histogram \
     q_interarrival q_fano q_peak_concurrency q_churn q_first_touch \
     q_interval_join q_running_distinct q_top_paths \
-    q_drawdown q_median_gap
+    q_drawdown q_median_gap \
+    q_priority_lag q_top_supplier q_excess_shippers
 # fixture-regeneration drift gate (NULLs, encodings, dupes — gating
 # variants only fail on real engine divergence)
 python tools/fuzz_fixtures.py
