@@ -209,7 +209,8 @@ def curate_main(argv: list[str]) -> int:
     ap.add_argument(
         "--stats",
         action="store_true",
-        help="count every pipeline stage (extra actions over the corpus)",
+        help="report per-stage row counts via DataFrame.observe — the "
+        "counters ride the corpus write, zero extra scans",
     )
     ap.add_argument(
         "--corpus-format",
@@ -244,7 +245,8 @@ def curate_main(argv: list[str]) -> int:
         pack_shards=args.shards,
     )
     res = curate(
-        spark.read.parquet(args.input), cfg, count_stages=args.stats
+        spark.read.parquet(args.input), cfg,
+        count_stages="observe" if args.stats else False,
     )
     # corpus and survivors share the expensive clean/gate/dedup lineage,
     # and packed derives from corpus — persist both so the three writes
@@ -280,7 +282,8 @@ def curate_main(argv: list[str]) -> int:
         res.survivors_map.unpersist()
     import json
 
-    print(json.dumps({"stages": res.stage_counts, "output": args.output}))
+    stages = res.observed_counts() if args.stats else {}
+    print(json.dumps({"stages": stages, "output": args.output}))
     return 0
 
 

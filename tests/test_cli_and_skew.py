@@ -359,6 +359,7 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
             "--jaccard", "0.1",
             "--capacity", "256",
             "--shards", "4",
+            "--stats",
         ]
     )
     assert rc == 0
@@ -378,6 +379,37 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
     assert corpus.select("doc_id").join(
         survivors.filter("doc_id != canonical_id"), "doc_id"
     ).count() == 0 and losers >= 0
+
+
+def test_cli_curate_stats_observed(spark, sf_dir, tmp_path, capsys):
+    """--stats rides the corpus write via observe(): the printed stage
+    counts are real (raw = fixture size, monotone non-increasing through
+    the gates) without any extra count() scans."""
+    import json as _json
+
+    from snowav_spark import cli
+
+    out = str(tmp_path / "curated_stats")
+    rc = cli.main(
+        [
+            "curate", "--input", f"{sf_dir}/documents.parquet",
+            "--output", out, "--jaccard", "0.1", "--shards", "2",
+            "--stats",
+        ]
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    stages = _json.loads(line)["stages"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert stages["raw"] == n_docs
+    assert stages["cleaned"] <= stages["raw"]
+    assert stages["near_deduped"] <= stages["exact_deduped"]
+    assert stages["near_deduped"] == spark.read.parquet(
+        f"{out}/corpus"
+    ).count()
 
 
 def test_cli_curate_jsonl_corpus(spark, sf_dir, tmp_path):
