@@ -149,6 +149,65 @@ def test_curation_stream_cleans_gates_dedups(spark, tmp_path):
     assert "bob" not in texts and "email" in texts
 
 
+def test_progress_metrics_harvest_and_upsert(spark, tmp_path):
+    """Streaming observability: recentProgress harvests into the stable
+    metrics schema, the parquet upsert is idempotent on
+    (query_id, run_id, batch_id), re-running the stream lands only the
+    NEW batches, and the rollup report aggregates sanely."""
+    import datetime
+
+    from snowav_spark.streaming import metrics
+
+    src = str(tmp_path / "pm_in")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, f"doc {i}", t0) for i in range(10)], ["doc_id", "text", "ts"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "pm_out")
+    ckpt = str(tmp_path / "pm_ckpt")
+    mpath = str(tmp_path / "pm_metrics")
+
+    def run_once():
+        stream = incremental.stream_source(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = incremental.run_to_sink(
+            incremental.dedup_stream(stream, "ts", ["doc_id"]), out, ckpt
+        )
+        q.awaitTermination(120)
+        return q
+
+    q = run_once()
+    rows = metrics.harvest_progress(q)
+    assert rows and sum(r["num_input_rows"] or 0 for r in rows) == 10
+    # the stateful dedup surfaces state rows
+    assert any((r["state_rows"] or 0) > 0 for r in rows)
+
+    n1 = metrics.append_progress(spark, q, mpath)
+    assert n1 == len(rows) > 0
+    # re-append the SAME progress: pure upsert, nothing new, no dupes
+    assert metrics.append_progress(spark, q, mpath) == 0
+    stored = spark.read.parquet(mpath)
+    assert stored.count() == len(rows)
+
+    # second trigger over a new drop: only the new batch lands
+    spark.createDataFrame(
+        [(i, f"doc {i}", t0) for i in range(10, 14)],
+        ["doc_id", "text", "ts"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_once()
+    n2 = metrics.append_progress(spark, q2, mpath)
+    assert n2 >= 1
+    stored = spark.read.parquet(mpath)
+    assert stored.count() == len(rows) + n2
+    assert stored.agg(F.sum("num_input_rows")).first()[0] == 14
+
+    rep = metrics.progress_report(spark, mpath).collect()
+    assert sum(r.total_rows for r in rep) == 14
+    assert all(r.n_batches >= 1 for r in rep)
+
+
 def test_curation_stream_near_dedup_gate_flags_not_drops(spark, tmp_path):
     """curation_stream(near_dedup=True) e2e: the band-ownership stages
     chain after the digest dedup — an in-horizon NEAR dup is FLAGGED
