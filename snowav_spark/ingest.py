@@ -169,13 +169,28 @@ def read_zarr_outputs(
             "units", "days since 1970-01-01"
         )
         dates = [pd.Timestamp(d).date() for d in _num2date(nums, units)]
+        # every variable's t-extent must fit the time axis — checked
+        # from the drivers' .zarray metas (no Spark action): a data
+        # chunk appended before the time array update would otherwise
+        # vanish in the inner dim join, silently truncating EP1 reports
+        for name in zmod.group_arrays(path):
+            if name == time_var:
+                continue
+            shape = zmod.read_array_meta(os.path.join(path, name))["shape"]
+            t_extent = shape[0] if len(shape) == 3 else 1
+            if t_extent > len(dates):
+                raise ValueError(
+                    f"zarr group {path}: variable {name!r} has "
+                    f"{t_extent} timesteps but {time_var!r} carries "
+                    f"{len(dates)} — update the time array (or rerun "
+                    "after the writer finishes its append)"
+                )
     df = (
         spark.read.format("snowav_zarr")
         .load(path)
         .filter(F.col("variable") != time_var)
     )
     if dates is None:
-        dim = None
         mx = df.agg(F.max("t")).first()[0]
         dates = [
             datetime.date(1970, 1, 1) + datetime.timedelta(days=i)

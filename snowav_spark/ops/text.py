@@ -854,9 +854,21 @@ def build_text_index(
         overwrite_all=True,
     )
     if doc_meta:
-        df.selectExpr(f"{id_col} AS doc_id", *doc_meta).write.mode(
-            "overwrite"
-        ).parquet(path.rstrip("/") + "/_doc_meta")
+        meta = df.selectExpr(f"{id_col} AS doc_id", *doc_meta)
+        meta_dir = path.rstrip("/") + "/_doc_meta"
+        if batch_id is None:
+            meta.write.mode("overwrite").parquet(meta_dir)
+        else:
+            # streaming layout: meta rows under (_batch) like postings,
+            # so replayed builds/appends rewrite their own partition —
+            # the two layouts cannot mix under one path (same rule as
+            # _write_text_parts)
+            (
+                meta.withColumn("_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(meta_dir)
+            )
 
 
 def append_to_text_index(
@@ -889,6 +901,36 @@ def append_to_text_index(
     # bucket count from the sidecar so appends can't fork the layout
     n_buckets = int(spark.read.parquet(side).collect()[0].n_buckets)
     df = df.filter(F.col(text_col).isNotNull())
+    # metadata-carrying index: the batch's sidecar rows land with the
+    # SAME columns the build declared (schema read from the sidecar) —
+    # a metadata-less append against a meta-carrying index would leave
+    # NULL-filtered docs invisible to filtered search.  Written BEFORE
+    # the postings (a crash in between leaves orphan meta rows, which
+    # filtered search merely ignores; the reverse order would leave
+    # postings whose docs are PERMANENTLY invisible to every where=
+    # filter, with no retry path recreating them), and under a _batch
+    # dynamic-overwrite partition when batch_id is given so at-least-
+    # once replays rewrite their own meta rows instead of duplicating.
+    from snowav_spark.io import hadoop_path_exists
+
+    meta_dir = path.rstrip("/") + "/_doc_meta"
+    if hadoop_path_exists(spark, meta_dir):
+        meta_cols = [
+            c
+            for c in spark.read.parquet(meta_dir).columns
+            if c not in ("doc_id", "_batch")
+        ]
+        meta = df.selectExpr(f"{id_col} AS doc_id", *meta_cols)
+        if batch_id is None:
+            meta.write.mode("append").parquet(meta_dir)
+        else:
+            (
+                meta.withColumn("_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(meta_dir)
+            )
     _write_text_parts(
         _postings_of(df, id_col, text_col, n_buckets),
         _stats_of(df, text_col, n_buckets),
@@ -896,20 +938,6 @@ def append_to_text_index(
         batch_id,
         overwrite_all=False,
     )
-    # metadata-carrying index: append the batch's sidecar rows with the
-    # SAME columns the build declared (schema read from the sidecar) —
-    # a metadata-less append against a meta-carrying index would leave
-    # NULL-filtered docs invisible to filtered search
-    from snowav_spark.io import hadoop_path_exists
-
-    meta_dir = path.rstrip("/") + "/_doc_meta"
-    if hadoop_path_exists(spark, meta_dir):
-        meta_cols = [
-            c for c in spark.read.parquet(meta_dir).columns if c != "doc_id"
-        ]
-        df.selectExpr(f"{id_col} AS doc_id", *meta_cols).write.mode(
-            "append"
-        ).parquet(meta_dir)
 
 
 def _read_text_tombstones(spark, path: str):

@@ -158,9 +158,15 @@ def _chunk_batches(array_dir: str, variable: str, coord: tuple, meta: dict):
     ts, ys, xs = np.indices((nt, ny, nx))
     vals = block.ravel()
     n = vals.size
+    # the constant variable column is dictionary-encoded (one string +
+    # an int32 index vector) — a [variable] * n Python list would
+    # allocate n transient objects per chunk on the hot scan path
+    var_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([variable])
+    ).cast(pa.string())
     yield pa.record_batch(
         [
-            pa.array([variable] * n, pa.string()),
+            var_col,
             pa.array((ts.ravel() + t0).astype("int32"), pa.int32()),
             pa.array((ys.ravel() + y0).astype("int32"), pa.int32()),
             pa.array((xs.ravel() + x0).astype("int32"), pa.int32()),
@@ -251,11 +257,34 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                 rows.extend(_chunk_rows(adir, var, coord, meta))
         return rows
 
+    @staticmethod
+    def _covered(name: str, meta: dict) -> bool:
+        """True iff the chunk coordinate lies inside the CURRENT chunk
+        grid.  Writers append chunk files BEFORE bumping .zarray shape
+        (the natural order); a trigger firing in between must leave the
+        not-yet-covered chunk UNSEEN — folding it into the offset while
+        the stale shape yields zero rows would lose the chunk forever."""
+        sep = meta.get("dimension_separator", ".")
+        coord = tuple(int(i) for i in name.split(sep))
+        counts = [
+            -(-s // c) for s, c in zip(meta["shape"], meta["chunks"])
+        ]
+        return len(coord) == len(counts) and all(
+            i < n for i, n in zip(coord, counts)
+        )
+
     def read(self, start: dict):
+        from snowav_spark.sources import zarr
+
         seen = {k: set(v) for k, v in start.get("seen", {}).items()}
         new: dict = {}
         for var, adir in self._arrays():
-            fresh = self._chunk_names(adir) - seen.get(var, set())
+            meta = zarr.read_array_meta(adir)
+            fresh = {
+                n
+                for n in self._chunk_names(adir) - seen.get(var, set())
+                if self._covered(n, meta)
+            }
             if fresh:
                 new[var] = fresh
         if not new:

@@ -159,9 +159,12 @@ def curation_stream(
     stay in the stream so the periodic batch resolve
     (graph.resolve_duplicates over minhash_lsh_pairs) keeps its
     keep-best/canonical contract — the stream only provides the early
-    signal.  Docs shorter than ``n`` tokens carry no shingles: they get
-    doc-unique salt buckets, own all their bands, and are never flagged
-    (their dedup is the exact digest stage).  Three chained stateful
+    signal.  A per-doc SENTINEL ownership row guarantees that even a
+    doc losing EVERY band (owned_bands = 0 — a near-exact twin whose
+    digest differs) still emits, flagged, instead of vanishing at the
+    ownership count.  Docs shorter than ``n`` tokens carry no shingles:
+    they get doc-unique salt buckets, own all their bands, and are
+    never flagged (their dedup is the exact digest stage).  Three chained stateful
     operators in append mode (digest dedup → bucket ownership →
     windowed ownership count), every one watermark-bounded; rows emit
     when their ``window_len`` window closes.
@@ -195,31 +198,40 @@ def curation_stream(
     )
 
     def _bucket(b: int):
-        # same murmur3/min banding as the batch miner for banded docs;
-        # a doc-unique salt bucket for short docs, so they own all
-        # their bands and are never flagged (hash-collision odds with a
-        # real bucket are 2^-32 per band — noise, not a failure mode)
+        # same murmur3/min banding as the batch miner for banded docs
+        # (cast long so real and sentinel/salt buckets share one type);
+        # 64-bit doc-unique salt buckets for short docs, so they own
+        # all their bands (a 32-bit salt would birthday-collide across
+        # ~77k in-horizon docs and falsely flag short docs)
         return F.when(
             F.col("_sig").isNotNull(),
             F.hash(
                 *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
-            ),
-        ).otherwise(F.hash(F.col(id_col), F.lit(b - 1_000_000_007)))
+            ).cast("long"),
+        ).otherwise(F.xxhash64(F.col(id_col), F.lit(b)))
 
+    # FLAG, don't drop — structurally: besides its ``bands`` LSH keys,
+    # every doc emits ONE sentinel row (band = -1, 64-bit doc-unique
+    # bucket) that always survives the ownership dedup.  Without it, a
+    # near-dup that loses ALL its bands to an earlier in-horizon owner
+    # (P = Jaccard^num_hashes per doc — approaching 1 for near-exact
+    # twins whose digests differ) would have zero rows at the window
+    # agg and silently VANISH from the stream, which is exactly the
+    # drop the flag contract forbids.  owned_bands = count − sentinel.
+    structs = [
+        F.struct(
+            F.lit(-1).alias("band"),
+            F.xxhash64(F.col(id_col), F.lit(-1)).alias("bucket"),
+        )
+    ] + [
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+        for b in range(bands)
+    ]
     banded = sig.select(
         F.col(ts),
         F.col(id_col),
         F.col("_clean"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*structs)).alias("bb"),
     ).select(F.col(ts), F.col(id_col), "_clean", "bb.band", "bb.bucket")
     # the watermark set before the digest dedup PROPAGATES through the
     # chain — redefining it between stateful operators is disallowed
@@ -228,7 +240,7 @@ def curation_stream(
     return (
         owned.groupBy(F.window(F.col(ts), window_len), F.col(id_col))
         .agg(
-            F.count("*").alias("owned_bands"),
+            (F.count("*") - 1).alias("owned_bands"),
             F.first("_clean").alias(text_col),
         )
         .select(

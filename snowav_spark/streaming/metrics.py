@@ -70,11 +70,18 @@ def harvest_progress(query) -> list[dict]:
                     if state
                     else None
                 ),
-                "sources": ";".join(
-                    str(s.get("description"))
-                    for s in (p.get("sources") or [])
+                # absent descriptions stay NULL — str(None) would plant
+                # the literal string "None" in the table and break
+                # IS NULL dashboards
+                "sources": (
+                    ";".join(
+                        str(s["description"])
+                        for s in (p.get("sources") or [])
+                        if s.get("description") is not None
+                    )
+                    or None
                 ),
-                "sink": str((p.get("sink") or {}).get("description")),
+                "sink": (p.get("sink") or {}).get("description"),
             }
         )
     return out

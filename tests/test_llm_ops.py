@@ -1148,6 +1148,40 @@ def test_text_index_metadata_filtered_search(spark, tmp_path):
         ).collect()
 
 
+def test_text_index_meta_batch_replay_idempotent(spark, tmp_path):
+    """Streaming (_batch) layout with doc_meta: an at-least-once REPLAY
+    of an append rewrites its own meta partition instead of duplicating
+    rows, and filtered search stays correct over old + new docs."""
+    from snowav_spark.ops import text as t
+
+    a = spark.createDataFrame(
+        [(1, "spark data engines", "en"), (2, "datos del lago", "es")],
+        ["doc_id", "text", "lang"],
+    )
+    b = spark.createDataFrame(
+        [(3, "more spark data arrives", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    path = str(tmp_path / "metastream")
+    t.build_text_index(
+        a, "doc_id", "text", path, n_buckets=4, batch_id=0,
+        doc_meta=("lang",),
+    )
+    t.append_to_text_index(b, "doc_id", "text", path, batch_id=1)
+    # replay batch 1 (at-least-once): meta must NOT duplicate
+    t.append_to_text_index(b, "doc_id", "text", path, batch_id=1)
+    meta = spark.read.parquet(path + "/_doc_meta")
+    assert meta.count() == 3
+    assert meta.filter(F.col("doc_id") == 3).count() == 1
+    en = {
+        r.doc_id
+        for r in t.search_text_index(
+            spark, path, ["data"], k=10, where="lang = 'en'"
+        ).collect()
+    }
+    assert en == {1, 3}
+
+
 def test_text_index_delete_tombstones_then_compact(spark, tmp_path):
     """Delete lifecycle: tombstoned docs vanish from search IMMEDIATELY
     and scores over survivors equal a fresh rebuild on the surviving

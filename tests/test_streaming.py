@@ -218,9 +218,28 @@ def test_curation_stream_near_dedup_gate_flags_not_drops(spark, tmp_path):
     resolve contract (pipeline_llm near-dedup parity tests unchanged)."""
     import datetime
 
+    from snowav_spark.ops import dedup
+
     base = " ".join(f"w{i}" for i in range(40))
     near = " ".join(f"w{i}" for i in range(39)) + " changed"
     novel = " ".join(f"x{i}" for i in range(40))
+    # a FULL-collision near dup for the sentinel path: a one-token
+    # suffix whose new shingle changes none of the 32 minhash minima
+    # (~43% of candidates — derived from the deterministic batch
+    # banding, not hardcoded), so all 8 bands collide with doc 0's
+    # while the digest differs
+    cands = [(i, base + f" z{i}") for i in range(30)] + [(999, base)]
+    bb = dedup.minhash_bands(
+        spark.createDataFrame(cands, ["doc_id", "text"]), "doc_id", "text"
+    ).collect()
+    base_bk = {(r.band, r.bucket) for r in bb if r.doc_id == 999}
+    full = None
+    for i in range(30):
+        if {(r.band, r.bucket) for r in bb if r.doc_id == i} == base_bk:
+            full = base + f" z{i}"
+            break
+    assert full is not None, "no full-collision suffix in 30 candidates"
+    total = full
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     t1 = datetime.datetime(2024, 1, 1, 12, 30, 0)
     flush = datetime.datetime(2024, 1, 1, 18, 0, 0)
@@ -228,7 +247,8 @@ def test_curation_stream_near_dedup_gate_flags_not_drops(spark, tmp_path):
     src = str(tmp_path / "cnd_in")
     drops = [
         [(0, base, t0)],
-        [(1, base, t1), (2, near, t1), (3, novel, t1), (4, "tiny doc", t1)],
+        [(1, base, t1), (2, near, t1), (3, novel, t1), (4, "tiny doc", t1),
+         (5, total, t1)],
         [(9, "flush doc only closes windows now", flush)],
     ]
     for rows in drops:
@@ -259,6 +279,12 @@ def test_curation_stream_near_dedup_gate_flags_not_drops(spark, tmp_path):
     # the near dup is KEPT but flagged with partial ownership
     assert 2 in got, "flag-don't-drop: near dup must stay in the stream"
     assert got[2].near_dup_flag and 0 < got[2].owned_bands < 8
+    # ALL-bands-lost near dup (doc 5's banding is bucket-identical to
+    # doc 0's by construction): the sentinel row keeps it in the stream
+    # at owned_bands = 0, flagged — without it the doc would silently
+    # VANISH at the ownership count (round-8 review finding)
+    assert 5 in got, "sentinel: full-loss near dup must still emit"
+    assert got[5].near_dup_flag and got[5].owned_bands == 0
     # text rides through (cleaned form)
     assert got[3].text.startswith("x0 ")
 
