@@ -390,6 +390,111 @@ def dedup_index(
     )
 
 
+def load_dedup_index(spark, path: str) -> DataFrame:
+    """The canonical read path for a PERSISTED dedup index: drops the
+    streaming ``_batch`` bookkeeping column and anti-joins the
+    ``_tombstones`` sidecar (:func:`delete_from_dedup_index`), so
+    takedown-deleted documents stop suppressing future ingests the
+    moment the tombstone lands.  Every consumer (incremental_dedup
+    callers, the ingest stream) should read through here — a raw
+    ``spark.read.parquet`` would keep enforcing deleted docs' digests
+    and buckets until compaction."""
+    from snowav_spark.io import hadoop_path_exists
+
+    idx = spark.read.parquet(path)
+    if "_batch" in idx.columns:
+        idx = idx.drop("_batch")
+    tomb = path.rstrip("/") + "/_tombstones"
+    if hadoop_path_exists(spark, tomb):
+        id_col = idx.columns[0]
+        idx = idx.join(
+            spark.read.parquet(tomb).withColumnRenamed(
+                "doc_id", id_col
+            ),
+            id_col,
+            "left_anti",
+        )
+    return idx
+
+
+def delete_from_dedup_index(spark, path: str, ids, id_col="doc_id") -> int:
+    """Tombstone documents in a persisted dedup index — the takedown /
+    policy-change eviction path (the delete_from_text_index twin with
+    INVERTED polarity: here a delete means the doc's digest and LSH
+    buckets stop SUPPRESSING future ingests, so equivalent content can
+    legitimately re-enter the corpus).  Index rows are never rewritten:
+    ids append to a ``_tombstones`` sidecar that
+    :func:`load_dedup_index` anti-joins and
+    :func:`compact_dedup_index` folds away physically.  Idempotent;
+    ids absent from the index are ignored.  NOTE: this evicts the
+    INDEX entry only — removing the doc from the corpus sink itself is
+    the sink's delete (partition rewrite / tombstoned store).
+    Returns the number of newly tombstoned documents."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    ids = ids.selectExpr(
+        f"CAST({ids.columns[0]} AS LONG) AS doc_id"
+    ).distinct()
+    from snowav_spark.io import hadoop_path_exists
+
+    tomb = path.rstrip("/") + "/_tombstones"
+    if hadoop_path_exists(spark, tomb):
+        ids = ids.join(spark.read.parquet(tomb), "doc_id", "left_anti")
+    idx = spark.read.parquet(path)
+    present = (
+        idx.selectExpr(f"CAST({idx.columns[0]} AS LONG) AS doc_id")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .distinct()
+        .persist()
+    )
+    try:
+        n = present.count()
+        if n:
+            present.coalesce(1).write.mode("append").parquet(tomb)
+    finally:
+        present.unpersist()
+    return n
+
+
+def compact_dedup_index(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Fold a streamed ``(_batch)`` dedup-index layout into a flat
+    serving layout, physically dropping tombstoned rows and retiring
+    the sidecar (the compact_text_index twin).  Run after the ingest
+    stream is stopped."""
+    import shutil
+
+    from snowav_spark import sinks
+    from snowav_spark.io import hadoop_path_exists
+
+    tombs = path.rstrip("/") + "/_tombstones"
+    tomb = (
+        spark.read.parquet(tombs)
+        if hadoop_path_exists(spark, tombs)
+        else None
+    )
+
+    def _fold(df):
+        if "_batch" in df.columns:
+            df = df.drop("_batch")
+        if tomb is not None:
+            id_col = df.columns[0]
+            df = df.join(
+                tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+            )
+        return df
+
+    n_files = sinks.compact_partitions(
+        spark,
+        path,
+        target_rows_per_file=target_rows_per_file,
+        transform=_fold,
+    )
+    shutil.rmtree(tombs, ignore_errors=True)
+    return n_files
+
+
 def incremental_dedup(
     new: DataFrame,
     index: DataFrame,

@@ -405,7 +405,9 @@ def incremental_ingest_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if _parquet_exists(spark, index_path):
-            index = spark.read.parquet(index_path).drop("_batch")
+            # canonical read: drops _batch AND anti-joins tombstones, so
+            # takedown-deleted docs stop suppressing new ingests
+            index = dedup_ops.load_dedup_index(spark, index_path)
         else:  # first batch: dedup only within itself
             index = dedup_ops.dedup_index(batch.limit(0), id_col, text_col)
         fresh = dedup_ops.incremental_dedup(

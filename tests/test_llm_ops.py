@@ -1148,6 +1148,50 @@ def test_text_index_metadata_filtered_search(spark, tmp_path):
         ).collect()
 
 
+def test_dedup_index_tombstones_reopen_content(spark, tmp_path):
+    """Dedup-index takedown semantics (INVERTED polarity vs the
+    retrieval indexes): tombstoning a doc's index rows lets equivalent
+    content re-enter on the next ingest, while untouched docs keep
+    suppressing their twins; re-delete is a no-op; compaction folds the
+    rows away and retires the sidecar."""
+    import os
+
+    from snowav_spark.ops import dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog near the bank"
+    text_b = "completely different content about spark catalyst tungsten"
+    corpus = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "dix")
+    dedup.dedup_index(corpus, "doc_id", "text").write.parquet(path)
+
+    batch = spark.createDataFrame(
+        [(10, text_a), (11, text_b)], ["doc_id", "text"]
+    )
+    # both twins suppressed against the live index
+    kept = dedup.incremental_dedup(
+        batch, dedup.load_dedup_index(spark, path), "doc_id", "text"
+    )
+    assert kept.count() == 0
+
+    # takedown doc 1: its content may re-enter; doc 2 still suppresses
+    assert dedup.delete_from_dedup_index(spark, path, [1, 99]) == 1
+    assert dedup.delete_from_dedup_index(spark, path, [1]) == 0
+    kept = dedup.incremental_dedup(
+        batch, dedup.load_dedup_index(spark, path), "doc_id", "text"
+    )
+    assert [r.doc_id for r in kept.collect()] == [10]
+
+    # compaction: physical fold + sidecar retirement
+    dedup.compact_dedup_index(spark, path)
+    assert not os.path.isdir(path + "/_tombstones")
+    remaining = {
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+    assert remaining == {2}
+
+
 def test_text_index_meta_batch_replay_idempotent(spark, tmp_path):
     """Streaming (_batch) layout with doc_meta: an at-least-once REPLAY
     of an append rewrites its own meta partition instead of duplicating
