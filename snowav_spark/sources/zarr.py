@@ -50,24 +50,129 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, ".zarray")
 
 
+def _v3_meta_path(path: str) -> str:
+    return os.path.join(path, "zarr.json")
+
+
+def _v3_node_type(path: str) -> str | None:
+    p = _v3_meta_path(path)
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f).get("node_type")
+    except (OSError, ValueError):
+        return None
+
+
 def is_zarr_array(path: str) -> bool:
-    return os.path.isfile(_meta_path(path))
+    return (
+        os.path.isfile(_meta_path(path))
+        or _v3_node_type(path) == "array"
+    )
 
 
 def is_zarr_group(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, ".zgroup"))
+    return (
+        os.path.isfile(os.path.join(path, ".zgroup"))
+        or _v3_node_type(path) == "group"
+    )
+
+
+_V3_DTYPES = {
+    "bool": "|b1",
+    "int8": "|i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "|u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+}
+
+
+def _read_v3_meta(path: str) -> dict:
+    """Normalize a v3 ``zarr.json`` array descriptor into the SAME dict
+    shape the v2 reader consumes (shape/chunks/dtype/compressor/
+    fill_value/order + a ``_key`` chunk-name encoding tag), so every
+    downstream consumer — read_chunk, the Spark source, ingest — is
+    version-blind.  Supported codec chain: one ``bytes`` (endian)
+    array→bytes codec optionally followed by ``gzip``/``zlib``
+    bytes→bytes; ``blosc``/``zstd``/``crc32c``/``transpose``/sharding
+    raise by name."""
+    with open(_v3_meta_path(path)) as f:
+        m = json.load(f)
+    if m.get("zarr_format") != 3 or m.get("node_type") != "array":
+        raise ValueError(f"not a zarr v3 array descriptor at {path}")
+    grid = m.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ValueError(
+            f"unsupported v3 chunk_grid {grid.get('name')!r} at {path} "
+            "(only 'regular'; sharding is out of scope)"
+        )
+    base = _V3_DTYPES.get(m.get("data_type"))
+    if base is None:
+        raise ValueError(
+            f"unsupported v3 data_type {m.get('data_type')!r} at {path}"
+        )
+    endian = "little"
+    compressor = None
+    codecs = m.get("codecs") or [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    seen_bytes = False
+    for c in codecs:
+        name = c.get("name")
+        conf = c.get("configuration") or {}
+        if name == "bytes":
+            endian = conf.get("endian", "little")
+            seen_bytes = True
+        elif name in ("gzip", "zlib"):
+            compressor = {"id": name}
+        else:
+            raise ValueError(
+                f"unsupported v3 codec {name!r} at {path} — this "
+                "pure-stdlib reader handles bytes/gzip/zlib only"
+            )
+    if not seen_bytes:
+        raise ValueError(f"v3 codec chain lacks 'bytes' at {path}")
+    if base.startswith("|"):
+        dtype = base
+    else:
+        dtype = ("<" if endian == "little" else ">") + base
+    key = m.get("chunk_key_encoding") or {"name": "default"}
+    key_name = key.get("name", "default")
+    key_sep = (key.get("configuration") or {}).get(
+        "separator", "/" if key_name == "default" else "."
+    )
+    if key_name not in ("default", "v2"):
+        raise ValueError(
+            f"unsupported v3 chunk_key_encoding {key_name!r} at {path}"
+        )
+    return {
+        "zarr_format": 3,
+        "shape": m["shape"],
+        "chunks": grid.get("configuration", {})["chunk_shape"],
+        "dtype": dtype,
+        "compressor": compressor,
+        "fill_value": m.get("fill_value"),
+        "order": "C",
+        "filters": None,
+        "_key": (key_name, key_sep),
+        "_attrs": m.get("attributes") or {},
+    }
 
 
 def read_array_meta(path: str) -> dict:
-    """The parsed ``.zarray`` descriptor, validated to the supported
-    subset.  Raises with the codec name on unsupported compressors and
-    on filter chains — never silently mis-decodes."""
+    """The parsed array descriptor (v2 ``.zarray`` or v3 ``zarr.json``,
+    normalized to one dict shape), validated to the supported subset.
+    Raises with the codec name on unsupported compressors and on
+    filter chains — never silently mis-decodes."""
+    if not os.path.isfile(_meta_path(path)):
+        if _v3_node_type(path) == "array":
+            return _read_v3_meta(path)
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
         raise ValueError(
             f"unsupported zarr_format {meta.get('zarr_format')!r} "
-            f"(only v2) at {path}"
+            f"(only v2/v3) at {path}"
         )
     comp = meta.get("compressor")
     if comp is not None:
@@ -99,8 +204,38 @@ def _chunk_grid(meta: dict) -> list[tuple[int, ...]]:
 
 
 def chunk_file(path: str, meta: dict, coord: tuple[int, ...]) -> str:
+    key = meta.get("_key")
+    if key is not None:  # v3: 'default' prefixes the key with "c"
+        name, sep = key
+        parts = [str(i) for i in coord]
+        joined = sep.join(["c", *parts] if name == "default" else parts)
+        return os.path.join(path, joined)
     sep = meta.get("dimension_separator", ".")
     return os.path.join(path, sep.join(str(i) for i in coord))
+
+
+def parse_chunk_name(name: str, meta: dict) -> tuple[int, ...] | None:
+    """Inverse of :func:`chunk_file` for FLAT (single-file-name) chunk
+    keys: the grid coordinate encoded in ``name``, or None when the
+    name is not a chunk key of this array's encoding.  Nested ("/")
+    encodings have no flat name to parse — callers that list
+    directories flatly (the streaming source) must refuse those."""
+    key = meta.get("_key")
+    if key is not None:
+        kname, sep = key
+        parts = name.split(sep)
+        if kname == "default":
+            if not parts or parts[0] != "c":
+                return None
+            parts = parts[1:]
+    else:
+        parts = name.split(meta.get("dimension_separator", "."))
+    if len(parts) != len(meta["shape"]):
+        return None
+    try:
+        return tuple(int(i) for i in parts)
+    except ValueError:
+        return None
 
 
 def read_chunk(path: str, meta: dict, coord: tuple[int, ...]) -> np.ndarray:
@@ -156,12 +291,15 @@ def read_array(path: str) -> np.ndarray:
 
 
 def read_attrs(path: str) -> dict:
-    """.zattrs if present (user attributes, e.g. units/_FillValue)."""
+    """User attributes (units/_FillValue …): v2 ``.zattrs`` sidecar, or
+    the ``attributes`` object inlined in a v3 ``zarr.json``."""
     p = os.path.join(path, ".zattrs")
-    if not os.path.isfile(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    if _v3_node_type(path) == "array":
+        return _read_v3_meta(path)["_attrs"]
+    return {}
 
 
 def group_arrays(path: str) -> list[str]:
@@ -243,6 +381,96 @@ def write_array(
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         with open(fp, "wb") as f:
             f.write(raw)
+
+
+_V3_NAMES = {v.lstrip("|<>"): k for k, v in _V3_DTYPES.items()}
+
+
+def write_array_v3(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str | None = "gzip",
+    fill_value=None,
+    separator: str = "/",
+    attrs: dict | None = None,
+    skip_fill_chunks: bool = False,
+) -> None:
+    """v3 fixture writer (independent of the reader, like
+    :func:`write_array`): ``zarr.json`` descriptor + 'default'
+    chunk-key encoding ("c" prefix), bytes codec in the array's
+    endianness, optional gzip."""
+    import gzip as _gzip
+    from itertools import product
+
+    os.makedirs(path, exist_ok=True)
+    chunks = tuple(chunks or arr.shape)
+    base = arr.dtype.str.lstrip("|<>")
+    if base not in _V3_NAMES:
+        raise ValueError(f"no v3 data_type for numpy {arr.dtype.str!r}")
+    endian = "big" if arr.dtype.str.startswith(">") else "little"
+    codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if compressor == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    if isinstance(fill_value, float) and not np.isfinite(fill_value):
+        fv = (
+            "NaN" if np.isnan(fill_value)
+            else "Infinity" if fill_value > 0 else "-Infinity"
+        )
+    else:
+        fv = fill_value
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": _V3_NAMES[base],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": separator},
+        },
+        "fill_value": fv if fv is not None else 0,
+        "codecs": codecs,
+        "attributes": attrs or {},
+    }
+    with open(_v3_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    counts = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    for coord in product(*[range(n) for n in counts]):
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(coord, chunks, arr.shape)
+        )
+        block = arr[sl]
+        full = np.empty(chunks, dtype=arr.dtype)
+        full[...] = fill_value if fill_value is not None else 0
+        full[tuple(slice(0, b) for b in block.shape)] = block
+        if skip_fill_chunks and fill_value is not None:
+            if isinstance(fill_value, float) and np.isnan(fill_value):
+                if bool(np.all(np.isnan(full))):
+                    continue
+            elif bool(np.all(full == fill_value)):
+                continue
+        raw = full.tobytes(order="C")
+        if compressor == "gzip":
+            raw = _gzip.compress(raw, 1)
+        name = separator.join(["c", *[str(i) for i in coord]])
+        fp = os.path.join(path, name)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as f:
+            f.write(raw)
+
+
+def write_group_v3(path: str, arrays: dict, **kw) -> None:
+    """v3 group fixture: ``zarr.json`` node_type=group + member arrays."""
+    os.makedirs(path, exist_ok=True)
+    with open(_v3_meta_path(path), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group"}, f)
+    for name, arr in arrays.items():
+        write_array_v3(os.path.join(path, name), arr, **kw)
 
 
 def write_group(path: str, arrays: dict, **kw) -> None:

@@ -220,9 +220,13 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                 for n in zarr.group_arrays(self.path)
             ]
         for _, adir in pairs:
-            if zarr.read_array_meta(adir).get(
-                "dimension_separator", "."
-            ) == "/":
+            meta = zarr.read_array_meta(adir)
+            sep = (
+                meta["_key"][1]
+                if meta.get("_key") is not None
+                else meta.get("dimension_separator", ".")
+            )
+            if sep == "/":
                 raise ValueError(
                     "snowav_zarr streaming supports '.'-separated chunk "
                     f"names only (flat listing = the offset set); {adir} "
@@ -251,27 +255,30 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
             if not names:
                 continue
             meta = zarr.read_array_meta(adir)
-            sep = meta.get("dimension_separator", ".")
             for name in sorted(names):
-                coord = tuple(int(i) for i in name.split(sep))
+                coord = zarr.parse_chunk_name(name, meta)
+                if coord is None:
+                    continue
                 rows.extend(_chunk_rows(adir, var, coord, meta))
         return rows
 
     @staticmethod
     def _covered(name: str, meta: dict) -> bool:
-        """True iff the chunk coordinate lies inside the CURRENT chunk
-        grid.  Writers append chunk files BEFORE bumping .zarray shape
-        (the natural order); a trigger firing in between must leave the
+        """True iff ``name`` parses as a chunk key (any metadata files
+        are skipped) whose coordinate lies inside the CURRENT chunk
+        grid.  Writers append chunk files BEFORE bumping the shape (the
+        natural order); a trigger firing in between must leave the
         not-yet-covered chunk UNSEEN — folding it into the offset while
         the stale shape yields zero rows would lose the chunk forever."""
-        sep = meta.get("dimension_separator", ".")
-        coord = tuple(int(i) for i in name.split(sep))
+        from snowav_spark.sources import zarr
+
+        coord = zarr.parse_chunk_name(name, meta)
+        if coord is None:
+            return False
         counts = [
             -(-s // c) for s, c in zip(meta["shape"], meta["chunks"])
         ]
-        return len(coord) == len(counts) and all(
-            i < n for i, n in zip(coord, counts)
-        )
+        return all(i < n for i, n in zip(coord, counts))
 
     def read(self, start: dict):
         from snowav_spark.sources import zarr

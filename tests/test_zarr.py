@@ -161,6 +161,81 @@ def test_spark_source_single_array_and_1d(spark, tmp_path):
     assert [r.value for r in rows] == list(map(float, range(10)))
 
 
+def test_v3_roundtrip_and_spark_source(spark, tmp_path):
+    """Zarr v3: zarr.json descriptors, 'c'-prefixed default chunk keys,
+    bytes+gzip codec chain, inline attributes — normalized into the
+    same read path; the Spark source and EP1 ingest are version-blind."""
+    from snowav_spark import sources
+
+    sources.register(spark)
+    rng = np.random.RandomState(21)
+    cases = [
+        (rng.rand(5, 7), (2, 3), "gzip", "/"),
+        (rng.rand(4, 4).astype("<f4"), (3, 3), None, "."),
+        ((rng.rand(6) * 50).astype("<i4"), (4,), "gzip", "/"),
+        (rng.rand(2, 3, 4).astype(">f8"), (1, 2, 2), None, "/"),
+    ]
+    for i, (arr, chunks, comp, sep) in enumerate(cases):
+        p = str(tmp_path / f"v3_{i}")
+        zarr.write_array_v3(
+            p, arr, chunks, compressor=comp, separator=sep
+        )
+        got = zarr.read_array(p)
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
+
+    # group + inline attrs + Spark scan
+    g = str(tmp_path / "v3grp")
+    zarr.write_group_v3(
+        g, {"swe": rng.rand(3, 4)}, chunks=(2, 2),
+        attrs={"units": "mm"},
+    )
+    assert zarr.group_arrays(g) == ["swe"]
+    assert zarr.read_attrs(os.path.join(g, "swe"))["units"] == "mm"
+    df = spark.read.format("snowav_zarr").load(g)
+    got = {(r.y, r.x): r.value for r in df.collect()}
+    want = zarr.read_array(os.path.join(g, "swe"))
+    assert len(got) == 12
+    assert all(got[(y, x)] == want[y, x] for y in range(3) for x in range(4))
+
+
+def test_v3_sparse_fill_and_unsupported_codecs(tmp_path):
+    """v3 fill semantics (missing chunk = fill, 'NaN' JSON string) and
+    loud refusals on the codecs the stdlib can't do exactly."""
+    arr = np.full((4, 4), -7.0)
+    arr[0, 0] = 3.0
+    p = str(tmp_path / "v3sparse")
+    zarr.write_array_v3(
+        p, arr, (2, 2), fill_value=-7.0, skip_fill_chunks=True
+    )
+    np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+    import json as _json
+
+    bad = str(tmp_path / "v3bad")
+    os.makedirs(bad)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {}},
+        ],
+    }
+    _json.dump(meta, open(os.path.join(bad, "zarr.json"), "w"))
+    with pytest.raises(ValueError, match="zstd"):
+        zarr.read_array_meta(bad)
+    meta["codecs"] = [{"name": "bytes", "configuration": {}}]
+    meta["chunk_grid"] = {"name": "sharding_indexed", "configuration": {}}
+    _json.dump(meta, open(os.path.join(bad, "zarr.json"), "w"))
+    with pytest.raises(ValueError, match="regular"):
+        zarr.read_array_meta(bad)
+
+
 def test_zarr_stream_reads_appended_timesteps(spark, tmp_path):
     """Streaming a GROWING store: each availableNow pass picks up only
     the chunk files that appeared since the checkpoint — the model
@@ -212,6 +287,52 @@ def test_zarr_stream_reads_appended_timesteps(spark, tmp_path):
     assert both.count() == 8
     vals = {(r.t, r.y, r.x): r.value for r in both.collect()}
     assert vals[(0, 0, 0)] == 5.0 and vals[(1, 1, 1)] == 7.0
+
+
+def test_v3_stream_with_dot_keys(spark, tmp_path):
+    """v3 arrays with '.'-separated default keys ('c.0.0') stream: the
+    name parser strips the 'c' prefix, metadata files are skipped, and
+    a grow-resume cycle lands only the new chunk."""
+    import json as _json
+
+    from snowav_spark import sources
+
+    sources.register(spark)
+    g = str(tmp_path / "v3grow")
+    zarr.write_group_v3(
+        g, {"swe": np.full((1, 2, 2), 4.0)},
+        chunks=(1, 2, 2), separator=".", compressor=None,
+    )
+    out = str(tmp_path / "v3s_out")
+    ckpt = str(tmp_path / "v3s_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("snowav_zarr")
+            .load(g)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 4
+
+    mp = os.path.join(g, "swe", "zarr.json")
+    meta = _json.load(open(mp))
+    open(os.path.join(g, "swe", "c.1.0.0"), "wb").write(
+        np.full((1, 2, 2), 6.0).astype("<f8").tobytes()
+    )
+    meta["shape"] = [2, 2, 2]
+    _json.dump(meta, open(mp, "w"))
+    run_once()
+    both = spark.read.parquet(out)
+    assert both.count() == 8
+    vals = {(r.t, r.y, r.x): r.value for r in both.collect()}
+    assert vals[(1, 0, 0)] == 6.0
 
 
 def test_zarr_stream_rejects_nested_separator(tmp_path):
