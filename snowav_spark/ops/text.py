@@ -1200,8 +1200,34 @@ def compact_text_index(
     shutil.move(side, old)
     shutil.move(staged, side)
     shutil.rmtree(old)
+    # _doc_meta (metadata-carrying indexes): fold the streamed _batch
+    # partitions flat and drop tombstoned docs' rows — lingering meta
+    # is only ever semi-joined (harmless) but compaction is the moment
+    # the layout is supposed to become the clean serving form.  Same
+    # staged-swap discipline as the stats sidecar.
+    from snowav_spark.io import hadoop_path_exists
+
+    meta_dir = path.rstrip("/") + "/_doc_meta"
+    if hadoop_path_exists(spark, meta_dir):
+        meta = spark.read.parquet(meta_dir)
+        if "_batch" in meta.columns:
+            meta = meta.drop("_batch")
+        if tomb is not None:
+            meta = meta.join(tomb, "doc_id", "left_anti")
+        meta = meta.localCheckpoint(eager=True)
+        m_staged = meta_dir + "._compact_staged"
+        m_old = meta_dir + "._compact_old"
+        shutil.rmtree(m_staged, ignore_errors=True)
+        if os.path.isdir(m_old) and not os.path.isdir(meta_dir):
+            shutil.move(m_old, meta_dir)
+        shutil.rmtree(m_old, ignore_errors=True)
+        meta.coalesce(1).write.parquet(m_staged)
+        shutil.move(meta_dir, m_old)
+        shutil.move(m_staged, meta_dir)
+        shutil.rmtree(m_old)
     # tombstones are now folded into the data (rows dropped, stats
-    # merged) — retire the sidecar so re-appended ids are live again
+    # merged, meta pruned) — retire the sidecar so re-appended ids are
+    # live again
     shutil.rmtree(
         path.rstrip("/") + "/_tombstones", ignore_errors=True
     )

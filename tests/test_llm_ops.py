@@ -1225,6 +1225,21 @@ def test_text_index_meta_batch_replay_idempotent(spark, tmp_path):
     }
     assert en == {1, 3}
 
+    # delete + compact: the meta sidecar folds flat (no _batch, no
+    # tombstoned doc rows) alongside the postings
+    t.delete_from_text_index(spark, path, [2])
+    t.compact_text_index(spark, path)
+    meta = spark.read.parquet(path + "/_doc_meta")
+    assert "_batch" not in meta.columns
+    assert {r.doc_id for r in meta.collect()} == {1, 3}
+    en = {
+        r.doc_id
+        for r in t.search_text_index(
+            spark, path, ["data"], k=10, where="lang = 'en'"
+        ).collect()
+    }
+    assert en == {1, 3}
+
 
 def test_text_index_delete_tombstones_then_compact(spark, tmp_path):
     """Delete lifecycle: tombstoned docs vanish from search IMMEDIATELY
