@@ -1,3 +1,4 @@
+from snowav_spark.sources.arrow_source import ArrowIPCDataSource
 from snowav_spark.sources.netcdf_source import NetCDFDataSource
 from snowav_spark.sources.raster_source import RasterGridDataSource
 from snowav_spark.sources.zarr_source import ZarrDataSource
@@ -6,11 +7,14 @@ from snowav_spark.sources.zarr_source import ZarrDataSource
 def register(spark) -> None:
     """Register every custom Python DataSource on a session (idempotent):
     ``snowav_raster`` (CSV grid files), ``snowav_netcdf`` (classic or
-    HDF5-backed NetCDF model output), and ``snowav_zarr`` (chunked Zarr
-    v2 array stores, one executor task per chunk)."""
+    HDF5-backed NetCDF model output), ``snowav_zarr`` (chunked Zarr
+    v2/v3 array stores, one executor task per chunk), and
+    ``snowav_arrow`` (Arrow IPC / Feather v2 corpora, batches passed
+    to the JVM as-is)."""
     spark.dataSource.register(RasterGridDataSource)
     spark.dataSource.register(NetCDFDataSource)
     spark.dataSource.register(ZarrDataSource)
+    spark.dataSource.register(ArrowIPCDataSource)
 
 
 def open_dataset(path_or_bytes):
