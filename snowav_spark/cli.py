@@ -213,6 +213,14 @@ def curate_main(argv: list[str]) -> int:
         "counters ride the corpus write, zero extra scans",
     )
     ap.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl", "arrow"),
+        default="parquet",
+        help="documents input format: parquet, JSONL (corrupt lines "
+        "quarantined to <output>/quarantine), or Arrow IPC/Feather "
+        "(snowav_arrow source)",
+    )
+    ap.add_argument(
         "--corpus-format",
         choices=("parquet", "jsonl"),
         default="parquet",
@@ -244,8 +252,21 @@ def curate_main(argv: list[str]) -> int:
         pack_capacity=args.capacity,
         pack_shards=args.shards,
     )
+    if args.input_format == "jsonl":
+        from snowav_spark.sources import textual
+
+        parsed = textual.read_jsonl(spark, args.input)
+        docs, bad = textual.split_quarantine(parsed)
+        bad.write.mode("overwrite").json(f"{args.output}/quarantine")
+    elif args.input_format == "arrow":
+        from snowav_spark import sources as _sources
+
+        _sources.register(spark)
+        docs = spark.read.format("snowav_arrow").load(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
     res = curate(
-        spark.read.parquet(args.input), cfg,
+        docs, cfg,
         count_stages="observe" if args.stats else False,
     )
     # corpus and survivors share the expensive clean/gate/dedup lineage,

@@ -697,6 +697,38 @@ def test_cli_index_filtered_search(spark, sf_dir, tmp_path, capsys):
     assert hits and all(langs[h["doc_id"]] == "en" for h in hits)
 
 
+def test_cli_curate_arrow_input(spark, sf_dir, tmp_path):
+    """--input-format arrow: a Feather-delivered corpus curates
+    identically to the same rows via parquet."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowav_spark import cli
+
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    adir = str(tmp_path / "arrow_in")
+    os.makedirs(adir)
+    with pa.ipc.new_file(os.path.join(adir, "docs.arrow"), table.schema) as w:
+        w.write_table(table)
+
+    out_a = str(tmp_path / "cur_a")
+    out_p = str(tmp_path / "cur_p")
+    common = ["--jaccard", "0.1", "--shards", "2"]
+    assert cli.main(
+        ["curate", "--input", adir, "--input-format", "arrow",
+         "--output", out_a, *common]
+    ) == 0
+    assert cli.main(
+        ["curate", "--input", f"{sf_dir}/documents.parquet",
+         "--output", out_p, *common]
+    ) == 0
+    a = {r.doc_id for r in spark.read.parquet(f"{out_a}/corpus").collect()}
+    p = {r.doc_id for r in spark.read.parquet(f"{out_p}/corpus").collect()}
+    assert a == p and len(a) > 0
+
+
 def test_cli_curate_builds_text_index(spark, sf_dir, tmp_path):
     """--text-index makes one curate run emit a retrieval-ready inverted
     index over the curated corpus: searches return only surviving docs
