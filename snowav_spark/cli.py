@@ -468,6 +468,68 @@ def index_main(argv: list[str]) -> int:
     return 0
 
 
+def convert_main(argv: list[str]) -> int:
+    """``python -m snowav_spark convert`` — land any supported source
+    as parquet, the switch-over path for a corpus arriving in a foreign
+    container: Zarr v2/v3 stores (``--from zarr``, chunk-partitioned),
+    NetCDF model output (``--from netcdf``, slab-partitioned), Arrow
+    IPC/Feather (``--from arrow``, batches as-is), JSONL with corrupt-
+    line quarantine (``--from jsonl``), or parquet itself (re-layout).
+    ``--zorder c1,c2`` writes the output clustered on the Z-order curve
+    of those columns (multi-dimensional row-group skipping);
+    ``--partition-by`` uses plain hive partitioning instead.  One scan,
+    one write — the conversion inherits every source's distributed
+    partitioning."""
+    ap = argparse.ArgumentParser(prog="snowav_spark convert")
+    ap.add_argument("--from", dest="src_fmt", required=True,
+                    choices=("zarr", "netcdf", "arrow", "jsonl", "parquet"))
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--zorder", help="comma list: z-order cluster columns")
+    ap.add_argument(
+        "--partition-by", help="comma list: hive partition columns"
+    )
+    ap.add_argument("--n-files", type=int, default=8,
+                    help="target file count for --zorder layouts")
+    args = ap.parse_args(argv)
+    if args.zorder and args.partition_by:
+        ap.error("--zorder and --partition-by are mutually exclusive")
+
+    from snowav_spark import ingest, sinks
+    from snowav_spark import sources as sources_mod
+
+    spark = get_spark(app_name=f"snowav_spark:convert:{args.src_fmt}")
+    sources_mod.register(spark)
+    if args.src_fmt == "zarr":
+        df = spark.read.format("snowav_zarr").load(args.input)
+    elif args.src_fmt == "netcdf":
+        df = spark.read.format("snowav_netcdf").load(args.input)
+    elif args.src_fmt == "arrow":
+        df = spark.read.format("snowav_arrow").load(args.input)
+    elif args.src_fmt == "jsonl":
+        from snowav_spark.sources import textual
+
+        parsed = textual.read_jsonl(spark, args.input)
+        df, bad = textual.split_quarantine(parsed)
+        bad.write.mode("overwrite").json(f"{args.output}.quarantine")
+    else:
+        df = spark.read.parquet(args.input)
+
+    if args.zorder:
+        sinks.write_zordered(
+            df, args.output, args.zorder.split(","), n_files=args.n_files
+        )
+    elif args.partition_by:
+        df.write.mode("overwrite").partitionBy(
+            *args.partition_by.split(",")
+        ).parquet(args.output)
+    else:
+        df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows": n}))
+    return 0
+
+
 def sql_main(argv: list[str]) -> int:
     """``python -m snowav_spark sql`` — ad-hoc Spark SQL from the shell.
 
@@ -583,6 +645,8 @@ def main(argv: list[str] | None = None) -> int:
         return index_main(argv[1:])
     if argv and argv[0] == "sql":
         return sql_main(argv[1:])
+    if argv and argv[0] == "convert":
+        return convert_main(argv[1:])
     ap = argparse.ArgumentParser(prog="snowav_spark")
     ap.add_argument("-f", "--config", required=True, help="INI config path")
     args = ap.parse_args(argv)

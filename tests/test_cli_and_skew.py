@@ -294,6 +294,63 @@ def test_cli_sql_adhoc(spark, sf_dir, tmp_path, capsys):
     assert "AdaptiveSparkPlan" in capsys.readouterr().out
 
 
+def test_cli_convert_formats(spark, sf_dir, tmp_path, capsys):
+    """`convert` lands zarr and arrow inputs as parquet (values exact),
+    jsonl quarantines corrupt lines, and --zorder produces the
+    clustered layout."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from snowav_spark import cli
+    from snowav_spark.sources import zarr as zmod
+
+    # zarr -> parquet
+    z = str(tmp_path / "zin")
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    zmod.write_array(z, arr, (2, 2))
+    zp = str(tmp_path / "zout")
+    assert cli.main(
+        ["convert", "--from", "zarr", "--input", z, "--output", zp]
+    ) == 0
+    got = {
+        (r.y, r.x): r.value for r in spark.read.parquet(zp).collect()
+    }
+    assert len(got) == 12 and got[(2, 3)] == 11.0
+
+    # arrow -> parquet with --zorder
+    a = str(tmp_path / "ain")
+    os.makedirs(a)
+    t = pa.table(
+        {"k": pa.array(range(100), pa.int64()),
+         "v": pa.array(range(100), pa.int64())}
+    )
+    with pa.ipc.new_file(os.path.join(a, "t.arrow"), t.schema) as w:
+        w.write_table(t)
+    azp = str(tmp_path / "aout")
+    assert cli.main(
+        ["convert", "--from", "arrow", "--input", a, "--output", azp,
+         "--zorder", "k,v", "--n-files", "4"]
+    ) == 0
+    assert spark.read.parquet(azp).count() == 100
+
+    # jsonl -> parquet + quarantine
+    j = str(tmp_path / "jin")
+    os.makedirs(j)
+    with open(os.path.join(j, "d.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "good line"}\n')
+        f.write("this is not json\n")
+    jp = str(tmp_path / "jout")
+    assert cli.main(
+        ["convert", "--from", "jsonl", "--input", j, "--output", jp]
+    ) == 0
+    assert spark.read.parquet(jp).filter("doc_id = 1").count() == 1
+    quarantined = spark.read.json(jp + ".quarantine")
+    assert quarantined.count() == 1
+
+
 def test_cli_missing_config():
     from snowav_spark import cli
 
