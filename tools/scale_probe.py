@@ -239,8 +239,58 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             df = spark.read.format("snowav_zarr").load(zdir)
             return df.filter(~F.isnan("value")).count()
 
+        _zarr_scan()  # untimed warmup: a PROBE_ONLY single-op run would
+        # otherwise charge session/JIT warmup entirely to the 1x leg
         run_op("zarr_scan", _zarr_scan)
         _sh.rmtree(zroot, ignore_errors=True)
+
+    # Arrow IPC source: file-per-partition scan with batches passed to
+    # the JVM as-is — growth should track file count ~linearly at fixed
+    # batch size (sources/arrow_source.py).
+    if _only is None or "arrow_scan" in _only:
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        aroot = _tf.mkdtemp(prefix="probe_arrow_")
+        n_files = max(n_docs // 25_000, 4)
+        rows_per = 25_000
+        rng = _np.random.RandomState(9)
+        schema = _pa.schema(
+            [("doc_id", _pa.int64()), ("text", _pa.string())]
+        )
+        for i in range(n_files):
+            tbl = _pa.table(
+                {
+                    "doc_id": _pa.array(
+                        range(i * rows_per, (i + 1) * rows_per),
+                        _pa.int64(),
+                    ),
+                    "text": _pa.array(
+                        [f"w{rng.randint(5000)} body" for _ in range(rows_per)]
+                    ),
+                },
+                schema=schema,
+            )
+            with _pa.ipc.new_file(
+                _os.path.join(aroot, f"p{i}.arrow"), schema
+            ) as w:
+                w.write_table(tbl)
+
+        from snowav_spark import sources as _srcs
+
+        _srcs.register(spark)
+
+        def _arrow_scan():
+            df = spark.read.format("snowav_arrow").load(aroot)
+            return df.filter(F.length("text") > 0).count()
+
+        _arrow_scan()  # untimed warmup (see zarr_scan)
+        run_op("arrow_scan", _arrow_scan)
+        _sh.rmtree(aroot, ignore_errors=True)
 
     # IVF-PQ: build cost must stay ~linear (one pass + sampled training);
     # SERVE cost must stay ~flat when n_cells grows with the corpus
