@@ -5737,6 +5737,86 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_cross_corr",
+    """
+    WITH p AS (
+        SELECT cast(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('error', 'purchase')
+        GROUP BY 1
+    ),
+    m AS (SELECT count(*) AS n,
+                 sum(cast(x AS HUGEINT)) AS sx,
+                 sum(cast(y AS HUGEINT)) AS sy,
+                 sum(cast(x AS HUGEINT) * y) AS sxy,
+                 sum(cast(x AS HUGEINT) * x) AS sxx,
+                 sum(cast(y AS HUGEINT) * y) AS syy
+          FROM p)
+    SELECT cast(n AS BIGINT) AS n_days,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(cast(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS cross_corr
+    FROM m
+    """,
+)
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of two daily metric series (EXT): Pearson r
+    between the error count and the purchase count per day — the
+    ops-to-revenue coupling question ("do error spikes track purchase
+    dips?").  The series align by ONE conditional hash aggregate (days
+    where either type occurred; the absent side counts 0 — no outer
+    join, no gap-fill pass), and r is reassembled from six EXACT
+    integer moments in decimal(38,0)/HUGEINT — the q_autocorr
+    discipline, so the only floats are the final correctly-rounded
+    conversions, two pinned sqrt()s, and one division.  Scale: the
+    moment aggregate is map-side combined over ≤|days| rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("error", "purchase")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    m = p.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        r6(num / den).alias("cross_corr"),
+    )
+
+
+@q(
     "q_ttr",
     """
     WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
@@ -8086,6 +8166,7 @@ _GRADE_ORDER = [
     "q_text_filtered",
     "q_priority_lag",
     "q_top_supplier",
+    "q_cross_corr",
     "q_supplier_cnt",
     "q_excess_shippers",
     "q_national_share",
