@@ -447,6 +447,16 @@ def main() -> int:
         ["CartesianProduct", "PythonUDF", "BroadcastNestedLoopJoin"],
     )
 
+    # 6x2. cross-correlation: one conditional hash agg + a 1-row moment
+    # aggregate — no window, no join, no Python
+    p = formatted(qs["q_cross_corr"](spark, SF))
+    check(
+        "q_cross_corr",
+        p,
+        ["partial_sum"],
+        ["Window", "PythonUDF", "CartesianProduct", "SortMergeJoin"],
+    )
+
     # 6w3b. metadata-filtered text retrieval (q_text_filtered): the
     # postings scan keeps its bucket PARTITION pruning AND the metadata
     # predicate is PUSHED into the |docs|-row _doc_meta sidecar scan;
