@@ -5817,6 +5817,139 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_corr_matrix",
+    """
+    WITH p AS (
+        SELECT cast(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1
+    ),
+    m AS (SELECT cast(count(*) AS HUGEINT) AS n,
+                 sum(cast(c_click AS HUGEINT)) AS s_click,
+                 sum(cast(c_error AS HUGEINT)) AS s_error,
+                 sum(cast(c_purchase AS HUGEINT)) AS s_purchase,
+                 sum(cast(c_signup AS HUGEINT)) AS s_signup,
+                 sum(cast(c_view AS HUGEINT)) AS s_view,
+                 sum(cast(c_click AS HUGEINT) * c_click) AS s_click_click,
+                 sum(cast(c_click AS HUGEINT) * c_error) AS s_click_error,
+                 sum(cast(c_click AS HUGEINT) * c_purchase) AS s_click_purchase,
+                 sum(cast(c_click AS HUGEINT) * c_signup) AS s_click_signup,
+                 sum(cast(c_click AS HUGEINT) * c_view) AS s_click_view,
+                 sum(cast(c_error AS HUGEINT) * c_error) AS s_error_error,
+                 sum(cast(c_error AS HUGEINT) * c_purchase) AS s_error_purchase,
+                 sum(cast(c_error AS HUGEINT) * c_signup) AS s_error_signup,
+                 sum(cast(c_error AS HUGEINT) * c_view) AS s_error_view,
+                 sum(cast(c_purchase AS HUGEINT) * c_purchase) AS s_purchase_purchase,
+                 sum(cast(c_purchase AS HUGEINT) * c_signup) AS s_purchase_signup,
+                 sum(cast(c_purchase AS HUGEINT) * c_view) AS s_purchase_view,
+                 sum(cast(c_signup AS HUGEINT) * c_signup) AS s_signup_signup,
+                 sum(cast(c_signup AS HUGEINT) * c_view) AS s_signup_view,
+                 sum(cast(c_view AS HUGEINT) * c_view) AS s_view_view
+          FROM p),
+    pairs(type_a, type_b) AS (VALUES
+           ('click', 'error'),
+           ('click', 'purchase'),
+           ('click', 'signup'),
+           ('click', 'view'),
+           ('error', 'purchase'),
+           ('error', 'signup'),
+           ('error', 'view'),
+           ('purchase', 'signup'),
+           ('purchase', 'view'),
+           ('signup', 'view'))
+    SELECT type_a, type_b,
+           round((CASE WHEN type_a = 'click' AND type_b = 'error' THEN cast(n * s_click_error - s_click * s_error AS DOUBLE) WHEN type_a = 'click' AND type_b = 'purchase' THEN cast(n * s_click_purchase - s_click * s_purchase AS DOUBLE) WHEN type_a = 'click' AND type_b = 'signup' THEN cast(n * s_click_signup - s_click * s_signup AS DOUBLE) WHEN type_a = 'click' AND type_b = 'view' THEN cast(n * s_click_view - s_click * s_view AS DOUBLE) WHEN type_a = 'error' AND type_b = 'purchase' THEN cast(n * s_error_purchase - s_error * s_purchase AS DOUBLE) WHEN type_a = 'error' AND type_b = 'signup' THEN cast(n * s_error_signup - s_error * s_signup AS DOUBLE) WHEN type_a = 'error' AND type_b = 'view' THEN cast(n * s_error_view - s_error * s_view AS DOUBLE) WHEN type_a = 'purchase' AND type_b = 'signup' THEN cast(n * s_purchase_signup - s_purchase * s_signup AS DOUBLE) WHEN type_a = 'purchase' AND type_b = 'view' THEN cast(n * s_purchase_view - s_purchase * s_view AS DOUBLE) WHEN type_a = 'signup' AND type_b = 'view' THEN cast(n * s_signup_view - s_signup * s_view AS DOUBLE) END)
+                 / nullif(sqrt(CASE WHEN type_a = 'click' THEN cast(n * s_click_click - s_click * s_click AS DOUBLE) WHEN type_a = 'error' THEN cast(n * s_error_error - s_error * s_error AS DOUBLE) WHEN type_a = 'purchase' THEN cast(n * s_purchase_purchase - s_purchase * s_purchase AS DOUBLE) WHEN type_a = 'signup' THEN cast(n * s_signup_signup - s_signup * s_signup AS DOUBLE) WHEN type_a = 'view' THEN cast(n * s_view_view - s_view * s_view AS DOUBLE) END)
+                          * sqrt(CASE WHEN type_b = 'click' THEN cast(n * s_click_click - s_click * s_click AS DOUBLE) WHEN type_b = 'error' THEN cast(n * s_error_error - s_error * s_error AS DOUBLE) WHEN type_b = 'purchase' THEN cast(n * s_purchase_purchase - s_purchase * s_purchase AS DOUBLE) WHEN type_b = 'signup' THEN cast(n * s_signup_signup - s_signup * s_signup AS DOUBLE) WHEN type_b = 'view' THEN cast(n * s_view_view - s_view * s_view AS DOUBLE) END), 0), 6)
+               AS corr
+    FROM pairs CROSS JOIN m
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX of the five daily event-type
+    count series (EXT) — the metric-coupling screen run before any
+    causal digging: which operational series move together.  ONE
+    conditional hash aggregate aligns all five series per day (absent
+    types count 0), one 21-moment aggregate (count + 5 sums + 15
+    products, decimal(38,0)/HUGEINT exact integers) feeds every pair,
+    and the 10 upper-triangle correlations are pure driver-sized
+    arithmetic over that single broadcast row — the corpus is scanned
+    ONCE regardless of how many pairs the matrix has (vs corr() per
+    pair = P scans and engine-ordered float summation that can never
+    hash-match).  Same exact-moment discipline as
+    q_cross_corr/q_autocorr."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"c_{t}")
+            for t in types
+        ]
+    )
+    moments = [F.count("*").cast("decimal(38,0)").alias("n")]
+    moments += [F.sum(dec(F.col(f"c_{t}"))).alias(f"s_{t}") for t in types]
+    moments += [
+        F.sum(dec(F.col(f"c_{a}")) * dec(F.col(f"c_{b}"))).alias(
+            f"s_{a}_{b}"
+        )
+        for a in types
+        for b in types
+        if a <= b
+    ]
+    m = p.agg(*moments)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+    ]
+    pair_df = spark.createDataFrame(pairs, "type_a string, type_b string")
+    num = None
+    for a, b in pairs:
+        expr = (
+            F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        cond = (F.col("type_a") == a) & (F.col("type_b") == b)
+        num = F.when(cond, expr) if num is None else num.when(cond, expr)
+    va = None
+    for a in types:
+        expr = (
+            F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ).cast("double")
+        va = (
+            F.when(F.col("type_a") == a, expr)
+            if va is None
+            else va.when(F.col("type_a") == a, expr)
+        )
+    vb = None
+    for b in types:
+        expr = (
+            F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        ).cast("double")
+        vb = (
+            F.when(F.col("type_b") == b, expr)
+            if vb is None
+            else vb.when(F.col("type_b") == b, expr)
+        )
+    return pair_df.crossJoin(F.broadcast(m)).select(
+        "type_a",
+        "type_b",
+        r6(num / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0))).alias(
+            "corr"
+        ),
+    )
+
+
+@q(
     "q_ttr",
     """
     WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
@@ -8167,6 +8300,7 @@ _GRADE_ORDER = [
     "q_priority_lag",
     "q_top_supplier",
     "q_cross_corr",
+    "q_corr_matrix",
     "q_supplier_cnt",
     "q_excess_shippers",
     "q_national_share",
