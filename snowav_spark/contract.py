@@ -5817,6 +5817,96 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_lag_corr",
+    """
+    WITH p AS (
+        SELECT cast(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('error', 'purchase')
+        GROUP BY 1
+    ),
+    l AS (SELECT g AS y, lag(e) OVER (ORDER BY day ASC) AS x,
+                 day - lag(day) OVER (ORDER BY day ASC) AS gap
+          FROM p),
+    v AS (SELECT x, y FROM l WHERE x IS NOT NULL AND gap = 1),
+    m AS (SELECT count(*) AS n,
+                 sum(cast(x AS HUGEINT)) AS sx,
+                 sum(cast(y AS HUGEINT)) AS sy,
+                 sum(cast(x AS HUGEINT) * y) AS sxy,
+                 sum(cast(x AS HUGEINT) * x) AS sxx,
+                 sum(cast(y AS HUGEINT) * y) AS syy
+          FROM v)
+    SELECT cast(n AS BIGINT) AS n_pairs,
+           round(cast(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(cast(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS lag_corr
+    FROM m
+    """,
+)
+def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (EXT): Pearson r between YESTERDAY's
+    error count and TODAY's purchase count — the does-X-predict-Y
+    screen that follows a q_cross_corr/q_corr_matrix hit.  Pairs form
+    by a lag window over the daily collapse, kept only for CONSECUTIVE
+    days (``gap = 1`` — a lag across a data gap would silently pair
+    non-adjacent days and bias r toward the contemporaneous value);
+    moments are the exact-integer q_autocorr discipline.  The
+    unpartitioned window is domain-bounded: it runs over ≤|days| rows,
+    never the corpus (the plan-audit whitelist rule)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("error", "purchase")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "e"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("g"),
+    )
+    w = Window.orderBy(F.asc("day"))
+    l = p.select(
+        F.col("g").alias("y"),
+        F.lag("e").over(w).alias("x"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    )
+    v = l.filter(F.col("x").isNotNull() & (F.col("gap") == 1))
+    m = v.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r6(num / den).alias("lag_corr"),
+    )
+
+
+@q(
     "q_corr_matrix",
     """
     WITH p AS (
@@ -8301,6 +8391,7 @@ _GRADE_ORDER = [
     "q_top_supplier",
     "q_cross_corr",
     "q_corr_matrix",
+    "q_lag_corr",
     "q_supplier_cnt",
     "q_excess_shippers",
     "q_national_share",
