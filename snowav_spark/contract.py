@@ -5849,13 +5849,14 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation (EXT): Pearson r between YESTERDAY's
     error count and TODAY's purchase count — the does-X-predict-Y
-    screen that follows a q_cross_corr/q_corr_matrix hit.  Pairs form
-    by a lag window over the daily collapse, kept only for CONSECUTIVE
-    days (``gap = 1`` — a lag across a data gap would silently pair
-    non-adjacent days and bias r toward the contemporaneous value);
-    moments are the exact-integer q_autocorr discipline.  The
-    unpartitioned window is domain-bounded: it runs over ≤|days| rows,
-    never the corpus (the plan-audit whitelist rule)."""
+    screen that follows a q_cross_corr/q_corr_matrix hit.  The ORACLE
+    states the lag window; the Spark plan pairs days by a DAY-SHIFT
+    EQUI-JOIN (today ⋈ yesterday on day = day+1) — the same
+    consecutive-days-only pairs (a lag across a data gap must not pair
+    non-adjacent days), but no window at all: the daily frame
+    self-joins on its own grain, fully parallel, which is exactly why
+    the plan audit's unpartitioned-window sweep stays clean.  Moments
+    are the exact-integer q_autocorr discipline."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isin("error", "purchase")
@@ -5869,13 +5870,11 @@ def q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("g"),
     )
-    w = Window.orderBy(F.asc("day"))
-    l = p.select(
-        F.col("g").alias("y"),
-        F.lag("e").over(w).alias("x"),
-        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    today = p.select(F.col("day").alias("d_t"), F.col("g").alias("y"))
+    yday = p.select(
+        F.date_add(F.col("day"), 1).alias("d_t"), F.col("e").alias("x")
     )
-    v = l.filter(F.col("x").isNotNull() & (F.col("gap") == 1))
+    v = today.join(yday, "d_t").select("x", "y")
     m = v.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
