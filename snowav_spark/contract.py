@@ -8318,18 +8318,20 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
 # prescribed (§2.1's scan row keeps q_scan_project in-window).
 #
-# Round-8 rotation (VERDICT r7 items 1+7): EIGHTEEN keys swap in —
-# the 12-key rotation-queue head (q_oov_rate … q_simhash_md5) plus the
-# six round-7 flagship graph/retrieval keys (q_media_phash,
-# q_text_index, q_hybrid_rrf, q_triangles, q_degree_hist,
-# q_assortativity).  Eighteen r07-graded keys whose SURVEY §2 rows keep
-# other in-window siblings or permanent green driver rows rotate out to
-# the locally-gated tail (every rotated-out key keeps its permanent
-# CORRECTNESS row and stays hash-gated by tools/check.py).
+# Round-9 rotation (VERDICT r8 item 1): EIGHTEEN keys swap in —
+# the 12-key rotation-queue head (q_retention … q_global_decile) plus
+# the six round-8 flagship keys with zero driver evidence
+# (q_ann_filtered, q_cross_corr, q_corr_matrix, q_lag_corr,
+# q_ship_priority, q_returned_report).  The eighteen keys that earned
+# first-time green rows in r08 (q_oov_rate … q_assortativity) rotate
+# out to the locally-gated tail (every rotated-out key keeps its
+# permanent CORRECTNESS row and stays hash-gated by tools/check.py;
+# their SURVEY §2 rows keep in-window siblings among the 32 carried
+# keys).
 
 _GRADE_ORDER = [
     # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row
-    # -- (32 carried, 18 rotated in r08 per VERDICT r7 items 1+7) ----
+    # -- (32 carried, 18 rotated in r09 per VERDICT r8 item 1) -------
     "q_zonal_mean",
     "q_rollup_total",
     "q_topk",
@@ -8362,7 +8364,28 @@ _GRADE_ORDER = [
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
-    # -- rotated in r08: rotation-queue head ---------------------------
+    # -- rotated in r09: rotation-queue head ---------------------------
+    "q_retention",
+    "q_funnel",
+    "q_skew_join",
+    "q_cohort",
+    "q_session_stats",
+    "q_temperature_mix",
+    "q_transitions",
+    "q_topk_per_group",
+    "q_zscore_outlier",
+    "q_dedup_keep_best",
+    "q_decile_stats",
+    "q_global_decile",
+    # -- rotated in r09: round-8 flagships with zero driver evidence ---
+    "q_ann_filtered",
+    "q_cross_corr",
+    "q_corr_matrix",
+    "q_lag_corr",
+    "q_ship_priority",
+    "q_returned_report",
+    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- rotated out r09 (first-time green driver rows r08) ------------
     "q_oov_rate",
     "q_bm25",
     "q_lookback_join",
@@ -8375,22 +8398,16 @@ _GRADE_ORDER = [
     "q_repetition",
     "q_quality_flags",
     "q_simhash_md5",
-    # -- rotated in r08: round-7 flagship graph/retrieval keys ---------
     "q_media_phash",
     "q_text_index",
     "q_hybrid_rrf",
     "q_triangles",
     "q_degree_hist",
     "q_assortativity",
-    # -- tail: locally gated (tools/check.py every run) ----------------
-    # -- round-8 oracle additions (queue tail; see COVERAGE.md) --------
-    "q_ann_filtered",
+    # -- round-8 oracle additions not in-window (queue tail) -----------
     "q_text_filtered",
     "q_priority_lag",
     "q_top_supplier",
-    "q_cross_corr",
-    "q_corr_matrix",
-    "q_lag_corr",
     "q_supplier_cnt",
     "q_excess_shippers",
     "q_national_share",
@@ -8446,18 +8463,6 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
-    "q_retention",
-    "q_funnel",
-    "q_skew_join",
-    "q_cohort",
-    "q_session_stats",
-    "q_temperature_mix",
-    "q_transitions",
-    "q_topk_per_group",
-    "q_zscore_outlier",
-    "q_dedup_keep_best",
-    "q_decile_stats",
-    "q_global_decile",
     "q_span_dedup",
     "q_unpivot",
     "q_dedup_bursts",
@@ -8507,9 +8512,7 @@ _GRADE_ORDER = [
     "q_hhi",
     "q_fanout_profile",
     "q_rolling_median",
-    "q_ship_priority",
     "q_trade_pairs",
-    "q_returned_report",
     "q_cheapest_supplier",
     "q_small_qty_rev",
     "q_big_orders",
