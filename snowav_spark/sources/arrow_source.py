@@ -81,6 +81,14 @@ class ArrowIPCReader(DataSourceReader):
             raise ValueError(
                 "snowav_arrow requires a load(path) file or directory"
             )
+        # Capture the planning-time schema ONCE, serialized, so every
+        # executor task validates against the schema the plan was built
+        # with — re-deriving it per task would re-list the directory
+        # and, if files appeared/vanished mid-job, silently validate
+        # against a different baseline than the plan's.
+        self._schema_bytes = (
+            _schema_of(self.path).serialize().to_pybytes()
+        )
 
     def partitions(self):
         files = _ipc_files(self.path)
@@ -89,8 +97,10 @@ class ArrowIPCReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        import pyarrow as pa
+
         reader = _open_ipc(partition.path)
-        expected = _schema_of(self.path)
+        expected = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
         if not reader.schema.equals(expected):
             raise ValueError(
                 f"snowav_arrow: {partition.path} schema differs from the "

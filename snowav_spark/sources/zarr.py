@@ -167,6 +167,10 @@ def read_array_meta(path: str) -> dict:
     if not os.path.isfile(_meta_path(path)):
         if _v3_node_type(path) == "array":
             return _read_v3_meta(path)
+        raise ValueError(
+            f"{path} is not a zarr v2/v3 array (no .zarray and no "
+            "array-typed zarr.json)"
+        )
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:

@@ -179,13 +179,25 @@ def _chunk_batches(array_dir: str, variable: str, coord: tuple, meta: dict):
 def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
     """Tuple-row emission of one chunk — the STREAMING path only: the
     simple stream-reader protocol reads on the driver and pickles plain
-    rows through its offset replay, so Arrow batches don't apply."""
+    rows through its offset replay, so Arrow batches don't apply.
+
+    Fill/non-finite cells emit SQL NULL (None), matching the batch
+    path's masked Arrow array and the netcdf stream convention — the
+    same store must aggregate identically read batch vs stream (a NaN
+    here would poison avg/sum that NULL correctly skips)."""
     block, (t0, y0, x0) = _chunk_block(array_dir, variable, coord, meta)
     for ti in range(block.shape[0]):
         for yi in range(block.shape[1]):
             row = block[ti, yi]
             for xi in range(block.shape[2]):
-                yield (variable, t0 + ti, y0 + yi, x0 + xi, float(row[xi]))
+                v = float(row[xi])
+                yield (
+                    variable,
+                    t0 + ti,
+                    y0 + yi,
+                    x0 + xi,
+                    None if v != v else v,
+                )
 
 
 class ZarrStreamReader(SimpleDataSourceStreamReader):

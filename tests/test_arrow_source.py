@@ -109,3 +109,31 @@ def test_corpus_round_trip_through_engine_ops(spark, tmp_path):
     }
     # every term appears 3x; top-3 tie-breaks alphabetically
     assert top == {"data": 3, "ducks": 3, "engines": 3}
+
+
+def test_planning_schema_is_captured_at_init(tmp_path):
+    """ADVICE r9: the per-task schema check must validate against the
+    schema captured when the reader was PLANNED, not re-derive it from
+    whatever file is alphabetically first at execution time.  Here a
+    new earlier-sorting file with a different schema appears after
+    planning; a re-deriving reader would adopt it as the baseline and
+    pass the drifted file — the captured reader must refuse it."""
+    from snowav_spark.sources.arrow_source import (
+        ArrowIPCReader,
+        _FilePartition,
+    )
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    _write_file(
+        os.path.join(d, "m.arrow"),
+        pa.table({"x": pa.array([1], pa.int64())}),
+    )
+    reader = ArrowIPCReader({"path": d})  # planning: schema = int64 x
+    drifted = os.path.join(d, "a.arrow")  # sorts before m.arrow
+    _write_file(drifted, pa.table({"x": pa.array([1.5], pa.float64())}))
+    with pytest.raises(ValueError, match="schema differs"):
+        list(reader.read(_FilePartition(drifted)))
+    # the original file still validates against the captured baseline
+    rows = list(reader.read(_FilePartition(os.path.join(d, "m.arrow"))))
+    assert sum(b.num_rows for b in rows) == 1

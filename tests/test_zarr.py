@@ -353,3 +353,36 @@ def test_spark_source_rejects_4d(tmp_path):
     zarr.write_array(p, np.zeros((2, 2, 2, 2)), (1, 1, 1, 1))
     with pytest.raises(ValueError, match="1-3 dim"):
         zarr_source.ZarrReader({"path": p}).partitions()
+
+
+def test_stream_rows_null_parity_with_batch(tmp_path):
+    """ADVICE r9: the streaming row path must emit SQL NULL (None) for
+    fill/non-finite cells, exactly as the batch Arrow path does via its
+    validity mask — the same store read batch vs stream must aggregate
+    identically (NaN would poison avg/sum that NULL skips)."""
+    from snowav_spark.sources import zarr_source
+
+    arr = np.array([[1.0, -9.0], [float("nan"), 4.0]])
+    p = str(tmp_path / "parity")
+    zarr.write_array(p, arr, (2, 2), fill_value=-9.0)
+    meta = zarr.read_array_meta(p)
+    rows = list(zarr_source._chunk_rows(p, "v", (0, 0), meta))
+    vals = {(t, y, x): v for _, t, y, x, v in rows}
+    assert vals[(0, 0, 0)] == 1.0 and vals[(0, 1, 1)] == 4.0
+    # fill and NaN cells are None, never float('nan')
+    assert vals[(0, 0, 1)] is None and vals[(0, 1, 0)] is None
+    # batch path agrees: masked cells are null in the Arrow batch
+    (batch,) = list(
+        zarr_source._chunk_batches(p, "v", (0, 0), meta)
+    )
+    col = batch.column("value")
+    assert col.null_count == 2
+
+
+def test_read_array_meta_plain_dir_is_value_error(tmp_path):
+    """A directory that is neither v2 nor v3 must raise the module's
+    documented ValueError diagnostic, not a raw FileNotFoundError."""
+    p = tmp_path / "not_zarr"
+    p.mkdir()
+    with pytest.raises(ValueError, match="not a zarr v2/v3 array"):
+        zarr.read_array_meta(str(p))
