@@ -5,11 +5,18 @@ JSON line — {"metric", "value", "unit", "queries", "sf"}.
 The driver records only a bounded TAIL of stdout, so the final line must
 stay short (BENCH_r02/r03 lost the head of a 92-entry line → "parsed":
 null).  The printed "queries" dict therefore holds only the 10 slowest
-keys; the FULL per-query timings go to BENCH_DETAIL.json next to this
-file and to stderr.
+keys; the FULL per-query timings go to BENCH_DETAIL.json (current run)
+and are APPENDED as one self-contained JSON line to BENCH_HISTORY.jsonl
+(every run, with git HEAD + timestamp), so round-over-round per-key
+regression diffs are a plain ``json.loads`` per line — never an
+escaped-text parse out of a truncated tail blob (VERDICT r8 item 4).
 
-Methodology matches BASELINE.md: per-query wall time is best-of-3 after one
-warm run; Spark session startup excluded.
+Methodology matches BASELINE.md: per-query wall time is best-of-3 after
+one warm run; Spark session startup excluded.  The 5 slowest keys are
+re-timed in isolation after the suite quiesces and the isolated number
+REPLACES the in-suite one (suite position is measurement noise, not
+query cost; replacement — not min() — keeps the headline honest in both
+directions, ADVICE r9).
 """
 
 from __future__ import annotations
@@ -54,10 +61,11 @@ def main() -> None:
     # keys are RE-TIMED after the suite has quiesced (accumulated GC /
     # checkpoint-block pressure from 190 earlier keys inflates late or
     # heavy entries — q_pack_sequences measured 0.49 s in-suite vs
-    # 0.39 s isolated in r7).  The isolated number is reported alongside
-    # and replaces the key's contribution to the headline total, so the
-    # suite metric reflects steady-state per-query cost, not suite
-    # position.
+    # 0.39 s isolated in r7).  The isolated number REPLACES the key's
+    # contribution to the headline total — not min(in-suite, isolated),
+    # which could only ever lower the total and would bias the headline
+    # downward (ADVICE r9) — so the suite metric reflects steady-state
+    # per-query cost in both directions.
     top5 = [
         k
         for k, _ in sorted(
@@ -75,7 +83,7 @@ def main() -> None:
             if i > 0:
                 best = dt if best is None else min(best, dt)
         isolated[key] = round(best, 4)
-        timings[key] = min(timings[key], isolated[key])
+        timings[key] = isolated[key]
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -87,11 +95,30 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    # Append-style history (VERDICT r8 item 4): one self-contained JSON
+    # line per bench run with the FULL per-key map, git HEAD, and a
+    # wall-clock stamp — two rounds diff with two json.loads calls.
+    import datetime
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = ""
+    hist = dict(detail)
+    hist["git_head"] = head
+    hist["utc"] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).isoformat(timespec="seconds")
+    with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(hist) + "\n")
     print(json.dumps(detail), file=sys.stderr)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
@@ -108,6 +135,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
+                "history": "BENCH_HISTORY.jsonl",
             }
         )
     )
