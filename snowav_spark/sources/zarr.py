@@ -30,7 +30,17 @@ Supported here (the subset stdlib+NumPy can do exactly):
   array boundary cuts the padding off at read;
 - ``dimension_separator`` "." (default) and "/" (nested directories);
 - ``filters`` must be null/empty — codec *filter chains* are out of
-  scope and raise rather than silently skipping a transform.
+  scope and raise rather than silently skipping a transform;
+- v3 ``sharding_indexed``: the production object-store layout (many
+  inner chunks per shard file + a binary index footer).  The
+  descriptor normalizes so the GRID IS THE INNER-CHUNK GRID —
+  ``meta["chunks"]`` is the inner chunk shape and every downstream
+  consumer (the Spark source, read_array) addresses inner chunks;
+  only the byte-fetch step knows shards exist.  The per-shard index
+  (uint64 ``(offset, nbytes)`` pairs, 2^64-1 = missing, optional
+  crc32c checksum, at the file's start or end) is parsed ONCE per
+  shard; the Spark planner does it at planning time so each executor
+  task is a single byte-range read.
 """
 
 from __future__ import annotations
@@ -87,35 +97,13 @@ _V3_DTYPES = {
 }
 
 
-def _read_v3_meta(path: str) -> dict:
-    """Normalize a v3 ``zarr.json`` array descriptor into the SAME dict
-    shape the v2 reader consumes (shape/chunks/dtype/compressor/
-    fill_value/order + a ``_key`` chunk-name encoding tag), so every
-    downstream consumer — read_chunk, the Spark source, ingest — is
-    version-blind.  Supported codec chain: one ``bytes`` (endian)
+def _parse_v3_codec_chain(codecs: list, path: str) -> tuple[str, dict | None]:
+    """(endian, compressor) from a plain v3 codec chain: one ``bytes``
     array→bytes codec optionally followed by ``gzip``/``zlib``
-    bytes→bytes; ``blosc``/``zstd``/``crc32c``/``transpose``/sharding
-    raise by name."""
-    with open(_v3_meta_path(path)) as f:
-        m = json.load(f)
-    if m.get("zarr_format") != 3 or m.get("node_type") != "array":
-        raise ValueError(f"not a zarr v3 array descriptor at {path}")
-    grid = m.get("chunk_grid", {})
-    if grid.get("name") != "regular":
-        raise ValueError(
-            f"unsupported v3 chunk_grid {grid.get('name')!r} at {path} "
-            "(only 'regular'; sharding is out of scope)"
-        )
-    base = _V3_DTYPES.get(m.get("data_type"))
-    if base is None:
-        raise ValueError(
-            f"unsupported v3 data_type {m.get('data_type')!r} at {path}"
-        )
+    bytes→bytes; everything else — ``blosc``/``zstd``/``crc32c``/
+    ``transpose``/nested sharding — raises by name."""
     endian = "little"
     compressor = None
-    codecs = m.get("codecs") or [
-        {"name": "bytes", "configuration": {"endian": "little"}}
-    ]
     seen_bytes = False
     for c in codecs:
         name = c.get("name")
@@ -125,6 +113,11 @@ def _read_v3_meta(path: str) -> dict:
             seen_bytes = True
         elif name in ("gzip", "zlib"):
             compressor = {"id": name}
+        elif name == "sharding_indexed":
+            raise ValueError(
+                f"nested sharding_indexed at {path} — one shard level "
+                "is supported, shards-of-shards are not"
+            )
         else:
             raise ValueError(
                 f"unsupported v3 codec {name!r} at {path} — this "
@@ -132,6 +125,110 @@ def _read_v3_meta(path: str) -> dict:
             )
     if not seen_bytes:
         raise ValueError(f"v3 codec chain lacks 'bytes' at {path}")
+    return endian, compressor
+
+
+def _parse_v3_index_codecs(codecs: list, path: str) -> tuple[str, bool]:
+    """(endian, crc32c?) of a shard-index codec chain (``bytes`` +
+    optional ``crc32c`` is the spec'd shape; anything else raises —
+    a mis-decoded index would address garbage byte ranges)."""
+    endian = "little"
+    crc = False
+    seen_bytes = False
+    for c in codecs:
+        name = c.get("name")
+        if name == "bytes":
+            endian = (c.get("configuration") or {}).get("endian", "little")
+            seen_bytes = True
+        elif name == "crc32c":
+            crc = True
+        else:
+            raise ValueError(
+                f"unsupported shard index codec {name!r} at {path} "
+                "(bytes + optional crc32c only)"
+            )
+    if not seen_bytes:
+        raise ValueError(f"shard index codec chain lacks 'bytes' at {path}")
+    return endian, crc
+
+
+def _read_v3_meta(path: str) -> dict:
+    """Normalize a v3 ``zarr.json`` array descriptor into the SAME dict
+    shape the v2 reader consumes (shape/chunks/dtype/compressor/
+    fill_value/order + a ``_key`` chunk-name encoding tag), so every
+    downstream consumer — read_chunk, the Spark source, ingest — is
+    version-blind.  Supported codec chains: one ``bytes`` (endian)
+    array→bytes codec optionally followed by ``gzip``/``zlib``
+    bytes→bytes, or ``sharding_indexed`` wrapping such a chain — in
+    the sharded case ``chunks`` becomes the INNER chunk shape (the
+    unit of the read grid) and ``_shard`` records the shard geometry
+    and index codec facts; ``blosc``/``zstd``/``transpose`` raise by
+    name."""
+    with open(_v3_meta_path(path)) as f:
+        m = json.load(f)
+    if m.get("zarr_format") != 3 or m.get("node_type") != "array":
+        raise ValueError(f"not a zarr v3 array descriptor at {path}")
+    grid = m.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ValueError(
+            f"unsupported v3 chunk_grid {grid.get('name')!r} at {path} "
+            "(only 'regular')"
+        )
+    base = _V3_DTYPES.get(m.get("data_type"))
+    if base is None:
+        raise ValueError(
+            f"unsupported v3 data_type {m.get('data_type')!r} at {path}"
+        )
+    outer_chunks = list(grid.get("configuration", {})["chunk_shape"])
+    codecs = m.get("codecs") or [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) > 1:
+            raise ValueError(
+                f"codecs after sharding_indexed at {path} — the shard "
+                "codec must be the whole array→bytes chain"
+            )
+        conf = codecs[0].get("configuration") or {}
+        inner = list(conf["chunk_shape"])
+        if len(inner) != len(outer_chunks) or any(
+            ic <= 0 or oc % ic != 0
+            for ic, oc in zip(inner, outer_chunks)
+        ):
+            raise ValueError(
+                f"shard chunk_shape {outer_chunks} is not a positive "
+                f"multiple of inner chunk_shape {inner} at {path}"
+            )
+        endian, compressor = _parse_v3_codec_chain(
+            conf.get("codecs")
+            or [{"name": "bytes", "configuration": {"endian": "little"}}],
+            path,
+        )
+        idx_endian, idx_crc = _parse_v3_index_codecs(
+            conf.get("index_codecs")
+            or [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "crc32c"},
+            ],
+            path,
+        )
+        loc = conf.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise ValueError(
+                f"unsupported index_location {loc!r} at {path}"
+            )
+        shard = {
+            "shape": outer_chunks,
+            "cps": [oc // ic for oc, ic in zip(outer_chunks, inner)],
+            "index_location": loc,
+            "index_endian": idx_endian,
+            "index_crc32c": idx_crc,
+        }
+        chunk_shape = inner
+    else:
+        endian, compressor = _parse_v3_codec_chain(codecs, path)
+        chunk_shape = outer_chunks
     if base.startswith("|"):
         dtype = base
     else:
@@ -148,7 +245,7 @@ def _read_v3_meta(path: str) -> dict:
     return {
         "zarr_format": 3,
         "shape": m["shape"],
-        "chunks": grid.get("configuration", {})["chunk_shape"],
+        "chunks": chunk_shape,
         "dtype": dtype,
         "compressor": compressor,
         "fill_value": m.get("fill_value"),
@@ -156,6 +253,7 @@ def _read_v3_meta(path: str) -> dict:
         "filters": None,
         "_key": (key_name, key_sep),
         "_attrs": m.get("attributes") or {},
+        "_shard": shard,
     }
 
 
@@ -242,27 +340,122 @@ def parse_chunk_name(name: str, meta: dict) -> tuple[int, ...] | None:
         return None
 
 
-def read_chunk(path: str, meta: dict, coord: tuple[int, ...]) -> np.ndarray:
-    """One chunk as a full chunk-shaped ndarray (edge padding included —
-    callers slice; :func:`read_array` does).  A missing chunk file is a
-    fill-value chunk BY SPEC, not an error."""
+#: shard index sentinel: both uint64s of an entry equal 2**64-1 when
+#: the inner chunk was never written (a fill chunk), per the v3 spec.
+SHARD_MISSING = 2**64 - 1
+
+_CRC32C_TABLE: list[int] | None = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the v3 ``crc32c`` index codec appends.  stdlib zlib.crc32 is the
+    IEEE polynomial, so this is hand-rolled (table-driven; the index
+    is KBs, not the payload)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def split_shard_coord(
+    meta: dict, coord: tuple[int, ...]
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Global inner-chunk coord → (shard grid coord, coord within the
+    shard's inner grid)."""
+    cps = meta["_shard"]["cps"]
+    return (
+        tuple(i // n for i, n in zip(coord, cps)),
+        tuple(i % n for i, n in zip(coord, cps)),
+    )
+
+
+def shard_index_nbytes(meta: dict) -> int:
+    sh = meta["_shard"]
+    n = 1
+    for c in sh["cps"]:
+        n *= c
+    return 16 * n + (4 if sh["index_crc32c"] else 0)
+
+
+def read_shard_index(shard_fp: str, meta: dict) -> np.ndarray:
+    """The shard's ``(offset, nbytes)`` table as a uint64 ndarray of
+    shape ``(*cps, 2)``, read from the file's head or tail per
+    ``index_location`` and checksum-verified when the chain declares
+    crc32c — a corrupt index would address garbage byte ranges, so it
+    raises rather than decodes."""
+    sh = meta["_shard"]
+    nbytes = shard_index_nbytes(meta)
+    size = os.path.getsize(shard_fp)
+    if size < nbytes:
+        raise ValueError(
+            f"shard {shard_fp}: {size} bytes < index size {nbytes} — "
+            "truncated or wrong geometry"
+        )
+    with open(shard_fp, "rb") as f:
+        if sh["index_location"] == "end":
+            f.seek(size - nbytes)
+        raw = f.read(nbytes)
+    if sh["index_crc32c"]:
+        body, crc = raw[:-4], raw[-4:]
+        if _crc32c(body) != int.from_bytes(crc, "little"):
+            raise ValueError(
+                f"shard index crc32c mismatch at {shard_fp} — refusing "
+                "to address byte ranges from a corrupt index"
+            )
+        raw = body
+    dt = "<u8" if sh["index_endian"] == "little" else ">u8"
+    return np.frombuffer(raw, dtype=dt).reshape(*sh["cps"], 2)
+
+
+# Driver-side index memo for read_array()'s per-inner-chunk loop —
+# keyed by (path, mtime_ns, size) so a rewritten shard invalidates.
+# The distributed path never uses this: the Spark planner parses each
+# index exactly once and ships resolved byte ranges in the partitions.
+_SHARD_INDEX_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _cached_shard_index(shard_fp: str, meta: dict) -> np.ndarray:
+    st = os.stat(shard_fp)
+    key = (shard_fp, st.st_mtime_ns, st.st_size)
+    idx = _SHARD_INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_SHARD_INDEX_CACHE) > 4096:
+            _SHARD_INDEX_CACHE.clear()
+        idx = read_shard_index(shard_fp, meta)
+        _SHARD_INDEX_CACHE[key] = idx
+    return idx
+
+
+def fill_chunk(meta: dict) -> np.ndarray:
+    """A full chunk of ``fill_value`` (what a missing chunk file or a
+    missing shard-index entry means BY SPEC)."""
+    dt = np.dtype(meta["dtype"])
+    out = np.empty(tuple(meta["chunks"]), dtype=dt)
+    fill = meta.get("fill_value")
+    if isinstance(fill, str):
+        # spec encodes non-finite float fills as JSON strings
+        # ("NaN", "Infinity", "-Infinity")
+        fill = float(fill)
+    if fill is None:
+        out[...] = np.nan if dt.kind == "f" else 0
+    else:
+        out[...] = fill
+    return out
+
+
+def _decode_chunk_bytes(raw: bytes, meta: dict, where: str) -> np.ndarray:
     dt = np.dtype(meta["dtype"])
     chunks = tuple(meta["chunks"])
-    fp = chunk_file(path, meta, coord)
-    if not os.path.exists(fp):
-        fill = meta.get("fill_value")
-        if isinstance(fill, str):
-            # spec encodes non-finite float fills as JSON strings
-            # ("NaN", "Infinity", "-Infinity")
-            fill = float(fill)
-        out = np.empty(chunks, dtype=dt)
-        if fill is None:
-            out[...] = np.nan if dt.kind == "f" else 0
-        else:
-            out[...] = fill
-        return out
-    with open(fp, "rb") as f:
-        raw = f.read()
     if meta.get("compressor") is not None:
         # zlib codec emits a zlib stream; gzip codec a gzip stream —
         # wbits=47 auto-detects both container framings
@@ -270,10 +463,56 @@ def read_chunk(path: str, meta: dict, coord: tuple[int, ...]) -> np.ndarray:
     arr = np.frombuffer(raw, dtype=dt)
     if arr.size != int(np.prod(chunks)):
         raise ValueError(
-            f"chunk {coord} at {path}: {arr.size} values, expected "
+            f"chunk at {where}: {arr.size} values, expected "
             f"{int(np.prod(chunks))} — corrupt or wrong dtype"
         )
     return arr.reshape(chunks, order=meta.get("order", "C"))
+
+
+def read_inner_chunk(
+    byterange: tuple[str, int, int] | None, meta: dict
+) -> np.ndarray:
+    """Decode one inner chunk of a SHARDED array from a resolved
+    ``(shard_file, offset, nbytes)`` byte range — the executor-task
+    half of the planner-parses-the-index split; ``None`` means the
+    index marked the chunk missing (or the whole shard is absent) and
+    yields a fill chunk."""
+    if byterange is None:
+        return fill_chunk(meta)
+    shard_fp, off, ln = byterange
+    with open(shard_fp, "rb") as f:
+        f.seek(off)
+        raw = f.read(ln)
+    if len(raw) != ln:
+        raise ValueError(
+            f"shard {shard_fp}: short read at {off}+{ln} — index and "
+            "file disagree"
+        )
+    return _decode_chunk_bytes(raw, meta, f"{shard_fp}@{off}")
+
+
+def read_chunk(path: str, meta: dict, coord: tuple[int, ...]) -> np.ndarray:
+    """One chunk as a full chunk-shaped ndarray (edge padding included —
+    callers slice; :func:`read_array` does).  A missing chunk file is a
+    fill-value chunk BY SPEC, not an error.  For sharded arrays
+    ``coord`` addresses the global INNER grid; the shard hop (index
+    lookup + byte-range read) happens here, with the index memoized
+    per shard file."""
+    if meta.get("_shard") is not None:
+        scoord, inner = split_shard_coord(meta, coord)
+        fp = chunk_file(path, meta, scoord)
+        if not os.path.exists(fp):
+            return fill_chunk(meta)
+        off, ln = (int(v) for v in _cached_shard_index(fp, meta)[inner])
+        if off == SHARD_MISSING or ln == SHARD_MISSING:
+            return fill_chunk(meta)
+        return read_inner_chunk((fp, off, ln), meta)
+    fp = chunk_file(path, meta, coord)
+    if not os.path.exists(fp):
+        return fill_chunk(meta)
+    with open(fp, "rb") as f:
+        raw = f.read()
+    return _decode_chunk_bytes(raw, meta, f"{path} chunk {coord}")
 
 
 def read_array(path: str) -> np.ndarray:
@@ -466,6 +705,141 @@ def write_array_v3(
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         with open(fp, "wb") as f:
             f.write(raw)
+
+
+def write_array_v3_sharded(
+    path: str,
+    arr: np.ndarray,
+    shard_shape: tuple[int, ...],
+    inner_chunks: tuple[int, ...],
+    compressor: str | None = "gzip",
+    fill_value=None,
+    separator: str = "/",
+    attrs: dict | None = None,
+    skip_fill_chunks: bool = False,
+    index_location: str = "end",
+    index_crc32c: bool = True,
+) -> None:
+    """v3 ``sharding_indexed`` fixture writer (independent of the
+    reader, like the other writers — follows the spec text: inner
+    chunks concatenated per shard, a uint64 LE ``(offset, nbytes)``
+    index with 2^64-1 missing markers at the file's start or end,
+    optional crc32c over the index bytes).  ``skip_fill_chunks``
+    leaves all-fill inner chunks as missing markers and omits shard
+    files that would hold no chunks at all — the sparse layout."""
+    import gzip as _gzip
+    from itertools import product
+
+    if any(ss % ic != 0 for ss, ic in zip(shard_shape, inner_chunks)):
+        raise ValueError(
+            f"shard shape {shard_shape} is not a positive multiple of "
+            f"inner chunks {inner_chunks}"
+        )
+    os.makedirs(path, exist_ok=True)
+    base = arr.dtype.str.lstrip("|<>")
+    if base not in _V3_NAMES:
+        raise ValueError(f"no v3 data_type for numpy {arr.dtype.str!r}")
+    endian = "big" if arr.dtype.str.startswith(">") else "little"
+    inner_codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if compressor == "gzip":
+        inner_codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    index_codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if index_crc32c:
+        index_codecs.append({"name": "crc32c"})
+    if isinstance(fill_value, float) and not np.isfinite(fill_value):
+        fv = (
+            "NaN" if np.isnan(fill_value)
+            else "Infinity" if fill_value > 0 else "-Infinity"
+        )
+    else:
+        fv = fill_value
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": _V3_NAMES[base],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(shard_shape)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": separator},
+        },
+        "fill_value": fv if fv is not None else 0,
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner_chunks),
+                    "codecs": inner_codecs,
+                    "index_codecs": index_codecs,
+                    "index_location": index_location,
+                },
+            }
+        ],
+        "attributes": attrs or {},
+    }
+    with open(_v3_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    cps = [ss // ic for ss, ic in zip(shard_shape, inner_chunks)]
+    n_inner = int(np.prod(cps))
+    index_nbytes = 16 * n_inner + (4 if index_crc32c else 0)
+    shard_counts = [-(-s // c) for s, c in zip(arr.shape, shard_shape)]
+    for scoord in product(*[range(n) for n in shard_counts]):
+        entries = np.full((n_inner, 2), SHARD_MISSING, dtype="<u8")
+        blobs: list[bytes] = []
+        cursor = index_nbytes if index_location == "start" else 0
+        for flat, icoord in enumerate(
+            product(*[range(n) for n in cps])
+        ):
+            starts = [
+                sc * ss + ic * c
+                for sc, ss, ic, c in zip(
+                    scoord, shard_shape, icoord, inner_chunks
+                )
+            ]
+            if any(st >= s for st, s in zip(starts, arr.shape)):
+                continue  # wholly outside the array: stays missing
+            full = np.empty(tuple(inner_chunks), dtype=arr.dtype)
+            full[...] = fill_value if fill_value is not None else 0
+            sl = tuple(
+                slice(st, min(st + c, s))
+                for st, c, s in zip(starts, inner_chunks, arr.shape)
+            )
+            block = arr[sl]
+            full[tuple(slice(0, b) for b in block.shape)] = block
+            if skip_fill_chunks and fill_value is not None:
+                if isinstance(fill_value, float) and np.isnan(fill_value):
+                    if bool(np.all(np.isnan(full))):
+                        continue
+                elif bool(np.all(full == fill_value)):
+                    continue
+            raw = full.tobytes(order="C")
+            if compressor == "gzip":
+                raw = _gzip.compress(raw, 1)
+            entries[flat] = (cursor, len(raw))
+            blobs.append(raw)
+            cursor += len(raw)
+        if not blobs and skip_fill_chunks:
+            continue  # omit the all-fill shard file entirely
+        idx = entries.tobytes()
+        if index_crc32c:
+            idx += _crc32c(idx).to_bytes(4, "little")
+        name = separator.join(["c", *[str(i) for i in scoord]])
+        fp = os.path.join(path, name)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as f:
+            if index_location == "start":
+                f.write(idx)
+                for b in blobs:
+                    f.write(b)
+            else:
+                for b in blobs:
+                    f.write(b)
+                f.write(idx)
 
 
 def write_group_v3(path: str, arrays: dict, **kw) -> None:

@@ -57,13 +57,22 @@ ZARR_SCHEMA = StructType(
 class _ChunkPartition(InputPartition):
     array_dir: str
     variable: str
-    coord: tuple  # chunk grid coordinate
+    coord: tuple  # (inner-)chunk grid coordinate
     # the full .zarray dict rides along so executors never re-read
     # metadata (it is a few hundred bytes; the chunk is the payload)
     meta: dict
+    # sharded stores only: the planner-resolved (shard_file, offset,
+    # nbytes) byte range of this inner chunk — the shard index is
+    # parsed ONCE PER SHARD at planning, so an executor task is a
+    # single pread, never an index fetch.  None on a sharded store
+    # means the index marked the chunk missing (fill); unsharded
+    # partitions ignore the field.
+    byterange: tuple | None = None
 
 
 def _array_partitions(array_dir: str, variable: str) -> list:
+    import os as _os
+
     from snowav_spark.sources import zarr
 
     meta = zarr.read_array_meta(array_dir)
@@ -73,10 +82,38 @@ def _array_partitions(array_dir: str, variable: str) -> list:
             f"snowav_zarr maps 1-3 dim arrays onto (t, y, x); "
             f"{array_dir} has {ndim} dims"
         )
-    return [
-        _ChunkPartition(array_dir, variable, coord, meta)
-        for coord in zarr._chunk_grid(meta)
-    ]
+    if meta.get("_shard") is None:
+        return [
+            _ChunkPartition(array_dir, variable, coord, meta)
+            for coord in zarr._chunk_grid(meta)
+        ]
+    # Sharded store: group the global inner grid by shard so each
+    # shard's index footer is read exactly once here at planning —
+    # partitions carry resolved byte ranges (partition = inner chunk,
+    # fetch = one range read within the shard object).
+    by_shard: dict[tuple, list[tuple]] = {}
+    for coord in zarr._chunk_grid(meta):
+        scoord, _ = zarr.split_shard_coord(meta, coord)
+        by_shard.setdefault(scoord, []).append(coord)
+    parts = []
+    for scoord, coords in sorted(by_shard.items()):
+        fp = zarr.chunk_file(array_dir, meta, scoord)
+        idx = (
+            zarr.read_shard_index(fp, meta)
+            if _os.path.exists(fp)
+            else None
+        )
+        for coord in coords:
+            rng = None
+            if idx is not None:
+                _, inner = zarr.split_shard_coord(meta, coord)
+                off, ln = (int(v) for v in idx[inner])
+                if off != zarr.SHARD_MISSING and ln != zarr.SHARD_MISSING:
+                    rng = (fp, off, ln)
+            parts.append(
+                _ChunkPartition(array_dir, variable, coord, meta, rng)
+            )
+    return parts
 
 
 class ZarrReader(DataSourceReader):
@@ -111,20 +148,32 @@ class ZarrReader(DataSourceReader):
             partition.variable,
             tuple(partition.coord),
             partition.meta,
+            byterange=partition.byterange,
         )
 
 
-def _chunk_block(array_dir: str, variable: str, coord: tuple, meta: dict):
+def _chunk_block(
+    array_dir: str,
+    variable: str,
+    coord: tuple,
+    meta: dict,
+    byterange: tuple | None = None,
+):
     """Decode one chunk: edge trim, fill/non-finite → NaN (the
     masked_to_nan rule), padded to 3-D, plus its global (t, y, x)
-    offsets — the shared kernel under both emission forms."""
+    offsets — the shared kernel under both emission forms.  On a
+    sharded store the planner already resolved the byte range, so this
+    is one pread within the shard file (fill chunk when None)."""
     import numpy as np
 
     from snowav_spark.sources import zarr
 
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
-    block = zarr.read_chunk(array_dir, meta, coord)
+    if meta.get("_shard") is not None:
+        block = zarr.read_inner_chunk(byterange, meta)
+    else:
+        block = zarr.read_chunk(array_dir, meta, coord)
     lens = tuple(
         min((i + 1) * c, s) - i * c
         for i, c, s in zip(coord, chunks, shape)
@@ -145,7 +194,13 @@ def _chunk_block(array_dir: str, variable: str, coord: tuple, meta: dict):
     return block, tuple(offs)
 
 
-def _chunk_batches(array_dir: str, variable: str, coord: tuple, meta: dict):
+def _chunk_batches(
+    array_dir: str,
+    variable: str,
+    coord: tuple,
+    meta: dict,
+    byterange: tuple | None = None,
+):
     """One Arrow RecordBatch per chunk — rows never materialize as
     Python objects (the netcdf_source discipline: columnar all the way
     from the NumPy block to the JVM; measured ~8× over per-cell
@@ -153,7 +208,9 @@ def _chunk_batches(array_dir: str, variable: str, coord: tuple, meta: dict):
     import numpy as np
     import pyarrow as pa
 
-    block, (t0, y0, x0) = _chunk_block(array_dir, variable, coord, meta)
+    block, (t0, y0, x0) = _chunk_block(
+        array_dir, variable, coord, meta, byterange=byterange
+    )
     nt, ny, nx = block.shape
     ts, ys, xs = np.indices((nt, ny, nx))
     vals = block.ravel()
@@ -233,6 +290,15 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
             ]
         for _, adir in pairs:
             meta = zarr.read_array_meta(adir)
+            if meta.get("_shard") is not None:
+                raise ValueError(
+                    "snowav_zarr streaming tracks flat chunk FILES as "
+                    f"its offset set; {adir} is sharded "
+                    "(sharding_indexed) — a shard file holds many "
+                    "chunks and may be rewritten in place, which the "
+                    "file-set offset cannot represent.  Use the batch "
+                    "source for sharded stores"
+                )
             sep = (
                 meta["_key"][1]
                 if meta.get("_key") is not None

@@ -386,3 +386,163 @@ def test_read_array_meta_plain_dir_is_value_error(tmp_path):
     p.mkdir()
     with pytest.raises(ValueError, match="not a zarr v2/v3 array"):
         zarr.read_array_meta(str(p))
+
+
+# ---------------------------------------------------------------- sharding
+
+
+def test_sharded_roundtrip_matches_unsharded_twin(tmp_path):
+    """v3 sharding_indexed: every (index_location, crc32c, codec)
+    combination round-trips equal to the same data written unsharded —
+    the shard hop must be invisible above the byte-fetch layer."""
+    rng = np.random.RandomState(11)
+    arr = rng.rand(7, 10).astype("<f8")
+    for loc in ("end", "start"):
+        for crc in (True, False):
+            for comp in ("gzip", None):
+                p = str(tmp_path / f"s_{loc}_{crc}_{comp}")
+                zarr.write_array_v3_sharded(
+                    p, arr, (4, 6), (2, 3), compressor=comp,
+                    index_location=loc, index_crc32c=crc,
+                )
+                meta = zarr.read_array_meta(p)
+                # grid math operates on INNER chunks
+                assert meta["chunks"] == [2, 3]
+                assert meta["_shard"]["cps"] == [2, 2]
+                np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+
+def test_sharded_sparse_missing_inner_and_missing_shard(tmp_path):
+    """skip_fill_chunks leaves all-fill inner chunks as 2^64-1 index
+    markers and omits all-fill SHARD FILES entirely; both read back as
+    fill by spec."""
+    arr = np.full((8, 12), -9.0)
+    arr[0, 0] = 1.0  # shard (0,0) has exactly one live inner chunk
+    p = str(tmp_path / "sparse")
+    zarr.write_array_v3_sharded(
+        p, arr, (4, 6), (2, 3), fill_value=-9.0, skip_fill_chunks=True
+    )
+    meta = zarr.read_array_meta(p)
+    # only shard c/0/0 exists on disk
+    assert os.path.exists(zarr.chunk_file(p, meta, (0, 0)))
+    assert not os.path.exists(zarr.chunk_file(p, meta, (1, 1)))
+    idx = zarr.read_shard_index(
+        zarr.chunk_file(p, meta, (0, 0)), meta
+    )
+    live = int((idx[..., 0] != zarr.SHARD_MISSING).sum())
+    assert live == 1
+    np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+
+def test_sharded_edge_shards_trim(tmp_path):
+    """Array extents that don't fill the last shard: inner chunks
+    wholly outside stay missing, partial ones pad-and-trim."""
+    rng = np.random.RandomState(13)
+    arr = rng.rand(5, 7).astype("<f4")
+    p = str(tmp_path / "edge")
+    zarr.write_array_v3_sharded(p, arr, (4, 6), (2, 2))
+    got = zarr.read_array(p)
+    assert got.dtype == arr.dtype
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_sharded_corrupt_index_refused(tmp_path):
+    """A crc32c-checked index that fails its checksum must raise, not
+    address garbage byte ranges."""
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = str(tmp_path / "corrupt")
+    zarr.write_array_v3_sharded(p, arr, (4, 6), (2, 3))
+    meta = zarr.read_array_meta(p)
+    fp = zarr.chunk_file(p, meta, (0, 0))
+    b = bytearray(open(fp, "rb").read())
+    b[-1] ^= 0xFF
+    open(fp, "wb").write(bytes(b))
+    zarr._SHARD_INDEX_CACHE.clear()
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        zarr.read_array(p)
+
+
+def test_sharded_geometry_and_nesting_refusals(tmp_path):
+    """Loud refusals: shard shape not a multiple of inner chunks, and
+    nested sharding (shards-of-shards)."""
+    with pytest.raises(ValueError, match="not a positive multiple"):
+        zarr.write_array_v3_sharded(
+            str(tmp_path / "bad"), np.zeros((4, 4)), (4, 4), (3, 3)
+        )
+    # handcraft a descriptor with a non-multiple inner shape
+    p = tmp_path / "bad2"
+    p.mkdir()
+    (p / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4, 4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [3, 3],
+            "codecs": [{"name": "bytes"}],
+        }}],
+    }))
+    with pytest.raises(ValueError, match="not a positive multiple"):
+        zarr.read_array_meta(str(p))
+    p3 = tmp_path / "nested"
+    p3.mkdir()
+    (p3 / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4, 4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2, 2],
+            "codecs": [{"name": "sharding_indexed",
+                        "configuration": {"chunk_shape": [1, 1]}}],
+        }}],
+    }))
+    with pytest.raises(ValueError, match="nested sharding"):
+        zarr.read_array_meta(str(p3))
+
+
+def test_spark_source_sharded_equals_unsharded_twin(spark, tmp_path):
+    """The Spark source over a sharded store: partitions are INNER
+    chunks with planner-resolved byte ranges (index parsed once per
+    shard at planning), rows identical to the unsharded twin of the
+    same data — including NULLs where skip-written fill chunks sit."""
+    from snowav_spark import sources
+    from snowav_spark.sources import zarr_source
+
+    sources.register(spark)
+    rng = np.random.RandomState(17)
+    arr = rng.rand(3, 8, 8)
+    arr[1, :, :] = -9.0  # a whole-fill timestep → missing inner chunks
+    flat = str(tmp_path / "flat")
+    shard = str(tmp_path / "shard")
+    zarr.write_array_v3(
+        flat, arr, (1, 4, 4), fill_value=-9.0, skip_fill_chunks=True
+    )
+    zarr.write_array_v3_sharded(
+        shard, arr, (1, 8, 8), (1, 4, 4),
+        fill_value=-9.0, skip_fill_chunks=True,
+    )
+    parts = zarr_source._array_partitions(shard, "v")
+    assert len(parts) == 3 * 2 * 2  # one per INNER chunk
+    resolved = [p for p in parts if p.byterange is not None]
+    missing = [p for p in parts if p.byterange is None]
+    assert len(missing) == 4  # the all-fill timestep's inner chunks
+    assert all(os.path.getsize(p.byterange[0]) > 0 for p in resolved)
+    a = spark.read.format("snowav_zarr").load(flat).drop("variable")
+    b = spark.read.format("snowav_zarr").load(shard).drop("variable")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # fill rows surface as NULL, not dropped
+    assert b.filter("t = 1 and value is null").count() == 64
+
+
+def test_sharded_streaming_refused(tmp_path):
+    from snowav_spark.sources import zarr_source
+
+    p = str(tmp_path / "s")
+    zarr.write_array_v3_sharded(p, np.zeros((4, 4)), (4, 4), (2, 2))
+    with pytest.raises(ValueError, match="sharded"):
+        zarr_source.ZarrStreamReader({"path": p})._arrays()

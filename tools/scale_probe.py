@@ -292,6 +292,123 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         run_op("arrow_scan", _arrow_scan)
         _sh.rmtree(aroot, ignore_errors=True)
 
+    # Sharded Zarr v3 (sharding_indexed): same cell count as zarr_scan
+    # but inner chunks packed 8-per-shard-file — the production
+    # object-store layout.  Growth must stay linear AND match the
+    # unsharded twin's cost: the shard index is parsed once per shard
+    # at PLANNING, so each executor task is a single pread.
+    if _only is None or "zarr_scan_sharded" in _only:
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+
+        from snowav_spark.sources import zarr as _zmod
+
+        zroot = _tf.mkdtemp(prefix="probe_zarr_sh_")
+        zdir = zroot + "/arr"
+        t_steps = max(n_docs // 1000, 8)
+        rng = _np.random.RandomState(5)
+        _zmod.write_array_v3_sharded(
+            zdir,
+            rng.rand(t_steps, 64, 64),
+            shard_shape=(8, 64, 64),
+            inner_chunks=(1, 64, 64),
+            compressor="gzip",
+        )
+
+        from snowav_spark import sources as _sources
+
+        _sources.register(spark)
+
+        def _zarr_scan_sh():
+            df = spark.read.format("snowav_zarr").load(zdir)
+            return df.filter(~F.isnan("value")).count()
+
+        _zarr_scan_sh()  # untimed warmup (see zarr_scan)
+        run_op("zarr_scan_sharded", _zarr_scan_sh)
+        _sh.rmtree(zroot, ignore_errors=True)
+
+    # MB-scale chunks (the production knob the KB-chunk probes can't
+    # pin): (1, 1024, 1024) float64 = 8 MB raw per chunk.  At this size
+    # per-chunk decode dominates task scheduling, so the ratio isolates
+    # the decode path's linearity — the per-chunk floor claim.
+    if _only is None or "zarr_scan_mb" in _only:
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+
+        from snowav_spark.sources import zarr as _zmod
+
+        zroot = _tf.mkdtemp(prefix="probe_zarr_mb_")
+        zdir = zroot + "/arr"
+        t_steps = max(n_docs // 25_000, 8)
+        rng = _np.random.RandomState(6)
+        _zmod.write_array(
+            zdir, rng.rand(t_steps, 1024, 1024), (1, 1024, 1024)
+        )
+
+        from snowav_spark import sources as _sources
+
+        _sources.register(spark)
+
+        def _zarr_scan_mb():
+            df = spark.read.format("snowav_zarr").load(zdir)
+            return df.filter(~F.isnan("value")).count()
+
+        _zarr_scan_mb()  # untimed warmup (see zarr_scan)
+        run_op("zarr_scan_mb", _zarr_scan_mb)
+        _sh.rmtree(zroot, ignore_errors=True)
+
+    # Arrow IPC at MB-scale files: 1M rows × (int64, float64) = 16 MB
+    # per file — fewer, bigger partitions, the regime where per-file
+    # decode (not task-wave scheduling) is the cost.
+    if _only is None or "arrow_scan_mb" in _only:
+        import os as _os
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        aroot = _tf.mkdtemp(prefix="probe_arrow_mb_")
+        n_files = max(n_docs // 100_000, 4)
+        rows_per = 1_000_000
+        rng = _np.random.RandomState(10)
+        schema = _pa.schema(
+            [("doc_id", _pa.int64()), ("value", _pa.float64())]
+        )
+        for i in range(n_files):
+            tbl = _pa.table(
+                {
+                    "doc_id": _pa.array(
+                        _np.arange(
+                            i * rows_per, (i + 1) * rows_per,
+                            dtype=_np.int64,
+                        )
+                    ),
+                    "value": _pa.array(rng.rand(rows_per)),
+                },
+                schema=schema,
+            )
+            with _pa.ipc.new_file(
+                _os.path.join(aroot, f"p{i}.arrow"), schema
+            ) as w:
+                w.write_table(tbl)
+
+        from snowav_spark import sources as _srcs
+
+        _srcs.register(spark)
+
+        def _arrow_scan_mb():
+            df = spark.read.format("snowav_arrow").load(aroot)
+            return df.filter(F.col("value") >= 0.0).count()
+
+        _arrow_scan_mb()  # untimed warmup (see zarr_scan)
+        run_op("arrow_scan_mb", _arrow_scan_mb)
+        _sh.rmtree(aroot, ignore_errors=True)
+
     # IVF-PQ: build cost must stay ~linear (one pass + sampled training);
     # SERVE cost must stay ~flat when n_cells grows with the corpus
     # (constant per-cell occupancy — the partition-pruned probe then
