@@ -1792,11 +1792,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (EXT).
     Exact N² verification stage, input-capped to the 4096 smallest ids
     (TakeOrdered, a no-op at test scales) so the quadratic stage is
-    constant-bounded at any corpus size; the full-corpus scale path is
-    q_dedup_embed_lsh (LSH candidate restriction → exact verify)."""
+    constant-bounded at any corpus size; when the cap binds, a WARNING
+    names the capped/total rows (no silent caps — the curate --stats
+    rule).  The full-corpus scale path is q_dedup_embed_lsh (LSH
+    candidate restriction → exact verify)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    capped = emb.orderBy("vec_id").limit(4096)
-    return similarity.cosine_pairs_above(capped, "vec_id", "embedding", 0.4)
+    return similarity.capped_exact_pairs(emb, "vec_id", "embedding", 0.4)
 
 
 @q("q_dedup_embed_lsh")

@@ -581,14 +581,20 @@ def append_to_ivfpq_index(
     requires the index to have been built with a ``batch_id`` too (the
     two layouts cannot mix under one path).
 
-    RETRY HAZARD (batch_id=None): the plain append is NOT idempotent —
-    a crash between the partial code write and the caller's retry
-    duplicates rows silently.  Pass a stable ``batch_id`` whenever the
-    append may be retried (see append_to_text_index).
+    Batch appends (batch_id=None) are STRUCTURALLY idempotent (the
+    append_to_text_index contract): the batch's identity is a content
+    digest of its (id, vector) rows and the code rows commit through
+    sinks.idempotent_append — digest-named files, partial-attempt
+    sweep, atomic renames — so a crashed-then-retried append, or a
+    retry after an unacknowledged success, converges to exactly one
+    copy.  Local-filesystem layouts only; object-store ingest should
+    use the ``batch_id`` streaming layout.
 
     ``metadata`` must match the build's tuple for a metadata-carrying
     index — a mismatch forks the row schema (old rows read NULL for the
     missing columns), silently breaking filtered search."""
+    from snowav_spark import sinks
+
     spark = df.sparkSession
     cents, codebook = _read_ivfpq_sidecars(spark, path)
     res = _residuals(df, id_col, vec, cents, extra=metadata)
@@ -601,7 +607,13 @@ def append_to_ivfpq_index(
     codes = codes.persist()
     try:
         n = codes.count()
-        _write_codes(codes, path, batch_id, overwrite_all=False)
+        if batch_id is None:
+            digest = sinks.content_digest(df, id_col, vec)
+            sinks.idempotent_append(
+                codes, path, digest, partition_by=("cell",)
+            )
+        else:
+            _write_codes(codes, path, batch_id, overwrite_all=False)
     finally:
         codes.unpersist()
     return n

@@ -220,6 +220,39 @@ def cosine_pairs_above(
     )
 
 
+def capped_exact_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    cap: int = 4096,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`cosine_pairs_above` behind an input cap — the exact N²
+    verification stage bounded to the ``cap`` smallest ids so it stays
+    constant-cost at any corpus size.
+
+    NO SILENT CAPS (the curate --stats rule): when the cap binds, a
+    WARNING names exactly what was dropped — pairs are computed over
+    ``cap`` of ``total`` rows only — so a caller at sf≥1 sees the
+    truncation instead of mistaking partial coverage for the corpus.
+    The full-corpus path is :func:`dedup_pairs_lsh` (linear, banded).
+    Costs one count() of the input when it may exceed the cap."""
+    import logging
+
+    total = df.count()
+    if total > cap:
+        logging.getLogger("snowav_spark.similarity").warning(
+            "capped_exact_pairs: exact N^2 stage input capped to %d of "
+            "%d rows (%.1f%% coverage) — pairs cover the %d smallest "
+            "%s only; use dedup_pairs_lsh for full-corpus near-dup",
+            cap, total, 100.0 * cap / total, cap, id_col,
+        )
+    return cosine_pairs_above(
+        df.orderBy(id_col).limit(cap), id_col, vec, threshold, dim=dim
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -268,18 +301,20 @@ def dedup_pairs_lsh(
     bits: int = 3,
     dim: int = 64,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Scale-safe embedding near-duplicate pairs: LSH candidate
     restriction, then exact cosine verification within candidates only.
 
     ``max_bucket`` guards against hot buckets (the LSH analog of
-    jaccard_pairs' ``max_df``): candidate cost is Σ n_bucket², so one
-    bucket that captures a dense direction of the corpus re-creates the
-    quadratic blowup.  Buckets larger than ``max_bucket`` are dropped
-    before the self-join — a pair loses candidacy only if EVERY table
-    hashes it into an oversized bucket, so with multiple tables the
-    recall cost is small and bounded (tested).
+    jaccard_pairs' ``max_df``), ON BY DEFAULT: candidate cost is
+    Σ n_bucket², so one degenerate bucket — a corpus with thousands of
+    identical embeddings lands them ALL in one bucket in EVERY table —
+    re-creates the quadratic blowup.  Oversized buckets are SALTED
+    into ≤max_bucket sub-buckets (cost n·max_bucket, linear) with a
+    representative chain keeping true duplicate clusters connected;
+    see lsh_candidate_pairs.  Pass None to disable (exhaustive
+    candidates regardless of skew).
 
     Plan shape (this is the 100 TB path; contrast cosine_pairs_above's
     global crossJoin):
@@ -328,11 +363,13 @@ def lsh_candidate_pairs(
     bits: int = 3,
     dim: int = 64,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Candidate stage of ``dedup_pairs_lsh``: distinct (id_a, id_b) pairs
-    that co-bucket in ≥1 table.  Public so the pruning frontier can be
-    measured on the exact production path (tools/lsh_frontier.py).
+    that co-bucket in ≥1 table (within a salted sub-bucket when a
+    bucket exceeds ``max_bucket`` — see the skew-guard comment below).
+    Public so the pruning frontier can be measured on the exact
+    production path (tools/lsh_frontier.py).
 
     NULL / wrong-length vectors are dropped before the bucket UDF — a
     single None in an Arrow batch turns the matmul input ragged and
@@ -370,21 +407,68 @@ def lsh_candidate_pairs(
     keys = df.select(
         F.col(id_col), F.posexplode(bucket_ids(F.col(vec))).alias("tbl", "bk")
     )
-    if max_bucket is not None:
-        small = (
-            keys.groupBy("tbl", "bk")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("tbl", "bk")
+    if max_bucket is None:
+        pairs = (
+            keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
+            .join(
+                keys.select(F.col(id_col).alias("id_b"), "tbl", "bk"),
+                ["tbl", "bk"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
         )
-        keys = keys.join(small, ["tbl", "bk"], "left_semi")
-    return (
-        keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
-        .join(keys.select(F.col(id_col).alias("id_b"), "tbl", "bk"), ["tbl", "bk"])
+        return pairs.select("id_a", "id_b").distinct()
+    # Hot-bucket skew guard (ON by default): a degenerate bucket — e.g.
+    # thousands of identical embeddings — would make the self-join
+    # quadratic in that bucket.  SALT, don't drop: members get a
+    # row_number slot within their bucket and sub-buckets of ≤max_bucket
+    # self-join independently (cost n·max_bucket, linear in n), while a
+    # REPRESENTATIVE CHAIN (each sub-bucket's first member paired with
+    # the next sub-bucket's first, +n/max_bucket pairs) keeps a true
+    # duplicate cluster CONNECTED across sub-buckets — dropping the
+    # bucket instead would zero recall on exactly the densest
+    # duplicates, the rows a dedup pass exists for.  The per-bucket
+    # row_number sorts one bucket in one task: O(n log n) once beats
+    # O(n²) candidates.  Small buckets (≤max_bucket) take the single
+    # sub-bucket path unchanged.
+    slot = F.row_number().over(
+        Window.partitionBy("tbl", "bk").orderBy(id_col)
+    ) - 1
+    salted = keys.select(
+        F.col(id_col),
+        "tbl",
+        "bk",
+        (slot / max_bucket).cast("int").alias("_sub"),
+        (slot % max_bucket == 0).alias("_rep"),
+    )
+    within = (
+        salted.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
+        .join(
+            salted.select(
+                F.col(id_col).alias("id_b"), "tbl", "bk", "_sub"
+            ),
+            ["tbl", "bk", "_sub"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    reps = salted.filter("_rep")
+    chain = (
+        reps.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
+        .join(
+            reps.select(
+                F.col(id_col).alias("id_b"),
+                "tbl",
+                "bk",
+                (F.col("_sub") - 1).alias("_sub"),
+            ),
+            ["tbl", "bk", "_sub"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return within.unionByName(chain).distinct()
 
 
 def ann_lsh_topk(

@@ -774,11 +774,15 @@ def _write_text_parts(
     path: str,
     batch_id: int | None,
     overwrite_all: bool,
+    digest: str | None = None,
 ) -> None:
     """One write shape for both layouts (the quantize._write_codes
     twin): plain ``bucket`` partitions for batch builds/appends,
     ``(bucket, _batch)`` + per-batch stats rows for streaming ingest —
-    replays rewrite their own partitions via dynamic overwrite."""
+    replays rewrite their own partitions via dynamic overwrite.  Batch
+    APPENDS (batch_id None, overwrite_all False) carry a content
+    ``digest`` and commit through sinks.idempotent_append, so a
+    crashed-then-retried append converges to one copy."""
     side = path.rstrip("/") + "/_corpus_stats"
     # cluster each bucket's postings (without this, every write task
     # emits a file into every bucket directory — tasks × buckets small
@@ -788,9 +792,21 @@ def _write_text_parts(
         "term", "doc_id"
     )
     if batch_id is None:
-        mode = "overwrite" if overwrite_all else "append"
-        postings.write.mode(mode).partitionBy("bucket").parquet(path)
-        stats.coalesce(1).write.mode(mode).parquet(side)
+        if not overwrite_all:
+            from snowav_spark import sinks
+
+            assert digest is not None
+            # postings FIRST, stats partial LAST: a crash in between
+            # under-counts (search slightly under-scores the batch)
+            # until the retry repairs it — the reverse order would
+            # over-count, which no retry could detect
+            sinks.idempotent_append(
+                postings, path, digest, partition_by=("bucket",)
+            )
+            sinks.idempotent_append(stats.coalesce(1), side, digest)
+            return
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        stats.coalesce(1).write.mode("overwrite").parquet(side)
         return
     pw = postings.withColumn("_batch", F.lit(int(batch_id))).write
     sw = (
@@ -889,18 +905,28 @@ def append_to_text_index(
     ``(bucket, _batch)`` and the stats partial under ``_batch`` with
     dynamic overwrite, so an at-least-once replay rewrites itself.
 
-    RETRY HAZARD (batch_id=None): the plain-append layout is NOT
-    idempotent — a caller that crashes mid-append (postings written,
-    stats partial not yet) and retries double-counts tf/df silently.
-    Any append that may be retried (job schedulers, at-least-once
-    pipelines) should pass a stable ``batch_id`` so the replay lands as
-    a dynamic-partition overwrite of its own ``_batch`` directories
-    instead of a second copy."""
+    Batch appends (batch_id=None) are STRUCTURALLY idempotent: the
+    batch's identity is a content digest of its (id, text) rows, every
+    file it emits carries that digest in its name, and the commit
+    sweeps any prior partial attempt of the same digest before an
+    atomic-rename move (sinks.idempotent_append).  A crash at ANY
+    point — mid-postings, between postings and the stats partial —
+    followed by a retry converges to exactly one copy; so does a
+    retry after an unacknowledged success.  Local-filesystem layouts
+    only (the compact_partitions rename rule); object-store ingest
+    should use the ``batch_id`` streaming layout."""
+    from snowav_spark import sinks
+
     spark = df.sparkSession
     side = path.rstrip("/") + "/_corpus_stats"
     # bucket count from the sidecar so appends can't fork the layout
     n_buckets = int(spark.read.parquet(side).collect()[0].n_buckets)
     df = df.filter(F.col(text_col).isNotNull())
+    digest = (
+        sinks.content_digest(df, id_col, text_col)
+        if batch_id is None
+        else None
+    )
     # metadata-carrying index: the batch's sidecar rows land with the
     # SAME columns the build declared (schema read from the sidecar) —
     # a metadata-less append against a meta-carrying index would leave
@@ -922,7 +948,7 @@ def append_to_text_index(
         ]
         meta = df.selectExpr(f"{id_col} AS doc_id", *meta_cols)
         if batch_id is None:
-            meta.write.mode("append").parquet(meta_dir)
+            sinks.idempotent_append(meta, meta_dir, digest)
         else:
             (
                 meta.withColumn("_batch", F.lit(int(batch_id)))
@@ -937,6 +963,7 @@ def append_to_text_index(
         path,
         batch_id,
         overwrite_all=False,
+        digest=digest,
     )
 
 

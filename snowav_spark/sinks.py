@@ -317,6 +317,101 @@ def compact_partitions(
     )
 
 
+def content_digest(df: DataFrame, *cols: str) -> str:
+    """Order-insensitive 63-bit content digest of ``df`` over ``cols``
+    (sum of per-row xxhash64, masked positive, hex) — the identity of a
+    batch for :func:`idempotent_append`.  One map-side-combined
+    aggregation; distributed, never collects rows.  The sum runs in
+    decimal(38,0): int64 would overflow under ANSI mode after a few
+    billion rows' worth of hash mass."""
+    row = df.select(
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("h")
+    ).collect()[0]
+    return format(int(row.h or 0) & ((1 << 63) - 1), "x")
+
+
+def idempotent_append(
+    df: DataFrame,
+    path: str,
+    digest: str,
+    partition_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+) -> int:
+    """Append ``df`` to a (possibly partitioned) parquet dataset such
+    that a crashed-then-RETRIED append of the same content converges to
+    exactly one copy — the structural fix for the blind-append retry
+    hazard (a plain ``mode("append")`` that crashes mid-write and
+    retries leaves two copies, silently).
+
+    Mechanism: every file this batch produces has a DETERMINISTIC name
+    ``append-<digest>-<seq>.parquet`` inside its partition directory.
+    The batch is staged (full rewrite each attempt), any files of the
+    same digest from a previous partial attempt are deleted, then the
+    staged files move into place via atomic os.replace.  Any crash at
+    any point leaves a state the next attempt repairs: stale staged
+    trees are discarded, partial digest files are swept before the
+    move, and a retry AFTER success rewrites byte-identical files over
+    themselves.  Appends of genuinely different content have different
+    digests and never collide.
+
+    LOCAL FILESYSTEM ONLY (the compact_partitions rule — renames):
+    object-store layouts should use the streaming ``batch_id`` layout,
+    whose dynamic partition overwrite is the cloud-side equivalent.
+    Concurrent readers may observe a partially-moved batch (same as any
+    non-transactional append); concurrent WRITERS of different batches
+    are safe (distinct digests → distinct file names).  Returns the
+    number of files committed."""
+    import os
+    import shutil
+
+    root = path.rstrip("/")
+    if not os.path.isdir(root):
+        raise ValueError(
+            f"idempotent_append requires an existing local directory, "
+            f"got {path!r} (object-store paths: use the batch_id "
+            "streaming layout instead of rename-based appends)"
+        )
+    staged = f"{root}._append_{digest}_staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staged)
+    # sweep remnants of a previous partial attempt of THIS digest —
+    # its file split may differ from this attempt's, so name-overwrite
+    # alone could leave orphan tails.  Underscore/dot-prefixed child
+    # directories are SIDECAR DATASETS (_doc_meta, _corpus_stats …),
+    # appended to by their own idempotent_append calls that may share
+    # this digest — crossing into them here would delete a sibling
+    # call's freshly committed files.
+    prefix = f"append-{digest}-"
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        for f in files:
+            if f.startswith(prefix):
+                os.remove(os.path.join(dirpath, f))
+    moved = 0
+    for dirpath, _, files in os.walk(staged):
+        rel = os.path.relpath(dirpath, staged)
+        parts = sorted(f for f in files if f.endswith(".parquet"))
+        for f in parts:
+            dest_dir = root if rel == "." else os.path.join(root, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(
+                os.path.join(dirpath, f),
+                os.path.join(dest_dir, f"{prefix}{moved}.parquet"),
+            )
+            moved += 1
+    shutil.rmtree(staged, ignore_errors=True)
+    return moved
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """CSV export analog of ref:snowav/plotting/write_properties.py —
     coalesced to one file because report tables are driver-sized by
