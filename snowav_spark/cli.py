@@ -308,6 +308,64 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def curate_stream_main(argv: list[str]) -> int:
+    """``python -m snowav_spark curate-stream`` — one availableNow
+    catch-up pass of the streaming curation pipeline over a GROWING
+    documents directory: clean/redact → quality gate → in-horizon exact
+    dedup → near-dup band-ownership flag → curated-corpus append, with
+    an optional persisted inverted index kept current in the same pass.
+    Re-run on a schedule; each pass drains the backlog and stops.
+    Window rows emit when the watermark passes their end, so the newest
+    window's docs surface on the NEXT pass."""
+    ap = argparse.ArgumentParser(prog="snowav_spark curate-stream")
+    ap.add_argument(
+        "--input", required=True,
+        help="growing directory of documents parquet files",
+    )
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--ts-col", default="ts", help="event-time column")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument(
+        "--watermark", default="1 hour",
+        help="late-data horizon; also bounds the dedup state",
+    )
+    ap.add_argument(
+        "--window", default="1 hour",
+        help="emission window length (rows emit when it closes)",
+    )
+    ap.add_argument(
+        "--text-index", action="store_true",
+        help="maintain the persisted inverted index "
+        "(<output>/text_index) in the same pass",
+    )
+    ap.add_argument("--index-buckets", type=int, default=64)
+    ap.add_argument("--timeout", type=int, default=600)
+    args = ap.parse_args(argv)
+
+    from snowav_spark.pipeline_llm import curate_stream_pass
+
+    spark = get_spark(app_name="snowav_spark:curate-stream")
+    corpus = curate_stream_pass(
+        spark,
+        args.input,
+        args.output,
+        ts_col=args.ts_col,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        watermark=args.watermark,
+        window_len=args.window,
+        text_index=args.text_index,
+        n_buckets=args.index_buckets,
+        timeout=args.timeout,
+    )
+    n = spark.read.parquet(corpus).count()
+    print(f"curated corpus rows so far: {n}")
+    return 0
+
+
 def compact_main(argv: list[str]) -> int:
     """``python -m snowav_spark compact`` — the table-maintenance job:
     rewrite a fragmented columnar dataset to target file sizes
@@ -637,6 +695,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return curate_main(argv[1:])
+    if argv and argv[0] == "curate-stream":
+        return curate_stream_main(argv[1:])
     if argv and argv[0] == "compact":
         return compact_main(argv[1:])
     if argv and argv[0] == "explain":

@@ -247,3 +247,81 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None,
         stage_counts=counts,
         observations=observations,
     )
+
+
+def curate_stream_pass(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+    text_index: bool = False,
+    n_buckets: int = 64,
+    timeout: int = 600,
+) -> str:
+    """One availableNow catch-up pass of the STREAMING curation pipeline
+    over a GROWING documents directory — the e2e composition a user
+    runs (``snowav_spark curate-stream``): ingest new parquet files →
+    clean/redact → quality gate → in-horizon exact dedup → near-dup
+    band-ownership FLAG (flag, don't drop) → curated-corpus append, and
+    optionally a persisted inverted index kept current in the same pass.
+
+    Composition of the individually-tested streaming pieces, each with
+    its own checkpoint so its delivery guarantee holds independently:
+
+    - corpus: ``run_to_sink`` parquet file sink — exactly-once via the
+      sink's transaction log;
+    - index: ``text_index_stream`` — idempotent under at-least-once
+      replay via the ``(bucket, _batch)`` dynamic-overwrite layout.
+
+    Emission semantics (inherent to watermarked windows): a document's
+    row emits when the watermark passes its window's end, i.e. the
+    NEWEST window's docs surface on the NEXT pass once newer arrivals
+    advance the watermark.  Each invocation drains the current backlog
+    and stops; re-run on a schedule (or drop the trigger for a
+    continuous deployment).  Returns the curated-corpus path."""
+    from snowav_spark.streaming import incremental
+
+    out = output_dir.rstrip("/")
+    corpus = f"{out}/corpus"
+    schema = spark.read.parquet(input_dir).schema
+    curated = incremental.curation_stream(
+        incremental.stream_source(spark, input_dir, schema),
+        ts_col,
+        id_col,
+        text_col,
+        min_quality=min_quality,
+        watermark=watermark,
+        near_dedup=True,
+        window_len=window_len,
+    )
+    q = incremental.run_to_sink(
+        curated, corpus, f"{out}/_ckpt_corpus", once=True
+    )
+    q.awaitTermination(timeout)
+    if text_index:
+        curated_idx = incremental.curation_stream(
+            incremental.stream_source(spark, input_dir, schema),
+            ts_col,
+            id_col,
+            text_col,
+            min_quality=min_quality,
+            watermark=watermark,
+            near_dedup=True,
+            window_len=window_len,
+        )
+        qi = incremental.text_index_stream(
+            curated_idx,
+            f"{out}/text_index",
+            f"{out}/_ckpt_index",
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            once=True,
+        )
+        qi.awaitTermination(timeout)
+    return corpus

@@ -176,3 +176,78 @@ def test_curate_balance_stages(spark):
 
     with _pytest.raises(ValueError):
         curate(df, CurationConfig(**cfg, balance="nope"))
+
+
+def test_curate_stream_cli_e2e_growing_dir_batch_parity(spark, tmp_path):
+    """VERDICT r8 item 8: the user-facing composition — CLI
+    ``curate-stream`` over a GROWING directory across two passes:
+    ingest → in-horizon near-dup flag → corpus append → index append.
+    Asserts (a) growth: pass 2 lands only the new window's docs,
+    (b) flag-don't-drop: the near dup is present and flagged,
+    (c) exact in-horizon twin died at the digest stage,
+    (d) BATCH PARITY: searching the stream-maintained index equals a
+    fresh batch build over the same curated corpus."""
+    import datetime
+
+    from snowav_spark import cli
+    from snowav_spark.ops import text as t
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " changed"
+    novel = " ".join(f"x{i}" for i in range(40))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    t2 = datetime.datetime(2024, 1, 1, 15, 0, 0)
+    flush = datetime.datetime(2024, 1, 2, 6, 0, 0)
+    cols = ["doc_id", "text", "ts"]
+    src = str(tmp_path / "grow_in")
+    out = str(tmp_path / "grow_out")
+
+    def drop(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        assert cli.main([
+            "curate-stream", "--input", src, "--output", out,
+            "--text-index", "--index-buckets", "8",
+            "--timeout", "180",
+        ]) == 0
+
+    # pass 1: first window's docs + a later doc that closes it
+    drop([(0, base, t0), (1, near, t0), (2, base, t0)])
+    drop([(3, novel, t2)])
+    run()
+    got = {r.doc_id: r for r in spark.read.parquet(out + "/corpus").collect()}
+    assert set(got) == {0, 1}  # window(t0) closed by t2's arrival
+    assert 2 not in got  # exact in-horizon twin: digest-deduped
+    assert not got[0].near_dup_flag
+    assert got[1].near_dup_flag and got[1].owned_bands < got[1].bands
+
+    # pass 2: the directory GREW — only the t2 window's docs land
+    drop([(4, "ducks on the calm lake today ok", flush)])
+    run()
+    got = {r.doc_id: r for r in spark.read.parquet(out + "/corpus").collect()}
+    assert set(got) == {0, 1, 3}
+    assert not got[3].near_dup_flag
+
+    # batch parity: stream-maintained index == fresh build over the
+    # same curated corpus (identical BM25 scores, any query)
+    corpus = spark.read.parquet(out + "/corpus")
+    rebuilt = str(tmp_path / "rebuilt_idx")
+    t.build_text_index(corpus, "doc_id", "text", rebuilt, n_buckets=8)
+    for query in (["w1"], ["x1", "changed"], ["w5", "x3"]):
+        s = [
+            (r.doc_id, round(r.bm25, 9))
+            for r in t.search_text_index(
+                spark, out + "/text_index", query, k=10
+            ).collect()
+        ]
+        b = [
+            (r.doc_id, round(r.bm25, 9))
+            for r in t.search_text_index(
+                spark, rebuilt, query, k=10
+            ).collect()
+        ]
+        assert s == b and len(s) > 0
