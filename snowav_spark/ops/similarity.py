@@ -481,7 +481,14 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: LSH-bucket the corpus, score only the query's
     bucket.  Recall < 1 by construction (rows-only in the contract); the
-    exact twin is cosine_topk."""
+    exact twin is cosine_topk.
+
+    Skew note (the dedup_pairs_lsh guard does not apply here): a
+    degenerate hot bucket makes this LINEAR in the bucket size — one
+    scored projection + TakeOrdered, the same cost shape as the exact
+    brute-force twin, never quadratic — so the worst case is 'no
+    speedup', not a blowup.  Size ``bits`` with the corpus (occupancy
+    ≈ N/2^bits) to keep the probed bucket small."""
     bucketed = lsh_buckets(df, id_col, vec, hyperplanes)
     qb = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec).alias("_qv"), F.col("bucket").alias("_qb")

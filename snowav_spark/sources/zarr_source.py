@@ -233,7 +233,13 @@ def _chunk_batches(
     )
 
 
-def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
+def _chunk_rows(
+    array_dir: str,
+    variable: str,
+    coord: tuple,
+    meta: dict,
+    byterange: tuple | None = None,
+):
     """Tuple-row emission of one chunk — the STREAMING path only: the
     simple stream-reader protocol reads on the driver and pickles plain
     rows through its offset replay, so Arrow batches don't apply.
@@ -242,7 +248,9 @@ def _chunk_rows(array_dir: str, variable: str, coord: tuple, meta: dict):
     path's masked Arrow array and the netcdf stream convention — the
     same store must aggregate identically read batch vs stream (a NaN
     here would poison avg/sum that NULL correctly skips)."""
-    block, (t0, y0, x0) = _chunk_block(array_dir, variable, coord, meta)
+    block, (t0, y0, x0) = _chunk_block(
+        array_dir, variable, coord, meta, byterange=byterange
+    )
     for ti in range(block.shape[0]):
         for yi in range(block.shape[1]):
             row = block[ti, yi]
@@ -270,7 +278,14 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
     coordinates land against the CURRENT shape.  Assumes chunk-aligned
     appends (the standard growth pattern — an append that REWRITES a
     partial edge chunk keeps its filename and would be skipped; rechunk
-    or use the batch source for non-aligned growth)."""
+    or use the batch source for non-aligned growth).
+
+    Sharded stores (``sharding_indexed``) stream at SHARD granularity:
+    a new shard file is one offset entry whose index footer is parsed
+    once and whose inner chunks all emit in that micro-batch.  The
+    alignment assumption scales up accordingly — appends must be
+    SHARD-aligned (a rewritten partial edge shard keeps its filename
+    and would be skipped)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -290,15 +305,6 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
             ]
         for _, adir in pairs:
             meta = zarr.read_array_meta(adir)
-            if meta.get("_shard") is not None:
-                raise ValueError(
-                    "snowav_zarr streaming tracks flat chunk FILES as "
-                    f"its offset set; {adir} is sharded "
-                    "(sharding_indexed) — a shard file holds many "
-                    "chunks and may be rewritten in place, which the "
-                    "file-set offset cannot represent.  Use the batch "
-                    "source for sharded stores"
-                )
             sep = (
                 meta["_key"][1]
                 if meta.get("_key") is not None
@@ -325,6 +331,8 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
         return {"seen": {}}
 
     def _rows_for(self, per_array: dict) -> list:
+        from itertools import product
+
         from snowav_spark.sources import zarr
 
         rows: list = []
@@ -333,29 +341,66 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
             if not names:
                 continue
             meta = zarr.read_array_meta(adir)
+            shard = meta.get("_shard")
             for name in sorted(names):
                 coord = zarr.parse_chunk_name(name, meta)
                 if coord is None:
                     continue
-                rows.extend(_chunk_rows(adir, var, coord, meta))
+                if shard is None:
+                    rows.extend(_chunk_rows(adir, var, coord, meta))
+                    continue
+                # sharded: the file IS a shard — parse its index once,
+                # emit every inner chunk inside the global grid
+                fp = os.path.join(adir, name)
+                idx = zarr.read_shard_index(fp, meta)
+                counts = [
+                    -(-s // c)
+                    for s, c in zip(meta["shape"], meta["chunks"])
+                ]
+                for icoord in product(
+                    *[range(n) for n in shard["cps"]]
+                ):
+                    inner = tuple(
+                        sc * n + i
+                        for sc, n, i in zip(coord, shard["cps"], icoord)
+                    )
+                    if any(gi >= n for gi, n in zip(inner, counts)):
+                        continue  # padding outside the array
+                    off, ln = (int(v) for v in idx[icoord])
+                    rng = (
+                        None
+                        if off == zarr.SHARD_MISSING
+                        or ln == zarr.SHARD_MISSING
+                        else (fp, off, ln)
+                    )
+                    rows.extend(
+                        _chunk_rows(
+                            adir, var, inner, meta, byterange=rng
+                        )
+                    )
         return rows
 
     @staticmethod
     def _covered(name: str, meta: dict) -> bool:
         """True iff ``name`` parses as a chunk key (any metadata files
         are skipped) whose coordinate lies inside the CURRENT chunk
-        grid.  Writers append chunk files BEFORE bumping the shape (the
-        natural order); a trigger firing in between must leave the
-        not-yet-covered chunk UNSEEN — folding it into the offset while
-        the stale shape yields zero rows would lose the chunk forever."""
+        grid — the SHARD grid on sharded stores, where file names
+        address shards.  Writers append chunk files BEFORE bumping the
+        shape (the natural order); a trigger firing in between must
+        leave the not-yet-covered chunk UNSEEN — folding it into the
+        offset while the stale shape yields zero rows would lose the
+        chunk forever."""
         from snowav_spark.sources import zarr
 
         coord = zarr.parse_chunk_name(name, meta)
         if coord is None:
             return False
-        counts = [
-            -(-s // c) for s, c in zip(meta["shape"], meta["chunks"])
-        ]
+        unit = (
+            meta["_shard"]["shape"]
+            if meta.get("_shard") is not None
+            else meta["chunks"]
+        )
+        counts = [-(-s // c) for s, c in zip(meta["shape"], unit)]
         return all(i < n for i, n in zip(coord, counts))
 
     def read(self, start: dict):

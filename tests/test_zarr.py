@@ -539,10 +539,61 @@ def test_spark_source_sharded_equals_unsharded_twin(spark, tmp_path):
     assert b.filter("t = 1 and value is null").count() == 64
 
 
-def test_sharded_streaming_refused(tmp_path):
-    from snowav_spark.sources import zarr_source
+def test_sharded_stream_reads_appended_shards(spark, tmp_path):
+    """Streaming a GROWING sharded store: a shard FILE is one offset
+    entry — the second pass parses only the new shard's index and
+    emits exactly its inner chunks (missing inner chunks surface as
+    NULL rows, never dropped)."""
+    import json as _json
+    import shutil as _sh
 
-    p = str(tmp_path / "s")
-    zarr.write_array_v3_sharded(p, np.zeros((4, 4)), (4, 4), (2, 2))
-    with pytest.raises(ValueError, match="sharded"):
-        zarr_source.ZarrStreamReader({"path": p})._arrays()
+    from snowav_spark import sources
+
+    sources.register(spark)
+    g = str(tmp_path / "sgrow")
+    arr0 = np.full((1, 4, 4), 5.0)
+    arr0[0, 0, 0] = -9.0  # a fill cell inside a live inner chunk
+    zarr.write_array_v3_sharded(
+        g, arr0, (1, 4, 4), (1, 2, 2),
+        fill_value=-9.0, separator=".", skip_fill_chunks=True,
+    )
+
+    out = str(tmp_path / "sz_out")
+    ckpt = str(tmp_path / "sz_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("snowav_zarr")
+            .load(g)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 16 and {r.t for r in first.collect()} == {0}
+    assert first.filter("value is null").count() == 1
+
+    # append one timestep as a NEW SHARD: build the t=1 data as a twin
+    # store's only shard, copy its shard file in, bump the shape
+    twin = str(tmp_path / "twin")
+    zarr.write_array_v3_sharded(
+        twin, np.full((1, 4, 4), 7.0), (1, 4, 4), (1, 2, 2),
+        fill_value=-9.0, separator=".",
+    )
+    _sh.copy(f"{twin}/c.0.0.0", f"{g}/c.1.0.0")
+    mp = f"{g}/zarr.json"
+    meta = _json.load(open(mp))
+    meta["shape"] = [2, 4, 4]
+    _json.dump(meta, open(mp, "w"))
+
+    run_once()
+    both = spark.read.parquet(out)
+    assert both.count() == 32
+    vals = {(r.t, r.y, r.x): r.value for r in both.collect()}
+    assert vals[(0, 0, 0)] is None  # fill cell -> NULL, not dropped
+    assert vals[(0, 3, 3)] == 5.0 and vals[(1, 1, 1)] == 7.0
