@@ -563,3 +563,55 @@ def test_top_share_matches_numpy_quantile(spark, orders, tmp_path):
         for r in QUERIES["q_top_share"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_crc32c_known_vectors():
+    """The hand-rolled CRC-32C against the published check value
+    (crc32c("123456789") = 0xE3069283) and basic identities — a wrong
+    polynomial/reflection would pass round-trip tests (writer and
+    reader share the bug) but fail interop with real stores."""
+    from snowav_spark.sources.zarr import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    assert _crc32c(b"\x00" * 32) == 0x8A9136AA  # published vector
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    shape=st.tuples(
+        st.integers(1, 9), st.integers(1, 9)
+    ),
+    inner=st.tuples(st.integers(1, 3), st.integers(1, 3)),
+    mult=st.tuples(st.integers(1, 3), st.integers(1, 3)),
+    loc=st.sampled_from(["start", "end"]),
+    crc=st.booleans(),
+    sparse=st.booleans(),
+)
+def test_sharded_roundtrip_any_geometry(
+    tmp_path_factory, shape, inner, mult, loc, crc, sparse
+):
+    """Property: ANY (array shape × inner chunk × shard multiple ×
+    index location × checksum × sparsity) combination round-trips
+    exactly — edge shards trim, missing inner chunks read as fill."""
+    from snowav_spark.sources import zarr
+
+    rng = np.random.RandomState(
+        hash((shape, inner, mult, loc, crc, sparse)) & 0xFFFF
+    )
+    arr = rng.rand(*shape)
+    if sparse:
+        arr[arr < 0.5] = -9.0
+    shard = tuple(i * m for i, m in zip(inner, mult))
+    p = str(tmp_path_factory.mktemp("shprop") / "arr")
+    zarr.write_array_v3_sharded(
+        p, arr, shard, inner,
+        fill_value=-9.0 if sparse else None,
+        skip_fill_chunks=sparse,
+        index_location=loc, index_crc32c=crc,
+    )
+    np.testing.assert_array_equal(zarr.read_array(p), arr)
