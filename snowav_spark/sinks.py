@@ -383,28 +383,32 @@ def idempotent_append(
     w.parquet(staged)
     # sweep remnants of a previous partial attempt of THIS digest —
     # its file split may differ from this attempt's, so name-overwrite
-    # alone could leave orphan tails.  Underscore/dot-prefixed child
-    # directories are SIDECAR DATASETS (_doc_meta, _corpus_stats …),
-    # appended to by their own idempotent_append calls that may share
-    # this digest — crossing into them here would delete a sibling
-    # call's freshly committed files.
+    # alone could leave orphan tails.  Sweep ONLY the partition dirs
+    # this staged batch produced: the partition SET is deterministic
+    # (content-derived values), so any earlier attempt of the same
+    # digest wrote a subset of these dirs — an O(batch) listing, never
+    # an O(index) tree walk.  This also keeps the sweep out of sidecar
+    # datasets (_doc_meta, _corpus_stats …), whose own idempotent
+    # appends may share this digest.
     prefix = f"append-{digest}-"
-    for dirpath, dirnames, files in os.walk(root):
-        dirnames[:] = [
-            d for d in dirnames if not d.startswith(("_", "."))
-        ]
-        for f in files:
-            if f.startswith(prefix):
-                os.remove(os.path.join(dirpath, f))
-    moved = 0
+    batch: list[tuple[str, list[str]]] = []
     for dirpath, _, files in os.walk(staged):
-        rel = os.path.relpath(dirpath, staged)
         parts = sorted(f for f in files if f.endswith(".parquet"))
+        if parts:
+            batch.append((os.path.relpath(dirpath, staged), parts))
+    for rel, _ in batch:
+        dest_dir = root if rel == "." else os.path.join(root, rel)
+        if os.path.isdir(dest_dir):
+            for f in os.listdir(dest_dir):
+                if f.startswith(prefix):
+                    os.remove(os.path.join(dest_dir, f))
+    moved = 0
+    for rel, parts in batch:
+        dest_dir = root if rel == "." else os.path.join(root, rel)
+        os.makedirs(dest_dir, exist_ok=True)
         for f in parts:
-            dest_dir = root if rel == "." else os.path.join(root, rel)
-            os.makedirs(dest_dir, exist_ok=True)
             os.replace(
-                os.path.join(dirpath, f),
+                os.path.join(staged, "" if rel == "." else rel, f),
                 os.path.join(dest_dir, f"{prefix}{moved}.parquet"),
             )
             moved += 1
