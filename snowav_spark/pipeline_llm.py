@@ -299,10 +299,21 @@ def curate_stream_pass(
         near_dedup=True,
         window_len=window_len,
     )
+    def _await(query, what: str) -> None:
+        # a silent fall-through on timeout would leave the query live
+        # and report a half-drained pass as complete
+        if not query.awaitTermination(timeout):
+            query.stop()
+            raise TimeoutError(
+                f"curate_stream_pass: {what} did not drain the backlog "
+                f"within {timeout}s — raise --timeout or shrink the "
+                "backlog (the checkpoint resumes where this stopped)"
+            )
+
     q = incremental.run_to_sink(
         curated, corpus, f"{out}/_ckpt_corpus", once=True
     )
-    q.awaitTermination(timeout)
+    _await(q, "corpus sink")
     if text_index:
         curated_idx = incremental.curation_stream(
             incremental.stream_source(spark, input_dir, schema),
@@ -323,5 +334,5 @@ def curate_stream_pass(
             n_buckets=n_buckets,
             once=True,
         )
-        qi.awaitTermination(timeout)
+        _await(qi, "text index maintenance")
     return corpus

@@ -361,8 +361,13 @@ def idempotent_append(
     whose dynamic partition overwrite is the cloud-side equivalent.
     Concurrent readers may observe a partially-moved batch (same as any
     non-transactional append); concurrent WRITERS of different batches
-    are safe (distinct digests → distinct file names).  Returns the
-    number of files committed."""
+    are safe (distinct digests → distinct file names and staging dirs),
+    but two SIMULTANEOUS attempts of the SAME batch race on their
+    shared staging dir — single writer per digest (retries are
+    sequential by nature; a scheduler that can double-fire the same
+    batch concurrently needs its own mutual exclusion, same as
+    compact_partitions' single-writer assumption).  Returns the number
+    of files committed."""
     import os
     import shutil
 
