@@ -411,6 +411,8 @@ def index_main(argv: list[str]) -> int:
         choices=(
             "build-ann", "search-ann", "build-text", "search-text",
             "compact-ann", "compact-text", "delete-ann", "delete-text",
+            "build-dedup", "ingest-dedup", "delete-dedup",
+            "compact-dedup",
         ),
     )
     ap.add_argument("--index", required=True, help="index directory")
@@ -450,6 +452,15 @@ def index_main(argv: list[str]) -> int:
         "--where",
         help="search actions: SQL predicate over the index's stored "
         "metadata columns",
+    )
+    ap.add_argument(
+        "--output",
+        help="ingest-dedup: where the batch's dedup SURVIVORS land "
+        "(the admitted documents)",
+    )
+    ap.add_argument(
+        "--est-threshold", type=float, default=0.8,
+        help="ingest-dedup: estimated-Jaccard near-dup admission bar",
     )
     args = ap.parse_args(argv)
 
@@ -517,6 +528,67 @@ def index_main(argv: list[str]) -> int:
             spark, args.index, [int(i) for i in args.ids.split(",")]
         )
         print(json.dumps({"index": args.index, "tombstoned": n}))
+    elif args.action == "build-dedup":
+        from pyspark.sql import functions as F
+
+        from snowav_spark.ops import dedup as dedup_ops
+
+        if src is None:
+            ap.error("--source is required for build actions")
+        id_c = args.id_col if args.id_col != "vec_id" else "doc_id"
+        idx = dedup_ops.dedup_index(src, id_c, args.text_col)
+        # co-locate (band, bucket) so arriving batches equi-join
+        # against clustered row groups; band alone as the directory
+        # partition (bucket is a 32-bit hash — one dir per value would
+        # be millions of directories)
+        (
+            idx.repartition(F.col("band"), F.col("bucket"))
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(args.index)
+        )
+        print(json.dumps({"index": args.index, "built": "dedup"}))
+    elif args.action == "ingest-dedup":
+        from snowav_spark import sinks
+        from snowav_spark.ops import dedup as dedup_ops
+
+        if src is None or not args.output:
+            ap.error("ingest-dedup needs --source and --output")
+        id_c = args.id_col if args.id_col != "vec_id" else "doc_id"
+        index = dedup_ops.load_dedup_index(spark, args.index)
+        fresh = dedup_ops.incremental_dedup(
+            src, index, id_c, args.text_col,
+            est_threshold=args.est_threshold,
+        ).localCheckpoint(eager=True)  # survivors computed once:
+        # the corpus write and the index append must agree exactly
+        n = fresh.count()
+        fresh.write.mode("overwrite").parquet(args.output)
+        digest = sinks.content_digest(fresh, id_c, args.text_col)
+        sinks.idempotent_append(
+            dedup_ops.dedup_index(fresh, id_c, args.text_col),
+            args.index,
+            digest,
+            partition_by=("band",),
+        )
+        print(json.dumps({
+            "index": args.index, "admitted": n,
+            "rejected": src.count() - n, "survivors": args.output,
+        }))
+    elif args.action == "delete-dedup":
+        from snowav_spark.ops import dedup as dedup_ops
+
+        if not args.ids:
+            ap.error("delete-dedup needs --ids")
+        n = dedup_ops.delete_from_dedup_index(
+            spark, args.index, [int(i) for i in args.ids.split(",")]
+        )
+        print(json.dumps({"index": args.index, "tombstoned": n}))
+    elif args.action == "compact-dedup":
+        from snowav_spark.ops import dedup as dedup_ops
+
+        n = dedup_ops.compact_dedup_index(spark, args.index)
+        print(json.dumps({"index": args.index, "files_after": n}))
     elif args.action == "compact-ann":
         n = quantize.compact_ivfpq_index(spark, args.index)
         print(json.dumps({"index": args.index, "files_after": n}))

@@ -462,11 +462,19 @@ def compact_dedup_index(
     """Fold a streamed ``(_batch)`` dedup-index layout into a flat
     serving layout, physically dropping tombstoned rows and retiring
     the sidecar (the compact_text_index twin).  Run after the ingest
-    stream is stopped."""
+    stream is stopped.  A ``band=``-partitioned layout (the CLI
+    build-dedup form) keeps its band directories — flattening them
+    would make the next partitioned append a mixed directory structure
+    Spark refuses to read."""
+    import os
     import shutil
 
     from snowav_spark import sinks
     from snowav_spark.io import hadoop_path_exists
+
+    banded = os.path.isdir(path) and any(
+        n.startswith("band=") for n in os.listdir(path)
+    )
 
     tombs = path.rstrip("/") + "/_tombstones"
     tomb = (
@@ -488,8 +496,10 @@ def compact_dedup_index(
     n_files = sinks.compact_partitions(
         spark,
         path,
+        partition_by=("band",) if banded else (),
         target_rows_per_file=target_rows_per_file,
         transform=_fold,
+        sort_within=("bucket",) if banded else (),
     )
     shutil.rmtree(tombs, ignore_errors=True)
     return n_files

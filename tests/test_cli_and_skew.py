@@ -823,3 +823,87 @@ def test_cli_curate_builds_text_index(spark, sf_dir, tmp_path):
     assert got == adhoc and len(got) > 0
     corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert set(got) <= corpus_ids
+
+
+def test_index_cli_dedup_lifecycle(spark, tmp_path, capsys):
+    """The dedup-index family from the shell — build over a corpus,
+    ingest a new batch (exact twin + near twin rejected, fresh content
+    admitted, survivors written, index grown), takedown-delete an id
+    (its content re-enters), compact (tombstones folded, layout keeps
+    its band partitioning so further ingests still read)."""
+    import json as _json
+    import os
+
+    from snowav_spark import cli
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about ducks")],
+        ["doc_id", "text"],
+    )
+    src0 = str(tmp_path / "corpus0")
+    corpus.write.parquet(src0)
+    idx = str(tmp_path / "dedup_idx")
+    assert cli.main([
+        "index", "build-dedup", "--index", idx, "--source", src0,
+        "--id-col", "doc_id",
+    ]) == 0
+    assert any(n.startswith("band=") for n in os.listdir(idx))
+
+    batch = spark.createDataFrame(
+        [
+            (10, base),                               # exact twin
+            (11, base.replace("lazy", "sleepy")),     # near twin
+            (12, "entirely novel words nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    src1 = str(tmp_path / "batch1")
+    batch.write.parquet(src1)
+    out1 = str(tmp_path / "admitted1")
+    assert cli.main([
+        "index", "ingest-dedup", "--index", idx, "--source", src1,
+        "--output", out1, "--id-col", "doc_id",
+        "--est-threshold", "0.5",
+    ]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["admitted"] == 1 and res["rejected"] == 2
+    admitted = {r.doc_id for r in spark.read.parquet(out1).collect()}
+    assert admitted == {12}
+
+    # takedown doc 1: its content may legitimately re-enter
+    assert cli.main([
+        "index", "delete-dedup", "--index", idx, "--ids", "1",
+    ]) == 0
+    src2 = str(tmp_path / "batch2")
+    spark.createDataFrame([(20, base)], ["doc_id", "text"]).write.parquet(
+        src2
+    )
+    out2 = str(tmp_path / "admitted2")
+    assert cli.main([
+        "index", "ingest-dedup", "--index", idx, "--source", src2,
+        "--output", out2, "--id-col", "doc_id",
+        "--est-threshold", "0.5",
+    ]) == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {20}
+
+    # compact folds tombstones away and KEEPS the band partitioning
+    assert cli.main(["index", "compact-dedup", "--index", idx]) == 0
+    assert not os.path.isdir(idx + "/_tombstones")
+    assert any(n.startswith("band=") for n in os.listdir(idx))
+    ids = {r.doc_id for r in spark.read.parquet(idx).select(
+        "doc_id").distinct().collect()}
+    assert 1 not in ids and {2, 12, 20} <= ids
+
+    # post-compact ingest still reads/appends the same layout
+    src3 = str(tmp_path / "batch3")
+    spark.createDataFrame(
+        [(30, "yet another brand new document body")],
+        ["doc_id", "text"],
+    ).write.parquet(src3)
+    out3 = str(tmp_path / "admitted3")
+    assert cli.main([
+        "index", "ingest-dedup", "--index", idx, "--source", src3,
+        "--output", out3, "--id-col", "doc_id",
+    ]) == 0
+    assert {r.doc_id for r in spark.read.parquet(out3).collect()} == {30}
