@@ -82,23 +82,29 @@ def report_bench_drift() -> None:
     """Drift-aware per-key comparison (VERDICT r6 item 5): uniform host
     contention inflates EVERY key by a similar factor (r6 saw +25–40%
     across untouched keys), which makes raw BENCH deltas unreadable.
-    Compare the fresh per-key times against the last COMMITTED
-    BENCH_DETAIL.json, normalize by the suite's median ratio, and
-    shortlist only keys whose ratio exceeds 1.5× that median — the real
-    per-key regressions.  Informational (host drift is not a build
-    failure); the 2× baseline gate above stays the hard floor."""
+    Compare the fresh per-key times against the MOST RECENT PRIOR
+    BENCH_HISTORY.jsonl line at the same scale factor (BENCH_DETAIL.json
+    alone is unsafe: a stray sf0.001 dev run can be the committed state,
+    and cross-sf ratios are garbage — bitten in round 9), normalize by
+    the suite's median ratio, and shortlist only keys whose ratio
+    exceeds 1.5× that median — the real per-key regressions.
+    Informational (host drift is not a build failure); the 2× baseline
+    gate above stays the hard floor."""
     try:
-        prev = json.loads(
-            subprocess.run(
-                ["git", "show", "HEAD:BENCH_DETAIL.json"],
-                capture_output=True, text=True, cwd="/root/repo",
-            ).stdout
-        ).get("queries", {})
-        fresh = json.load(open("/root/repo/BENCH_DETAIL.json")).get(
-            "queries", {}
-        )
+        fresh_all = json.load(open("/root/repo/BENCH_DETAIL.json"))
+        fresh = fresh_all.get("queries", {})
+        sf = fresh_all.get("sf")
+        prior = [
+            json.loads(line)
+            for line in open("/root/repo/BENCH_HISTORY.jsonl")
+        ]
+        prev_runs = [p for p in prior if p.get("sf") == sf][:-1]
+        if not prev_runs:
+            print(f"  bench-drift: no prior history line at sf {sf}")
+            return
+        prev = prev_runs[-1].get("queries", {})
     except (OSError, json.JSONDecodeError):
-        print("  bench-drift: no committed/fresh detail to compare")
+        print("  bench-drift: no history/fresh detail to compare")
         return
     ratios = {
         k: fresh[k] / prev[k]
