@@ -615,3 +615,59 @@ def test_sharded_roundtrip_any_geometry(
         index_location=loc, index_crc32c=crc,
     )
     np.testing.assert_array_equal(zarr.read_array(p), arr)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(drop_mask=st.integers(0, 255), double=st.booleans())
+def test_idempotent_append_converges_from_any_crash_shape(
+    spark, tmp_path_factory, drop_mask, double
+):
+    """Property: after an append attempt loses ANY subset of its
+    committed files (simulating a crash at an arbitrary point of the
+    move phase), one retry restores the dataset to exactly the
+    single-shot result — and a gratuitous extra retry (``double``)
+    changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowav_spark import sinks
+
+    root = str(tmp_path_factory.mktemp("idem") / "ds")
+    base = spark.range(8).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    base.write.partitionBy("part").parquet(root)
+    batch = spark.range(100, 124).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    digest = sinks.content_digest(batch, "id", "part")
+    sinks.idempotent_append(
+        batch, root, digest, partition_by=("part",)
+    )
+    # crash simulation: drop an arbitrary subset of the batch's files
+    victims = []
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.startswith(f"append-{digest}-"):
+                victims.append(os.path.join(dirpath, f))
+    for i, v in enumerate(victims):
+        if drop_mask & (1 << (i % 8)):
+            os.remove(v)
+    # retry (and optionally retry once more)
+    for _ in range(2 if double else 1):
+        sinks.idempotent_append(
+            batch, root, digest, partition_by=("part",)
+        )
+    got = sorted(r.id for r in spark.read.parquet(root).collect())
+    assert got == sorted(
+        list(range(8)) + list(range(100, 124))
+    )
