@@ -361,8 +361,23 @@ def curate_stream_main(argv: list[str]) -> int:
         n_buckets=args.index_buckets,
         timeout=args.timeout,
     )
-    n = spark.read.parquet(corpus).count()
+    # a pass whose docs all sit in the newest (still-open) window emits
+    # ZERO rows — the documented normal first-run case; the sink dir
+    # then has no readable parquet, which must report as an empty pass,
+    # not crash
+    from pyspark.errors import AnalysisException
+
+    try:
+        n = spark.read.parquet(corpus).count()
+    except AnalysisException:
+        n = 0
     print(f"curated corpus rows so far: {n}")
+    if n == 0:
+        print(
+            "(no window has closed yet — rows emit once newer arrivals "
+            "advance the watermark past their window; re-run after the "
+            "next drop)"
+        )
     return 0
 
 
@@ -556,7 +571,20 @@ def index_main(argv: list[str]) -> int:
         if src is None or not args.output:
             ap.error("ingest-dedup needs --source and --output")
         id_c = args.id_col if args.id_col != "vec_id" else "doc_id"
-        index = dedup_ops.load_dedup_index(spark, args.index)
+        # RETRY SAFETY: drop the batch's OWN ids from the loaded index
+        # before deduping.  A retry after a crashed (or merely
+        # unacknowledged) previous attempt finds its own rows already
+        # indexed; without this exclusion the whole batch would
+        # self-suppress, and the --output overwrite would clobber the
+        # survivors with an EMPTY dataset.  Ids are unique across the
+        # corpus by the dedup_index contract, so the anti-join removes
+        # exactly the rows a previous attempt of THIS batch created;
+        # duplicates against the REST of the corpus still reject, the
+        # recomputed survivors are identical, and the index append
+        # converges by digest — every step is a deterministic rewrite.
+        index = dedup_ops.load_dedup_index(spark, args.index).join(
+            src.select(id_c).distinct(), id_c, "left_anti"
+        )
         fresh = dedup_ops.incremental_dedup(
             src, index, id_c, args.text_col,
             est_threshold=args.est_threshold,
@@ -570,6 +598,8 @@ def index_main(argv: list[str]) -> int:
             args.index,
             digest,
             partition_by=("band",),
+            sort_within=("bucket",),  # keep build-dedup's row-group
+            # clustering so the (band, bucket) equi-join stays pruned
         )
         print(json.dumps({
             "index": args.index, "admitted": n,

@@ -1805,7 +1805,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding near-dup: LSH-bucketed candidate pairs →
     exact cosine verify within candidates (rows-only: bucket membership
     is probabilistic so recall < 1 by construction; recall vs the exact
-    key is asserted in tests/test_llm_ops.py)."""
+    key is asserted in tests/test_llm_ops.py).  The default hot-bucket
+    salting guard (max_bucket=4096) additionally bounds any bucket that
+    outgrows it — a no-op at every test scale (max occupancy ≪ 4096),
+    and at production scale the bounded-candidates trade-off documented
+    on similarity.dedup_pairs_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.dedup_pairs_lsh(emb, "vec_id", "embedding", 0.4)
 

@@ -233,20 +233,24 @@ def capped_exact_pairs(
     constant-cost at any corpus size.
 
     NO SILENT CAPS (the curate --stats rule): when the cap binds, a
-    WARNING names exactly what was dropped — pairs are computed over
-    ``cap`` of ``total`` rows only — so a caller at sf≥1 sees the
-    truncation instead of mistaking partial coverage for the corpus.
-    The full-corpus path is :func:`dedup_pairs_lsh` (linear, banded).
-    Costs one count() of the input when it may exceed the cap."""
+    WARNING names the truncation — pairs are computed over the ``cap``
+    smallest ids only — so a caller at sf≥1 sees partial coverage
+    instead of mistaking it for the corpus.  The full-corpus path is
+    :func:`dedup_pairs_lsh` (linear, banded).  The cap probe is a
+    ``limit(cap+1).count()`` — CONSTANT cost at any corpus size (an
+    exact full count here would make this builder scan the whole table
+    eagerly, which plan-only tooling like ``explain`` would pay too;
+    round-9 review finding)."""
     import logging
 
-    total = df.count()
-    if total > cap:
+    probed = df.limit(cap + 1).count()
+    if probed > cap:
         logging.getLogger("snowav_spark.similarity").warning(
-            "capped_exact_pairs: exact N^2 stage input capped to %d of "
-            "%d rows (%.1f%% coverage) — pairs cover the %d smallest "
-            "%s only; use dedup_pairs_lsh for full-corpus near-dup",
-            cap, total, 100.0 * cap / total, cap, id_col,
+            "capped_exact_pairs: exact N^2 stage input capped to %d "
+            "rows (input has more; counted at least %d) — pairs cover "
+            "the %d smallest %s only; use dedup_pairs_lsh for "
+            "full-corpus near-dup",
+            cap, probed, cap, id_col,
         )
     return cosine_pairs_above(
         df.orderBy(id_col).limit(cap), id_col, vec, threshold, dim=dim
@@ -312,9 +316,19 @@ def dedup_pairs_lsh(
     identical embeddings lands them ALL in one bucket in EVERY table —
     re-creates the quadratic blowup.  Oversized buckets are SALTED
     into ≤max_bucket sub-buckets (cost n·max_bucket, linear) with a
-    representative chain keeping true duplicate clusters connected;
-    see lsh_candidate_pairs.  Pass None to disable (exhaustive
-    candidates regardless of skew).
+    representative chain; see lsh_candidate_pairs.
+
+    Pair-loss semantics when the cap binds (it binds ONLY on buckets
+    exceeding max_bucket; smaller buckets are byte-identical to the
+    uncapped path): cross-sub-bucket pairs between NON-representative
+    members of one hot bucket are not emitted — that loss is what
+    bounds the cost, exactly as any candidate cap must.  What the
+    chain guarantees instead is CLUSTER CONNECTIVITY: a true duplicate
+    cluster resolves to one connected component downstream
+    (graph.resolve_duplicates / drop_near_dups), so dedup KEEPS the
+    right survivors even on the pathological corpus.  Callers that
+    need the exhaustive pair list over skewed data pass ``None`` and
+    accept the quadratic bucket.
 
     Plan shape (this is the 100 TB path; contrast cosine_pairs_above's
     global crossJoin):

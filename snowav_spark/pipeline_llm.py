@@ -270,13 +270,17 @@ def curate_stream_pass(
     band-ownership FLAG (flag, don't drop) → curated-corpus append, and
     optionally a persisted inverted index kept current in the same pass.
 
-    Composition of the individually-tested streaming pieces, each with
-    its own checkpoint so its delivery guarantee holds independently:
+    ONE pipeline, ONE foreachBatch writing both sinks — running two
+    independent streams over the same input would double the stateful
+    work AND open a divergence window (files landing between the two
+    drains would reach one sink only; bitten in the round-9 review).
+    Each sink is idempotent under at-least-once replay on its own
+    terms, so a replayed batch rewrites itself in both places:
 
-    - corpus: ``run_to_sink`` parquet file sink — exactly-once via the
-      sink's transaction log;
-    - index: ``text_index_stream`` — idempotent under at-least-once
-      replay via the ``(bucket, _batch)`` dynamic-overwrite layout.
+    - corpus: ``_batch=<id>`` dynamic-overwrite partitions (readers
+      drop the bookkeeping column);
+    - index: the ``(bucket, _batch)`` dynamic-overwrite layout
+      (build on the first non-empty batch, append after).
 
     Emission semantics (inherent to watermarked windows): a document's
     row emits when the watermark passes its window's end, i.e. the
@@ -284,10 +288,12 @@ def curate_stream_pass(
     advance the watermark.  Each invocation drains the current backlog
     and stops; re-run on a schedule (or drop the trigger for a
     continuous deployment).  Returns the curated-corpus path."""
+    from snowav_spark.ops import text as text_ops
     from snowav_spark.streaming import incremental
 
     out = output_dir.rstrip("/")
     corpus = f"{out}/corpus"
+    index_path = f"{out}/text_index"
     schema = spark.read.parquet(input_dir).schema
     curated = incremental.curation_stream(
         incremental.stream_source(spark, input_dir, schema),
@@ -299,40 +305,41 @@ def curate_stream_pass(
         near_dedup=True,
         window_len=window_len,
     )
-    def _await(query, what: str) -> None:
-        # a silent fall-through on timeout would leave the query live
-        # and report a half-drained pass as complete
-        if not query.awaitTermination(timeout):
-            query.stop()
-            raise TimeoutError(
-                f"curate_stream_pass: {what} did not drain the backlog "
-                f"within {timeout}s — raise --timeout or shrink the "
-                "backlog (the checkpoint resumes where this stopped)"
-            )
 
-    q = incremental.run_to_sink(
-        curated, corpus, f"{out}/_ckpt_corpus", once=True
+    def _process(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # computed once:
+        # corpus rows and index postings must agree exactly
+        incremental._write_batch_partition(batch, corpus, batch_id)
+        if text_index:
+            built = incremental._fs_dir_exists(
+                batch.sparkSession, index_path + "/_corpus_stats"
+            )
+            if not built:
+                text_ops.build_text_index(
+                    batch, id_col, text_col, index_path,
+                    n_buckets=n_buckets, batch_id=batch_id,
+                )
+            else:
+                text_ops.append_to_text_index(
+                    batch, id_col, text_col, index_path,
+                    batch_id=batch_id,
+                )
+
+    q = (
+        curated.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
     )
-    _await(q, "corpus sink")
-    if text_index:
-        curated_idx = incremental.curation_stream(
-            incremental.stream_source(spark, input_dir, schema),
-            ts_col,
-            id_col,
-            text_col,
-            min_quality=min_quality,
-            watermark=watermark,
-            near_dedup=True,
-            window_len=window_len,
+    # a silent fall-through on timeout would leave the query live and
+    # report a half-drained pass as complete
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            "curate_stream_pass: the pass did not drain the backlog "
+            f"within {timeout}s — raise --timeout or shrink the "
+            "backlog (the checkpoint resumes where this stopped)"
         )
-        qi = incremental.text_index_stream(
-            curated_idx,
-            f"{out}/text_index",
-            f"{out}/_ckpt_index",
-            id_col=id_col,
-            text_col=text_col,
-            n_buckets=n_buckets,
-            once=True,
-        )
-        _await(qi, "text index maintenance")
     return corpus

@@ -75,7 +75,7 @@ class _FilePartition(InputPartition):
 
 
 class ArrowIPCReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema_bytes: bytes | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError(
@@ -85,8 +85,13 @@ class ArrowIPCReader(DataSourceReader):
         # executor task validates against the schema the plan was built
         # with — re-deriving it per task would re-list the directory
         # and, if files appeared/vanished mid-job, silently validate
-        # against a different baseline than the plan's.
-        self._schema_bytes = (
+        # against a different baseline than the plan's.  When the
+        # DataSource already derived it in schema(), reuse those bytes
+        # (one planning read, one snapshot) instead of a second
+        # listing+open; the Arrow form is kept — round-tripping through
+        # the planned Spark StructType would lose dictionary encodings
+        # and mis-flag matching files.
+        self._schema_bytes = schema_bytes or (
             _schema_of(self.path).serialize().to_pybytes()
         )
 
@@ -125,10 +130,14 @@ class ArrowIPCDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_schema_of(self.options.get("path")))
+        arrow_schema = _schema_of(self.options.get("path"))
+        self._schema_bytes = arrow_schema.serialize().to_pybytes()
+        return from_arrow_schema(arrow_schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return ArrowIPCReader(self.options)
+        return ArrowIPCReader(
+            self.options, getattr(self, "_schema_bytes", None)
+        )
 
 
 def register(spark) -> None:

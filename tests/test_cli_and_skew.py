@@ -871,6 +871,20 @@ def test_index_cli_dedup_lifecycle(spark, tmp_path, capsys):
     admitted = {r.doc_id for r in spark.read.parquet(out1).collect()}
     assert admitted == {12}
 
+    # RETRY after unacknowledged success: re-running the same ingest
+    # must converge — identical survivors at --output (not an empty
+    # clobber) and no duplicate index rows
+    out1b = str(tmp_path / "admitted1_retry")
+    assert cli.main([
+        "index", "ingest-dedup", "--index", idx, "--source", src1,
+        "--output", out1b, "--id-col", "doc_id",
+        "--est-threshold", "0.5",
+    ]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["admitted"] == 1 and res["rejected"] == 2
+    assert {r.doc_id for r in spark.read.parquet(out1b).collect()} == {12}
+    assert spark.read.parquet(idx).filter("doc_id = 12").count() == 8  # one row per band, NO duplicates from the retry
+
     # takedown doc 1: its content may legitimately re-enter
     assert cli.main([
         "index", "delete-dedup", "--index", idx, "--ids", "1",

@@ -1575,7 +1575,7 @@ def test_capped_exact_pairs_warns_when_cap_binds(spark, caplog):
             big, "vec_id", "embedding", 0.99, cap=4096, dim=2
         )
     assert any(
-        "capped to 4096 of 5000" in r.getMessage()
+        "capped to 4096 rows" in r.getMessage()
         for r in caplog.records
     )
     caplog.clear()

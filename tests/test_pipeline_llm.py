@@ -215,8 +215,18 @@ def test_curate_stream_cli_e2e_growing_dir_batch_parity(spark, tmp_path):
             "--timeout", "180",
         ]) == 0
 
-    # pass 1: first window's docs + a later doc that closes it
+    # pass 0: every doc sits in the newest (still-open) window — the
+    # documented normal first-run case must report an EMPTY pass, not
+    # crash on the zero-row sink (round-9 review finding)
     drop([(0, base, t0), (1, near, t0), (2, base, t0)])
+    run()
+    import os
+
+    # nothing emitted -> no corpus dir yet; the CLI reported rc 0 with
+    # "0 rows" instead of crashing on the missing path
+    assert not os.path.isdir(out + "/corpus")
+
+    # pass 1: a later doc closes the first window
     drop([(3, novel, t2)])
     run()
     got = {r.doc_id: r for r in spark.read.parquet(out + "/corpus").collect()}

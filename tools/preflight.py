@@ -98,7 +98,14 @@ def report_bench_drift() -> None:
             json.loads(line)
             for line in open("/root/repo/BENCH_HISTORY.jsonl")
         ]
-        prev_runs = [p for p in prior if p.get("sf") == sf][:-1]
+        # identify the fresh run by content, not position: if bench
+        # died between writing detail and appending history, the last
+        # history line is a GENUINE prior and must not be dropped
+        prev_runs = [
+            p
+            for p in prior
+            if p.get("sf") == sf and p.get("queries") != fresh
+        ]
         if not prev_runs:
             print(f"  bench-drift: no prior history line at sf {sf}")
             return
