@@ -1800,6 +1800,22 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.capped_exact_pairs(emb, "vec_id", "embedding", 0.4)
 
 
+@q("q_semdedup")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (cluster-then-verify,
+    arXiv:2303.09540): k-means cells restrict the exact cosine stage —
+    the data-adaptive sibling of q_dedup_embed_lsh's random-hyperplane
+    restriction.  Rows-only: k-means is not SQL-expressible and recall
+    < 1 by construction (cluster-boundary pairs are missed); recall vs
+    the exact twin q_dedup_embed is asserted in tests/test_llm_ops.py,
+    and every emitted pair's cosine is exact (verified, not
+    estimated)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs(
+        emb, "vec_id", "embedding", 0.4, n_cells=16, iters=2, nprobe=4
+    )
+
+
 @q("q_dedup_embed_lsh")
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding near-dup: LSH-bucketed candidate pairs →
@@ -8533,6 +8549,7 @@ _GRADE_ORDER = [
     "q_cluster_kmeans",
     "q_cluster_sample",
     "q_pack_sequences",
+    "q_semdedup",
     "q_dedup_embed_lsh",
     "q_minhash_lsh",
     "q_simhash",

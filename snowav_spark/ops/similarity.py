@@ -421,6 +421,29 @@ def lsh_candidate_pairs(
     keys = df.select(
         F.col(id_col), F.posexplode(bucket_ids(F.col(vec))).alias("tbl", "bk")
     )
+    return _bounded_cobucket_pairs(keys, id_col, max_bucket)
+
+
+def _bounded_cobucket_pairs(
+    keys: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs co-located in a ``(tbl, bk)`` key —
+    the candidate self-join shared by LSH banding and SemDeDup-style
+    clustering, with the hot-bucket skew guard.
+
+    With ``max_bucket`` set (ON by default in every caller): a
+    degenerate bucket — e.g. thousands of identical embeddings — would
+    make the self-join quadratic in that bucket.  SALT, don't drop:
+    members get a row_number slot within their bucket and sub-buckets
+    of ≤max_bucket self-join independently (cost n·max_bucket, linear
+    in n), while a REPRESENTATIVE CHAIN (each sub-bucket's first member
+    paired with the next sub-bucket's first, +n/max_bucket pairs) keeps
+    a true duplicate cluster CONNECTED across sub-buckets — dropping
+    the bucket instead would zero recall on exactly the densest
+    duplicates, the rows a dedup pass exists for.  The per-bucket
+    row_number sorts one bucket in one task: O(n log n) once beats
+    O(n²) candidates.  Small buckets (≤max_bucket) take the single
+    sub-bucket path unchanged."""
     if max_bucket is None:
         pairs = (
             keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
@@ -431,19 +454,6 @@ def lsh_candidate_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
         )
         return pairs.select("id_a", "id_b").distinct()
-    # Hot-bucket skew guard (ON by default): a degenerate bucket — e.g.
-    # thousands of identical embeddings — would make the self-join
-    # quadratic in that bucket.  SALT, don't drop: members get a
-    # row_number slot within their bucket and sub-buckets of ≤max_bucket
-    # self-join independently (cost n·max_bucket, linear in n), while a
-    # REPRESENTATIVE CHAIN (each sub-bucket's first member paired with
-    # the next sub-bucket's first, +n/max_bucket pairs) keeps a true
-    # duplicate cluster CONNECTED across sub-buckets — dropping the
-    # bucket instead would zero recall on exactly the densest
-    # duplicates, the rows a dedup pass exists for.  The per-bucket
-    # row_number sorts one bucket in one task: O(n log n) once beats
-    # O(n²) candidates.  Small buckets (≤max_bucket) take the single
-    # sub-bucket path unchanged.
     slot = F.row_number().over(
         Window.partitionBy("tbl", "bk").orderBy(id_col)
     ) - 1
@@ -610,6 +620,72 @@ def ivf_assign(
     dim = len(cents[0])
     df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     return df.withColumn("cell", _cell_of(vec, cents))
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    n_cells: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+    max_cluster: int = 4096,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then run the
+    exact cosine verification WITHIN clusters only — the clustering
+    restricts the quadratic stage the same way LSH banding does in
+    :func:`dedup_pairs_lsh`, but with data-adaptive regions instead of
+    random hyperplanes (better candidate quality on clustered corpora,
+    at the cost of the k-means passes).
+
+    Scale shape: centroids are a broadcast-scale list (deterministic
+    md5-seeded Lloyd, :func:`ivf_centroids`); assignment is one
+    Arrow-vectorized matmul projection; the in-cluster self-join
+    shuffles ids only and reuses the SAME bounded-cobucket kernel as
+    the LSH path (``max_cluster`` salting + representative chain), so
+    a degenerate cluster stays linear and connected.  Recall < 1 by
+    construction (a pair split across every probed cluster boundary is
+    missed); ``nprobe`` is the recall knob — each vector joins its
+    nprobe nearest cells, so a boundary pair co-buckets whenever ANY of
+    their probed cells overlap, at ~nprobe× candidate cost.  Grow
+    ``n_cells`` sub-linearly with the corpus so cluster occupancy, and
+    with it both recall and cost per row, stays constant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_centroids(df, id_col, vec, n_cells, iters, dim)
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+    c = np.asarray(cents, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+    p = min(nprobe, len(cents))
+
+    def _probes(vs):  # pd.Series of list<float> -> pd.Series[list[int]]
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        d = c_sq[None, :] - 2.0 * (m @ c.T)
+        top = np.argpartition(d, p - 1, axis=1)[:, :p].astype("int64")
+        return pd.Series(list(top))
+
+    keys = df.select(
+        F.col(id_col),
+        F.lit(0).alias("tbl"),
+        F.explode(
+            pandas_udf(_probes, "array<long>")(F.col(vec))
+        ).alias("bk"),
+    )
+    cand = _bounded_cobucket_pairs(keys, id_col, max_cluster)
+    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
+    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def ivf_topk(

@@ -1639,3 +1639,65 @@ def test_lsh_salting_recall_unchanged_on_normal_corpus(spark, sf_dir):
     )
     assert on.exceptAll(off).count() == 0
     assert off.exceptAll(on).count() == 0
+
+
+def test_semdedup_pairs_exact_scores_and_recall(spark, sf_dir):
+    """SemDeDup (cluster-then-verify): every emitted pair's cosine is
+    EXACT (equal to the global brute-force score for that pair) and a
+    subset of the exact pair set; recall vs the exact twin is high on
+    the fixture (clusters capture near-dups); nprobe-style degradation:
+    n_cells=1 degrades gracefully to the full exact answer."""
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_pairs_above(
+            emb, "vec_id", "embedding", 0.4
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.semdedup_pairs(
+            emb, "vec_id", "embedding", 0.4, n_cells=16, iters=2,
+            nprobe=4,
+        ).collect()
+    }
+    assert set(got) <= set(exact)  # never a false pair
+    assert all(got[p] == exact[p] for p in got)  # scores exact
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.7, f"semdedup recall {recall:.2f} too low"
+
+    # one cluster = the whole corpus: identical to brute force
+    full = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.semdedup_pairs(
+            emb, "vec_id", "embedding", 0.4, n_cells=1, iters=1
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_semdedup_hot_cluster_bounded(spark):
+    """A degenerate corpus (all-identical vectors → one cluster) stays
+    linear through the shared bounded-cobucket kernel and resolves to
+    one connected component."""
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import graph, similarity
+
+    dups = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    pairs = similarity.semdedup_pairs(
+        dups, "vec_id", "embedding", 0.99,
+        n_cells=4, iters=1, dim=8, max_cluster=50,
+    )
+    n = pairs.count()
+    assert 0 < n <= (600 // 50) * 50 * 49 // 2 + 600 // 50
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    assert comp.select("label").distinct().count() == 1
