@@ -128,10 +128,25 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     import math
 
     bits = max(int(math.log2(max(n_docs // 2, 2) / 6)), 4)
-    run_op("embed_lsh_dedup", 
+    run_op("embed_lsh_dedup",
         lambda: similarity.dedup_pairs_lsh(
             emb, "vec_id", "embedding", 0.9, tables=4, bits=bits,
             max_bucket=2000,
+        ).count()
+    )
+    # SemDeDup: same constant-occupancy rule as the LSH path, applied
+    # to k-means cells — n_cells ∝ corpus keeps per-cell membership
+    # (and the per-row candidate cost ≈ occupancy × nprobe) constant;
+    # fixed n_cells would double occupancy per doubling and re-create
+    # the quadratic term the probe exists to expose.  Occupancy ~40:
+    # candidate volume ≈ n × 80, the same order as the LSH probe's
+    # bucket budget — a 1500-occupancy first attempt put ~600M exact
+    # verifies in one leg.
+    n_cells = max((n_docs // 2) // 40, 8)
+    run_op("semdedup",
+        lambda: similarity.semdedup_pairs(
+            emb, "vec_id", "embedding", 0.9,
+            n_cells=n_cells, iters=1, nprobe=2, max_cluster=2000,
         ).count()
     )
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
