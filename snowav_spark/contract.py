@@ -1812,7 +1812,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_pairs(
-        emb, "vec_id", "embedding", 0.4, n_cells=16, iters=2, nprobe=4
+        emb, "vec_id", "embedding", 0.4, n_cells=16, iters=1, nprobe=4
     )
 
 

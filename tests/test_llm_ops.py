@@ -1661,7 +1661,7 @@ def test_semdedup_pairs_exact_scores_and_recall(spark, sf_dir):
     got = {
         (r.id_a, r.id_b): r.cos_sim
         for r in similarity.semdedup_pairs(
-            emb, "vec_id", "embedding", 0.4, n_cells=16, iters=2,
+            emb, "vec_id", "embedding", 0.4, n_cells=16, iters=1,
             nprobe=4,
         ).collect()
     }
