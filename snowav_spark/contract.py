@@ -8339,16 +8339,16 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
 # prescribed (§2.1's scan row keeps q_scan_project in-window).
 #
-# Round-9 rotation (VERDICT r8 item 1): EIGHTEEN keys swap in —
-# the 12-key rotation-queue head (q_retention … q_global_decile) plus
-# the six round-8 flagship keys with zero driver evidence
-# (q_ann_filtered, q_cross_corr, q_corr_matrix, q_lag_corr,
-# q_ship_priority, q_returned_report).  The eighteen keys that earned
-# first-time green rows in r08 (q_oov_rate … q_assortativity) rotate
-# out to the locally-gated tail (every rotated-out key keeps its
-# permanent CORRECTNESS row and stays hash-gated by tools/check.py;
-# their SURVEY §2 rows keep in-window siblings among the 32 carried
-# keys).
+# Round-10 rotation (VERDICT r9 item 1): EIGHTEEN keys swap in —
+# the rotation-queue head q_span_dedup, q_unpivot, q_dedup_bursts,
+# q_overlap_matrix, q_drift_bins, q_skyline, q_scd2, q_interval_join,
+# q_bigram_lm, q_reservoir, q_mode_daily, q_mad_outlier, q_coverage,
+# q_winsorize, q_market_basket, q_running_distinct, q_rfm,
+# q_top_paths.  The eighteen keys that earned first-time green rows
+# in r09 (q_retention … q_returned_report) rotate out to the
+# locally-gated tail (every rotated-out key keeps its permanent
+# CORRECTNESS row and stays hash-gated by tools/check.py; their
+# SURVEY §2 rows keep in-window siblings among the 32 carried keys).
 
 _GRADE_ORDER = [
     # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row
@@ -8385,7 +8385,27 @@ _GRADE_ORDER = [
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
-    # -- rotated in r09: rotation-queue head ---------------------------
+    # -- rotated in r10: rotation-queue head (VERDICT r9 item 1) -------
+    "q_span_dedup",
+    "q_unpivot",
+    "q_dedup_bursts",
+    "q_overlap_matrix",
+    "q_drift_bins",
+    "q_skyline",
+    "q_scd2",
+    "q_interval_join",
+    "q_bigram_lm",
+    "q_reservoir",
+    "q_mode_daily",
+    "q_mad_outlier",
+    "q_coverage",
+    "q_winsorize",
+    "q_market_basket",
+    "q_running_distinct",
+    "q_rfm",
+    "q_top_paths",
+    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- rotated out r10 (first-time green driver rows r09) ------------
     "q_retention",
     "q_funnel",
     "q_skew_join",
@@ -8398,14 +8418,12 @@ _GRADE_ORDER = [
     "q_dedup_keep_best",
     "q_decile_stats",
     "q_global_decile",
-    # -- rotated in r09: round-8 flagships with zero driver evidence ---
     "q_ann_filtered",
     "q_cross_corr",
     "q_corr_matrix",
     "q_lag_corr",
     "q_ship_priority",
     "q_returned_report",
-    # -- tail: locally gated (tools/check.py every run) ----------------
     # -- rotated out r09 (first-time green driver rows r08) ------------
     "q_oov_rate",
     "q_bm25",
@@ -8484,24 +8502,6 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
-    "q_span_dedup",
-    "q_unpivot",
-    "q_dedup_bursts",
-    "q_overlap_matrix",
-    "q_drift_bins",
-    "q_skyline",
-    "q_scd2",
-    "q_interval_join",
-    "q_bigram_lm",
-    "q_reservoir",
-    "q_mode_daily",
-    "q_mad_outlier",
-    "q_coverage",
-    "q_winsorize",
-    "q_market_basket",
-    "q_running_distinct",
-    "q_rfm",
-    "q_top_paths",
     "q_weighted_median",
     "q_rank_family",
     "q_first_touch",
