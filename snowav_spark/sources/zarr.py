@@ -19,9 +19,13 @@ Supported here (the subset stdlib+NumPy can do exactly):
 
 - any NumPy numeric dtype string (``<f8``, ``>i4``, ``|u1`` …), C or F
   chunk order;
-- ``compressor: null`` (raw) and the ``zlib``/``gzip`` codecs (stdlib
-  ``zlib``) — ``blosc``/``lz4``/``zstd`` raise a clear error naming the
-  codec instead of mis-decoding;
+- ``compressor: null`` (raw), the ``zlib``/``gzip`` codecs (stdlib
+  ``zlib``), the ``lz4`` codec (numcodecs framing, pure-Python block
+  decoder in sources/lz4.py), and ``blosc`` with inner codec
+  lz4/lz4hc/zlib and byte-shuffle (sources/blosc.py) — the Pangeo/NASA
+  default ``Blosc(cname="lz4", shuffle=SHUFFLE)`` scans natively.
+  ``zstd``/``snappy``/``blosclz`` and bit-shuffle raise a clear error
+  naming the codec instead of mis-decoding;
 - ``fill_value`` semantics including the load-bearing one: a chunk file
   that does NOT exist IS a chunk of fill values (sparse arrays write
   nothing for empty regions — a reader that treated absence as an error
@@ -51,9 +55,14 @@ import zlib as _zlib
 
 import numpy as np
 
+from .blosc import BloscError, blosc_compress, blosc_decompress
+from .lz4 import numcodecs_lz4_decode, numcodecs_lz4_encode
+
 _UNSUPPORTED = (
-    "blosc", "lz4", "zstd", "bz2", "lzma", "shuffle", "delta", "crc32c",
+    "zstd", "snappy", "blosclz", "bz2", "lzma", "shuffle", "delta",
+    "crc32c",
 )
+_V2_COMPRESSORS = ("zlib", "gzip", "lz4", "blosc")
 
 
 def _meta_path(path: str) -> str:
@@ -98,21 +107,63 @@ _V3_DTYPES = {
 
 
 def _parse_v3_codec_chain(codecs: list, path: str) -> tuple[str, dict | None]:
-    """(endian, compressor) from a plain v3 codec chain: one ``bytes``
-    array→bytes codec optionally followed by ``gzip``/``zlib``
-    bytes→bytes; everything else — ``blosc``/``zstd``/``crc32c``/
-    ``transpose``/nested sharding — raises by name."""
+    """(endian, compressor) from a plain v3 codec chain: exactly one
+    ``bytes`` array→bytes codec FIRST, optionally followed by exactly
+    one ``gzip``/``zlib``/``blosc`` bytes→bytes compressor; everything
+    else — ``zstd``/``crc32c``/``transpose``/nested sharding — raises
+    by name.  Chain SHAPE is validated too (ADVICE r10): a spec-invalid
+    order like [gzip, bytes], a duplicate bytes/compressor entry, or a
+    second compressor is rejected here with the offending layout —
+    accepting it would decode as if it were bytes→compressor and
+    surface only as a misleading downstream size-mismatch 'corrupt'
+    error."""
     endian = "little"
     compressor = None
     seen_bytes = False
-    for c in codecs:
+    for pos, c in enumerate(codecs):
         name = c.get("name")
         conf = c.get("configuration") or {}
         if name == "bytes":
+            if seen_bytes:
+                raise ValueError(
+                    f"duplicate 'bytes' codec at {path} — the chain "
+                    "must hold exactly one"
+                )
+            if pos != 0:
+                raise ValueError(
+                    f"'bytes' codec at position {pos} of {path} — it "
+                    "is the array→bytes step and must come first; "
+                    f"chain is {[x.get('name') for x in codecs]}"
+                )
             endian = conf.get("endian", "little")
             seen_bytes = True
-        elif name in ("gzip", "zlib"):
-            compressor = {"id": name}
+        elif name in ("gzip", "zlib", "blosc"):
+            if not seen_bytes:
+                raise ValueError(
+                    f"compressor {name!r} before 'bytes' at {path} — "
+                    "bytes→bytes codecs follow the array→bytes step; "
+                    f"chain is {[x.get('name') for x in codecs]}"
+                )
+            if compressor is not None:
+                raise ValueError(
+                    f"second compressor {name!r} at {path} — at most "
+                    "one bytes→bytes compressor is supported"
+                )
+            if name == "blosc":
+                cname = conf.get("cname", "lz4")
+                if cname not in ("lz4", "lz4hc", "zlib"):
+                    raise ValueError(
+                        f"unsupported blosc cname {cname!r} at {path} "
+                        "— lz4/lz4hc/zlib only"
+                    )
+                if conf.get("shuffle") == "bitshuffle":
+                    raise ValueError(
+                        f"blosc bit-shuffle at {path} is not supported "
+                        "(byte-shuffle is)"
+                    )
+                compressor = {"id": "blosc", "cname": cname}
+            else:
+                compressor = {"id": name}
         elif name == "sharding_indexed":
             raise ValueError(
                 f"nested sharding_indexed at {path} — one shard level "
@@ -121,7 +172,7 @@ def _parse_v3_codec_chain(codecs: list, path: str) -> tuple[str, dict | None]:
         else:
             raise ValueError(
                 f"unsupported v3 codec {name!r} at {path} — this "
-                "pure-stdlib reader handles bytes/gzip/zlib only"
+                "pure-stdlib reader handles bytes/gzip/zlib/blosc only"
             )
     if not seen_bytes:
         raise ValueError(f"v3 codec chain lacks 'bytes' at {path}")
@@ -279,11 +330,28 @@ def read_array_meta(path: str) -> dict:
     comp = meta.get("compressor")
     if comp is not None:
         cid = comp.get("id")
-        if cid in _UNSUPPORTED or cid not in ("zlib", "gzip"):
+        if cid not in _V2_COMPRESSORS:
             raise ValueError(
                 f"unsupported zarr compressor {cid!r} at {path} — this "
-                "pure-stdlib reader handles null/zlib/gzip only"
+                "pure-stdlib reader handles null/zlib/gzip/lz4/blosc "
+                "(blosc inner codec lz4/lz4hc/zlib) only"
             )
+        if cid == "blosc":
+            # numcodecs.Blosc meta: cname + shuffle (0 none, 1 byte,
+            # 2 bit).  The chunk header flags are authoritative at
+            # decode; validating here fails fast with the codec NAME
+            # instead of a per-chunk decode error.
+            cname = comp.get("cname", "lz4")
+            if cname not in ("lz4", "lz4hc", "zlib"):
+                raise ValueError(
+                    f"unsupported blosc cname {cname!r} at {path} — "
+                    "lz4/lz4hc/zlib only (no blosclz/snappy/zstd)"
+                )
+            if comp.get("shuffle", 1) == 2:
+                raise ValueError(
+                    f"blosc bit-shuffle at {path} is not supported "
+                    "(byte-shuffle is)"
+                )
     if meta.get("filters"):
         raise ValueError(
             f"zarr filter chains are not supported ({meta['filters']!r} "
@@ -456,10 +524,20 @@ def fill_chunk(meta: dict) -> np.ndarray:
 def _decode_chunk_bytes(raw: bytes, meta: dict, where: str) -> np.ndarray:
     dt = np.dtype(meta["dtype"])
     chunks = tuple(meta["chunks"])
-    if meta.get("compressor") is not None:
-        # zlib codec emits a zlib stream; gzip codec a gzip stream —
-        # wbits=47 auto-detects both container framings
-        raw = _zlib.decompress(raw, 47)
+    comp = meta.get("compressor")
+    if comp is not None:
+        cid = comp.get("id")
+        try:
+            if cid == "blosc":
+                raw = blosc_decompress(raw)
+            elif cid == "lz4":
+                raw = numcodecs_lz4_decode(raw)
+            else:
+                # zlib codec emits a zlib stream; gzip codec a gzip
+                # stream — wbits=47 auto-detects both framings
+                raw = _zlib.decompress(raw, 47)
+        except (BloscError, ValueError) as e:
+            raise ValueError(f"chunk at {where}: {e}") from e
     arr = np.frombuffer(raw, dtype=dt)
     if arr.size != int(np.prod(chunks)):
         raise ValueError(
@@ -571,17 +649,35 @@ def write_array(
     must not round-trip through the reader's own assumptions, so this
     follows the spec text independently).  ``skip_fill_chunks`` omits
     chunk files that are entirely ``fill_value``, producing the sparse
-    layout the missing-chunk read path exists for."""
+    layout the missing-chunk read path exists for.
+
+    ``compressor``: None, "zlib", "lz4" (numcodecs LZ4 framing),
+    "blosc-lz4" (byte-shuffle, the Pangeo default shape),
+    "blosc-lz4-noshuffle", or "blosc-zlib"."""
     os.makedirs(path, exist_ok=True)
     chunks = tuple(chunks or arr.shape)
+    if compressor == "zlib":
+        comp_meta = {"id": "zlib", "level": 1}
+    elif compressor == "lz4":
+        comp_meta = {"id": "lz4", "acceleration": 1}
+    elif compressor in ("blosc-lz4", "blosc-lz4-noshuffle", "blosc-zlib"):
+        comp_meta = {
+            "id": "blosc",
+            "cname": "zlib" if compressor == "blosc-zlib" else "lz4",
+            "clevel": 5,
+            "shuffle": 0 if compressor == "blosc-lz4-noshuffle" else 1,
+            "blocksize": 0,
+        }
+    elif compressor is None:
+        comp_meta = None
+    else:
+        raise ValueError(f"unknown fixture compressor {compressor!r}")
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": arr.dtype.str,
-        "compressor": (
-            {"id": "zlib", "level": 1} if compressor == "zlib" else None
-        ),
+        "compressor": comp_meta,
         # spec: non-finite float fills are JSON strings
         "fill_value": (
             ("NaN" if np.isnan(fill_value) else
@@ -620,6 +716,15 @@ def write_array(
         raw = full.tobytes(order=order)
         if compressor == "zlib":
             raw = _zlib.compress(raw, 1)
+        elif compressor == "lz4":
+            raw = numcodecs_lz4_encode(raw)
+        elif compressor is not None and compressor.startswith("blosc-"):
+            raw = blosc_compress(
+                raw,
+                typesize=arr.dtype.itemsize,
+                codec="zlib" if compressor == "blosc-zlib" else "lz4",
+                shuffle=compressor != "blosc-lz4-noshuffle",
+            )
         fp = chunk_file(path, meta, coord)
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         with open(fp, "wb") as f:
@@ -655,6 +760,19 @@ def write_array_v3(
     codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
     if compressor == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compressor == "blosc":
+        codecs.append({
+            "name": "blosc",
+            "configuration": {
+                "cname": "lz4",
+                "clevel": 5,
+                "shuffle": "shuffle",
+                "typesize": arr.dtype.itemsize,
+                "blocksize": 0,
+            },
+        })
+    elif compressor is not None:
+        raise ValueError(f"unknown v3 fixture compressor {compressor!r}")
     if isinstance(fill_value, float) and not np.isfinite(fill_value):
         fv = (
             "NaN" if np.isnan(fill_value)
@@ -700,6 +818,10 @@ def write_array_v3(
         raw = full.tobytes(order="C")
         if compressor == "gzip":
             raw = _gzip.compress(raw, 1)
+        elif compressor == "blosc":
+            raw = blosc_compress(
+                raw, typesize=arr.dtype.itemsize, codec="lz4", shuffle=True
+            )
         name = separator.join(["c", *[str(i) for i in coord]])
         fp = os.path.join(path, name)
         os.makedirs(os.path.dirname(fp), exist_ok=True)

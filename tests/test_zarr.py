@@ -78,11 +78,11 @@ def test_unsupported_codec_and_filters_raise(tmp_path):
     os.makedirs(p)
     meta = {
         "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
-        "compressor": {"id": "blosc", "cname": "lz4"},
+        "compressor": {"id": "zstd", "level": 1},
         "fill_value": 0, "order": "C", "filters": None,
     }
     json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
-    with pytest.raises(ValueError, match="blosc"):
+    with pytest.raises(ValueError, match="zstd"):
         zarr.read_array_meta(p)
     meta["compressor"] = None
     meta["filters"] = [{"id": "delta"}]
