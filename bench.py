@@ -12,11 +12,17 @@ regression diffs are a plain ``json.loads`` per line — never an
 escaped-text parse out of a truncated tail blob (VERDICT r8 item 4).
 
 Methodology matches BASELINE.md: per-query wall time is best-of-3 after
-one warm run; Spark session startup excluded.  The 5 slowest keys are
-re-timed in isolation after the suite quiesces and the isolated number
-REPLACES the in-suite one (suite position is measurement noise, not
-query cost; replacement — not min() — keeps the headline honest in both
-directions, ADVICE r9).
+one warm run; Spark session startup excluded.  Isolated re-timing rule
+(VERDICT r9 item 2): after the suite quiesces, re-time in isolation
+(a) the 5 slowest keys, (b) ANY key whose in-suite time breaches 2x of
+its BASELINE.md per-key row, and (c) any key breaching 2x of its
+blessed BASELINE_KEYS.json median — the isolated number REPLACES the
+in-suite one (suite position is measurement noise, not query cost;
+replacement — not min() — keeps the headline honest in both directions,
+ADVICE r9).  Keys still above their bar AFTER isolated re-timing are
+reported in BENCH_DETAIL.json["drift"] — those are real regressions,
+not jitter (r9's q_topk artifact: 0.17s in-suite vs 0.06-0.09s
+isolated, invisible to a slowest-5-only rescue).
 """
 
 from __future__ import annotations
@@ -27,6 +33,34 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# BASELINE.md per-key Spark rows at sf0.1 (the "must stay within 2x"
+# contract).  q_zonal_volume shares the banded_agg row with q_zonal_mean.
+BASELINE_MD_SECONDS = {
+    "q_zonal_mean": 1.50,
+    "q_zonal_volume": 1.50,
+    "q_end_last": 1.53,
+    "q_sum_range": 0.31,
+    "q_cumsum": 0.31,
+    "q_pivot": 0.24,
+    "q_join_dim": 0.57,
+    "q_difference": 0.15,
+    "q_topk": 0.08,
+    "q_text_stats": 0.18,
+    "q_dedup_exact": 0.16,
+    "q_sim_topk": 0.11,
+}
+
+
+def _blessed_baseline(repo_dir: str) -> dict[str, float]:
+    """Per-key regression bars blessed from >=3 BENCH_HISTORY.jsonl runs
+    (tools/bless_baseline.py writes BASELINE_KEYS.json; VERDICT r9
+    item 3).  Missing file -> empty map (BASELINE.md rows still apply)."""
+    path = os.path.join(repo_dir, "BASELINE_KEYS.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f)["keys"].items()}
 
 
 def main() -> None:
@@ -57,24 +91,42 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
         timings[key] = round(best, 4)
 
-    # Suite-position inflation guard (VERDICT r7 item 6): the 5 slowest
-    # keys are RE-TIMED after the suite has quiesced (accumulated GC /
-    # checkpoint-block pressure from 190 earlier keys inflates late or
-    # heavy entries — q_pack_sequences measured 0.49 s in-suite vs
-    # 0.39 s isolated in r7).  The isolated number REPLACES the key's
-    # contribution to the headline total — not min(in-suite, isolated),
-    # which could only ever lower the total and would bias the headline
-    # downward (ADVICE r9) — so the suite metric reflects steady-state
-    # per-query cost in both directions.
+    # Suite-position inflation guard (VERDICT r7 item 6, widened by
+    # VERDICT r9 item 2): re-time in isolation after the suite has
+    # quiesced (accumulated GC / checkpoint-block pressure from 190
+    # earlier keys inflates late or heavy entries — q_pack_sequences
+    # measured 0.49 s in-suite vs 0.39 s isolated in r7):
+    #   (a) the 5 slowest keys, AND
+    #   (b) every key whose in-suite time breaches its regression bar.
+    # The bar per key is 2x its BASELINE.md row if it has one, else 2x
+    # its blessed BASELINE_KEYS.json median, with an absolute 0.05 s
+    # floor so a 5 ms key jittering to 11 ms is not flagged.  The
+    # isolated number REPLACES the key's contribution to the headline
+    # total — not min(in-suite, isolated), which could only ever lower
+    # the total and would bias the headline downward (ADVICE r9) — so
+    # the suite metric reflects steady-state per-query cost in both
+    # directions.  Keys STILL above the bar after isolation land in
+    # "drift": real regressions, not suite-position jitter.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    blessed = _blessed_baseline(repo_dir)
+    bars = {
+        k: max(2.0 * BASELINE_MD_SECONDS.get(k, blessed.get(k, 0.0)), 0.05)
+        for k in timings
+        if k in BASELINE_MD_SECONDS or k in blessed
+    }
     top5 = [
         k
         for k, _ in sorted(
             timings.items(), key=lambda kv: kv[1], reverse=True
         )[:5]
     ]
+    breaching = [
+        k for k, t in timings.items() if k in bars and t > bars[k]
+    ]
+    retime = list(dict.fromkeys(top5 + breaching))
     isolated: dict[str, float] = {}
     queries = entrymod.queries()
-    for key in top5:
+    for key in retime:
         best = None
         for i in range(4):
             t0 = time.perf_counter()
@@ -85,6 +137,11 @@ def main() -> None:
         isolated[key] = round(best, 4)
         timings[key] = isolated[key]
 
+    drift = {
+        k: {"sec": timings[k], "bar": round(bars[k], 4)}
+        for k in sorted(bars)
+        if timings[k] > bars[k]
+    }
     total = round(sum(timings.values()), 4)
     detail = {
         "metric": "suite_seconds",
@@ -92,10 +149,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "isolated": isolated,
+        "drift": drift,
         "sf": sf,
         "n_queries": len(timings),
     }
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -132,6 +189,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "isolated": isolated,
+                "drift": sorted(drift),
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",

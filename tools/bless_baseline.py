@@ -1,0 +1,87 @@
+"""Bless a per-key bench baseline (VERDICT r9 item 3).
+
+Reads the most recent BENCH_HISTORY.jsonl runs at the CURRENT key set
+(same n_queries, same key names), requires at least MIN_RUNS of them,
+and writes BASELINE_KEYS.json: per-key MEDIAN seconds across those runs.
+That file becomes the regression bar for every key that has no explicit
+BASELINE.md row — bench.py re-times (and then reports as "drift") any
+key breaching 2x of its blessed median.
+
+Usage:
+    python tools/bless_baseline.py            # bless from last >=3 runs
+    python tools/bless_baseline.py --runs 5   # use up to 5 newest runs
+
+Re-bless deliberately (after a real plan improvement or a new key),
+never automatically — a silent re-bless would ratchet the bar to
+whatever the code currently does and hide regressions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MIN_RUNS = 3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=5,
+                    help="max newest history runs to use (default 5)")
+    args = ap.parse_args()
+
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    with open(hist_path) as f:
+        runs = [json.loads(line) for line in f if line.strip()]
+    if not runs:
+        print("no BENCH_HISTORY.jsonl runs", file=sys.stderr)
+        return 1
+
+    # Only runs at the CURRENT key set are comparable — a run missing
+    # (or preceding) a key would silently skew that key's median.
+    current_keys = set(runs[-1]["queries"])
+    usable = [r for r in runs if set(r["queries"]) == current_keys]
+    usable = usable[-args.runs:]
+    if len(usable) < MIN_RUNS:
+        print(
+            f"only {len(usable)} history runs at the current "
+            f"{len(current_keys)}-key set; need >= {MIN_RUNS}. "
+            "Run `python bench.py` again and re-bless.",
+            file=sys.stderr,
+        )
+        return 1
+
+    keys = {
+        k: round(statistics.median(r["queries"][k] for r in usable), 4)
+        for k in sorted(current_keys)
+    }
+    out = {
+        "blessed_utc": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
+        "n_runs": len(usable),
+        "git_heads": [r.get("git_head", "") for r in usable],
+        "run_utcs": [r.get("utc", "") for r in usable],
+        "sf": usable[-1].get("sf"),
+        "rule": "bench.py flags any key whose best-of-3 exceeds "
+                "max(2 * median_seconds, 0.05s); BASELINE.md rows "
+                "take precedence where they exist",
+        "keys": keys,
+    }
+    out_path = os.path.join(REPO, "BASELINE_KEYS.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(
+        f"blessed {len(keys)} keys from {len(usable)} runs "
+        f"({', '.join(out['git_heads'])}) -> {out_path}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

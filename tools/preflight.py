@@ -78,6 +78,26 @@ def check_bench_vs_baseline() -> bool:
     return not bad
 
 
+def check_blessed_drift() -> bool:
+    """BASELINE_KEYS.json gate (VERDICT r9 item 3): bench.py re-times
+    any key breaching max(2x blessed median, 0.05s) in isolation and
+    records survivors in BENCH_DETAIL.json["drift"] — a non-empty drift
+    map is a real per-key regression (already rescued from suite-
+    position jitter), so it fails preflight the round it happens."""
+    try:
+        detail = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    except (OSError, json.JSONDecodeError):
+        print("  BENCH_DETAIL.json missing/unreadable")
+        return False
+    drift = detail.get("drift")
+    if drift is None:
+        print("  BENCH_DETAIL.json has no drift map (stale bench.py?)")
+        return False
+    for k, v in drift.items():
+        print(f"  blessed-drift {k}: {v['sec']}s > bar {v['bar']}s")
+    return not drift
+
+
 def report_bench_drift() -> None:
     """Drift-aware per-key comparison (VERDICT r6 item 5): uniform host
     contention inflates EVERY key by a similar factor (r6 saw +25–40%
@@ -168,6 +188,11 @@ def main() -> int:
         print(
             f"{'PASS' if results['bench-vs-baseline'] else 'FAIL'} "
             f"bench-vs-baseline (2x gate)"
+        )
+        results["blessed-drift"] = check_blessed_drift()
+        print(
+            f"{'PASS' if results['blessed-drift'] else 'FAIL'} "
+            f"blessed-drift (BASELINE_KEYS.json 2x gate)"
         )
         report_bench_drift()
     bad = [k for k, v in results.items() if not v]
