@@ -443,7 +443,17 @@ def _bounded_cobucket_pairs(
     duplicates, the rows a dedup pass exists for.  The per-bucket
     row_number sorts one bucket in one task: O(n log n) once beats
     O(n²) candidates.  Small buckets (≤max_bucket) take the single
-    sub-bucket path unchanged."""
+    sub-bucket path unchanged.
+
+    No-silent-caps telemetry (ADVICE r10): when salting ENGAGES it
+    changes results — cross-sub-bucket pairs are represented through
+    the chain, not emitted directly — so the hot buckets are WARNED by
+    key and size, mirroring capped_exact_pairs.  Cost discipline: a
+    constant-cost ``limit(max_bucket+1)`` probe skips the check when no
+    bucket can possibly exceed the cap; otherwise the detection is one
+    partially-aggregated groupBy over (tbl, bk) — strictly cheaper than
+    the row_number window on the same keys that the salted plan already
+    pays."""
     if max_bucket is None:
         pairs = (
             keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
@@ -454,6 +464,26 @@ def _bounded_cobucket_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
         )
         return pairs.select("id_a", "id_b").distinct()
+    import logging
+
+    if keys.limit(max_bucket + 1).count() > max_bucket:
+        hot = (
+            keys.groupBy("tbl", "bk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .orderBy(F.desc("n"))
+            .limit(3)
+            .collect()
+        )
+        for r in hot:
+            logging.getLogger("snowav_spark.similarity").warning(
+                "bounded_cobucket_pairs: bucket (tbl=%s, bk=%s) holds "
+                "%d members > max_bucket=%d — salting engaged: its "
+                "pairs are emitted within %d-member sub-buckets plus a "
+                "representative chain (connectivity preserved, "
+                "exhaustive within-bucket pairs are not)",
+                r["tbl"], r["bk"], r["n"], max_bucket, max_bucket,
+            )
     slot = F.row_number().over(
         Window.partitionBy("tbl", "bk").orderBy(id_col)
     ) - 1

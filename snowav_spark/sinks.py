@@ -318,18 +318,30 @@ def compact_partitions(
 
 
 def content_digest(df: DataFrame, *cols: str) -> str:
-    """Order-insensitive 63-bit content digest of ``df`` over ``cols``
-    (sum of per-row xxhash64, masked positive, hex) — the identity of a
-    batch for :func:`idempotent_append`.  One map-side-combined
-    aggregation; distributed, never collects rows.  The sum runs in
-    decimal(38,0): int64 would overflow under ANSI mode after a few
-    billion rows' worth of hash mass."""
+    """Order-insensitive content digest of ``df`` over ``cols`` — the
+    identity of a batch for :func:`idempotent_append`.  Three
+    independent multiset combiners of the per-row xxhash64, computed in
+    ONE map-side-combined aggregation (distributed, never collects
+    rows): ``<sum hex>-<xor hex>-<rowcount>``.  Sum alone is a weak
+    multiset combiner (ADVICE r10): a sum collision between two
+    genuinely different batches would let the append sweep delete the
+    earlier batch's committed files.  Requiring sum AND xor AND row
+    count to all collide makes that practically impossible, and the row
+    count in the digest (hence in every ``append-<digest>-…`` file
+    name) means even a full hash collision cannot sweep a
+    different-sized batch's files.  The sum runs in decimal(38,0):
+    int64 would overflow under ANSI mode after a few billion rows'
+    worth of hash mass."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
     row = df.select(
-        F.sum(
-            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
-        ).alias("h")
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+        F.bit_xor(h).alias("x"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return format(int(row.h or 0) & ((1 << 63) - 1), "x")
+    mask = (1 << 63) - 1
+    return (
+        f"{int(row.s or 0) & mask:x}-{int(row.x or 0) & mask:x}-{row.n}"
+    )
 
 
 def idempotent_append(

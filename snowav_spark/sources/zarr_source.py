@@ -350,9 +350,19 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                     rows.extend(_chunk_rows(adir, var, coord, meta))
                     continue
                 # sharded: the file IS a shard — parse its index once,
-                # emit every inner chunk inside the global grid
+                # emit every inner chunk inside the global grid.  A
+                # shard recorded in a prior offset may have VANISHED
+                # since (compaction, eviction): degrade to fill rows
+                # for its in-grid inner chunks, matching read_chunk's
+                # missing-file semantics on the unsharded path, instead
+                # of killing the stream with FileNotFoundError
+                # (ADVICE r10).
                 fp = os.path.join(adir, name)
-                idx = zarr.read_shard_index(fp, meta)
+                idx = (
+                    zarr.read_shard_index(fp, meta)
+                    if os.path.exists(fp)
+                    else None
+                )
                 counts = [
                     -(-s // c)
                     for s, c in zip(meta["shape"], meta["chunks"])
@@ -366,13 +376,16 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                     )
                     if any(gi >= n for gi, n in zip(inner, counts)):
                         continue  # padding outside the array
-                    off, ln = (int(v) for v in idx[icoord])
-                    rng = (
-                        None
-                        if off == zarr.SHARD_MISSING
-                        or ln == zarr.SHARD_MISSING
-                        else (fp, off, ln)
-                    )
+                    if idx is None:
+                        rng = None  # vanished shard: fill-value rows
+                    else:
+                        off, ln = (int(v) for v in idx[icoord])
+                        rng = (
+                            None
+                            if off == zarr.SHARD_MISSING
+                            or ln == zarr.SHARD_MISSING
+                            else (fp, off, ln)
+                        )
                     rows.extend(
                         _chunk_rows(
                             adir, var, inner, meta, byterange=rng

@@ -1624,6 +1624,41 @@ def test_lsh_hot_bucket_salting_bounded_and_connected(spark):
     assert comp.select("label").distinct().count() == 1
 
 
+def test_salting_warns_when_bucket_exceeds_cap(spark, caplog):
+    """ADVICE r10 (no silent caps): salting changes results — cross-
+    sub-bucket pairs ride the representative chain instead of being
+    emitted — so engaging it must WARN with the bucket key and size,
+    mirroring capped_exact_pairs; and stay quiet when nothing salts."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import similarity
+
+    n, cap = 500, 50
+    dups = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    with caplog.at_level(logging.WARNING, "snowav_spark.similarity"):
+        similarity.lsh_candidate_pairs(
+            dups, "vec_id", "embedding",
+            tables=2, bits=2, dim=8, max_bucket=cap,
+        ).count()
+    assert any(
+        "salting engaged" in r.getMessage() and f"max_bucket={cap}" in
+        r.getMessage()
+        for r in caplog.records
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "snowav_spark.similarity"):
+        similarity.lsh_candidate_pairs(
+            dups, "vec_id", "embedding",
+            tables=2, bits=2, dim=8, max_bucket=2 * n * 2,
+        ).count()
+    assert not caplog.records
+
+
 def test_lsh_salting_recall_unchanged_on_normal_corpus(spark, sf_dir):
     """The default-on skew guard must be a no-op on a normal corpus
     (buckets ≪ max_bucket): pairs identical with the guard on and

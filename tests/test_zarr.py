@@ -539,6 +539,32 @@ def test_spark_source_sharded_equals_unsharded_twin(spark, tmp_path):
     assert b.filter("t = 1 and value is null").count() == 64
 
 
+def test_sharded_stream_vanished_shard_degrades_to_fill(tmp_path):
+    """ADVICE r10: a shard file recorded in a prior stream offset that
+    has VANISHED since (compaction/eviction) must degrade to fill-value
+    rows for its in-grid inner chunks — matching the unsharded path's
+    missing-chunk semantics — not kill the stream with
+    FileNotFoundError."""
+    from snowav_spark.sources.zarr_source import ZarrStreamReader
+
+    g = str(tmp_path / "svan")
+    arr = np.full((1, 4, 4), 5.0)
+    zarr.write_array_v3_sharded(
+        g, arr, (1, 4, 4), (1, 2, 2), fill_value=-9.0, separator=".",
+    )
+    reader = ZarrStreamReader({"path": g})
+    var = os.path.basename(g.rstrip("/"))
+
+    live = reader._rows_for({var: ["c.0.0.0"]})
+    assert len(live) == 16
+    assert all(r[4] == 5.0 for r in live)
+
+    os.remove(os.path.join(g, "c.0.0.0"))
+    gone = reader._rows_for({var: ["c.0.0.0"]})
+    assert len(gone) == 16  # same grid coverage, now all fill
+    assert all(r[4] is None for r in gone)
+
+
 def test_sharded_stream_reads_appended_shards(spark, tmp_path):
     """Streaming a GROWING sharded store: a shard FILE is one offset
     entry — the second pass parses only the new shard's index and

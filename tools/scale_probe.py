@@ -149,6 +149,42 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
             n_cells=n_cells, iters=1, nprobe=2, max_cluster=2000,
         ).count()
     )
+
+    def _semdedup_recall():
+        """Measured RECALL per scale point (VERDICT r9 item 5): the
+        fraction of planted same-cluster pairs the cluster-then-verify
+        path recovers.  The planted clusters are near-identical by
+        construction (every member passes the 0.9 exact verify — r9's
+        pair counts matched C(20,2)*clusters exactly), so planted-pair
+        recovery IS recall vs the exact twin, without paying an N^2
+        ground-truth pass at probe scale.  Returned as recall*10^6 in
+        the count slot so the (seconds, n) probe record carries it."""
+        from math import comb
+
+        n_emb = n_docs // 2
+        pairs = similarity.semdedup_pairs(
+            emb, "vec_id", "embedding", 0.9,
+            n_cells=n_cells, iters=1, nprobe=2, max_cluster=2000,
+        )
+        cl = F.pmod((F.col("vec_id") / 10).cast("long"),
+                    F.lit(max(n_emb // 200, 1)))
+        members = emb.filter(F.col("vec_id") % 10 == 0).select(
+            "vec_id", cl.alias("cl")
+        )
+        a = members.select(F.col("vec_id").alias("id_a"),
+                           F.col("cl").alias("ca"))
+        b = members.select(F.col("vec_id").alias("id_b"),
+                           F.col("cl").alias("cb"))
+        found = (
+            pairs.join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
+            .filter("ca = cb").count()
+        )
+        sizes = members.groupBy("cl").count().collect()
+        expected = sum(comb(r["count"], 2) for r in sizes)
+        return int(round(found / max(expected, 1), 6) * 1_000_000)
+
+    run_op("semdedup_recall", _semdedup_recall)
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
