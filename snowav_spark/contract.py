@@ -2260,11 +2260,43 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_tfidf")
+@q(
+    "q_tfidf",
+    """
+    WITH stats AS (SELECT count(*) * 1e0 AS n_docs FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    dfr AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ),
+    scored AS (
+        SELECT doc_id, word, round(tf * ln(n_docs / df), 6) AS tfidf
+        FROM tf JOIN dfr USING (word) CROSS JOIN stats
+    ),
+    ranked AS (
+        SELECT doc_id, word, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 distinguishing terms per document (EXT, rows-only:
-    ln() is libm-dependent across engines; the rank structure is tested
-    semantically in tests/test_llm_ops.py)."""
+    """TF-IDF top-3 distinguishing terms per document.  PROMOTED to
+    oracle in round 10 (VERDICT r9 item 7): the round(…, 6) on
+    tf·ln(N/df) hash-matches DuckDB at sf0.001/0.01/0.1 — probed before
+    promotion, same recipe q_bm25 has been green on since r08 — and the
+    (tfidf DESC, word ASC) tie-break is total because word is unique
+    within a doc's term table.  Scale: the df table is vocab-sized and
+    broadcast; only (doc, term) counts shuffle, keyed by doc."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
 
@@ -8338,6 +8370,77 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_clean_text, q_decontam, q_chunk_docs, q_minhash_lsh_md5,
 # q_asof_tolerance) rotate out to the tail exactly as VERDICT r4
 # prescribed (§2.1's scan row keeps q_scan_project in-window).
+
+
+def build_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Force-build every persisted/memoized index the contract queries
+    serve from, FRESH, and return wall seconds per build (VERDICT r9
+    item 4: search-only is the right production number for an
+    index-backed query, but the offline build cost is real and must be
+    visible in the record — bench.py calls this before the suite and
+    writes the timings to BENCH_DETAIL/BENCH_HISTORY as
+    ``index_build_sec``).
+
+    Clears this sf_dir's memo entries first so the timing is a true
+    cold build, then leaves the memos populated — the suite's warm
+    runs reuse exactly these artifacts, so the measured queries stay
+    search-only as documented."""
+    import hashlib
+    import tempfile
+    import time as _time
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tmp = tempfile.gettempdir()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+
+    t0 = _time.perf_counter()
+    cb = quantize.train_pq_codebook(
+        emb, "vec_id", "embedding", dim=64, m=8, k=8, iters=2
+    )
+    codes = quantize.pq_encode(emb, "vec_id", "embedding", cb).cache()
+    codes.count()
+    out["pq_train_encode"] = round(_time.perf_counter() - t0, 4)
+    _PQ_CODEBOOKS[sf_dir] = cb
+    old = _PQ_CODES.pop((spark, sf_dir), None)
+    if old is not None:
+        old.unpersist()
+    _PQ_CODES[(spark, sf_dir)] = codes
+
+    t0 = _time.perf_counter()
+    path = f"{tmp}/snowav_ivfpq_{tag}_{os.getpid()}"
+    quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path,
+        n_cells=8, m=8, k=8, iters=1, dim=64,
+    )
+    out["ivfpq_build"] = round(_time.perf_counter() - t0, 4)
+    _IVFPQ_PATHS[sf_dir] = path
+
+    t0 = _time.perf_counter()
+    path = f"{tmp}/snowav_ivfpqm_{tag}_{os.getpid()}"
+    quantize.build_ivfpq_index(
+        emb, "vec_id", "embedding", path,
+        n_cells=8, m=8, k=8, iters=1, dim=64, metadata=("label",),
+    )
+    out["ivfpq_meta_build"] = round(_time.perf_counter() - t0, 4)
+    _IVFPQ_META_PATHS[sf_dir] = path
+
+    t0 = _time.perf_counter()
+    path = f"{tmp}/snowav_textidx_{tag}_{os.getpid()}"
+    text.build_text_index(docs, "doc_id", "text", path, n_buckets=16)
+    out["text_index_build"] = round(_time.perf_counter() - t0, 4)
+    _TEXT_INDEX_PATHS[sf_dir] = path
+
+    t0 = _time.perf_counter()
+    path = f"{tmp}/snowav_textidxm_{tag}_{os.getpid()}"
+    text.build_text_index(
+        docs, "doc_id", "text", path, n_buckets=16,
+        doc_meta=("lang", "source"),
+    )
+    out["text_meta_build"] = round(_time.perf_counter() - t0, 4)
+    _TEXT_META_PATHS[sf_dir] = path
+    return out
 #
 # Round-10 rotation (VERDICT r9 item 1): EIGHTEEN keys swap in —
 # the rotation-queue head q_span_dedup, q_unpivot, q_dedup_bursts,
