@@ -45,6 +45,11 @@ ENGINE_CONF: dict[str, str] = {
     # session to UTC so wall times — and date_trunc day boundaries — match
     # DuckDB's naive timestamps on any host timezone.
     "spark.sql.session.timeZone": "UTC",
+    # Python data source filter pushdown (Spark 4.1, default off): lets
+    # the snowav_zarr reader prune chunk-grid partitions from pushed
+    # t/y/x/variable predicates at planning — a time-sliced query on a
+    # large archive plans only the intersecting chunks.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -117,32 +117,140 @@ def _array_partitions(array_dir: str, variable: str) -> list:
 
 
 class ZarrReader(DataSourceReader):
+    """Batch reader: one (inner-)chunk = one input partition.
+
+    Coordinate predicate PUSHDOWN (round 10): filters on the integer
+    dim columns ``t``/``y``/``x`` and on ``variable`` prune the chunk
+    grid at PLANNING time — a ``WHERE t >= 100`` over a 10-year daily
+    archive plans only the intersecting chunk partitions instead of
+    scanning every chunk and filtering rows.  This is the chunk-grid
+    equivalent of parquet partition pruning, and it is what makes a
+    time-sliced query on a 100 TB store proportional to the slice, not
+    the archive.  The pushdown is INEXACT (a chunk spans a coordinate
+    range), so every accepted filter is also returned to Spark for
+    row-level re-evaluation — same contract as parquet row-group
+    skipping."""
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snowav_zarr requires a load(path) directory")
+        # per-dim [lo, hi] closed bounds accumulated by pushFilters
+        # (None = unbounded); variable membership set (None = all)
+        self._bounds: dict = {"t": [None, None], "y": [None, None],
+                              "x": [None, None]}
+        self._vars: set | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def tighten(col, lo=None, hi=None):
+            b = self._bounds[col]
+            if lo is not None:
+                b[0] = lo if b[0] is None else max(b[0], lo)
+            if hi is not None:
+                b[1] = hi if b[1] is None else min(b[1], hi)
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            val = getattr(f, "value", None)
+            if col in ("t", "y", "x") and isinstance(val, int):
+                if isinstance(f, EqualTo):
+                    tighten(col, lo=val, hi=val)
+                elif isinstance(f, GreaterThan):
+                    tighten(col, lo=val + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    tighten(col, lo=val)
+                elif isinstance(f, LessThan):
+                    tighten(col, hi=val - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    tighten(col, hi=val)
+            elif (
+                col == "variable"
+                and isinstance(f, EqualTo)
+                and isinstance(val, str)
+            ):
+                v = {val}
+                self._vars = v if self._vars is None else self._vars & v
+            elif (
+                col == "variable"
+                and isinstance(f, In)
+                and all(isinstance(x, str) for x in val)
+            ):
+                v = set(val)
+                self._vars = v if self._vars is None else self._vars & v
+            # chunk granularity is coarser than rows: EVERY filter —
+            # pushed or not — goes back to Spark for row-level
+            # re-evaluation (inexact pushdown)
+            yield f
+
+    def _keep(self, meta: dict, coord: tuple) -> bool:
+        """Does this chunk's coordinate box intersect the pushed
+        bounds?  Dims map onto (t, y, x) RIGHT-ALIGNED, exactly as
+        _chunk_block pads: a 2-d array is (y, x), 1-d is (x,)."""
+        dims = ("t", "y", "x")[3 - len(meta["shape"]):]
+        for d, i, c, s in zip(
+            dims, coord, meta["chunks"], meta["shape"]
+        ):
+            lo, hi = self._bounds[d]
+            c0 = i * c
+            c1 = min(c0 + c, s) - 1  # last live index in this chunk
+            if (lo is not None and c1 < lo) or (
+                hi is not None and c0 > hi
+            ):
+                return False
+        return True
+
+    def _prune(self, parts: list) -> list:
+        kept = [
+            p for p in parts if self._keep(p.meta, tuple(p.coord))
+        ]
+        return kept
 
     def partitions(self):
         from snowav_spark.sources import zarr
 
         if zarr.is_zarr_array(self.path):
             name = os.path.basename(os.path.normpath(self.path))
-            return _array_partitions(self.path, name)
-        if zarr.is_zarr_group(self.path):
-            parts = []
-            for name in zarr.group_arrays(self.path):
-                parts.extend(
-                    _array_partitions(os.path.join(self.path, name), name)
-                )
-            if not parts:
+            if self._vars is not None and name not in self._vars:
+                return [_ChunkPartition("", name, (), {"_empty": True})]
+            parts = self._prune(_array_partitions(self.path, name))
+        elif zarr.is_zarr_group(self.path):
+            names = zarr.group_arrays(self.path)
+            if not names:
                 raise ValueError(f"zarr group {self.path} has no arrays")
-            return parts
-        raise ValueError(
-            f"{self.path} is neither a zarr array (.zarray) nor a "
-            "group (.zgroup)"
-        )
+            parts = []
+            for name in names:
+                if self._vars is not None and name not in self._vars:
+                    continue
+                parts.extend(
+                    self._prune(
+                        _array_partitions(
+                            os.path.join(self.path, name), name
+                        )
+                    )
+                )
+        else:
+            raise ValueError(
+                f"{self.path} is neither a zarr array (.zarray) nor a "
+                "group (.zgroup)"
+            )
+        if not parts:
+            # Spark requires >= 1 partition; emit one empty marker
+            parts = [_ChunkPartition("", "", (), {"_empty": True})]
+        return parts
 
     def read(self, partition: _ChunkPartition):
+        if partition.meta.get("_empty"):
+            return  # pruned-to-nothing marker partition: zero rows
         yield from _chunk_batches(
             partition.array_dir,
             partition.variable,

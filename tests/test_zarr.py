@@ -379,6 +379,94 @@ def test_stream_rows_null_parity_with_batch(tmp_path):
     assert col.null_count == 2
 
 
+def test_pushdown_prunes_chunk_grid(tmp_path):
+    """Coordinate predicate pushdown (round 10): pushed t/y/x/variable
+    filters prune the chunk grid at PLANNING — the parquet-partition-
+    pruning equivalent for Zarr.  Unit level: the reader's partitions()
+    after pushFilters()."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+    )
+
+    from snowav_spark.sources.zarr_source import ZarrReader
+
+    p = str(tmp_path / "arr")
+    arr = np.arange(16 * 8 * 8, dtype="<f8").reshape(16, 8, 8)
+    zarr.write_array(p, arr, (2, 4, 4))  # 8 x 2 x 2 = 32 chunks
+
+    r = ZarrReader({"path": p})
+    assert len(r.partitions()) == 32
+    # every filter is returned to Spark for row-level re-evaluation
+    # (chunk granularity is coarser than rows)
+    back = list(r.pushFilters([GreaterThanOrEqual(("t",), 12)]))
+    assert len(back) == 1
+    assert len(r.partitions()) == 8
+
+    r = ZarrReader({"path": p})
+    list(r.pushFilters([EqualTo(("t",), 3), EqualTo(("x",), 7)]))
+    assert len(r.partitions()) == 2  # one t-slab x 2 y-chunks x 1 x
+
+    r = ZarrReader({"path": p})
+    list(r.pushFilters([LessThan(("t",), 0)]))
+    parts = r.partitions()  # pruned to nothing -> one empty marker
+    assert len(parts) == 1 and parts[0].meta.get("_empty")
+    assert list(r.read(parts[0])) == []
+
+    # 2-d array: dims right-align onto (y, x) — a t filter must NOT
+    # prune (there is no t dim; the t column is constant 0)
+    p2 = str(tmp_path / "arr2")
+    zarr.write_array(p2, np.ones((8, 8)), (4, 4))
+    r = ZarrReader({"path": p2})
+    list(r.pushFilters([GreaterThanOrEqual(("y",), 4)]))
+    assert len(r.partitions()) == 2
+    r = ZarrReader({"path": p2})
+    list(r.pushFilters([GreaterThanOrEqual(("t",), 1)]))
+    assert len(r.partitions()) == 4  # t unbounded on a (y, x) array
+
+    # variable pruning on a single-array load
+    r = ZarrReader({"path": p})
+    list(r.pushFilters([In(("variable",), ("other", "nope"))]))
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].meta.get("_empty")
+
+
+def test_pushdown_e2e_skips_pruned_chunk_reads(spark, tmp_path):
+    """E2E proof that pruned chunks are never READ: corrupt a chunk
+    file outside the predicate — the filtered query succeeds (the
+    pruned partition never reaches an executor), the full scan fails.
+    Also pins result parity between the pruned and unpruned plans."""
+    from snowav_spark import sources
+
+    sources.register(spark)
+    assert (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled")
+        == "true"
+    )
+    p = str(tmp_path / "arr")
+    arr = np.arange(8 * 4 * 4, dtype="<f8").reshape(8, 4, 4)
+    zarr.write_array(p, arr, (2, 4, 4))  # 4 t-chunks
+    df = spark.read.format("snowav_zarr").load(p)
+    expected = [
+        (r.t, r.y, r.x, r.value)
+        for r in df.filter("t >= 4").orderBy("t", "y", "x").collect()
+    ]
+    assert len(expected) == 4 * 4 * 4
+    # corrupt the t=[0,2) chunk: the zlib stream becomes garbage
+    with open(os.path.join(p, "0.0.0"), "wb") as f:
+        f.write(b"not a zlib stream")
+    got = [
+        (r.t, r.y, r.x, r.value)
+        for r in spark.read.format("snowav_zarr").load(p)
+        .filter("t >= 4").orderBy("t", "y", "x").collect()
+    ]
+    assert got == expected
+    with pytest.raises(Exception):  # unpruned scan must hit the corruption
+        spark.read.format("snowav_zarr").load(p).count()
+
+
 def test_read_array_meta_plain_dir_is_value_error(tmp_path):
     """A directory that is neither v2 nor v3 must raise the module's
     documented ValueError diagnostic, not a raw FileNotFoundError."""
