@@ -322,6 +322,13 @@ def read_array_meta(path: str) -> dict:
         )
     with open(_meta_path(path)) as f:
         meta = json.load(f)
+    return _validate_v2_meta(meta, path)
+
+
+def _validate_v2_meta(meta: dict, path: str) -> dict:
+    """Validate a v2 array descriptor dict (from ``.zarray`` or a
+    consolidated ``.zmetadata`` entry) to the supported subset —
+    shared so consolidated entries face exactly the per-file gates."""
     if meta.get("zarr_format") != 2:
         raise ValueError(
             f"unsupported zarr_format {meta.get('zarr_format')!r} "
@@ -624,7 +631,12 @@ def read_attrs(path: str) -> dict:
 
 
 def group_arrays(path: str) -> list[str]:
-    """Member array names of a group directory, sorted."""
+    """Member array names of a group directory, sorted.  Prefers the
+    consolidated ``.zmetadata`` when present (one read instead of a
+    directory listing — the object-store access pattern)."""
+    cons = read_consolidated(path)
+    if cons is not None:
+        return sorted(cons)
     if not is_zarr_group(path):
         raise ValueError(f"{path} is not a zarr group (no .zgroup)")
     return sorted(
@@ -632,6 +644,68 @@ def group_arrays(path: str) -> list[str]:
         for n in os.listdir(path)
         if is_zarr_array(os.path.join(path, n))
     )
+
+
+def read_consolidated(path: str) -> dict | None:
+    """Parse a zarr v2 consolidated-metadata file
+    (``.zmetadata``, ``zarr_consolidated_format: 1`` — what
+    ``zarr.consolidate_metadata`` writes and every Pangeo/NASA catalog
+    entry ships) into ``{array_name: validated_meta}`` for the group's
+    DIRECT member arrays.  Returns None when the file is absent.
+
+    Why it matters at scale: without it, planning a scan of a group
+    with V variables costs 1 listing + V metadata GETs against the
+    object store; with it, planning is ONE small read.  Every
+    consolidated entry passes the exact per-file validation gates
+    (_validate_v2_meta), so an unsupported codec still fails by name at
+    planning, never mid-scan."""
+    p = os.path.join(path, ".zmetadata")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        doc = json.load(f)
+    if doc.get("zarr_consolidated_format") != 1:
+        raise ValueError(
+            f"unsupported zarr_consolidated_format "
+            f"{doc.get('zarr_consolidated_format')!r} at {p} (only 1)"
+        )
+    out: dict[str, dict] = {}
+    for key, meta in (doc.get("metadata") or {}).items():
+        if not key.endswith("/.zarray"):
+            continue
+        name = key[: -len("/.zarray")]
+        if "/" in name:
+            continue  # nested sub-group arrays: not a DIRECT member
+        out[name] = _validate_v2_meta(dict(meta), f"{p}:{key}")
+    return out
+
+
+def consolidate_metadata(path: str) -> int:
+    """Write ``.zmetadata`` for a v2 group (fixture-side equivalent of
+    ``zarr.consolidate_metadata``): every member's ``.zarray`` and
+    ``.zattrs`` plus the group's ``.zgroup``, under
+    ``zarr_consolidated_format: 1``.  Returns the number of arrays
+    consolidated."""
+    if not os.path.isfile(os.path.join(path, ".zgroup")):
+        raise ValueError(f"{path} is not a zarr v2 group (no .zgroup)")
+    metadata: dict[str, dict] = {".zgroup": {"zarr_format": 2}}
+    n = 0
+    for name in sorted(os.listdir(path)):
+        adir = os.path.join(path, name)
+        if not os.path.isfile(_meta_path(adir)):
+            continue
+        with open(_meta_path(adir)) as f:
+            metadata[f"{name}/.zarray"] = json.load(f)
+        zattrs = os.path.join(adir, ".zattrs")
+        if os.path.isfile(zattrs):
+            with open(zattrs) as f:
+                metadata[f"{name}/.zattrs"] = json.load(f)
+        n += 1
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump(
+            {"zarr_consolidated_format": 1, "metadata": metadata}, f
+        )
+    return n
 
 
 def write_array(

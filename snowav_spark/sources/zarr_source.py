@@ -70,12 +70,17 @@ class _ChunkPartition(InputPartition):
     byterange: tuple | None = None
 
 
-def _array_partitions(array_dir: str, variable: str) -> list:
+def _array_partitions(
+    array_dir: str, variable: str, meta: dict | None = None
+) -> list:
+    """``meta`` may be supplied from a consolidated ``.zmetadata``
+    read, saving the per-array metadata fetch at planning."""
     import os as _os
 
     from snowav_spark.sources import zarr
 
-    meta = zarr.read_array_meta(array_dir)
+    if meta is None:
+        meta = zarr.read_array_meta(array_dir)
     ndim = len(meta["shape"])
     if not 1 <= ndim <= 3:
         raise ValueError(
@@ -224,7 +229,14 @@ class ZarrReader(DataSourceReader):
                 return [_ChunkPartition("", name, (), {"_empty": True})]
             parts = self._prune(_array_partitions(self.path, name))
         elif zarr.is_zarr_group(self.path):
-            names = zarr.group_arrays(self.path)
+            # consolidated .zmetadata (when present): member names AND
+            # every array descriptor from ONE read — planning a
+            # V-variable group costs one GET, not 1 listing + V GETs
+            cons = zarr.read_consolidated(self.path)
+            names = (
+                sorted(cons) if cons is not None
+                else zarr.group_arrays(self.path)
+            )
             if not names:
                 raise ValueError(f"zarr group {self.path} has no arrays")
             parts = []
@@ -234,7 +246,9 @@ class ZarrReader(DataSourceReader):
                 parts.extend(
                     self._prune(
                         _array_partitions(
-                            os.path.join(self.path, name), name
+                            os.path.join(self.path, name),
+                            name,
+                            meta=cons[name] if cons else None,
                         )
                     )
                 )

@@ -671,3 +671,66 @@ def test_idempotent_append_converges_from_any_crash_shape(
     assert got == sorted(
         list(range(8)) + list(range(100, 124))
     )
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (round 10): pure-Python LZ4 / Blosc round-trips hold
+# for arbitrary byte strings, not just the fixture shapes.  No Spark —
+# these run plain Python, so examples are cheap and plentiful.
+
+
+@given(data=st.binary(max_size=20_000))
+@settings(max_examples=200, deadline=None)
+def test_lz4_roundtrip_property(data):
+    from snowav_spark.sources.lz4 import lz4_compress, lz4_decompress
+
+    assert lz4_decompress(lz4_compress(data), len(data)) == data
+
+
+@given(
+    data=st.binary(max_size=20_000),
+    typesize=st.sampled_from([1, 2, 4, 8, 16, 32]),
+    codec=st.sampled_from(["lz4", "zlib"]),
+    shuffle=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_blosc_roundtrip_property(data, typesize, codec, shuffle):
+    from snowav_spark.sources.blosc import blosc_compress, blosc_decompress
+
+    chunk = blosc_compress(
+        data, typesize=typesize, codec=codec, shuffle=shuffle
+    )
+    assert blosc_decompress(chunk) == data
+
+
+@given(
+    # repetitive inputs force real matches (including overlaps) through
+    # the decoder, not just literal runs
+    word=st.binary(min_size=1, max_size=9),
+    reps=st.integers(1, 4000),
+    tail=st.binary(max_size=20),
+)
+@settings(max_examples=100, deadline=None)
+def test_lz4_roundtrip_repetitive_property(word, reps, tail):
+    from snowav_spark.sources.lz4 import lz4_compress, lz4_decompress
+
+    data = word * reps + tail
+    comp = lz4_compress(data)
+    assert lz4_decompress(comp, len(data)) == data
+    if len(data) > 1000 and len(set(word)) <= 2:
+        assert len(comp) < len(data)  # matches actually engage
+
+
+@given(junk=st.binary(min_size=1, max_size=300), size=st.integers(0, 400))
+@settings(max_examples=150, deadline=None)
+def test_lz4_arbitrary_bytes_never_silently_misdecodes(junk, size):
+    """Fuzz the decoder with non-LZ4 bytes: it must either raise
+    LZ4BlockError or return EXACTLY size bytes — never crash with a
+    foreign exception, never return a wrong-length buffer."""
+    from snowav_spark.sources.lz4 import LZ4BlockError, lz4_decompress
+
+    try:
+        out = lz4_decompress(junk, size)
+    except LZ4BlockError:
+        return
+    assert len(out) == size

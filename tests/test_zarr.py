@@ -379,6 +379,62 @@ def test_stream_rows_null_parity_with_batch(tmp_path):
     assert col.null_count == 2
 
 
+def test_consolidated_metadata_roundtrip_and_planning(spark, tmp_path):
+    """Consolidated ``.zmetadata`` (round 10): one read serves the
+    whole group's descriptors at planning — proven by REMOVING the
+    member .zarray files after consolidating: the listing and the full
+    Spark scan still work, byte-equal to the unconsolidated twin."""
+    from snowav_spark import sources
+
+    sources.register(spark)
+    rng = np.random.RandomState(3)
+    swe, depth = rng.rand(5, 7), rng.rand(5, 7)
+    g = str(tmp_path / "cons")
+    zarr.write_group(g, {"swe": swe, "depth": depth}, chunks=(2, 3),
+                     attrs={"units": "m"})
+    assert zarr.consolidate_metadata(g) == 2
+    before = (
+        spark.read.format("snowav_zarr").load(g)
+        .orderBy("variable", "y", "x").collect()
+    )
+    # planner must be able to work from .zmetadata ALONE
+    os.remove(os.path.join(g, "swe", ".zarray"))
+    os.remove(os.path.join(g, "depth", ".zarray"))
+    assert zarr.group_arrays(g) == ["depth", "swe"]
+    assert zarr.read_consolidated(g)["swe"]["shape"] == [5, 7]
+    after = (
+        spark.read.format("snowav_zarr").load(g)
+        .orderBy("variable", "y", "x").collect()
+    )
+    assert after == before and len(after) == 2 * 5 * 7
+
+
+def test_consolidated_metadata_validates_and_skips_nested(tmp_path):
+    """Consolidated entries face the same validation gates as .zarray
+    files (unsupported codec fails BY NAME at planning), and nested
+    sub-group arrays are not direct members."""
+    import json as _json
+
+    g = str(tmp_path / "bad")
+    zarr.write_group(g, {"a": np.ones((2, 2))})
+    zarr.consolidate_metadata(g)
+    p = os.path.join(g, ".zmetadata")
+    doc = _json.load(open(p))
+    doc["metadata"]["sub/inner/.zarray"] = doc["metadata"]["a/.zarray"]
+    _json.dump(doc, open(p, "w"))
+    assert sorted(zarr.read_consolidated(g)) == ["a"]  # nested skipped
+    doc["metadata"]["a/.zarray"] = dict(
+        doc["metadata"]["a/.zarray"], compressor={"id": "zstd"}
+    )
+    _json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="zstd"):
+        zarr.read_consolidated(g)
+    doc["zarr_consolidated_format"] = 2
+    _json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="consolidated_format"):
+        zarr.read_consolidated(g)
+
+
 def test_pushdown_prunes_chunk_grid(tmp_path):
     """Coordinate predicate pushdown (round 10): pushed t/y/x/variable
     filters prune the chunk grid at PLANNING — the parquet-partition-
