@@ -18,7 +18,10 @@ Reader supports
     fixed-point, IEEE float, fixed string, object reference,
     variable-length (sequences and vlen strings via the global heap),
   - data layouts: compact, contiguous, chunked v3 (B-tree v1 chunk
-    index) with deflate (zlib), shuffle, and fletcher32 filters,
+    index) with deflate (zlib), shuffle, fletcher32, registered LZ4
+    (32004, sources/lz4.py framing per hdf5_plugins), and registered
+    blosc (32001, sources/blosc.py) filters — zstd (32015) and other
+    unregistered ids raise by id,
   - the netCDF-4 convention: dimension scales (``CLASS`` /
     ``_Netcdf4Dimid``), ``DIMENSION_LIST`` refs resolved to dim names,
     hidden bookkeeping attrs stripped, nested groups flattened with
@@ -798,9 +801,69 @@ class H5File:
                 )
             elif fid == 3:  # fletcher32: checksum trails the data
                 raw = raw[:-4]
+            elif fid == 32004:  # registered LZ4 filter (hdf5_plugins)
+                raw = _hdf5_lz4_decode(raw)
+            elif fid == 32001:  # registered blosc filter: the chunk
+                # payload IS one Blosc1 chunk (H5Zblosc stores the
+                # blosc buffer directly; cd_values only echo params)
+                from .blosc import blosc_decompress
+
+                raw = blosc_decompress(raw)
             else:
                 raise ValueError(f"unsupported HDF5 filter id {fid}")
         return raw
+
+
+def _hdf5_lz4_decode(raw: bytes) -> bytes:
+    """Inverse of the registered HDF5 LZ4 filter (id 32004,
+    hdf5_plugins framing — all fields BIG-endian): uint64 original
+    size, uint32 block size, then per block a uint32 compressed size
+    followed by an LZ4 block (stored raw when the compressed size
+    equals the block's uncompressed size)."""
+    from .lz4 import lz4_decompress
+
+    if len(raw) < 12:
+        raise ValueError("HDF5 lz4 filter payload shorter than header")
+    (orig,) = struct.unpack_from(">Q", raw, 0)
+    (bsize,) = struct.unpack_from(">I", raw, 8)
+    if bsize <= 0:
+        bsize = orig or 1
+    out = bytearray()
+    pos = 12
+    remaining = orig
+    while remaining > 0:
+        (csize,) = struct.unpack_from(">I", raw, pos)
+        pos += 4
+        ub = min(bsize, remaining)
+        payload = raw[pos:pos + csize]
+        if len(payload) != csize:
+            raise ValueError("HDF5 lz4 filter payload truncated")
+        pos += csize
+        out += payload if csize == ub else lz4_decompress(payload, ub)
+        remaining -= ub
+    if len(out) != orig:
+        raise ValueError(
+            f"HDF5 lz4 filter decoded {len(out)} bytes, expected {orig}"
+        )
+    return bytes(out)
+
+
+def _hdf5_lz4_encode(raw: bytes, bsize: int = 1 << 20) -> bytes:
+    """Forward HDF5 LZ4 filter framing (fixture writer)."""
+    from .lz4 import lz4_compress
+
+    n = len(raw)
+    bsize = min(bsize, max(n, 1))
+    out = bytearray(struct.pack(">QI", n, bsize))
+    for off in range(0, n, bsize):
+        block = raw[off:off + bsize]
+        comp = lz4_compress(block)
+        if len(comp) >= len(block):
+            comp = block  # stored raw; csize == uncompressed marks it
+        out += struct.pack(">I", len(comp)) + comp
+    if n == 0:
+        out += struct.pack(">I", 0)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1030,17 +1093,25 @@ def write(
     chunks: dict | None = None,
     deflate: int | None = None,
     shuffle: bool = False,
+    codec: str | None = None,
 ):
     """Write a netCDF-4-shaped HDF5 file.  ``variables`` maps name →
     (dim_names, ndarray, attrs), mirroring netcdf3.write.  A variable
     named like a dim and shaped [dim] becomes that dim's coordinate
     scale; other dims get hidden bookkeeping scale datasets.  ``chunks``
     maps variable name → chunk shape; deflate/shuffle apply to chunked
-    variables only (HDF5 filters require chunked layout)."""
+    variables only (HDF5 filters require chunked layout).
+    ``codec``: "lz4" (registered filter 32004) or "blosc" (32001,
+    blosc1 chunk with lz4 + byte-shuffle) as an alternative to
+    deflate."""
     attrs = attrs or {}
     chunks = dict(chunks or {})
-    if (deflate is not None or shuffle) and not chunks:
+    if (deflate is not None or shuffle or codec) and not chunks:
         raise ValueError("deflate/shuffle need chunked variables (pass chunks=)")
+    if codec not in (None, "lz4", "blosc"):
+        raise ValueError(f"unknown codec {codec!r} (lz4/blosc)")
+    if codec and deflate is not None:
+        raise ValueError("codec and deflate are mutually exclusive")
 
     # normalize arrays to little-endian native layouts
     norm: dict[str, tuple[list, np.ndarray, dict]] = {}
@@ -1116,6 +1187,15 @@ def write(
                     )
                 if deflate is not None:
                     raw = zlib.compress(raw, deflate)
+                elif codec == "lz4":
+                    raw = _hdf5_lz4_encode(raw)
+                elif codec == "blosc":
+                    from .blosc import blosc_compress
+
+                    raw = blosc_compress(
+                        raw, typesize=arr.dtype.itemsize,
+                        codec="lz4", shuffle=True,
+                    )
                 pieces.append((offs, raw))
             return "chunked", cs, pieces
         return "contiguous", None, [((0,) * max(arr.ndim, 1), arr.tobytes())]
@@ -1143,7 +1223,11 @@ def write(
         lk, cs, pieces, _ = plans[nm]
         if lk == "chunked":
             filters = b""
-            nf = (1 if shuffle else 0) + (1 if deflate is not None else 0)
+            nf = (
+                (1 if shuffle else 0)
+                + (1 if deflate is not None else 0)
+                + (1 if codec else 0)
+            )
             if nf:
                 fbody = struct.pack("<BB6x", 1, nf)
                 if shuffle:
@@ -1153,6 +1237,19 @@ def write(
                 if deflate is not None:
                     fbody += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack(
                         "<I4x", deflate
+                    )
+                elif codec == "lz4":
+                    # one cd_value: the filter's block size
+                    fbody += struct.pack("<HHHH", 32004, 0, 1, 1)
+                    fbody += struct.pack("<I4x", 1 << 20)
+                elif codec == "blosc":
+                    # H5Zblosc echoes 7 cd_values (versions, typesize,
+                    # bufsize, clevel, shuffle, compcode) — readers
+                    # take truth from the chunk header, as ours does
+                    fbody += struct.pack("<HHHH", 32001, 0, 1, 7)
+                    fbody += struct.pack(
+                        "<7I4x", 2, 2, arr.dtype.itemsize,
+                        int(np.prod(cs)) * arr.dtype.itemsize, 5, 1, 1,
                     )
                 filters = _msg(_M_FILTERS, fbody)
             body = struct.pack("<BBB", 3, 2, arr.ndim + 1)

@@ -900,3 +900,63 @@ def test_roundtrip_property(tmp_path_factory, shape, dtype, chunked,
     np.testing.assert_array_equal(
         ds.values("v", first=slice(lo, shape[0])), arr[lo:]
     )
+
+
+def test_lz4_and_blosc_filters_roundtrip(tmp_path):
+    """Registered LZ4 (32004) and blosc (32001) filters (round 10):
+    chunked variables written through either codec read back equal to
+    their deflate twin — and the raw filter framing is ALSO exercised
+    against a hand-built payload, not only the writer's output."""
+    import struct
+
+    from snowav_spark.sources.hdf5 import _hdf5_lz4_decode
+
+    rng = np.random.RandomState(7)
+    arr = np.round(rng.rand(6, 5, 4) * 100, 1)
+    dims = {"t": 6, "y": 5, "x": 4}
+    got = {}
+    for codec in (None, "lz4", "blosc"):
+        p = str(tmp_path / f"c_{codec}.nc")
+        hdf5.write(
+            p, dims=dims,
+            variables={"v": (["t", "y", "x"], arr, {})},
+            chunks={"v": (2, 3, 4)},
+            deflate=1 if codec is None else None,
+            codec=codec,
+        )
+        got[codec] = hdf5.read(p).values("v")
+    np.testing.assert_array_equal(got[None], arr)
+    np.testing.assert_array_equal(got["lz4"], arr)
+    np.testing.assert_array_equal(got["blosc"], arr)
+
+    # hand-built HDF5-lz4 framing per the hdf5_plugins doc (big-endian
+    # sizes; a block stored raw when csize == uncompressed block size)
+    data = b"0123456789" * 10
+    payload = (
+        struct.pack(">QI", 100, 64)
+        + struct.pack(">I", 64) + data[:64]   # raw block
+        + struct.pack(">I", 36) + data[64:]   # raw leftover block
+    )
+    assert _hdf5_lz4_decode(payload) == data
+
+
+def test_unknown_filter_still_raises(tmp_path):
+    """zstd (32015) and other unregistered ids keep failing by id."""
+    p = str(tmp_path / "z.nc")
+    hdf5.write(
+        p, dims={"a": 4},
+        variables={"v": (["a"], np.arange(4.0), {})},
+        chunks={"v": (2,)},
+        codec="lz4",
+    )
+    # flip the filter id 32004 -> 32015 in the file bytes
+    raw = open(p, "rb").read()
+    import struct as _s
+
+    needle = _s.pack("<H", 32004)
+    assert needle in raw
+    patched = raw.replace(needle, _s.pack("<H", 32015), 1)
+    open(p, "wb").write(patched)
+    ds = hdf5.read(p)
+    with pytest.raises(ValueError, match="32015"):
+        ds.values("v")
