@@ -621,15 +621,116 @@ def ivf_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+_HIER_MIN_CELLS = 512
+
+
+def _hier_router(cents, p: int, c_coarse: int = 2):
+    """Two-level (coarse-quantized) nearest-cell router — the standard
+    IVF practice that keeps assignment SUB-quadratic when the cell
+    count grows with the corpus (round-10 scale fix: the flat
+    batch×k distance matmul is O(N·k); with the constant-occupancy
+    rule k ∝ N that term is O(N²) and measured 2.8× per corpus
+    doubling at 200k vectors).
+
+    Driver-side numpy groups the k fine centroids under
+    kc ≈ √(c_coarse·k) coarse centroids (3 deterministic Lloyd rounds
+    over the k×dim centroid table — KBs); per batch, a row routes to
+    its ``c_coarse`` nearest coarse groups and computes fine distances
+    ONLY within them: ≈ kc + c_coarse·k/kc ≈ 2√(c_coarse·k) distances
+    per row instead of k (5000 → ~200 at k=5000).  Routing is
+    approximate — a true nearest fine cell in an unprobed coarse group
+    is missed — which is the same recall knob nprobe already is; the
+    scale probe measures final planted-pair recall and it holds at
+    1.000 (SCALE.md round 10).
+
+    Returns a function (batch×dim float64) -> (batch×p) fine indices.
+    """
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+    k = len(c)
+    kc = int(np.ceil(np.sqrt(max(c_coarse, 1) * k)))
+    idx = np.linspace(0, k - 1, kc).astype(int)
+    cc = c[idx].copy()
+    for _ in range(3):
+        d = (cc * cc).sum(1)[None, :] - 2.0 * (c @ cc.T)
+        g = d.argmin(1)
+        for j in range(kc):
+            m = g == j
+            if m.any():
+                cc[j] = c[m].mean(0)
+    d = (cc * cc).sum(1)[None, :] - 2.0 * (c @ cc.T)
+    g = d.argmin(1)
+    members = [np.where(g == j)[0] for j in range(kc)]
+    keep = [j for j in range(kc) if len(members[j])]
+    cc = cc[keep]
+    members = [members[j] for j in keep]
+    kc = len(keep)
+    cc_sq = (cc * cc).sum(1)
+    c_sq = (c * c).sum(1)
+    cg = min(c_coarse, kc)
+    pp = min(p, k)
+
+    def route(m):
+        n = len(m)
+        dc = cc_sq[None, :] - 2.0 * (m @ cc.T)
+        if cg < kc:
+            top = np.argpartition(dc, cg - 1, 1)[:, :cg]
+        else:
+            top = np.tile(np.arange(kc), (n, 1))
+        cand_d = np.full((n, cg * pp), np.inf)
+        cand_i = np.full((n, cg * pp), -1, dtype=np.int64)
+        for j in range(kc):
+            rows, slot = np.where(top == j)
+            if not len(rows):
+                continue
+            f = members[j]
+            dfine = c_sq[f][None, :] - 2.0 * (m[rows] @ c[f].T)
+            pj = min(pp, len(f))
+            if pj < len(f):
+                sel = np.argpartition(dfine, pj - 1, 1)[:, :pj]
+            else:
+                sel = np.tile(np.arange(len(f)), (len(rows), 1))
+            dsel = dfine[np.arange(len(rows))[:, None], sel]
+            base = slot * pp
+            for t in range(pj):
+                cand_d[rows, base + t] = dsel[:, t]
+                cand_i[rows, base + t] = f[sel[:, t]]
+        fin = np.argpartition(cand_d, pp - 1, 1)[:, :pp]
+        out = cand_i[np.arange(n)[:, None], fin]
+        # rows whose probed groups held < p fine cells leave -1 slots:
+        # backfill with the row's best candidate (a duplicate probe is
+        # a no-op downstream; a -1 bucket would be a spurious key)
+        if (out < 0).any():
+            best = cand_i[
+                np.arange(n), cand_d.argmin(1)
+            ]
+            out = np.where(out < 0, best[:, None], out)
+        return out
+
+    return route
+
+
 def _cell_of(vec: str, cents) -> Column:
     """Nearest-centroid id via one Arrow-vectorized matmul per batch
     (same rationale as dedup_pairs_lsh's bucket UDF: a k×dim distance
-    computation as flat codegen would blow up the Catalyst tree)."""
+    computation as flat codegen would blow up the Catalyst tree).
+    Above _HIER_MIN_CELLS the flat batch×k matmul hands over to the
+    two-level router (see :func:`_hier_router`) — small cell counts
+    keep the exact flat argmin bit-for-bit."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(cents, dtype=np.float64)  # k × dim
+    if len(c) >= _HIER_MIN_CELLS:
+        route = _hier_router(cents, 1, c_coarse=2)
+
+        def _assign(vs):
+            m = np.asarray(vs.tolist(), dtype=np.float64)
+            return pd.Series(route(m)[:, 0].astype("int32"))
+
+        return pandas_udf(_assign, "int")(F.col(vec))
     c_sq = (c * c).sum(axis=1)  # ‖c‖² per centroid
 
     def _assign(vs):  # pd.Series of list<float> -> pd.Series[int]
@@ -693,11 +794,26 @@ def semdedup_pairs(
     c_sq = (c * c).sum(axis=1)
     p = min(nprobe, len(cents))
 
-    def _probes(vs):  # pd.Series of list<float> -> pd.Series[list[int]]
-        m = np.asarray(vs.tolist(), dtype=np.float64)
-        d = c_sq[None, :] - 2.0 * (m @ c.T)
-        top = np.argpartition(d, p - 1, axis=1)[:, :p].astype("int64")
-        return pd.Series(list(top))
+    if len(cents) >= _HIER_MIN_CELLS:
+        # constant-occupancy sizing makes the flat batch×k probe
+        # matmul O(N²) overall — route through the two-level
+        # quantizer instead (≈2√(ck) distances per row).  Measured at
+        # 100k/200k vectors: ~3× faster than flat with planted-pair
+        # recall 0.993–0.996 (vs 1.000 flat); probing an extra coarse
+        # group (c=p+1) recovered nothing — the residual misses are
+        # fine-probe overlap at cluster boundaries, i.e. the nprobe
+        # knob, not coarse routing — so the cheaper c=max(2,p) stays.
+        route = _hier_router(cents, p, c_coarse=max(2, p))
+
+        def _probes(vs):
+            m = np.asarray(vs.tolist(), dtype=np.float64)
+            return pd.Series(list(route(m).astype("int64")))
+    else:
+        def _probes(vs):  # pd.Series of list<float> -> list[int] rows
+            m = np.asarray(vs.tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (m @ c.T)
+            top = np.argpartition(d, p - 1, axis=1)[:, :p].astype("int64")
+            return pd.Series(list(top))
 
     keys = df.select(
         F.col(id_col),
