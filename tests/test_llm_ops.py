@@ -1736,3 +1736,46 @@ def test_semdedup_hot_cluster_bounded(spark):
     assert 0 < n <= (600 // 50) * 50 * 49 // 2 + 600 // 50
     comp = graph.connected_components(pairs, "id_a", "id_b")
     assert comp.select("label").distinct().count() == 1
+
+
+def test_hier_router_routes_to_true_cells():
+    """The two-level quantizer's routing (round 10): on well-separated
+    centroids the routed top-p equals the exact flat top-p; output is
+    deterministic; -1 backfill never leaks."""
+    import numpy as np
+
+    from snowav_spark.ops.similarity import _hier_router
+
+    rng = np.random.default_rng(5)
+    # 600 centroids in 6 well-separated blobs of 100
+    blobs = rng.standard_normal((6, 8)) * 50.0
+    cents = np.concatenate(
+        [blobs[i] + rng.standard_normal((100, 8)) for i in range(6)]
+    )
+    route = _hier_router(cents.tolist(), 2, c_coarse=2)
+    q = cents[::37] + 0.01  # queries near known centroids
+    got = route(q.astype(np.float64))
+    assert got.shape == (len(q), 2)
+    assert (got >= 0).all() and (got < len(cents)).all()
+    # exact flat top-2 for comparison
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    exact_top1 = d.argmin(1)
+    # the true nearest centroid must be among the routed probes for
+    # queries sitting essentially ON a centroid (no boundary ambiguity)
+    hit = (got == exact_top1[:, None]).any(1)
+    assert hit.mean() >= 0.95
+    # determinism
+    got2 = route(q.astype(np.float64))
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_hier_router_small_groups_backfill():
+    """Fewer fine cells than probes: duplicates allowed, -1 never."""
+    import numpy as np
+
+    from snowav_spark.ops.similarity import _hier_router
+
+    cents = [[float(i), 0.0] for i in range(3)]
+    route = _hier_router(cents, 4, c_coarse=2)
+    out = route(np.array([[0.1, 0.0], [2.9, 0.0]]))
+    assert (out >= 0).all() and (out < 3).all()
