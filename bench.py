@@ -36,6 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # BASELINE.md per-key Spark rows at sf0.1 (the "must stay within 2x"
 # contract).  q_zonal_volume shares the banded_agg row with q_zonal_mean.
+# These bars are MEANINGLESS at any other scale factor — main() applies
+# them only when the run's sf matches (ADVICE r10: a bench run at sf0.01
+# used to flag near-every key as breaching and re-time them all).
+BASELINE_MD_SF = 0.1
 BASELINE_MD_SECONDS = {
     "q_zonal_mean": 1.50,
     "q_zonal_volume": 1.50,
@@ -52,15 +56,25 @@ BASELINE_MD_SECONDS = {
 }
 
 
-def _blessed_baseline(repo_dir: str) -> dict[str, float]:
+def _blessed_baseline(
+    repo_dir: str, run_sf: float
+) -> dict[str, float]:
     """Per-key regression bars blessed from >=3 BENCH_HISTORY.jsonl runs
     (tools/bless_baseline.py writes BASELINE_KEYS.json; VERDICT r9
-    item 3).  Missing file -> empty map (BASELINE.md rows still apply)."""
+    item 3).  Missing file -> empty map (BASELINE.md rows still apply).
+    A blessed baseline recorded at a DIFFERENT scale factor than this
+    run's is skipped entirely (ADVICE r10): sf0.1 medians as bars for an
+    sf0.01 run would flag nothing, and as bars for an sf1 run would flag
+    everything — either way the drift gate would be measuring the SF
+    gap, not plan regressions."""
     path = os.path.join(repo_dir, "BASELINE_KEYS.json")
     if not os.path.exists(path):
         return {}
     with open(path) as f:
-        return {k: float(v) for k, v in json.load(f)["keys"].items()}
+        blessed = json.load(f)
+    if blessed.get("sf") is not None and float(blessed["sf"]) != run_sf:
+        return {}
+    return {k: float(v) for k, v in blessed["keys"].items()}
 
 
 def main() -> None:
@@ -119,11 +133,12 @@ def main() -> None:
     # directions.  Keys STILL above the bar after isolation land in
     # "drift": real regressions, not suite-position jitter.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    blessed = _blessed_baseline(repo_dir)
+    blessed = _blessed_baseline(repo_dir, sf)
+    md_bars = BASELINE_MD_SECONDS if sf == BASELINE_MD_SF else {}
     bars = {
-        k: max(2.0 * BASELINE_MD_SECONDS.get(k, blessed.get(k, 0.0)), 0.05)
+        k: max(2.0 * md_bars.get(k, blessed.get(k, 0.0)), 0.05)
         for k in timings
-        if k in BASELINE_MD_SECONDS or k in blessed
+        if k in md_bars or k in blessed
     }
     top5 = [
         k

@@ -2295,8 +2295,17 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf·ln(N/df) hash-matches DuckDB at sf0.001/0.01/0.1 — probed before
     promotion, same recipe q_bm25 has been green on since r08 — and the
     (tfidf DESC, word ASC) tie-break is total because word is unique
-    within a doc's term table.  Scale: the df table is vocab-sized and
-    broadcast; only (doc, term) counts shuffle, keyed by doc."""
+    within a doc's term table.  Residual risk (ADVICE r10): the gate
+    rests on Spark's and DuckDB's libm agreeing under round(,6); a
+    future value within ~1 ulp of a .5e-6 rounding boundary could flake
+    it even though both engines are correct.  Fallback procedure if
+    that ever fires: confirm via tools/check.py that the mismatch is a
+    single ±1e-6 cell (not a rank flip), then demote the oracle to the
+    integer projection (doc_id, word, rank) — drop the tfidf column
+    from BOTH sides — which is boundary-immune unless the flake ALSO
+    flips the (tfidf DESC, word) order, in which case rows-only.
+    Scale: the df table is vocab-sized and broadcast; only (doc, term)
+    counts shuffle, keyed by doc."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
 

@@ -119,7 +119,9 @@ def tfidf_top_terms(
     tf = term count within the doc; idf = ln(N / df) over the corpus.
     Three aggregates and one broadcast join — the df table is vocab-sized,
     so at 100 TB only the (doc, term) counts shuffle, keyed by the doc.
-    Rows-only in the contract: ln() is libm-dependent across engines.
+    Oracle-verified in the contract since r10 (q_tfidf): round(tf·ln(N/df),
+    6) agrees between Spark's and DuckDB's libm at every probed SF — see
+    q_tfidf's docstring for the 1-ulp boundary-flake caveat and fallback.
     """
     from pyspark.sql.window import Window
 

@@ -331,7 +331,17 @@ def content_digest(df: DataFrame, *cols: str) -> str:
     name) means even a full hash collision cannot sweep a
     different-sized batch's files.  The sum runs in decimal(38,0):
     int64 would overflow under ANSI mode after a few billion rows'
-    worth of hash mass."""
+    worth of hash mass.
+
+    FORMAT BREAK (r10 → r11, ADVICE r10): before the strengthening the
+    digest was the bare ``<sum hex>`` — the first dash-separated field
+    of today's format.  A dataset whose last append committed under the
+    old format therefore carries ``append-<sum hex>-<seq>.parquet``
+    files that the new digest neither name-matches nor sweeps, so a
+    retried re-append of the SAME content would have duplicated the
+    batch.  :func:`idempotent_append` closes this by also sweeping
+    legacy-named files whose sum field matches this digest's — see the
+    legacy-sweep note there."""
     h = F.xxhash64(*[F.col(c) for c in cols])
     row = df.select(
         F.sum(h.cast("decimal(38,0)")).alias("s"),
@@ -408,6 +418,24 @@ def idempotent_append(
     # datasets (_doc_meta, _corpus_stats …), whose own idempotent
     # appends may share this digest.
     prefix = f"append-{digest}-"
+    # Legacy sweep (ADVICE r10): pre-r11 digests were the bare sum-hex —
+    # the first field of today's sum-xor-count format — so an attempt
+    # committed under the old format left ``append-<sum>-<seq>.parquet``
+    # files this prefix no longer matches, and a retry would duplicate
+    # the batch.  Sweep those too, but ONLY exact legacy names
+    # (<sum>-<digits>.parquet): the seq-is-digits anchor keeps a
+    # DIFFERENT new-format digest that merely shares the sum field (its
+    # next field is xor hex, 16 chars, never bare digits of a small
+    # seq … still possible in principle, so anchor on the FULL name
+    # shape) from being swept by content that only sum-collides.
+    import re
+
+    legacy_pat = None
+    sum_field = digest.split("-", 1)[0]
+    if sum_field != digest:  # new-format digest: its legacy twin exists
+        legacy_pat = re.compile(
+            rf"^append-{re.escape(sum_field)}-\d+\.parquet$"
+        )
     batch: list[tuple[str, list[str]]] = []
     for dirpath, _, files in os.walk(staged):
         parts = sorted(f for f in files if f.endswith(".parquet"))
@@ -417,7 +445,9 @@ def idempotent_append(
         dest_dir = root if rel == "." else os.path.join(root, rel)
         if os.path.isdir(dest_dir):
             for f in os.listdir(dest_dir):
-                if f.startswith(prefix):
+                if f.startswith(prefix) or (
+                    legacy_pat and legacy_pat.match(f)
+                ):
                     os.remove(os.path.join(dest_dir, f))
     moved = 0
     for rel, parts in batch:

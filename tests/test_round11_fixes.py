@@ -1,0 +1,156 @@
+"""Round-11 ADVICE/VERDICT closures (regression tests).
+
+Covers: the idempotent-append legacy-digest sweep (ADVICE r10 low), the
+bench blessed-baseline SF gate (ADVICE r10 low), the recall-ppm integer
+rounding (ADVICE r10 low), and the session runtime-conf debug logging
+(VERDICT r10 item 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# idempotent_append: legacy single-sum digest files are swept on retry
+
+
+def test_idempotent_append_sweeps_legacy_digest_files(spark, tmp_path):
+    """A batch committed under the pre-r11 digest format (bare sum hex)
+    left ``append-<sum>-<seq>.parquet`` files; a retry under today's
+    ``<sum>-<xor>-<n>`` digest must sweep them (same content, same sum
+    field) or the batch is silently duplicated — while a new-format
+    file of a DIFFERENT digest that merely shares the sum field must
+    survive the sweep."""
+    from snowav_spark import sinks
+
+    root = str(tmp_path / "ds")
+    base = spark.range(8).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    base.write.partitionBy("part").parquet(root)
+    batch = spark.range(100, 124).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    digest = sinks.content_digest(batch, "id", "part")
+    assert digest.count("-") == 2  # sum-xor-count format
+    legacy = digest.split("-", 1)[0]
+
+    # simulate the pre-r11 commit: same files, legacy names
+    sinks.idempotent_append(batch, root, digest, partition_by=("part",))
+    legacy_files, bystanders = [], []
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for i, f in enumerate(sorted(files)):
+            if f.startswith(f"append-{digest}-"):
+                old = os.path.join(dirpath, f"append-{legacy}-{i}.parquet")
+                os.rename(os.path.join(dirpath, f), old)
+                legacy_files.append(old)
+                # a different new-format digest sharing the sum field:
+                # must NOT be swept (only sum-collides, not same batch)
+                other = os.path.join(
+                    dirpath, f"append-{legacy}-deadbeef-7-{i}.parquet"
+                )
+                shutil.copy(old, other)
+                bystanders.append(other)
+    assert legacy_files, "setup produced no legacy-named files"
+
+    # the retried append (new digest) must converge: legacy files gone,
+    # exactly one copy of the batch present, bystanders untouched
+    sinks.idempotent_append(batch, root, digest, partition_by=("part",))
+    for old in legacy_files:
+        assert not os.path.exists(old), f"legacy file survived: {old}"
+    for other in bystanders:
+        assert os.path.exists(other), f"bystander swept: {other}"
+        os.remove(other)  # so the row-count check below is clean
+    got = sorted(r.id for r in spark.read.parquet(root).collect())
+    assert got == sorted(list(range(8)) + list(range(100, 124)))
+
+
+# ---------------------------------------------------------------------------
+# bench: blessed baseline applies only at its own scale factor
+
+
+def test_blessed_baseline_skipped_on_sf_mismatch(tmp_path):
+    import bench
+
+    repo = str(tmp_path)
+    with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
+        json.dump({"sf": 0.1, "keys": {"q_topk": 0.06}}, f)
+    assert bench._blessed_baseline(repo, 0.1) == {"q_topk": 0.06}
+    # an sf0.01 run must NOT be measured against sf0.1 medians
+    assert bench._blessed_baseline(repo, 0.01) == {}
+    # legacy blessed file without an sf field: keep the old behavior
+    with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
+        json.dump({"keys": {"q_topk": 0.06}}, f)
+    assert bench._blessed_baseline(repo, 0.01) == {"q_topk": 0.06}
+    # and the BASELINE.md rows carry their own sf pin
+    assert bench.BASELINE_MD_SF == 0.1
+
+
+# ---------------------------------------------------------------------------
+# scale_probe: ppm rounding happens once, in integer space
+
+
+def test_recall_ppm_rounds_once():
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scale_probe import _ppm
+
+    # the ADVICE r10 example: 0.9955 must be 995500, not 995499
+    assert _ppm(1991, 2000) == 995500
+    assert _ppm(0, 0) == 0
+    assert _ppm(5, 5) == 1_000_000
+    # truncation-prone fractions across the range
+    for found, expected in [(1, 3), (2, 3), (999, 1000), (333, 10007)]:
+        exact = found / expected * 1_000_000
+        assert abs(_ppm(found, expected) - exact) <= 0.5
+
+
+# ---------------------------------------------------------------------------
+# session: runtime-conf failures are named in the debug log
+
+
+def test_runtime_conf_failures_logged(caplog):
+    from snowav_spark import session as sess
+
+    class _Conf:
+        def set(self, k, v):
+            if k == "spark.sql.adaptive.enabled":
+                raise RuntimeError("static conf on a live session")
+
+    class _FakeSession:
+        conf = _Conf()
+
+    with caplog.at_level("DEBUG", logger="snowav_spark.session"):
+        out = sess._apply_runtime_conf(_FakeSession())
+    assert isinstance(out, _FakeSession)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("spark.sql.adaptive.enabled" in m for m in msgs), msgs
+
+
+def test_runtime_conf_all_applied_logs_nothing(caplog):
+    from snowav_spark import session as sess
+
+    class _Conf:
+        def set(self, k, v):
+            pass
+
+    class _FakeSession:
+        conf = _Conf()
+
+    with caplog.at_level("DEBUG", logger="snowav_spark.session"):
+        sess._apply_runtime_conf(_FakeSession())
+    assert not [r for r in caplog.records if "not applied" in r.getMessage()]

@@ -91,6 +91,15 @@ def timed(fn) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
+def _ppm(found: int, expected: int) -> int:
+    """Recall as parts-per-million, rounded ONCE in integer space.
+
+    ADVICE r10: the old ``int(round(r, 6) * 1_000_000)`` rounded to six
+    decimals FIRST and then float-multiplied, so 0.9955 could become
+    995499.99… and int() truncation understated the ppm by 1."""
+    return int(round(found / max(expected, 1) * 1_000_000))
+
+
 def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
     from snowav_spark.ops import dedup, graph, packing, similarity, text
 
@@ -182,7 +191,7 @@ def run_at(spark, n_docs: int) -> dict[str, tuple[float, int]]:
         )
         sizes = members.groupBy("cl").count().collect()
         expected = sum(comb(r["count"], 2) for r in sizes)
-        return int(round(found / max(expected, 1), 6) * 1_000_000)
+        return _ppm(found, expected)
 
     run_op("semdedup_recall", _semdedup_recall)
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select(
