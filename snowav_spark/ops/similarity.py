@@ -51,6 +51,76 @@ def cosine(a: Column, b: Column) -> Column:
 # calls don't re-run the one-row lookup job.
 _QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
 
+# Pending hot-bucket observations: (Observation, max_bucket).  Bounded —
+# a pipeline that constructs thousands of plans and never executes them
+# must not grow driver state; the oldest unexecuted observations simply
+# age out (their plans were never run, so there was nothing to warn on).
+from collections import deque as _deque
+
+_HOT_BUCKET_OBS: _deque = _deque(maxlen=64)
+
+
+def _observation_row(obs) -> dict | None:
+    """Non-blocking read of an Observation: the completed metrics row,
+    or None while the observed plan has not finished an action.  Uses
+    the JVM handle's getRowOrEmpty (classic mode; Connect has no _jo) —
+    guarded so an API change degrades to 'telemetry stays pending', not
+    a crash in a dedup pipeline."""
+    try:
+        jo = obs._jo
+        if jo is None or not jo.getRowOrEmpty().isDefined():
+            return None
+        return obs.get  # completed → returns immediately
+    except Exception:
+        return None
+
+
+def drain_hot_bucket_telemetry(wait_secs: float = 0.0) -> int:
+    """Harvest completed hot-bucket observations and WARN for each run
+    whose largest (tbl, bk) bucket exceeded its max_bucket cap — i.e.
+    salting ENGAGED and changed results (cross-sub-bucket pairs ride
+    the representative chain instead of being emitted exhaustively).
+
+    Non-blocking by default: observations whose plans have not executed
+    yet stay queued and are re-checked on the next
+    :func:`_bounded_cobucket_pairs` call, so long pipelines emit their
+    warnings as they go with zero extra Spark jobs (ADVICE r11: the
+    old eager probe cost a full groupBy pass over the hashed keys at
+    every plan CONSTRUCTION).  ``wait_secs`` bounds an optional wait
+    for stragglers — tests and batch drivers call
+    ``drain_hot_bucket_telemetry(wait_secs=5)`` right after their
+    action for deterministic telemetry.  Returns the number of
+    engagements warned."""
+    import logging
+    import time
+
+    log = logging.getLogger("snowav_spark.similarity")
+    deadline = time.monotonic() + wait_secs
+    warned = 0
+    still_pending = []
+    while _HOT_BUCKET_OBS:
+        obs, cap = _HOT_BUCKET_OBS.popleft()
+        row = _observation_row(obs)
+        while row is None and time.monotonic() < deadline:
+            time.sleep(0.05)
+            row = _observation_row(obs)
+        if row is None:
+            still_pending.append((obs, cap))
+            continue
+        max_bn = row.get("max_bucket_n") or 0
+        if max_bn > cap:
+            log.warning(
+                "bounded_cobucket_pairs: largest (tbl, bk) bucket holds "
+                "%d members > max_bucket=%d — salting engaged: its "
+                "pairs were emitted within %d-member sub-buckets plus a "
+                "representative chain (connectivity preserved, "
+                "exhaustive within-bucket pairs are not)",
+                max_bn, cap, cap,
+            )
+            warned += 1
+    _HOT_BUCKET_OBS.extend(still_pending)
+    return warned
+
 
 def cosine_topk(
     df: DataFrame,
@@ -445,15 +515,25 @@ def _bounded_cobucket_pairs(
     O(n²) candidates.  Small buckets (≤max_bucket) take the single
     sub-bucket path unchanged.
 
-    No-silent-caps telemetry (ADVICE r10): when salting ENGAGES it
-    changes results — cross-sub-bucket pairs are represented through
-    the chain, not emitted directly — so the hot buckets are WARNED by
-    key and size, mirroring capped_exact_pairs.  Cost discipline: a
-    constant-cost ``limit(max_bucket+1)`` probe skips the check when no
-    bucket can possibly exceed the cap; otherwise the detection is one
-    partially-aggregated groupBy over (tbl, bk) — strictly cheaper than
-    the row_number window on the same keys that the salted plan already
-    pays."""
+    No-silent-caps telemetry (ADVICE r10, made LAZY per ADVICE r11's
+    medium finding): when salting ENGAGES it changes results — cross-
+    sub-bucket pairs are represented through the chain, not emitted
+    directly — so engagement must be warned.  The r10 version probed
+    eagerly at plan-CONSTRUCTION time (an extra full groupBy pass over
+    the hashed keys on every at-scale call, even when the returned
+    DataFrame was never executed).  Now the detection rides the plan
+    itself: a ``count() over (partition by tbl, bk)`` window shares the
+    exchange the row_number salting already pays, and an ``observe``
+    node collects ``max(_bn)`` during whatever action the CALLER runs —
+    zero jobs at construction, zero extra passes at execution.  The
+    warning is emitted by :func:`drain_hot_bucket_telemetry`, which
+    runs non-blockingly at the start of every subsequent call here (so
+    long pipelines surface engagements as they go) and can be invoked
+    directly — tests and batch drivers call it with a bounded wait
+    after their action.  Only ``max`` is observed: the salted subtree
+    is referenced four times (within a/b, chain a/b), and max is the
+    aggregate that stays correct when the CollectMetrics node's rows
+    are counted once per reference."""
     if max_bucket is None:
         pairs = (
             keys.select(F.col(id_col).alias("id_a"), "tbl", "bk")
@@ -464,36 +544,23 @@ def _bounded_cobucket_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
         )
         return pairs.select("id_a", "id_b").distinct()
-    import logging
+    drain_hot_bucket_telemetry()
+    from pyspark.sql import Observation
 
-    if keys.limit(max_bucket + 1).count() > max_bucket:
-        hot = (
-            keys.groupBy("tbl", "bk")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .orderBy(F.desc("n"))
-            .limit(3)
-            .collect()
-        )
-        for r in hot:
-            logging.getLogger("snowav_spark.similarity").warning(
-                "bounded_cobucket_pairs: bucket (tbl=%s, bk=%s) holds "
-                "%d members > max_bucket=%d — salting engaged: its "
-                "pairs are emitted within %d-member sub-buckets plus a "
-                "representative chain (connectivity preserved, "
-                "exhaustive within-bucket pairs are not)",
-                r["tbl"], r["bk"], r["n"], max_bucket, max_bucket,
-            )
+    obs = Observation()  # auto-named: unique per call, never collides
     slot = F.row_number().over(
         Window.partitionBy("tbl", "bk").orderBy(id_col)
     ) - 1
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("tbl", "bk"))
     salted = keys.select(
         F.col(id_col),
         "tbl",
         "bk",
         (slot / max_bucket).cast("int").alias("_sub"),
         (slot % max_bucket == 0).alias("_rep"),
-    )
+        bucket_n.alias("_bn"),
+    ).observe(obs, F.max("_bn").alias("max_bucket_n"))
+    _HOT_BUCKET_OBS.append((obs, max_bucket))
     within = (
         salted.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
         .join(

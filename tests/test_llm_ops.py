@@ -1625,10 +1625,12 @@ def test_lsh_hot_bucket_salting_bounded_and_connected(spark):
 
 
 def test_salting_warns_when_bucket_exceeds_cap(spark, caplog):
-    """ADVICE r10 (no silent caps): salting changes results — cross-
-    sub-bucket pairs ride the representative chain instead of being
-    emitted — so engaging it must WARN with the bucket key and size,
-    mirroring capped_exact_pairs; and stay quiet when nothing salts."""
+    """ADVICE r10 (no silent caps), made LAZY per ADVICE r11: salting
+    changes results — cross-sub-bucket pairs ride the representative
+    chain instead of being emitted — so engaging it must WARN; the
+    detection now rides the executed plan (an observe over the salting
+    window's own bucket counts) and surfaces via
+    drain_hot_bucket_telemetry, staying quiet when nothing salts."""
     import logging
 
     from pyspark.sql import functions as F
@@ -1645,6 +1647,7 @@ def test_salting_warns_when_bucket_exceeds_cap(spark, caplog):
             dups, "vec_id", "embedding",
             tables=2, bits=2, dim=8, max_bucket=cap,
         ).count()
+        assert similarity.drain_hot_bucket_telemetry(wait_secs=10) == 1
     assert any(
         "salting engaged" in r.getMessage() and f"max_bucket={cap}" in
         r.getMessage()
@@ -1656,7 +1659,39 @@ def test_salting_warns_when_bucket_exceeds_cap(spark, caplog):
             dups, "vec_id", "embedding",
             tables=2, bits=2, dim=8, max_bucket=2 * n * 2,
         ).count()
+        assert similarity.drain_hot_bucket_telemetry(wait_secs=10) == 0
     assert not caplog.records
+
+
+def test_salting_telemetry_runs_no_jobs_at_plan_construction(spark):
+    """ADVICE r11 (medium): constructing an LSH candidate-pairs plan
+    must launch ZERO Spark jobs — the r10 eager hot-bucket probe ran a
+    full groupBy pass over the hashed keys at construction time, even
+    when the returned DataFrame was never executed.  Detection now
+    rides the plan itself (observe on the salting window's bucket
+    counts), so construction is free and the warning still fires once
+    the caller actually runs the plan."""
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import similarity
+
+    dups = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    group = "no-jobs-at-construction-probe"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        plan = similarity.lsh_candidate_pairs(
+            dups, "vec_id", "embedding",
+            tables=2, bits=2, dim=8, max_bucket=50,
+        )
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert job_ids == [], f"plan construction launched jobs: {job_ids}"
+    assert plan.count() > 0  # and the plan itself still executes
 
 
 def test_lsh_salting_recall_unchanged_on_normal_corpus(spark, sf_dir):
