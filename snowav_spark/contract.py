@@ -1922,17 +1922,6 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twins above.
 
 
-@q("q_minhash_lsh")
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (EXT, rows-only): the linear-time
-    100 TB path; exact twin is q_dedup_near, oracle-verified twin is
-    q_minhash_lsh_md5 (same pipeline, portable hash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=8, est_threshold=0.3
-    )
-
-
 def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
     """Generate the DuckDB twin of dedup.minhash_lsh_pairs_portable."""
     rows = num_hashes // bands
@@ -1973,6 +1962,26 @@ def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
     """
 
 
+@q("q_minhash_lsh", _minhash_md5_sql(32, 8, 0.3))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (EXT): the linear-time 100 TB
+    path; exact twin is q_dedup_near.  PROMOTED to full oracle in r11
+    (VERDICT r10 item 3) by pinning the contract key to the PORTABLE
+    md5 hash family (dedup.minhash_lsh_pairs_portable — a valid uniform
+    permutation family, bit-identical in every engine with md5) at the
+    key's original parameterization (32 hashes, 8 bands, est ≥ 0.3), so
+    the full signature → band-bucket join → estimated-Jaccard pipeline
+    hash-matches DuckDB instead of recording a rows-only row.  The
+    murmur3 fast path (dedup.minhash_lsh_pairs, ~2-3x cheaper hashing)
+    remains the recommended production form — same pipeline shape,
+    engine-specific fingerprints — and keeps its own recall/determinism
+    tests in tests/test_llm_ops.py plus the q_dedup_near exact gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_portable(
+        docs, "doc_id", "text", num_hashes=32, bands=8, est_threshold=0.3
+    )
+
+
 @q("q_minhash_lsh_md5", _minhash_md5_sql(16, 4, 0.5))
 def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the portable md5 hash family (EXT): the same
@@ -1983,14 +1992,6 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_portable(
         docs, "doc_id", "text", num_hashes=16, bands=4, est_threshold=0.5
     )
-
-
-@q("q_simhash")
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (EXT, rows-only: xxhash64 is engine-specific;
-    the portable-hash oracle-verified twin is q_simhash_md5)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", "text")
 
 
 def _simhash_md5_sql(bits: int) -> str:
@@ -2010,6 +2011,20 @@ def _simhash_md5_sql(bits: int) -> str:
               FROM documents)
         GROUP BY doc_id)
     """
+
+
+@q("q_simhash", _simhash_md5_sql(64))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (EXT).  PROMOTED to full oracle in r11
+    (VERDICT r10 item 3) by pinning the contract key to the PORTABLE
+    md5 bit family (dedup.simhash_portable) at the production 64-bit
+    width, so the one-explode + one-agg vote pipeline hash-matches
+    DuckDB end to end instead of recording a rows-only row.  The
+    xxhash64 fast path (dedup.simhash — one hash per token vs 64 md5s)
+    remains the recommended production form and keeps its hamming-
+    distance tests in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs, "doc_id", "text", bits=64)
 
 
 @q("q_simhash_md5", _simhash_md5_sql(32))
@@ -8463,8 +8478,8 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 # SURVEY §2 rows keep in-window siblings among the 32 carried keys).
 
 _GRADE_ORDER = [
-    # -- window: 50 oracle-backed keys, one per graded SURVEY §2 row
-    # -- (32 carried, 18 rotated in r09 per VERDICT r8 item 1) -------
+    # -- window: 50 keys graded by the driver this round --------------
+    # -- 26 carried (SURVEY §2 core, multi-round green) ---------------
     "q_zonal_mean",
     "q_rollup_total",
     "q_topk",
@@ -8475,9 +8490,6 @@ _GRADE_ORDER = [
     "q_cumsum",
     "q_tumbling_daily",
     "q_session_window",
-    "q_scan_project",
-    "q_filter_daterange",
-    "q_project_units",
     "q_avail_split",
     "q_percentiles",
     "q_snow_line",
@@ -8485,19 +8497,50 @@ _GRADE_ORDER = [
     "q_fuzzy_join",
     "q_dedup_exact",
     "q_dedup_near",
-    "q_time_rollup",
     "q_sim_topk",
     "q_multimodal",
     "q_rolling_active",
-    "q_share_of_total",
-    "q_gap_fill",
     "q_scan_stats",
     "q_dedup_resolve",
     "q_decontam_bloom",
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
-    # -- rotated in r10: rotation-queue head (VERDICT r9 item 1) -------
+    # -- rotated in r11: rotation-queue head (VERDICT r10 item 1) -----
+    "q_weighted_median",
+    "q_rank_family",
+    "q_first_touch",
+    "q_benford",
+    "q_twap",
+    "q_period_over_period",
+    "q_topn_other",
+    "q_trend_slope",
+    "q_gini",
+    "q_diversity",
+    "q_ewma",
+    "q_keyword_tags",
+    "q_conversion_lag",
+    "q_attribution_linear",
+    "q_streaks",
+    "q_chi_square",
+    "q_autocorr",
+    "q_ttr",
+    # -- promoted to full oracle r11 (VERDICT r10 item 3): pinned to
+    # -- the portable md5 hash family, hash-gated like any oracle key -
+    "q_minhash_lsh",
+    "q_simhash",
+    # -- rows-only keys' FIRST independent driver signal (VERDICT r10
+    # -- item 2): hash_match is false/absent BY DESIGN (approx sketch /
+    # -- recall<1 / assignment-order outputs — SURVEY §2.6/§2.8 says to
+    # -- declare them rows-only); the driver row's rows_match and
+    # -- schema_match columns are the meaningful, expected-green signal.
+    # -- Documented in COVERAGE.md "Rows-only keys in the r11 window". -
+    "q_semdedup",
+    "q_ivfpq_ann",
+    "q_pack_sequences",
+    "q_approx_distinct",
+    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- rotated out r11 (first-time green driver rows r10) ------------
     "q_span_dedup",
     "q_unpivot",
     "q_dedup_bursts",
@@ -8516,7 +8559,14 @@ _GRADE_ORDER = [
     "q_running_distinct",
     "q_rfm",
     "q_top_paths",
-    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- rotated out r11 (carried since r07 or earlier, multi-round
+    # -- green: every one holds 2+ permanent CORRECTNESS rows) ---------
+    "q_scan_project",
+    "q_filter_daterange",
+    "q_project_units",
+    "q_time_rollup",
+    "q_share_of_total",
+    "q_gap_fill",
     # -- rotated out r10 (first-time green driver rows r09) ------------
     "q_retention",
     "q_funnel",
@@ -8614,24 +8664,6 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
-    "q_weighted_median",
-    "q_rank_family",
-    "q_first_touch",
-    "q_benford",
-    "q_twap",
-    "q_period_over_period",
-    "q_topn_other",
-    "q_trend_slope",
-    "q_gini",
-    "q_diversity",
-    "q_ewma",
-    "q_keyword_tags",
-    "q_conversion_lag",
-    "q_attribution_linear",
-    "q_streaks",
-    "q_chi_square",
-    "q_autocorr",
-    "q_ttr",
     "q_seasonality",
     "q_cusum_change",
     "q_source_jaccard",
@@ -8660,17 +8692,11 @@ _GRADE_ORDER = [
     "q_embed_norms",
     "q_cluster_kmeans",
     "q_cluster_sample",
-    "q_pack_sequences",
-    "q_semdedup",
     "q_dedup_embed_lsh",
-    "q_minhash_lsh",
-    "q_simhash",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_pq_ann",
-    "q_ivfpq_ann",
     "q_tfidf",
-    "q_approx_distinct",
     "q_sketch_rollup",
     "q_approx_percentile",
     "q_multimodal_decode",
@@ -8680,12 +8706,29 @@ _GRADE_ORDER = [
 _GRADE_WINDOW = 50
 
 
+# Rows-only keys DELIBERATELY placed in the grading window (VERDICT r10
+# item 2): their outputs cannot hash-match any engine-portable oracle by
+# design (HLL sketch / recall<1 ANN / FFD assignment order), so the
+# driver records the weaker rows-only check — the first INDEPENDENT
+# signal these families get beyond pytest.  Any OTHER oracle-less key in
+# the window is still an assertion error (a typo'd key must not silently
+# downgrade its own gate).
+_WINDOW_ROWS_ONLY = {
+    "q_semdedup",
+    "q_ivfpq_ann",
+    "q_pack_sequences",
+    "q_approx_distinct",
+}
+
+
 def _apply_grade_order() -> None:
     assert set(_GRADE_ORDER) == set(QUERIES), sorted(
         set(_GRADE_ORDER) ^ set(QUERIES)
     )
     head = _GRADE_ORDER[:_GRADE_WINDOW]
-    no_oracle = [k for k in head if k not in ORACLE]
+    no_oracle = [
+        k for k in head if k not in ORACLE and k not in _WINDOW_ROWS_ONLY
+    ]
     assert not no_oracle, f"in-window keys without oracle: {no_oracle}"
     for d in (QUERIES, ORACLE):
         ordered = {k: d[k] for k in _GRADE_ORDER if k in d}
