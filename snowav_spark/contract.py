@@ -1816,16 +1816,85 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_dedup_embed_lsh")
+def _embed_lsh_sql(
+    tables: int, bits: int, dim: int, seed: int, threshold: float
+) -> str:
+    """Generate the DuckDB twin of similarity.dedup_pairs_lsh at the
+    q_dedup_embed_lsh parameterization.
+
+    Portability argument (the q_ann_lsh pattern, extended to the full
+    multi-table pipeline): the hyperplane set is the same fixed-seed
+    float64 literal set Spark inlines (random_hyperplanes — shortest
+    repr round-trips each double exactly); each sign bit compares a dot
+    product that both engines evaluate over identical doubles (Spark's
+    batch matmul accumulates in a BLAS order, but every |dot| at the
+    fixture scales sits far above the ~1e-15 reordering noise — a flip
+    would need an exact-zero crossing); the candidate stage is the same
+    (table, bucket) equi-join + distinct; and the verify cosine is the
+    oracle-proven sequential form rounded to 6 digits.  The hot-bucket
+    salting guard is a structural no-op here: max occupancy at every
+    test scale (2 000 vectors / 2^bits) is ≪ max_bucket, so guarded and
+    unguarded plans are byte-identical (asserted for the general op in
+    tests/test_llm_ops.py)."""
+    hps = similarity.random_hyperplanes(tables, bits, dim, seed)
+    buckets = []
+    for t in range(tables):
+        terms = []
+        for b in range(bits):
+            lit = "[" + ", ".join(repr(float(x)) for x in hps[t][b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),\n"
+                f"      i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))\n"
+                f"      >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        buckets.append(
+            "struct_pack(t := {t}, bk := {expr})".format(
+                t=t, expr="\n    + ".join(terms)
+            )
+        )
+    bucket_list = ",\n           ".join(buckets)
+    cos = f"""
+             list_sum(list_transform(range(1, {dim + 1}),
+                 i -> CAST(va.embedding[i] AS DOUBLE)
+                    * CAST(vb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(va.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(vb.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    keys AS (
+        SELECT vec_id, unnest([{bucket_list}]) AS k FROM v
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM keys a JOIN keys c
+          ON a.k.t = c.k.t AND a.k.bk = c.k.bk AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT id_a, id_b, round({cos}, 6) AS cos_sim
+        FROM cand JOIN v va ON va.vec_id = cand.id_a
+                  JOIN v vb ON vb.vec_id = cand.id_b
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
+@q("q_dedup_embed_lsh", _embed_lsh_sql(10, 3, 64, 42, 0.4))
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe embedding near-dup: LSH-bucketed candidate pairs →
-    exact cosine verify within candidates (rows-only: bucket membership
-    is probabilistic so recall < 1 by construction; recall vs the exact
-    key is asserted in tests/test_llm_ops.py).  The default hot-bucket
-    salting guard (max_bucket=4096) additionally bounds any bucket that
-    outgrows it — a no-op at every test scale (max occupancy ≪ 4096),
-    and at production scale the bounded-candidates trade-off documented
-    on similarity.dedup_pairs_lsh."""
+    exact cosine verify within candidates (recall < 1 vs the exact key
+    by construction; asserted in tests/test_llm_ops.py).  PROMOTED to
+    full oracle in r11: the fixed-seed hyperplane set, (table, bucket)
+    equi-join candidate stage, and sequential-fold verify cosine are
+    all engine-portable (_embed_lsh_sql), so the entire 100 TB LSH
+    dedup path — not just its exact twin — hash-matches DuckDB.  The
+    default hot-bucket salting guard (max_bucket=4096) stays on and is
+    a structural no-op at every test scale (max occupancy ≪ 4096); at
+    production scale its bounded-candidates trade-off is documented on
+    similarity.dedup_pairs_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.dedup_pairs_lsh(emb, "vec_id", "embedding", 0.4)
 
@@ -2036,16 +2105,73 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_portable(docs, "doc_id", "text", bits=32)
 
 
-@q("q_ann_lsh")
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (EXT, rows-only: recall < 1 by
-    construction).  Exact twin: q_sim_topk."""
+def _ann_lsh_planes() -> list[list[float]]:
+    """The q_ann_lsh hyperplane set: 4 planes × 64 Gaussian coords from
+    a fixed-seed PRNG, shared verbatim by the Spark plan and the
+    generated oracle so both engines bucket identically."""
     import random
 
     rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+
+def _ann_lsh_sql() -> str:
+    """Generate the DuckDB twin of similarity.ann_lsh_topk at the
+    q_ann_lsh parameterization.
+
+    Portability argument (the q_tfidf/q_minhash_lsh promotion pattern):
+    each sign bit is the left-to-right sequential double sum of
+    embedding[i]*plane[i] — Spark's F.aggregate fold and DuckDB's
+    list_sum visit elements in the same order over the same IEEE
+    doubles (plane literals round-trip exactly via shortest-repr), so
+    the bucket ids agree bit-for-bit; the final cosine is the already
+    oracle-proven q_sim_topk expression rounded to 6 digits."""
+    dots = []
+    for j, hp in enumerate(_ann_lsh_planes()):
+        lit = "[" + ", ".join(repr(float(x)) for x in hp) + "]"
+        dots.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),\n"
+            f"      i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))\n"
+            f"      >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n    + ".join(dots)
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM embeddings
+    ),
+    qv AS (SELECT embedding AS q, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(qv.q[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv.q,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+    FROM b, qv
+    WHERE b.bucket = qv.qb AND b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+    """
+
+
+@q("q_ann_lsh", _ann_lsh_sql())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (EXT).  Exact twin: q_sim_topk
+    (recall < 1 vs that twin by construction — only the query's bucket
+    is scored).  PROMOTED to full oracle in r11: the hyperplane set is
+    a fixed-seed literal shared with the generated DuckDB twin
+    (_ann_lsh_sql), and every arithmetic step — sequential-fold dot
+    product, sign-bit bucket id, rounded cosine — is bit-identical
+    across engines, so the whole bucket→probe→top-k path hash-matches
+    instead of recording a rows-only row."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, "vec_id", "embedding", 0, 10, planes)
+    return similarity.ann_lsh_topk(
+        emb, "vec_id", "embedding", 0, 10, _ann_lsh_planes()
+    )
 
 
 @q("q_ann_ivf")
