@@ -62,6 +62,38 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def read_pruned_partitions(
+    spark: SparkSession, path: str, col: str, values
+) -> DataFrame:
+    """Read ONLY the named partition directories of a ``partitionBy(col)``
+    parquet layout, as explicit paths under ``basePath``.
+
+    ``spark.read.parquet(root)`` lists the WHOLE directory tree at
+    planning before partition pruning ever applies, so index-serving
+    reads pay O(#partitions) listing even though they scan O(#probed)
+    — measured on the inverted text index as the search-growth term
+    (1.29 → 1.46 per corpus doubling as buckets ∝ N; SCALE.md round
+    11).  Explicit paths bound listing at O(#probed directories): one
+    driver-side existence probe per requested value (absent values are
+    simply skipped — a term/cell that never occurred has no directory,
+    which is exactly the empty-postings semantics the root-read filter
+    produced).  ``basePath`` keeps the partition column (and any deeper
+    partition levels, e.g. the streaming ``_batch``) in the schema, so
+    downstream filters and the probe-set ``isin`` guard behave
+    identically to the root read.
+
+    Falls back to the root read when NO requested directory exists (the
+    result is empty after the caller's ``isin`` filter either way; the
+    root must exist or the index itself is absent)."""
+    root = path.rstrip("/")
+    dirs = [f"{root}/{col}={v}" for v in sorted(set(values))]
+    existing = [d for d in dirs if hadoop_path_exists(spark, d)]
+    reader = spark.read.option("basePath", root)
+    if not existing:
+        return reader.parquet(root)
+    return reader.parquet(*existing)
+
+
 def clear_cache() -> None:
     """Drop cached table plans (needed only if a previously-loaded
     directory's files were replaced)."""

@@ -517,7 +517,13 @@ def search_ivfpq_index(
             f"element_at(CASE cell {' '.join(branches)} END, "
             f"element_at(codes, {j + 1}) + 1)"
         )
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    # explicit cell-directory paths: listing O(nprobe), not O(n_cells)
+    # — the text-index twin of io.read_pruned_partitions' rationale
+    from snowav_spark.io import read_pruned_partitions
+
+    cand = read_pruned_partitions(spark, path, "cell", probe).filter(
+        F.col("cell").isin(probe)
+    )
     if where is not None:
         cand = cand.filter(where)
     # deleted vectors: anti-join the tombstone sidecar before scoring

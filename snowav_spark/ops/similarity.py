@@ -1070,5 +1070,10 @@ def search_ivf_index(
     )
     cents = [list(r.centroid) for r in side]
     probe = _probe_cells(cents, query_vec, nprobe)
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    # explicit cell-directory paths: listing O(nprobe), not O(n_cells)
+    from snowav_spark.io import read_pruned_partitions
+
+    cand = read_pruned_partitions(spark, path, "cell", probe).filter(
+        F.col("cell").isin(probe)
+    )
     return _cosine_score_topk(cand, query_vec, id_col, vec, k)

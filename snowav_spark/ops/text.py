@@ -1084,9 +1084,14 @@ def search_text_index(
             / F.sum("n_docs").cast("double")
         ).alias("avg_dl"),
     )
-    cand = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qt))
+    # explicit bucket-directory paths: listing cost is O(|query terms|)
+    # directories, not O(n_buckets) — with buckets ∝ corpus the root
+    # read's full-tree listing was the only search-time term that grew
+    # with N (io.read_pruned_partitions; SCALE.md round 11)
+    from snowav_spark.io import read_pruned_partitions
+
+    cand = read_pruned_partitions(spark, path, "bucket", buckets).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(qt)
     )
     # deleted docs: anti-join the tombstone sidecar BEFORE df/scoring —
     # with the negative stats partials this makes post-delete search
