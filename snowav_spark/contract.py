@@ -2474,11 +2474,45 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_multimodal_decode")
+def _multimodal_decode_sql() -> str:
+    """Generate the DuckDB twin of the fake-payload feature extractor.
+
+    Portability argument (the q_tfidf/q_ann_lsh promotion pattern): the
+    fake payload IS unhex(md5(text)) — 16 bytes whose hex spelling is
+    exactly the md5 digest string, so every byte-level feature is
+    re-derivable from that string in pure SQL.  byte_sum unrolls the 16
+    hex pairs through strpos('0123456789abcdef', …) arithmetic (DuckDB
+    has no hex-pair→int builtin); head_hash is md5 over the lowercase
+    hex TEXT of the first 8 bytes = substr(digest, 1, 16), matching the
+    engine's engine-portable definition in ops/multimodal.py
+    extract_features (DuckDB md5 only accepts VARCHAR, which is why the
+    feature is defined over the hex spelling, not the raw bytes)."""
+    hexd = "0123456789abcdef"
+    pairs = [
+        f"(strpos('{hexd}', substr(hx, {2 * i - 1}, 1)) - 1) * 16\n"
+        f"         + (strpos('{hexd}', substr(hx, {2 * i}, 1)) - 1)"
+        for i in range(1, 17)
+    ]
+    byte_sum = "\n       + ".join(pairs)
+    return f"""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+    SELECT media_id,
+           CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+           CAST({byte_sum} AS BIGINT) AS byte_sum,
+           md5(substr(hx, 1, 16)) AS head_hash
+    FROM h
+    """
+
+
+@q("q_multimodal_decode", _multimodal_decode_sql())
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction via mapInPandas (EXT, rows-only:
-    exercises the binary-column plumbing with the deterministic fake
-    payload path; real decode is a documented stub)."""
+    """Multimodal feature extraction via mapInPandas (EXT): exercises
+    the binary-column plumbing with the deterministic fake payload path
+    (payload = unhex(md5(text)), so byte-level features are exact);
+    real decode is a documented stub.  Promoted from rows-only to a
+    full oracle in round 11: the generated SQL (_multimodal_decode_sql)
+    re-derives n_bytes / byte_sum / head_hash from the digest's hex
+    spelling — see the generator's portability argument."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs, "doc_id", "text")
     return multimodal.extract_features(media, fake=True)

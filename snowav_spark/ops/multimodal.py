@@ -190,8 +190,17 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         lambda p: len(p) if p is not None else 0
                     ).astype("int64"),
                     "byte_sum": pd.Series(byte_sum).astype("int64"),
+                    # Engine-portable definition (the q_tfidf promotion
+                    # pattern): md5 over the lowercase-HEX TEXT of the
+                    # first 8 payload bytes, not the raw bytes — DuckDB's
+                    # md5() only accepts VARCHAR, so hashing the hex
+                    # string is what lets q_multimodal_decode carry a
+                    # full SQL oracle while keeping the same fingerprint
+                    # strength (the hex text is a bijection of the head).
                     "head_hash": payloads.map(
-                        lambda p: hashlib.md5(p[:8] if p else b"").hexdigest()
+                        lambda p: hashlib.md5(
+                            (bytes(p[:8]).hex() if p else "").encode()
+                        ).hexdigest()
                     ),
                 }
             )
