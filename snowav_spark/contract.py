@@ -3180,12 +3180,61 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.endpoint_assortativity(ep)
 
 
-@q("q_kcore")
+def _kcore_sql(k: int = 3, rounds: int = 12) -> str:
+    """Generate the DuckDB twin of graph.k_core at the q_kcore
+    parameterization by UNROLLING the peel loop.
+
+    A recursive CTE can't express peeling (non-monotone fixpoint —
+    recursion only grows), but a FIXED unroll can: one peel round past
+    the fixpoint is the identity (no vertex is under-k, so the filter
+    keeps every edge), so any unroll depth ≥ the actual rounds-to-
+    fixpoint yields EXACTLY the k-core.  Measured fixpoint is 2 rounds
+    at sf0.001/0.01/0.1 (round 11); depth 12 carries a 10-round margin,
+    and tools/check.py re-gates all three SFs every preflight, so a
+    future fixture needing more rounds surfaces locally as a mismatch
+    (the engine itself raises past max_rounds=50 rather than return a
+    superset — same loud-failure discipline)."""
+    # MATERIALIZED is load-bearing: each e{i+1} references e{i} three
+    # times, so DuckDB's default CTE inlining would expand the chain
+    # 3^rounds-fold (observed as an fd blow-up re-opening the lineitem
+    # parquet); materializing pins each round to one evaluation — the
+    # SQL mirror of the engine's per-round localCheckpoint.
+    cte = [
+        """os AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_quantity >= 48),
+    e0 AS MATERIALIZED (
+           SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+           FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_suppkey < y.l_suppkey)"""
+    ]
+    for i in range(rounds):
+        cte.append(
+            f"""d{i} AS MATERIALIZED (
+           SELECT v, count(*) AS d FROM (
+             SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+           GROUP BY v),
+    e{i + 1} AS MATERIALIZED (
+           SELECT a, b FROM e{i}
+           WHERE a IN (SELECT v FROM d{i} WHERE d >= {k})
+             AND b IN (SELECT v FROM d{i} WHERE d >= {k}))"""
+        )
+    body = ",\n    ".join(cte)
+    return f"""
+    WITH {body}
+    SELECT v AS vertex, count(*) AS degree FROM (
+        SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY v
+    """
+
+
+@q("q_kcore", _kcore_sql())
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the high-volume supplier co-fulfillment graph (EXT,
-    rows-only: iterative peeling is a non-monotone fixpoint — recursive
-    CTEs only grow, so no SQL oracle; the output is nonetheless exact
-    and unique, pinned against a Python brute force in tests).  The
+    """3-core of the high-volume supplier co-fulfillment graph (EXT;
+    promoted from rows-only to a full oracle in round 11 — the peel
+    loop can't be a recursive CTE, but a fixed UNROLL past the
+    fixpoint is exact, see _kcore_sql; additionally pinned against a
+    Python brute force in tests).  The
     graph-curation filter: suppliers adjacent when they co-ship
     high-quantity lines of one order, fringe suppliers peeled until
     every survivor has ≥3 such partners among survivors.  Scale: each
