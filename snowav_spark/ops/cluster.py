@@ -121,6 +121,132 @@ def kmeans(
     return final, cents
 
 
+def kmeans_subspaces(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    m: int,
+    sub: int,
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """``m`` independent Lloyd k-means over the ``m`` contiguous
+    ``sub``-wide slices of one ``m·sub``-dim vector column, trained
+    JOINTLY: one scan per iteration for ALL subspaces.
+
+    Product-quantization training (quantize.train_pq_codebook) used to
+    loop ``kmeans`` per subspace — m seed jobs + m·iters update jobs,
+    every one a full pass over the training set (and over its residual
+    lineage, for IVF-PQ).  But the subspace problems share their input
+    rows, so each Lloyd round for all m subspaces fits in ONE
+    assignment projection (m·k distance folds, same expression shapes
+    as ``_assign``) followed by ONE global aggregation (m·k·sub
+    conditional ``avg`` columns, map-side combined to a single row) —
+    1 + iters passes total instead of m·(1 + iters).  At 100 TB the
+    training pass count is the build cost, so this is an m× cut, not a
+    local-mode trick.
+
+    The per-iteration plan carries the centroids as DATA (one broadcast
+    row holding the m×k×sub array), not as inlined literals: literal
+    centroids change every iteration, so each Lloyd round would pay a
+    fresh whole-stage-codegen compile of the full m·k-distance
+    projection — at bench scale that compile IS the iteration cost, and
+    the janino cache can never hit.  With the codebook as a data column
+    the generated source is identical across iterations, subspace
+    counts, and successive index builds in one JVM, so everything after
+    the first round runs on cached codegen.  (cluster._assign keeps its
+    literal form: single-shot callers pay one compile either way, and
+    the flat-literal chain is the faster per-row kernel at corpus
+    scale.)
+
+    Output equivalence with the per-subspace loop (proven bit-identical
+    by tools/dump_index_state.py): seeds are the SAME k lowest-id rows
+    (sliced per subspace after one collect); distances keep ``_assign``'s
+    expanded form ‖x‖² − 2·x·c + ‖c‖² with every Σ a left-fold seeded
+    +0.0, so each term is bit-equal to the literal/python twin;
+    ``array_position(array_min)`` reproduces the least + ordered-CASE
+    first-match tie-break (arrmath bit-identity contract); the stacked
+    groupBy ``avg`` accumulates the same values in the same row order
+    as the per-subspace groupBy(cluster).avg — an empty cluster has no
+    group row and keeps its previous centroid."""
+    dim = m * sub
+    spark = df.sparkSession
+    df = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [
+        [list(r.v[j * sub : (j + 1) * sub]) for r in seed_rows]
+        for j in range(m)
+    ]
+    slices = df.selectExpr(
+        *[
+            f"CAST(slice({vec}, {j * sub + 1}, {sub}) AS array<double>)"
+            f" AS _s{j}"
+            for j in range(m)
+        ],
+    )
+    # d(x, c) = ‖x‖² − 2·x·c + ‖c‖², every sum a left-fold from +0.0 —
+    # bit-equal to _assign's literal dists (and to the python csq sum).
+    dist = (
+        "aggregate({s}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
+        " - 2.0 * aggregate(zip_with({s}, c, (a, b) -> a * b),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        " + aggregate(zip_with(c, c, (a, b) -> a * b),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [([[list(map(float, c)) for c in cj] for cj in cents],)],
+            "_cb array<array<array<double>>>",
+        )
+        cls = []
+        for j in range(m):
+            ds = (
+                f"transform(element_at(_cb, {j + 1}), c -> "
+                + dist.format(s=f"_s{j}")
+                + ")"
+            )
+            cls.append(
+                f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+                f" AS cl{j}"
+            )
+        assigned = slices.crossJoin(F.broadcast(cdf)).selectExpr(
+            *[f"_s{j}" for j in range(m)], *cls
+        )
+        stack_args = []
+        for j in range(m):
+            stack_args += [str(j), f"cl{j}", f"_s{j}"]
+        row_of = (
+            assigned.selectExpr(
+                f"stack({m}, {', '.join(stack_args)}) AS (_j, _cl, _v)"
+            )
+            .groupBy("_j", "_cl")
+            .agg(
+                *[
+                    F.avg(F.element_at("_v", i + 1)).alias(f"c{i}")
+                    for i in range(sub)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            (r["_j"], r["_cl"]): [r[f"c{i}"] for i in range(sub)]
+            for r in row_of
+        }
+        cents = [
+            [
+                new.get((j, ci), cents[j][ci])
+                for ci in range(len(cents[j]))
+            ]
+            for j in range(m)
+        ]
+    return cents
+
+
 def cluster_stats(assignments: DataFrame) -> DataFrame:
     """Per-cluster size and mean squared distance (inertia/n) — the
     convergence/quality report; one hash agg."""

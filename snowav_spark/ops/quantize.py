@@ -115,7 +115,14 @@ def train_pq_codebook(
     Standard PQ practice at 100 TB: TRAIN on a deterministic hash sample
     (``train_fraction``) — codebook quality saturates quickly — then
     ENCODE the full corpus with :func:`pq_encode` (one codegen pass, no
-    further iteration)."""
+    further iteration).
+
+    The m subspace k-means are trained JOINTLY
+    (cluster.kmeans_subspaces): 1 + iters passes over the training set
+    for all m subspaces, instead of the m·(1 + iters) passes the
+    per-subspace kmeans loop paid — the passes are the build cost at
+    scale, and each pass re-derives the input lineage (for IVF-PQ,
+    the whole residual computation)."""
     from snowav_spark.ops import cluster, sampling
 
     if dim % m:
@@ -124,19 +131,9 @@ def train_pq_codebook(
     train = df.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
     if train_fraction < 1.0:
         train = sampling.hash_sample(train, id_col, train_fraction)
-    codebook = []
-    for j in range(m):
-        sliced = train.select(
-            id_col,
-            F.slice(F.col(vec), j * sub + 1, sub)
-            .cast("array<double>")
-            .alias("_v"),
-        )
-        _, cents = cluster.kmeans(
-            sliced, id_col, "_v", k=k, dim=sub, iters=iters
-        )
-        codebook.append(cents)
-    return codebook
+    return cluster.kmeans_subspaces(
+        train, id_col, vec, m=m, sub=sub, k=k, iters=iters
+    )
 
 
 def pq_encode(
@@ -402,9 +399,19 @@ def build_ivfpq_index(
     train = res
     if train_fraction < 1.0:
         train = sampling.hash_sample(res, id_col, train_fraction)
-    codebook = train_pq_codebook(
-        train, id_col, "_res", dim=dim, m=m, k=k, iters=iters
-    )
+    # The residual lineage (cell assignment + broadcast join + zip_with)
+    # is re-derived by every training pass; persist the TRAINING rows —
+    # (id, _res) only, the bounded sample at production train_fraction —
+    # for the 1 + iters codebook jobs, then release.  The full-corpus
+    # encode pass below still derives residuals exactly once from the
+    # source.
+    train_cached = train.select(id_col, "_res").persist()
+    try:
+        codebook = train_pq_codebook(
+            train_cached, id_col, "_res", dim=dim, m=m, k=k, iters=iters
+        )
+    finally:
+        train_cached.unpersist()
     codes = pq_encode(
         res, id_col, "_res", codebook, keep=("cell", *metadata)
     )

@@ -54,3 +54,54 @@ def test_cluster_balanced_sample_caps(spark):
     # deterministic
     again = cluster.cluster_balanced_sample(assigned, "vec_id", per_cluster=7)
     assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
+
+
+def _rand_vecs(spark, n=120, dim=16, seed=7):
+    # deterministic pseudo-random vectors with repeats and near-ties
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_subspaces_bit_identical_to_per_subspace_loop(spark):
+    """The joint trainer (one scan per Lloyd round for all m subspaces,
+    centroids carried as broadcast data instead of literals) must emit
+    centroids BIT-identical to looping cluster.kmeans over each slice —
+    the r11 optimization replaced train_pq_codebook's loop with it on
+    exactly this equivalence (also pinned at fixture scale by
+    tools/dump_index_state.py)."""
+    from pyspark.sql import functions as F
+
+    m, sub, k, iters = 4, 4, 3, 3
+    df = _rand_vecs(spark, n=120, dim=m * sub)
+    joint = cluster.kmeans_subspaces(
+        df, "vec_id", "embedding", m=m, sub=sub, k=k, iters=iters
+    )
+    looped = []
+    for j in range(m):
+        sliced = df.select(
+            "vec_id",
+            F.slice(F.col("embedding"), j * sub + 1, sub)
+            .cast("array<double>")
+            .alias("_v"),
+        )
+        _, cents = cluster.kmeans(
+            sliced, "vec_id", "_v", k=k, dim=sub, iters=iters
+        )
+        looped.append(cents)
+    assert joint == looped
+
+
+def test_kmeans_subspaces_empty_cluster_keeps_centroid(spark):
+    # more centroids than distinct points in a subspace: empty clusters
+    # must keep their seed centroid, as kmeans does
+    df = _planted(spark, n_per=3, dim=8)
+    cb = cluster.kmeans_subspaces(
+        df, "vec_id", "embedding", m=2, sub=4, k=5, iters=2
+    )
+    assert len(cb) == 2 and all(len(cj) == 5 for cj in cb)
