@@ -548,46 +548,62 @@ def _bounded_cobucket_pairs(
     from pyspark.sql import Observation
 
     obs = Observation()  # auto-named: unique per call, never collides
-    slot = F.row_number().over(
-        Window.partitionBy("tbl", "bk").orderBy(id_col)
-    ) - 1
+    ordered = Window.partitionBy("tbl", "bk").orderBy(id_col)
+    slot = F.row_number().over(ordered) - 1
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("tbl", "bk"))
+    # The previous sub-bucket's representative sits exactly max_bucket
+    # rows back in slot order, so the chain partner is a LAG over the
+    # SAME window spec the row_number already pays -- merged into the
+    # existing Window node, it replaces what used to be a second
+    # self-join of the rep rows and with it two more executions of this
+    # whole subtree (guide §7.2 duplicated subtrees, §2.4 remove
+    # shuffles).
     salted = keys.select(
         F.col(id_col),
         "tbl",
         "bk",
         (slot / max_bucket).cast("int").alias("_sub"),
         (slot % max_bucket == 0).alias("_rep"),
+        F.lag(F.col(id_col), max_bucket).over(ordered).alias("_prev"),
         bucket_n.alias("_bn"),
     ).observe(obs, F.max("_bn").alias("max_bucket_n"))
     _HOT_BUCKET_OBS.append((obs, max_bucket))
+    # Chain pairs need no join: a representative (slot s*max_bucket,
+    # s >= 1) pairs with _prev = the id at slot (s-1)*max_bucket -- the
+    # previous representative; slot 0's _prev is NULL and drops.  A
+    # pure filter+projection over the window output, replacing the
+    # reps-a x reps-b join branch whose _rep filter used to push below
+    # any reuse point and re-execute the Sort+Window pipeline twice
+    # more.
+    chain = salted.filter(
+        F.col("_rep") & F.col("_prev").isNotNull()
+    ).select(
+        F.least(id_col, "_prev").alias("id_a"),
+        F.greatest(id_col, "_prev").alias("id_b"),
+    )
+    # The within self-join still consumes the subtree twice, and Spark
+    # only dedups Exchange subtrees -- without an exchange directly
+    # above the windows, the Sort + two Windows re-execute per
+    # reference (the executed plan showed it).  Repartition on the
+    # join's own (tbl, bk, _sub) keys -- a same-key (tbl, bk)
+    # repartition is recognized as redundant and removed (verified:
+    # plan came back unchanged) -- turns the second execution into a
+    # ReusedExchange read and hands the self-join exact
+    # co-partitioning (guide §2.4: share one exchange).  Row content
+    # is untouched: repartition changes distribution only, and every
+    # downstream value (slots, pair emission, distinct) is
+    # partitioning-independent.
+    dist = salted.repartition("tbl", "bk", "_sub")
     within = (
-        salted.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
+        dist.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
         .join(
-            salted.select(
+            dist.select(
                 F.col(id_col).alias("id_b"), "tbl", "bk", "_sub"
             ),
             ["tbl", "bk", "_sub"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-    )
-    reps = salted.filter("_rep")
-    chain = (
-        reps.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
-        .join(
-            reps.select(
-                F.col(id_col).alias("id_b"),
-                "tbl",
-                "bk",
-                (F.col("_sub") - 1).alias("_sub"),
-            ),
-            ["tbl", "bk", "_sub"],
-        )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
     )
     return within.unionByName(chain).distinct()
 

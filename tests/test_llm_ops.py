@@ -1694,6 +1694,40 @@ def test_salting_telemetry_runs_no_jobs_at_plan_construction(spark):
     assert plan.count() > 0  # and the plan itself still executes
 
 
+def test_salting_chain_pairs_exact(spark):
+    """The representative chain's exact pair set: consecutive
+    sub-bucket representatives only.  r11 replaced the reps-a ⋈ reps-b
+    join with a lag over the salting window (one less execution of the
+    whole salted subtree); this pins that the emitted chain is
+    byte-for-byte what the join produced — (rep_s, rep_{s+1}) per hot
+    bucket, nothing else across sub-buckets."""
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import similarity
+
+    n, cap = 250, 100
+    dups = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_candidate_pairs(
+            dups, "vec_id", "embedding",
+            tables=1, bits=2, dim=8, max_bucket=cap,
+        ).collect()
+    }
+    # one bucket of 250 identical vectors -> sub-buckets [0,100),
+    # [100,200), [200,250); representatives are slots 0, 100, 200 (ids
+    # equal slots here: row_number orders by vec_id)
+    assert (0, 100) in pairs and (100, 200) in pairs
+    assert (0, 200) not in pairs  # chain links CONSECUTIVE reps only
+    assert (5, 105) not in pairs  # non-reps never pair across subs
+    within = {(a, b) for a, b in pairs if b - a < cap and a // cap == b // cap}
+    chain = {(0, 100), (100, 200)}
+    assert pairs == within | chain
+
+
 def test_lsh_salting_recall_unchanged_on_normal_corpus(spark, sf_dir):
     """The default-on skew guard must be a no-op on a normal corpus
     (buckets ≪ max_bucket): pairs identical with the guard on and
