@@ -151,6 +151,17 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     plumbing (schema, batching, narrow execution) is identical.
     """
 
+    # Opaque functions defeat Spark's column pruning: mapInPandas ships
+    # every input column to the Python worker AND forces the scan to
+    # read it from storage (guide §4.1).  The extractor touches only
+    # (media_id, payload[, format]) — project them explicitly so a real
+    # media table's width/height/duration/kind columns never leave
+    # parquet.
+    cols = ["media_id", "payload"]
+    if not fake and "format" in df.columns:
+        cols.append("format")
+    df = df.select(*cols)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
