@@ -51,6 +51,25 @@ TABLES = (
 _CACHE: dict[tuple[int, str, str], tuple[object, DataFrame]] = {}
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows (centroid tables, codebook sidecars, id lists —
+    KB-sized by construction) as a ONE-partition DataFrame.
+
+    ``createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` pickled RDD slices (32 on the bench box) even
+    for a 1-row table.  Every consumer then pays one Python-worker
+    round-trip PER SLICE: a ``coalesce(1)`` write fuses all slices into
+    a single task that visits the Python runner 32 times SERIALLY
+    (measured 3.5–4.5 s for a 64-row sidecar vs 0.25 s on one slice),
+    and a broadcast build computes all 32 slices as separate tasks
+    (measured 1.2 s vs 0.28 s).  Parallelizing on ONE slice is the
+    right layout at any scale — these tables are driver-sized by
+    contract — and makes the downstream ``coalesce(1)`` free."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — works on any
     Spark-supported filesystem and, unlike a speculative

@@ -198,8 +198,14 @@ def kmeans_subspaces(
         " + aggregate(zip_with(c, c, (a, b) -> a * b),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    from snowav_spark.io import local_df
+
     for _ in range(iters):
-        cdf = spark.createDataFrame(
+        # one slice: a defaultParallelism-sliced 1-row local relation
+        # costs a Python-worker round-trip per slice to broadcast
+        # (~1 s/iteration on 32 cores — io.local_df)
+        cdf = local_df(
+            spark,
             [([[list(map(float, c)) for c in cj] for cj in cents],)],
             "_cb array<array<array<double>>>",
         )

@@ -280,9 +280,11 @@ def _residuals(
     zip_with subtraction — the corpus is never shuffled.  ``extra``
     names metadata columns that ride through unchanged (filtered-ANN
     support: they end up stored next to the codes)."""
+    from snowav_spark.io import local_df
     from snowav_spark.ops import similarity
 
-    cent_df = df.sparkSession.createDataFrame(
+    cent_df = local_df(
+        df.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, _cent array<double>",
     )
@@ -387,11 +389,13 @@ def build_ivfpq_index(
 
     Returns ``(centroids, codebook)``.
     """
+    from snowav_spark.io import local_df
     from snowav_spark.ops import sampling, similarity
 
     spark = df.sparkSession
     cents = similarity.ivf_centroids(df, id_col, vec, n_cells, iters, dim)
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, _cent array<double>",
     )
@@ -428,9 +432,13 @@ def build_ivfpq_index(
         for j, cents_j in enumerate(codebook)
         for ci, c in enumerate(cents_j)
     ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, centroid_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    # local_df puts the sidecar rows on one slice already, so no
+    # coalesce(1) is needed — on 32 pickled slices that coalesce cost
+    # ~3.5 s of serial Python-worker round-trips per sidecar (io.local_df)
+    local_df(
+        spark, cb_rows,
+        "subspace int, centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(
         path.rstrip("/") + "/_pq_codebook"
     )
     # the centroid sidecar is the commit marker (ann_index_stream keys
@@ -438,7 +446,7 @@ def build_ivfpq_index(
     # marker-before-codebook would leave a 'committed' index whose
     # appends fail forever on the missing codebook after a crash between
     # the two sidecar writes
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
+    cent_df.write.mode("overwrite").parquet(
         path.rstrip("/") + "/_ivf_centroids"
     )
     return cents, codebook
@@ -659,9 +667,9 @@ def delete_from_ivfpq_index(
     loop).  A tombstoned id stays suppressed even if re-appended;
     compact first to truly re-add.  Returns newly tombstoned count."""
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+        from snowav_spark.io import local_df
+
+        ids = local_df(spark, [(int(i),) for i in ids], f"{id_col} long")
     ids = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
     existing = _read_ivfpq_tombstones(spark, path)
     if existing is not None:

@@ -1066,11 +1066,16 @@ def build_ivf_index(
     ivf_assign(df, id_col, vec, cents).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
-    side = df.sparkSession.createDataFrame(
+    from snowav_spark.io import local_df
+
+    # one slice (io.local_df): schema pinned to what inference yielded
+    # (python int -> bigint) so the stored sidecar schema is unchanged
+    side = local_df(
+        df.sparkSession,
         [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
-        ["cell", "centroid"],
+        "cell bigint, centroid array<double>",
     )
-    side.coalesce(1).write.mode("overwrite").parquet(
+    side.write.mode("overwrite").parquet(
         path.rstrip("/") + "/_ivf_centroids"
     )
     return cents

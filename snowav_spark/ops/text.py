@@ -1228,9 +1228,9 @@ def compact_text_index(
     if os.path.isdir(old) and not os.path.isdir(side):
         shutil.move(old, side)  # recover a prior crash mid-swap
     shutil.rmtree(old, ignore_errors=True)
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.parquet(
-        staged
-    )
+    from snowav_spark.io import local_df
+
+    local_df(spark, rows, merged.schema).write.parquet(staged)
     shutil.move(side, old)
     shutil.move(staged, side)
     shutil.rmtree(old)
