@@ -189,31 +189,54 @@ def kmeans_subspaces(
             for j in range(m)
         ],
     )
-    # d(x, c) = ‖x‖² − 2·x·c + ‖c‖², every sum a left-fold from +0.0 —
-    # bit-equal to _assign's literal dists (and to the python csq sum).
+    # d(x, c) = ‖x‖² − 2·x·c + ‖c‖² with the loop-invariant terms
+    # HOISTED out of the per-(row, centroid) lambda: ‖x‖² is one fold
+    # per (row, subspace) — computed once in a chained projection
+    # instead of k times inside the transform — and ‖c‖² is computed
+    # driver-side in Python and rides the broadcast row as data
+    # (element_at lookups, zero per-row folds).  Only the dot product
+    # remains per (row, centroid): ~3× less interpreted fold work per
+    # Lloyd round.  Bit-identity holds: the Python csq accumulates the
+    # same doubles left-to-right from +0.0 as the SQL fold it replaces
+    # (the cluster._assign literal-csq precedent), and the hoisted ‖x‖²
+    # is the identical expression evaluated once.
     dist = (
-        "aggregate({s}, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
-        " - 2.0 * aggregate(zip_with({s}, c, (a, b) -> a * b),"
+        "_xsq{j}"
+        " - 2.0 * aggregate(zip_with(_s{j}, c, (a, b) -> a * b),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        " + aggregate(zip_with(c, c, (a, b) -> a * b),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        " + element_at(element_at(_csq, {j1}), i + 1)"
+    )
+    slices = slices.selectExpr(
+        "*",
+        *[
+            f"aggregate(_s{j}, CAST(0 AS DOUBLE),"
+            f" (acc, v) -> acc + v * v) AS _xsq{j}"
+            for j in range(m)
+        ],
     )
     from snowav_spark.io import local_df
 
     for _ in range(iters):
+        csq = [
+            [sum(float(v) * float(v) for v in c) for c in cj]
+            for cj in cents
+        ]
         # one slice: a defaultParallelism-sliced 1-row local relation
         # costs a Python-worker round-trip per slice to broadcast
         # (~1 s/iteration on 32 cores — io.local_df)
         cdf = local_df(
             spark,
-            [([[list(map(float, c)) for c in cj] for cj in cents],)],
-            "_cb array<array<array<double>>>",
+            [(
+                [[list(map(float, c)) for c in cj] for cj in cents],
+                csq,
+            )],
+            "_cb array<array<array<double>>>, _csq array<array<double>>",
         )
         cls = []
         for j in range(m):
             ds = (
-                f"transform(element_at(_cb, {j + 1}), c -> "
-                + dist.format(s=f"_s{j}")
+                f"transform(element_at(_cb, {j + 1}), (c, i) -> "
+                + dist.format(j=j, j1=j + 1)
                 + ")"
             )
             cls.append(
