@@ -2246,7 +2246,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-3-gram fraction per doc (EXT): the repetition quality
     rule of corpus-cleaning pipelines, computed in one projection with
     array expressions — no explode, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = io_mod.spread_scan(load_table(spark, sf_dir, "documents"))
     return text.repetition_stats(docs, "doc_id", "text", n=3)
 
 
@@ -2308,7 +2308,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — context-window preparation for training.  Flat map only
     (transform + posexplode), no shuffle; chunks stay co-partitioned
     with their source doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = io_mod.spread_scan(load_table(spark, sf_dir, "documents"))
     return text.chunk_docs(docs, "doc_id", "text", size=50, stride=25)
 
 
@@ -2678,7 +2678,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction into full normalization and emits only a digest).  One
     codegen projection; patterns live in text.PII_AUDIT_PATTERNS
     (Java-regex ∩ RE2 subset shared verbatim with this oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = io_mod.spread_scan(load_table(spark, sf_dir, "documents"))
     return text.pii_audit(docs, "doc_id", "text")
 
 
