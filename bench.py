@@ -57,7 +57,7 @@ BASELINE_MD_SECONDS = {
 
 
 def _blessed_baseline(
-    repo_dir: str, run_sf: float
+    repo_dir: str, run_sf: float, run_cpus: int | None = None
 ) -> dict[str, float]:
     """Per-key regression bars blessed from >=3 BENCH_HISTORY.jsonl runs
     (tools/bless_baseline.py writes BASELINE_KEYS.json; VERDICT r9
@@ -66,13 +66,25 @@ def _blessed_baseline(
     run's is skipped entirely (ADVICE r10): sf0.1 medians as bars for an
     sf0.01 run would flag nothing, and as bars for an sf1 run would flag
     everything — either way the drift gate would be measuring the SF
-    gap, not plan regressions."""
+    gap, not plan regressions.  The same applies to CORE COUNT: the
+    driver also benches at a lower $SPARK_GRAFT_CPUS to measure scaling,
+    and 32-core medians as bars for a 4-core run would flag every
+    parallel-heavy key and re-time them all — measuring the core-count
+    gap, not regressions — so a blessed 'cpus' that differs from the
+    run's skips the gate too.  Legacy files without the field keep the
+    old apply-always behavior."""
     path = os.path.join(repo_dir, "BASELINE_KEYS.json")
     if not os.path.exists(path):
         return {}
     with open(path) as f:
         blessed = json.load(f)
     if blessed.get("sf") is not None and float(blessed["sf"]) != run_sf:
+        return {}
+    if (
+        run_cpus is not None
+        and blessed.get("cpus") is not None
+        and int(blessed["cpus"]) != run_cpus
+    ):
         return {}
     return {k: float(v) for k, v in blessed["keys"].items()}
 
@@ -133,7 +145,10 @@ def main() -> None:
     # directions.  Keys STILL above the bar after isolation land in
     # "drift": real regressions, not suite-position jitter.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    blessed = _blessed_baseline(repo_dir, sf)
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_CPUS", 0)
+    ) or spark.sparkContext.defaultParallelism
+    blessed = _blessed_baseline(repo_dir, sf, cpus)
     md_bars = BASELINE_MD_SECONDS if sf == BASELINE_MD_SF else {}
     bars = {
         k: max(2.0 * md_bars.get(k, blessed.get(k, 0.0)), 0.05)
@@ -178,6 +193,7 @@ def main() -> None:
         "drift": drift,
         "index_build_sec": index_build,
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
     }
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")

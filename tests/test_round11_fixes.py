@@ -259,3 +259,22 @@ def test_read_pruned_partitions_streaming_layout(spark, tmp_path):
     assert {r.bucket for r in rows} == {1}
     assert {r._batch for r in rows} == {0, 1}
     assert len(rows) == 10
+
+
+def test_blessed_baseline_skipped_on_cpus_mismatch(tmp_path):
+    import bench
+
+    repo = str(tmp_path)
+    with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
+        json.dump({"sf": 0.1, "cpus": 32, "keys": {"q_topk": 0.06}}, f)
+    # same sf, same cores: bars apply
+    assert bench._blessed_baseline(repo, 0.1, 32) == {"q_topk": 0.06}
+    # the driver's lower-core scaling run must NOT be measured against
+    # 32-core medians (it would breach every parallel-heavy key)
+    assert bench._blessed_baseline(repo, 0.1, 8) == {}
+    # caller that doesn't know its core count: keep the old behavior
+    assert bench._blessed_baseline(repo, 0.1) == {"q_topk": 0.06}
+    # legacy blessed file without a cpus field: keep the old behavior
+    with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
+        json.dump({"sf": 0.1, "keys": {"q_topk": 0.06}}, f)
+    assert bench._blessed_baseline(repo, 0.1, 8) == {"q_topk": 0.06}

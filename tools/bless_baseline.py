@@ -46,6 +46,13 @@ def main() -> int:
     # (or preceding) a key would silently skew that key's median.
     current_keys = set(runs[-1]["queries"])
     usable = [r for r in runs if set(r["queries"]) == current_keys]
+    # ... and at the newest run's CORE COUNT: medians mixing a 32-core
+    # and an 8-core run would be bars for neither configuration.  Runs
+    # predating the recorded-cpus field are excluded once any run in
+    # the window records one (can't verify they match).
+    newest_cpus = usable[-1].get("cpus") if usable else None
+    if newest_cpus is not None:
+        usable = [r for r in usable if r.get("cpus") == newest_cpus]
     usable = usable[-args.runs:]
     if len(usable) < MIN_RUNS:
         print(
@@ -68,6 +75,15 @@ def main() -> int:
         "git_heads": [r.get("git_head", "") for r in usable],
         "run_utcs": [r.get("utc", "") for r in usable],
         "sf": usable[-1].get("sf"),
+        # Core count the medians were measured at (newest run recording
+        # it): bench.py skips these bars when its own $SPARK_GRAFT_CPUS
+        # differs — a lower-core scaling run would breach 32-core bars
+        # on every parallel-heavy key and re-time them all.
+        "cpus": next(
+            (r["cpus"] for r in reversed(usable)
+             if r.get("cpus") is not None),
+            None,
+        ),
         "rule": "bench.py flags any key whose best-of-3 exceeds "
                 "max(2 * median_seconds, 0.05s); BASELINE.md rows "
                 "take precedence where they exist",
