@@ -195,14 +195,21 @@ def main() -> int:
         ["PythonUDF", "CartesianProduct", "Generate"],
     )
 
-    # 6l. chunking is a pure flat map: one pruned scan, no exchange, no
-    # Python — chunks stay co-partitioned with their source doc
+    # 6l. chunking is a pure flat map: one pruned scan, no KEY shuffle,
+    # no Python.  r11's spread_scan adds exactly one round-robin
+    # exchange above the single-row-group scan (OPTIMIZATION_r11.md
+    # change 7) so the heavy per-row Generate parallelizes; a
+    # hashpartitioning exchange would still be a defect.
     p = formatted(qs["q_chunk_docs"](spark, SF))
+    # spread_scan no-ops when planned partitions already cover >= 1/4 of
+    # the session cores, so only assert its exchange where it engages.
+    spread_engages = spark.sparkContext.defaultParallelism > 4
     check(
         "q_chunk_docs",
         p,
-        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string"],
-        ["Exchange", "PythonUDF"],
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string"]
+        + (["RoundRobinPartitioning"] if spread_engages else []),
+        ["hashpartitioning", "PythonUDF"],
     )
     if n_scans(p) != 1:
         failures.append(f"q_chunk_docs: expected 1 scan, saw {n_scans(p)}")
@@ -227,13 +234,18 @@ def main() -> int:
     )
 
     # 6o. PII audit: one codegen projection on a 2-column pruned scan —
-    # no UDF, no shuffle, nothing but regexp expressions
+    # no UDF, no KEY shuffle, nothing but regexp expressions.  r11's
+    # spread_scan adds exactly one round-robin exchange above the
+    # single-row-group scan (OPTIMIZATION_r11.md change 7) so the regex
+    # chain parallelizes; a hashpartitioning exchange would still be a
+    # defect.
     p = formatted(qs["q_pii_redact"](spark, SF))
     check(
         "q_pii_redact",
         p,
-        ["ReadSchema: struct<doc_id:bigint,text:string"],
-        ["Exchange", "PythonUDF", "Generate"],
+        ["ReadSchema: struct<doc_id:bigint,text:string"]
+        + (["RoundRobinPartitioning"] if spread_engages else []),
+        ["hashpartitioning", "PythonUDF", "Generate"],
     )
     if n_scans(p) != 1:
         failures.append(f"q_pii_redact: expected 1 scan, saw {n_scans(p)}")
