@@ -54,10 +54,17 @@ def sqnorm_sql(arr_expr: str) -> str:
     return fold_sum_sql(arr_expr, "v * v")
 
 
-# Empirical janino headroom: flat unrolled scalar chains compile (and run
-# ~3× faster than the fold loop — no lambda-call overhead per element) up
-# to the bench config's 512 multiply-adds per fused projection; beyond
-# that Spark silently drops the stage to interpreted rows at an 8.5×
-# penalty (measured on pq_encode).  Callers sum their per-stage term
-# count against this before choosing an unrolled form over the folds.
+# Headroom for flat unrolled scalar chains (measured r12 on pq_encode,
+# 1M rows: flat ~0.5–0.9 s vs fold-loop ~9.6 s — 10× per row, no
+# lambda-call overhead per element).  At the 512-term bench config the
+# unrolled whole-stage source is ~1 MB: janino either dies at its 64 KB
+# method limit (the r5 least()+CASE shape) or compiles methods past the
+# JVM's 8 KB JIT limit — so ENGINE_CONF pins
+# spark.sql.codegen.hugeMethodLimit=8000 and execution lands on
+# per-operator codegen (small, JIT-able per-expression methods), which
+# is the measured-fast path.  Beyond this limit the Catalyst tree
+# itself (plan size, per-action optimization cost) becomes the
+# bottleneck and callers switch to the fold form.  Callers sum their
+# per-stage term count against this before choosing an unrolled form
+# over the folds.
 FLAT_TERM_LIMIT = 512

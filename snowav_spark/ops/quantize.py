@@ -167,55 +167,57 @@ def pq_encode(
     # HYBRID distance kernel (VERDICT r6 item 4).  Two codegen shapes,
     # bit-identical codes either way:
     #
-    # FLAT (term count ≤ arrmath.FLAT_TERM_LIMIT — the empirically
-    # compiling bench config): scalar wide columns x{i} + one NAMED
-    # projection column per (subspace, centroid) distance — separate
-    # expressions let janino split methods per column — then
-    # least()+CASE argmin.  This is the measured-fast r5 shape (~3× over
-    # the fold: no lambda call per element, no array indirection).
+    # FLAT (term count ≤ arrmath.FLAT_TERM_LIMIT): scalar wide columns
+    # x{i} feeding one literal-unrolled distance chain per (subspace,
+    # centroid), collected into a per-subspace array —
+    # array_position(array_min) argmin, the same first-match
+    # (lowest centroid id) tie-break as a least()+CASE chain (arrmath
+    # bit-identity contract).  R12 re-measure of the r5 shape: the old
+    # per-distance NAMED columns + least()+CASE form generated ~1 MB of
+    # whole-stage source at the 512-term bench config and janino DIED
+    # ("Code grows beyond 64 KB") — Spark then fell back to per-operator
+    # codegen, which RAN fast (0.5 s/1M rows: small, JIT-able
+    # per-expression methods) but re-attempted and re-failed the doomed
+    # whole-stage compile on EVERY action (~0.4 s each, never cached,
+    # ERROR noise in every log).  The array form compiles (cached
+    # thereafter); its whole-stage methods exceed the JVM's 8 KB JIT
+    # limit, so with spark.sql.codegen.hugeMethodLimit=8000
+    # (session.ENGINE_CONF) Spark takes the same fast per-operator path
+    # deterministically — measured 0.70 s/1M rows warm vs 0.93 s for the
+    # failing-compile shape and 7.5 s for non-JIT whole-stage.
     #
     # FOLD (beyond the limit): array-lambda folds (ops/arrmath.py) that
-    # codegen as loops — the flat form past ~500 multiply-adds per fused
-    # stage silently exceeds janino's 64 KB method limit and drops the
-    # stage to interpreted rows at an 8.5× penalty (caught by the r6
-    # ci.sh sf0.1 run: 6.1 s vs sub-second).  Bit-identity of fold vs
-    # left-assoc chains is derived once in arrmath (sign-of-zero only,
-    # invisible to argmin); array_position(array_min) keeps the same
-    # first-match (lowest centroid id) tie-break as the CASE chain.
+    # codegen as loops — the flat form past FLAT_TERM_LIMIT
+    # multiply-adds per fused stage makes the Catalyst tree itself the
+    # bottleneck, and lambda loops stay compact at any k.  Measured 10×
+    # slower per row than the flat chains (9.6 vs 0.93 s/1M rows), so
+    # the flat form keeps the at-scale configs below the limit.
+    # Bit-identity of fold vs left-assoc chains is derived once in
+    # arrmath (sign-of-zero only, invisible to argmin).
     from snowav_spark.ops import arrmath
 
     k = len(codebook[0])
     if m * k * sub <= arrmath.FLAT_TERM_LIMIT:
         wide = _wide(base, id_col, vec, dim, keep)
-        dist_exprs = []
-        code_exprs = []
+        dist_cols = []
         for j, cents in enumerate(codebook):
-            for ci, c in enumerate(cents):
-                d = " + ".join(
-                    f"(x{j * sub + i} - {float(c[i])!r})"
-                    f" * (x{j * sub + i} - {float(c[i])!r})"
-                    for i in range(sub)
+            per_cent = []
+            for c in cents:
+                per_cent.append(
+                    " + ".join(
+                        f"(x{j * sub + i} - {float(c[i])!r})"
+                        f" * (x{j * sub + i} - {float(c[i])!r})"
+                        for i in range(sub)
+                    )
                 )
-                dist_exprs.append(f"{d} AS d{j}_{ci}")
-            # least() needs ≥2 args; a degenerate k=1 codebook's only
-            # centroid is trivially the minimum
-            best = (
-                f"least({', '.join(f'd{j}_{ci}' for ci in range(k))})"
-                if k > 1
-                else f"d{j}_0"
-            )
-            case = (
-                "CASE "
-                + " ".join(
-                    f"WHEN d{j}_{ci} = _b{j} THEN {ci}" for ci in range(k)
-                )
-                + " END"
-            )
-            dist_exprs.append(f"{best} AS _b{j}")
-            code_exprs.append(f"CAST({case} AS INT)")
-        scored = wide.selectExpr("*", *dist_exprs)
+            dist_cols.append(f"array({', '.join(per_cent)}) AS _d{j}")
+        scored = wide.selectExpr(id_col, *keep, *dist_cols)
+        codes = ", ".join(
+            f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT)"
+            for j in range(m)
+        )
         return scored.selectExpr(
-            id_col, *keep, f"array({', '.join(code_exprs)}) AS codes"
+            id_col, *keep, f"array({codes}) AS codes"
         )
 
     slices = [

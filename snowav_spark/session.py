@@ -50,6 +50,15 @@ ENGINE_CONF: dict[str, str] = {
     # t/y/x/variable predicates at planning — a time-sliced query on a
     # large archive plans only the intersecting chunks.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Reject whole-stage codegen whose compiled methods the JVM refuses
+    # to JIT (HotSpot -XX:DontCompileHugeMethods limit is 8000 bytecode;
+    # Spark's default of 65535 accepts 8–64 KB methods that then run in
+    # the bytecode INTERPRETER).  Past the limit Spark falls back to
+    # per-operator codegen — small, JIT-able per-expression methods —
+    # which measured 10× faster on the unrolled PQ distance kernels
+    # (0.70 vs 7.5 s/1M rows; OPTIMIZATION_r12.md).  A JVM property, not
+    # a core-count or scale-factor tune.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
