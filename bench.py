@@ -145,9 +145,14 @@ def main() -> None:
     # directions.  Keys STILL above the bar after isolation land in
     # "drift": real regressions, not suite-position jitter.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    cpus = int(
-        os.environ.get("SPARK_GRAFT_CPUS", 0)
-    ) or spark.sparkContext.defaultParallelism
+    # tolerate SPARK_GRAFT_CPUS="" the way session.py does (ADVICE r11):
+    # int("") would crash the bench before any timing ran
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = (
+        int(_cpus_env)
+        if _cpus_env and _cpus_env.strip()
+        else spark.sparkContext.defaultParallelism
+    )
     blessed = _blessed_baseline(repo_dir, sf, cpus)
     md_bars = BASELINE_MD_SECONDS if sf == BASELINE_MD_SF else {}
     bars = {

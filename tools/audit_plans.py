@@ -202,8 +202,16 @@ def main() -> int:
     # hashpartitioning exchange would still be a defect.
     p = formatted(qs["q_chunk_docs"](spark, SF))
     # spread_scan no-ops when planned partitions already cover >= 1/4 of
-    # the session cores, so only assert its exchange where it engages.
-    spread_engages = spark.sparkContext.defaultParallelism > 4
+    # the session cores, so only assert its exchange where it engages —
+    # computed by the gate's OWN predicate on the same input DataFrame
+    # (ADVICE r11: a hand-rolled `cores > 4` re-derivation assumed the
+    # fixture scan plans exactly 1 partition and would false-fail on a
+    # multi-file SF dir).
+    from snowav_spark import io as _io
+
+    spread_engages = _io.spread_engaged(
+        _io.load_table(spark, SF, "documents")
+    )
     check(
         "q_chunk_docs",
         p,

@@ -75,15 +75,15 @@ def main() -> int:
         "git_heads": [r.get("git_head", "") for r in usable],
         "run_utcs": [r.get("utc", "") for r in usable],
         "sf": usable[-1].get("sf"),
-        # Core count the medians were measured at (newest run recording
-        # it): bench.py skips these bars when its own $SPARK_GRAFT_CPUS
-        # differs — a lower-core scaling run would breach 32-core bars
-        # on every parallel-heavy key and re-time them all.
-        "cpus": next(
-            (r["cpus"] for r in reversed(usable)
-             if r.get("cpus") is not None),
-            None,
-        ),
+        # Core count the medians were measured at: bench.py skips these
+        # bars when its own $SPARK_GRAFT_CPUS differs — a lower-core
+        # scaling run would breach 32-core bars on every parallel-heavy
+        # key and re-time them all.  Stamped from the NEWEST run only
+        # (ADVICE r11): when that run predates the cpus field, no
+        # uniformity was enforced above, and scanning backwards for any
+        # older run's value would mislabel a mixed-core median as
+        # measured at that core count — null is the honest value there.
+        "cpus": newest_cpus,
         "rule": "bench.py flags any key whose best-of-3 exceeds "
                 "max(2 * median_seconds, 0.05s); BASELINE.md rows "
                 "take precedence where they exist",
