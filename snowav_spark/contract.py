@@ -8715,7 +8715,35 @@ _GRADE_ORDER = [
     "q_ngram_freq",
     "q_token_budget",
     "q_unigram_logprob",
-    # -- rotated in r11: rotation-queue head (VERDICT r10 item 1) -----
+    # -- rotated in r12: rotation-queue head (VERDICT r11 item 6) — the
+    # -- 24 next never-driver-graded oracle-backed keys, in queue order
+    # -- (registration-order change only, zero compute change) ---------
+    "q_text_filtered",
+    "q_priority_lag",
+    "q_top_supplier",
+    "q_supplier_cnt",
+    "q_excess_shippers",
+    "q_national_share",
+    "q_seasonality",
+    "q_cusum_change",
+    "q_source_jaccard",
+    "q_activity_histogram",
+    "q_interarrival",
+    "q_fano",
+    "q_churn",
+    "q_top_share",
+    "q_new_vs_returning",
+    "q_session_duration",
+    "q_hhi",
+    "q_fanout_profile",
+    "q_rolling_median",
+    "q_trade_pairs",
+    "q_cheapest_supplier",
+    "q_small_qty_rev",
+    "q_big_orders",
+    "q_bracket_filter",
+    # -- tail: locally gated (tools/check.py every run) ----------------
+    # -- rotated out r12 (first-time green driver rows r11) ------------
     "q_weighted_median",
     "q_rank_family",
     "q_first_touch",
@@ -8734,21 +8762,15 @@ _GRADE_ORDER = [
     "q_chi_square",
     "q_autocorr",
     "q_ttr",
-    # -- promoted to full oracle r11 (VERDICT r10 item 3): pinned to
-    # -- the portable md5 hash family, hash-gated like any oracle key -
     "q_minhash_lsh",
     "q_simhash",
-    # -- rows-only keys' FIRST independent driver signal (VERDICT r10
-    # -- item 2): hash_match is false/absent BY DESIGN (approx sketch /
-    # -- recall<1 / assignment-order outputs — SURVEY §2.6/§2.8 says to
-    # -- declare them rows-only); the driver row's rows_match and
-    # -- schema_match columns are the meaningful, expected-green signal.
-    # -- Documented in COVERAGE.md "Rows-only keys in the r11 window". -
+    # -- rows-only keys rotated out r12: their first independent driver
+    # -- signal landed green in r11 (rows recorded, err=no_oracle by
+    # -- design — COVERAGE.md "Rows-only keys in the r11 window") ------
     "q_semdedup",
     "q_ivfpq_ann",
     "q_pack_sequences",
     "q_approx_distinct",
-    # -- tail: locally gated (tools/check.py every run) ----------------
     # -- rotated out r11 (first-time green driver rows r10) ------------
     "q_span_dedup",
     "q_unpivot",
@@ -8814,13 +8836,6 @@ _GRADE_ORDER = [
     "q_triangles",
     "q_degree_hist",
     "q_assortativity",
-    # -- round-8 oracle additions not in-window (queue tail) -----------
-    "q_text_filtered",
-    "q_priority_lag",
-    "q_top_supplier",
-    "q_supplier_cnt",
-    "q_excess_shippers",
-    "q_national_share",
     # -- rotated out r08 (permanent green driver rows r01-r07) ---------
     "q_zonal_volume",
     "q_end_last",
@@ -8873,24 +8888,6 @@ _GRADE_ORDER = [
     "q_regex_extract",
     "q_array_ops",
     "q_token_count",
-    "q_seasonality",
-    "q_cusum_change",
-    "q_source_jaccard",
-    "q_activity_histogram",
-    "q_interarrival",
-    "q_fano",
-    "q_churn",
-    "q_top_share",
-    "q_new_vs_returning",
-    "q_session_duration",
-    "q_hhi",
-    "q_fanout_profile",
-    "q_rolling_median",
-    "q_trade_pairs",
-    "q_cheapest_supplier",
-    "q_small_qty_rev",
-    "q_big_orders",
-    "q_bracket_filter",
     "q_waiting_suppliers",
     "q_idle_customers",
     "q_pagerank",
@@ -8921,13 +8918,11 @@ _GRADE_WINDOW = 50
 # driver records the weaker rows-only check — the first INDEPENDENT
 # signal these families get beyond pytest.  Any OTHER oracle-less key in
 # the window is still an assertion error (a typo'd key must not silently
-# downgrade its own gate).
-_WINDOW_ROWS_ONLY = {
-    "q_semdedup",
-    "q_ivfpq_ann",
-    "q_pack_sequences",
-    "q_approx_distinct",
-}
+# downgrade its own gate).  EMPTY for r12: the four r11 rows-only window
+# keys (q_semdedup, q_ivfpq_ann, q_pack_sequences, q_approx_distinct)
+# earned their first driver rows in r11 and rotated back to the tail, so
+# every r12 window key is full-oracle-backed.
+_WINDOW_ROWS_ONLY: set[str] = set()
 
 
 def _apply_grade_order() -> None:
