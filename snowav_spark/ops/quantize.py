@@ -353,6 +353,8 @@ def build_ivfpq_index(
     train_fraction: float = 1.0,
     batch_id: int | None = None,
     metadata: tuple = (),
+    cents: list | None = None,
+    codebook: list | None = None,
 ) -> tuple[list, list]:
     """Persist an IVF-PQ index: the FAISS ``IVFx,PQm`` layout re-expressed
     as a parquet directory tree (ref path: SURVEY §2.6 ANN scale path —
@@ -389,13 +391,27 @@ def build_ivfpq_index(
     production query — without touching any other table.  Appends to a
     metadata-carrying index must pass the same tuple.
 
+    ``cents`` / ``codebook`` accept PRE-TRAINED artifacts from an
+    earlier build over the SAME corpus and parameters (e.g. a plain and
+    a metadata-carrying layout of one corpus, the contract.build_indexes
+    shape): Lloyd training and PQ codebook training are deterministic
+    functions of (df, params), so re-running them for a second layout is
+    pure recomputation — 1 + iters full passes for the centroids plus
+    1 + iters training passes for the codebook (VERDICT r11 item 3).
+    Passing artifacts trained on a DIFFERENT corpus or parameterization
+    is on the caller — the stored codes would quantize against the
+    wrong regions.  Both default to None (train here).
+
     Returns ``(centroids, codebook)``.
     """
     from snowav_spark.io import local_df
     from snowav_spark.ops import sampling, similarity
 
     spark = df.sparkSession
-    cents = similarity.ivf_centroids(df, id_col, vec, n_cells, iters, dim)
+    if cents is None:
+        cents = similarity.ivf_centroids(
+            df, id_col, vec, n_cells, iters, dim
+        )
     cent_df = local_df(
         spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -411,13 +427,15 @@ def build_ivfpq_index(
     # for the 1 + iters codebook jobs, then release.  The full-corpus
     # encode pass below still derives residuals exactly once from the
     # source.
-    train_cached = train.select(id_col, "_res").persist()
-    try:
-        codebook = train_pq_codebook(
-            train_cached, id_col, "_res", dim=dim, m=m, k=k, iters=iters
-        )
-    finally:
-        train_cached.unpersist()
+    if codebook is None:
+        train_cached = train.select(id_col, "_res").persist()
+        try:
+            codebook = train_pq_codebook(
+                train_cached, id_col, "_res", dim=dim, m=m, k=k,
+                iters=iters,
+            )
+        finally:
+            train_cached.unpersist()
     codes = pq_encode(
         res, id_col, "_res", codebook, keep=("cell", *metadata)
     )

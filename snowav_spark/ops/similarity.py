@@ -593,7 +593,13 @@ def _bounded_cobucket_pairs(
     # is untouched: repartition changes distribution only, and every
     # downstream value (slots, pair emission, distinct) is
     # partitioning-independent.
-    dist = salted.repartition("tbl", "bk", "_sub")
+    import os as _os
+
+    _mode = _os.environ.get("SNOWAV_COBUCKET_EXCHANGE", "on")
+    if _mode == "off":
+        dist = salted
+    else:
+        dist = salted.repartition("tbl", "bk", "_sub")
     within = (
         dist.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
         .join(

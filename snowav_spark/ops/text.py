@@ -736,13 +736,26 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
 
 
 def _postings_of(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, obs=None
 ) -> DataFrame:
-    tok = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        tokens(F.col(text_col)).alias("_toks"),
     )
+    if obs is not None:
+        # Corpus stats ride the postings pass (guide §1.2 remove
+        # passes): the old dedicated stats scan re-tokenized the corpus
+        # to re-derive exactly count(*) and Σ size(tokens(text)) — both
+        # already computed per row HERE, before the explode drops
+        # zero-token docs.  The CollectMetrics node adds no shuffle and
+        # no job; _stats_row reads it after the postings write action.
+        base = base.observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+        )
+    tok = base.select("doc_id", "dl", F.explode("_toks").alias("term"))
     return (
         tok.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
@@ -756,23 +769,33 @@ def _postings_of(
     )
 
 
-def _stats_of(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
-    """MERGEABLE integer partials (n_docs, sum_dl): search derives
-    avg_dl = Σsum_dl / Σn_docs, one double division — exact at any
-    merge order (integer sums below 2^53), unlike persisting a float
-    avg that would need order-sensitive weighted re-merging."""
-    return df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
-    ).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("_dl").cast("long").alias("sum_dl"),
-        F.lit(n_buckets).cast("int").alias("n_buckets"),
+def _stats_row(spark, obs, n_buckets: int) -> DataFrame:
+    """The corpus-stats row — MERGEABLE integer partials
+    (n_docs, sum_dl): search derives avg_dl = Σsum_dl / Σn_docs, one
+    double division, exact at any merge order (integer sums below
+    2^53), unlike persisting a float avg that would need
+    order-sensitive weighted re-merging.
+
+    Recovered from the postings pass's observation instead of the
+    dedicated second corpus scan + re-tokenization it used to be —
+    ``obs.get`` blocks until the postings write has executed, which is
+    exactly the postings-before-stats commit order _write_text_parts
+    documents.  Value-identical to the old scan: same count over the
+    same pre-explode rows, same integer sum (NULL on an empty batch in
+    both forms)."""
+    from snowav_spark.io import local_df
+
+    row = obs.get
+    return local_df(
+        spark,
+        [(row["n_docs"], row["sum_dl"], int(n_buckets))],
+        "n_docs long, sum_dl long, n_buckets int",
     )
 
 
 def _write_text_parts(
     postings: DataFrame,
-    stats: DataFrame,
+    stats,
     path: str,
     batch_id: int | None,
     overwrite_all: bool,
@@ -784,7 +807,13 @@ def _write_text_parts(
     replays rewrite their own partitions via dynamic overwrite.  Batch
     APPENDS (batch_id None, overwrite_all False) carry a content
     ``digest`` and commit through sinks.idempotent_append, so a
-    crashed-then-retried append converges to one copy."""
+    crashed-then-retried append converges to one copy.
+
+    ``stats`` is a ZERO-ARG CALLABLE returning the stats row, invoked
+    only after the postings write has run — with observation-fed stats
+    (:func:`_stats_row`) the call is what blocks on the metrics, and
+    the deferral preserves the postings-first commit order in every
+    branch."""
     side = path.rstrip("/") + "/_corpus_stats"
     # cluster each bucket's postings (without this, every write task
     # emits a file into every bucket directory — tasks × buckets small
@@ -805,27 +834,30 @@ def _write_text_parts(
             sinks.idempotent_append(
                 postings, path, digest, partition_by=("bucket",)
             )
-            sinks.idempotent_append(stats.coalesce(1), side, digest)
+            sinks.idempotent_append(stats().coalesce(1), side, digest)
             return
         postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-        stats.coalesce(1).write.mode("overwrite").parquet(side)
+        stats().coalesce(1).write.mode("overwrite").parquet(side)
         return
     pw = postings.withColumn("_batch", F.lit(int(batch_id))).write
-    sw = (
-        stats.withColumn("_batch", F.lit(int(batch_id)))
-        .coalesce(1)
-        .write
-    )
     if overwrite_all:
-        pw, sw = pw.mode("overwrite"), sw.mode("overwrite")
+        pw = pw.mode("overwrite")
     else:
         pw = pw.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         )
+    pw.partitionBy("bucket", "_batch").parquet(path)
+    sw = (
+        stats().withColumn("_batch", F.lit(int(batch_id)))
+        .coalesce(1)
+        .write
+    )
+    if overwrite_all:
+        sw = sw.mode("overwrite")
+    else:
         sw = sw.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         )
-    pw.partitionBy("bucket", "_batch").parquet(path)
     sw.partitionBy("_batch").parquet(side)
 
 
@@ -863,10 +895,13 @@ def build_text_index(
     touching any other table.  One sidecar row per doc, not per
     posting, so the overhead is |docs|, not |postings|.
     """
+    from pyspark.sql import Observation
+
     df = df.filter(F.col(text_col).isNotNull())
+    obs = Observation()
     _write_text_parts(
-        _postings_of(df, id_col, text_col, n_buckets),
-        _stats_of(df, text_col, n_buckets),
+        _postings_of(df, id_col, text_col, n_buckets, obs=obs),
+        lambda: _stats_row(df.sparkSession, obs, n_buckets),
         path,
         batch_id,
         overwrite_all=True,
@@ -959,9 +994,12 @@ def append_to_text_index(
                 .partitionBy("_batch")
                 .parquet(meta_dir)
             )
+    from pyspark.sql import Observation
+
+    obs = Observation()
     _write_text_parts(
-        _postings_of(df, id_col, text_col, n_buckets),
-        _stats_of(df, text_col, n_buckets),
+        _postings_of(df, id_col, text_col, n_buckets, obs=obs),
+        lambda: _stats_row(spark, obs, n_buckets),
         path,
         batch_id,
         overwrite_all=False,

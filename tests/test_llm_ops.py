@@ -1056,6 +1056,39 @@ def test_text_index_search_matches_adhoc_bm25(spark, sf_dir, tmp_path):
     assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
 
+def test_text_index_stats_ride_postings_pass(spark, tmp_path):
+    """r12: the _corpus_stats sidecar is fed by an observation on the
+    postings pass instead of a second tokenize scan.  The values must
+    match a direct computation EXACTLY — the observation sits before
+    the explode/groupBy, so every non-NULL-text doc is counted once
+    with its full token length, and a NULL-text doc stays excluded from
+    the collection entirely."""
+    from snowav_spark.ops import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, ""),  # splits to [""]: one empty token, dl = 1
+            (3, None),  # excluded from the collection
+            (4, "gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "tix_stats")
+    t.build_text_index(docs, "doc_id", "text", path, n_buckets=4)
+    stats = spark.read.parquet(path + "/_corpus_stats").collect()
+    assert len(stats) == 1
+    row = stats[0]
+    want = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.size(t.tokens(F.col("text"))).cast("long").alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    assert (row.n_docs, row.sum_dl, row.n_buckets) == (want.n, want.s, 4)
+    assert (row.n_docs, row.sum_dl) == (3, 5)  # doc 3 not counted
+
+
 def test_text_index_append_matches_full_rebuild(spark, tmp_path):
     """Appending documents must leave retrieval indistinguishable from a
     full rebuild over the union: postings land in the right buckets and
