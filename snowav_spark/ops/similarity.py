@@ -581,25 +581,31 @@ def _bounded_cobucket_pairs(
         F.least(id_col, "_prev").alias("id_a"),
         F.greatest(id_col, "_prev").alias("id_b"),
     )
-    # The within self-join still consumes the subtree twice, and Spark
-    # only dedups Exchange subtrees -- without an exchange directly
-    # above the windows, the Sort + two Windows re-execute per
-    # reference (the executed plan showed it).  Repartition on the
-    # join's own (tbl, bk, _sub) keys -- a same-key (tbl, bk)
-    # repartition is recognized as redundant and removed (verified:
-    # plan came back unchanged) -- turns the second execution into a
-    # ReusedExchange read and hands the self-join exact
-    # co-partitioning (guide §2.4: share one exchange).  Row content
-    # is untouched: repartition changes distribution only, and every
-    # downstream value (slots, pair emission, distinct) is
-    # partitioning-independent.
+    # The within self-join consumes the subtree twice; Spark only
+    # dedups Exchange subtrees, so the Sort + two Windows re-execute
+    # for the second reference.  Round 11 traded that re-execution for
+    # an explicit repartition on the join's (tbl, bk, _sub) keys — a
+    # measured ~11% LOSS at bench scale, argued (not measured) to win
+    # at real scale.  Round 12 measured it (tools/
+    # probe_cobucket_exchange.py, fresh JVM per arm, 200x the bench
+    # fixture): 400k uniform vectors, warm runs 8.8–12.0 s with the
+    # exchange vs 8.8–14.6 s without (wash within ±40% run noise), and
+    # 400k + 20k-identical hot-salted, best 78.8 vs 79.1 s (wash).
+    # The re-executed subtree sits downstream of the Window's own
+    # reused (tbl, bk) exchange, so the second execution costs one
+    # extra Sort+Window over already-shuffled rows — the same order of
+    # work the extra shuffle write + two fetches cost.  No regime won,
+    # so the default is NO extra exchange (keeps the bench-scale ~11%)
+    # and the r11 arm stays reproducible via SNOWAV_COBUCKET_EXCHANGE=on
+    # (measurement seam only; both arms are value-identical because
+    # repartition changes distribution, never content, and slots / pair
+    # emission / distinct are partitioning-independent).
     import os as _os
 
-    _mode = _os.environ.get("SNOWAV_COBUCKET_EXCHANGE", "on")
-    if _mode == "off":
-        dist = salted
-    else:
+    if _os.environ.get("SNOWAV_COBUCKET_EXCHANGE", "off") == "on":
         dist = salted.repartition("tbl", "bk", "_sub")
+    else:
+        dist = salted
     within = (
         dist.select(F.col(id_col).alias("id_a"), "tbl", "bk", "_sub")
         .join(
