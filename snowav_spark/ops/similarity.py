@@ -825,7 +825,20 @@ def _cell_of(vec: str, cents) -> Column:
     computation as flat codegen would blow up the Catalyst tree).
     Above _HIER_MIN_CELLS the flat batch×k matmul hands over to the
     two-level router (see :func:`_hier_router`) — small cell counts
-    keep the exact flat argmin bit-for-bit."""
+    keep the exact flat argmin bit-for-bit.
+
+    The UDF is PURE but registered ``asNondeterministic()``: when a
+    downstream operator derives a predicate over the assigned cell —
+    the residual path's broadcast join infers ``isnotnull(cell)``, the
+    IVF probe filters ``cell IN (probed)`` — Catalyst pushes the
+    inferred filter below the projection and DUPLICATES the expression,
+    executing the full Arrow matmul twice per row (two stacked
+    ArrowEvalPython nodes computing the same ``_assign``, see
+    plans/r12/ivfpq_residuals_r12.txt).  Nondeterministic registration
+    only removes that optimizer freedom (no duplication, no pushdown
+    THROUGH the projection); every value is unchanged and the
+    null/length guards the callers apply BEFORE this projection stay
+    below it (r12, guide §4.2 evaluate expensive UDFs once)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -838,7 +851,7 @@ def _cell_of(vec: str, cents) -> Column:
             m = np.asarray(vs.tolist(), dtype=np.float64)
             return pd.Series(route(m)[:, 0].astype("int32"))
 
-        return pandas_udf(_assign, "int")(F.col(vec))
+        return pandas_udf(_assign, "int").asNondeterministic()(F.col(vec))
     c_sq = (c * c).sum(axis=1)  # ‖c‖² per centroid
 
     def _assign(vs):  # pd.Series of list<float> -> pd.Series[int]
@@ -847,7 +860,7 @@ def _cell_of(vec: str, cents) -> Column:
         d = c_sq[None, :] - 2.0 * (m @ c.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    return pandas_udf(_assign, "int")(F.col(vec))
+    return pandas_udf(_assign, "int").asNondeterministic()(F.col(vec))
 
 
 def ivf_assign(
