@@ -428,8 +428,64 @@ def dedup_pairs_lsh(
         df, id_col, vec, tables=tables, bits=bits, dim=dim, seed=seed,
         max_bucket=max_bucket,
     )
+    return _verify_pairs(cand, df, id_col, vec, dim, threshold)
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact rounded-cosine verification of candidate ``(id_a, id_b)``
+    pairs against the widened vector table — the shared verify stage of
+    dedup_pairs_lsh and semdedup_pairs.
+
+    Broadcast-hint gate (r12, guide §3.1 "estimates are often badly
+    wrong ... use an explicit broadcast hint when you know a side is
+    small"): the agg-form candidate stage reaches this join through a
+    Window → Aggregate → Generate chain whose Catalyst size estimate
+    SHRINKS below the input scan's (measured at sf0.1: 0.55 MB est for
+    a 1.46M-row / 64 MB-at-runtime pair set, vs 17.8 MB est for the
+    2 MB-at-runtime widened vectors), so for any corpus whose scan
+    estimate is ≲ 14 MB the planner broadcasts the PAIRS — the one side
+    guaranteed to be quadratic in bucket occupancy.  At bench scale
+    that is a measured 6× slowdown; at a few-MB-larger corpus it is a
+    multi-GB broadcast, i.e. a job-killing cliff.  The hint forces the
+    side we can BOUND — the vector table widens the scan by a constant
+    factor — whenever the scan's own optimizer estimate is within 8× of
+    the session's autoBroadcastJoinThreshold: at the fixture this is
+    the exact decision the planner would make with correct pair-side
+    stats, and the 8× margin covers the window where the pair
+    UNDER-estimate (measured 0.7× of the scan estimate) still sits
+    below the threshold while the scan estimate has grown past it.
+    Past the window nothing is hinted and both joins plan as sort-merge
+    on the pair keys — the correct 100 TB shape.  Disabled thresholds
+    (≤ 0) disable the hint too.  Driver-side plan statistics only — no
+    job, no data read."""
+    spark = df.sparkSession
     a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
     b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
+    try:
+        auto = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        )
+    except Exception:
+        auto = 10 << 20
+    if auto > 0:
+        est = int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )
+        if est <= 8 * auto:
+            a, b = F.broadcast(a), F.broadcast(b)
     cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
     return (
         cand.join(a, "id_a")
@@ -581,6 +637,93 @@ def _bounded_cobucket_pairs(
         F.least(id_col, "_prev").alias("id_a"),
         F.greatest(id_col, "_prev").alias("id_b"),
     )
+    import os as _os
+
+    kernel = _os.environ.get("SNOWAV_COBUCKET_KERNEL", "agg")
+    if kernel == "agg":
+        # Single-consumer pair generation (r12, guide §2.4 share one
+        # exchange / §7.2 duplicated subtrees): the self-join form below
+        # references the salted subtree three times (within-a, within-b,
+        # chain) — Spark reuses only the (tbl, bk) Exchange, so the
+        # Sort + two Windows re-execute per reference, plus a broadcast
+        # (bench scale) or two join exchanges (at scale) for the join
+        # itself.  Instead, collect each (tbl, bk, _sub) group's ids
+        # into one sorted array: the aggregation's grouping keys are a
+        # SUPERSET of the window's hashpartitioning(tbl, bk), so
+        # ClusteredDistribution is already satisfied and the aggregate
+        # pipelines in the SAME stage — zero new exchanges — and the
+        # group is ≤ max_bucket ids (≤ 32 KB at 4096) by construction
+        # of the salting, so the per-group state is bounded even on a
+        # degenerate bucket.  Pairs then stream out of two nested
+        # generators (never an O(n²) in-memory array):
+        #   g1: posexplode the group -> (i, id_a);
+        #   g2: explode the ids AFTER position i as id_b (within
+        #       pairs); the i=0 row's list additionally carries
+        #       _prevrep, so the chain pair rides the same explode —
+        #       least/greatest then orients every pair (within pairs
+        #       are already ascending; only the chain element arrives
+        #       reversed).  All plain built-ins: an earlier form built
+        #       (id_a, id_b) STRUCTS via transform/filter higher-order
+        #       lambdas, whose interpreted per-element evaluation cost
+        #       ~4× the whole join kernel at bench scale — slice +
+        #       explode + least/greatest codegen instead (guide §4.1
+        #       prefer built-ins; measured numbers in
+        #       OPTIMIZATION_r12.md).
+        # Pair VALUES are identical to the join form: the sorted-array
+        # (i < j) enumeration is exactly the id_a < id_b co-bucket set,
+        # and the chain pair (_prev of the rep row, rep) is the same
+        # (rep_{s-1}, rep_s) the lag produced (rep = min id of the
+        # group, since slot order IS id order).  The only divergence is
+        # id_a < id_b now also guards the chain (the join form could
+        # emit (x, x) only if one id filled an entire sub-bucket —
+        # impossible below max_bucket duplicate probes).  The self-join
+        # form stays reproducible via SNOWAV_COBUCKET_KERNEL=join
+        # (measurement seam; fresh-JVM A/B in tools/
+        # probe_cobucket_exchange.py).
+        subs = salted.groupBy("tbl", "bk", "_sub").agg(
+            F.sort_array(F.collect_list(id_col)).alias("_ids"),
+            F.min(F.when(F.col("_rep"), F.col("_prev"))).alias("_prevrep"),
+        )
+        if _os.environ.get("SNOWAV_COBUCKET_SPREAD", "on") == "on":
+            # Spread the generation stage (guide §2.5): pipelining the
+            # aggregate on the window's (tbl, bk) exchange leaves a hot
+            # bucket's sub-bucket arrays in ONE task — the O(n²) pair
+            # generation then runs ~n_subs× under-parallel exactly in
+            # the salted regime.  One exchange of the COMPACT arrays
+            # (each id crosses once — orders less than the pair stream)
+            # re-keys by (tbl, bk, _sub); the explicit partition count
+            # pins the spread against AQE byte-based coalescing (the
+            # arrays are KBs; the generated pairs are not) and scales
+            # with the session's cores, not a constant.
+            subs = subs.repartition(
+                salted.sparkSession.sparkContext.defaultParallelism,
+                "tbl", "bk", "_sub",
+            )
+        g1 = subs.select(
+            "_ids",
+            "_prevrep",
+            F.posexplode("_ids").alias("_i", "id_a"),
+        )
+        tail = F.slice(
+            F.col("_ids"),
+            F.col("_i") + F.lit(2),
+            F.greatest(
+                F.lit(0), F.size("_ids") - F.col("_i") - F.lit(1)
+            ),
+        )
+        id_bs = F.when(
+            (F.col("_i") == 0) & F.col("_prevrep").isNotNull(),
+            F.concat(tail, F.array(F.col("_prevrep"))),
+        ).otherwise(tail)
+        pairs = (
+            g1.select("id_a", F.explode(id_bs).alias("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        return pairs.distinct()
     # The within self-join consumes the subtree twice; Spark only
     # dedups Exchange subtrees, so the Sort + two Windows re-execute
     # for the second reference.  Round 11 traded that re-execution for
@@ -595,13 +738,11 @@ def _bounded_cobucket_pairs(
     # reused (tbl, bk) exchange, so the second execution costs one
     # extra Sort+Window over already-shuffled rows — the same order of
     # work the extra shuffle write + two fetches cost.  No regime won,
-    # so the default is NO extra exchange (keeps the bench-scale ~11%)
-    # and the r11 arm stays reproducible via SNOWAV_COBUCKET_EXCHANGE=on
-    # (measurement seam only; both arms are value-identical because
-    # repartition changes distribution, never content, and slots / pair
-    # emission / distinct are partitioning-independent).
-    import os as _os
-
+    # so the self-join default keeps NO extra exchange (the r11 arm
+    # stays reproducible via SNOWAV_COBUCKET_EXCHANGE=on; both arms are
+    # value-identical because repartition changes distribution, never
+    # content, and slots / pair emission / distinct are
+    # partitioning-independent).
     if _os.environ.get("SNOWAV_COBUCKET_EXCHANGE", "off") == "on":
         dist = salted.repartition("tbl", "bk", "_sub")
     else:
@@ -944,15 +1085,7 @@ def semdedup_pairs(
         ).alias("bk"),
     )
     cand = _bounded_cobucket_pairs(keys, id_col, max_cluster)
-    a = _widen(df, id_col, vec, dim, "a").withColumnRenamed(id_col, "id_a")
-    b = _widen(df, id_col, vec, dim, "b").withColumnRenamed(id_col, "id_b")
-    cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return _verify_pairs(cand, df, id_col, vec, dim, threshold)
 
 
 def ivf_topk(

@@ -1761,6 +1761,45 @@ def test_salting_chain_pairs_exact(spark):
     assert pairs == within | chain
 
 
+def test_cobucket_agg_kernel_matches_join_kernel(spark):
+    """r12 single-consumer pair kernel (groupBy collect_list + nested
+    explodes, pipelined on the salting window's exchange) must emit
+    byte-for-byte the pair set of the legacy self-join form — including
+    when salting engages: within-sub-bucket pairs AND the
+    representative chain across sub-buckets (505 ids, cap 100 → six
+    sub-buckets, five chain links)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowav_spark.ops import similarity
+
+    d = spark.range(505).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    out = {}
+    old = os.environ.get("SNOWAV_COBUCKET_KERNEL")
+    try:
+        for kern in ("agg", "join"):
+            os.environ["SNOWAV_COBUCKET_KERNEL"] = kern
+            out[kern] = {
+                (r.id_a, r.id_b)
+                for r in similarity.lsh_candidate_pairs(
+                    d, "vec_id", "embedding",
+                    tables=1, bits=2, dim=8, max_bucket=100,
+                ).collect()
+            }
+    finally:
+        if old is None:
+            os.environ.pop("SNOWAV_COBUCKET_KERNEL", None)
+        else:
+            os.environ["SNOWAV_COBUCKET_KERNEL"] = old
+    assert out["agg"] == out["join"]
+    assert (0, 100) in out["agg"] and (400, 500) in out["agg"]
+    assert len(out["agg"]) > 0
+
+
 def test_lsh_salting_recall_unchanged_on_normal_corpus(spark, sf_dir):
     """The default-on skew guard must be a no-op on a normal corpus
     (buckets ≪ max_bucket): pairs identical with the guard on and
