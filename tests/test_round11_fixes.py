@@ -278,3 +278,36 @@ def test_blessed_baseline_skipped_on_cpus_mismatch(tmp_path):
     with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
         json.dump({"sf": 0.1, "keys": {"q_topk": 0.06}}, f)
     assert bench._blessed_baseline(repo, 0.1, 8) == {"q_topk": 0.06}
+
+
+def test_blessed_baseline_by_cpus_sections(tmp_path):
+    """r12 (VERDICT r11 item 7): a blessed file may carry per-core-count
+    bar sections so the driver's lower-core scaling run gets its OWN
+    drift bars instead of skipping the gate; files without the section
+    keep the exact skip-on-mismatch behavior pinned above."""
+    import bench
+
+    repo = str(tmp_path)
+    with open(os.path.join(repo, "BASELINE_KEYS.json"), "w") as f:
+        json.dump(
+            {
+                "sf": 0.1,
+                "cpus": 32,
+                "keys": {"q_topk": 0.06},
+                "by_cpus": {
+                    "32": {"keys": {"q_topk": 0.06}},
+                    "8": {"keys": {"q_topk": 0.11}},
+                },
+            },
+            f,
+        )
+    # each core count resolves its own section
+    assert bench._blessed_baseline(repo, 0.1, 32) == {"q_topk": 0.06}
+    assert bench._blessed_baseline(repo, 0.1, 8) == {"q_topk": 0.11}
+    # an un-blessed core count still skips (falls through to the
+    # top-level cpus mismatch rule)
+    assert bench._blessed_baseline(repo, 0.1, 4) == {}
+    # sf mismatch still disables everything
+    assert bench._blessed_baseline(repo, 0.01, 8) == {}
+    # caller without a core count keeps the top-level (newest) bars
+    assert bench._blessed_baseline(repo, 0.1) == {"q_topk": 0.06}

@@ -90,11 +90,43 @@ def main() -> int:
         "keys": keys,
     }
     out_path = os.path.join(REPO, "BASELINE_KEYS.json")
+    # Per-core-count sections (r12, VERDICT r11 item 7): keep every
+    # previously blessed core count's bars under "by_cpus" and add /
+    # replace this blessing's — the driver's lower-core scaling run then
+    # gets its own honest drift bars instead of skipping the gate.  The
+    # top level stays the newest blessing (back-compat with readers that
+    # predate the section).
+    by_cpus: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            by_cpus = dict(prev.get("by_cpus") or {})
+            if not by_cpus and prev.get("cpus") is not None:
+                by_cpus[str(int(prev["cpus"]))] = {
+                    k: prev[k]
+                    for k in (
+                        "blessed_utc", "n_runs", "git_heads",
+                        "run_utcs", "keys",
+                    )
+                    if k in prev
+                }
+        except Exception:
+            by_cpus = {}
+    if newest_cpus is not None:
+        by_cpus[str(int(newest_cpus))] = {
+            k: out[k]
+            for k in (
+                "blessed_utc", "n_runs", "git_heads", "run_utcs", "keys"
+            )
+        }
+        out["by_cpus"] = by_cpus
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
     print(
         f"blessed {len(keys)} keys from {len(usable)} runs "
-        f"({', '.join(out['git_heads'])}) -> {out_path}"
+        f"({', '.join(out['git_heads'])}) at cpus={newest_cpus} "
+        f"-> {out_path} (by_cpus: {sorted(by_cpus)})"
     )
     return 0
 
