@@ -624,19 +624,6 @@ def _bounded_cobucket_pairs(
         bucket_n.alias("_bn"),
     ).observe(obs, F.max("_bn").alias("max_bucket_n"))
     _HOT_BUCKET_OBS.append((obs, max_bucket))
-    # Chain pairs need no join: a representative (slot s*max_bucket,
-    # s >= 1) pairs with _prev = the id at slot (s-1)*max_bucket -- the
-    # previous representative; slot 0's _prev is NULL and drops.  A
-    # pure filter+projection over the window output, replacing the
-    # reps-a x reps-b join branch whose _rep filter used to push below
-    # any reuse point and re-execute the Sort+Window pipeline twice
-    # more.
-    chain = salted.filter(
-        F.col("_rep") & F.col("_prev").isNotNull()
-    ).select(
-        F.least(id_col, "_prev").alias("id_a"),
-        F.greatest(id_col, "_prev").alias("id_b"),
-    )
     import os as _os
 
     kernel = _os.environ.get("SNOWAV_COBUCKET_KERNEL", "agg")
@@ -757,6 +744,16 @@ def _bounded_cobucket_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+    )
+    # Chain pairs need no join: a representative (slot s*max_bucket,
+    # s >= 1) pairs with _prev = the id at slot (s-1)*max_bucket -- the
+    # previous representative; slot 0's _prev is NULL and drops (r11;
+    # the agg kernel folds the same pair into its generator instead).
+    chain = salted.filter(
+        F.col("_rep") & F.col("_prev").isNotNull()
+    ).select(
+        F.least(id_col, "_prev").alias("id_a"),
+        F.greatest(id_col, "_prev").alias("id_b"),
     )
     return within.unionByName(chain).distinct()
 
