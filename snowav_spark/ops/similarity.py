@@ -475,17 +475,16 @@ def _verify_pairs(
                 spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             )
         )
-    except Exception:
-        auto = 10 << 20
-    if auto > 0:
         est = int(
             str(
                 df._jdf.queryExecution().optimizedPlan().stats()
                 .sizeInBytes()
             )
-        )
-        if est <= 8 * auto:
-            a, b = F.broadcast(a), F.broadcast(b)
+        ) if auto > 0 else None
+    except Exception:  # fail OPEN: a stats/conf probe must never be
+        auto, est = 0, None  # able to fail query construction itself
+    if auto > 0 and est is not None and est <= 8 * auto:
+        a, b = F.broadcast(a), F.broadcast(b)
     cos = _wide_dot("a", "b", dim) / (F.col("anrm") * F.col("bnrm"))
     return (
         cand.join(a, "id_a")
